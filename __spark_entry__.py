@@ -1,38 +1,561 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps SURVEY.md §2's operator inventory to (queries, oracle_sql) pairs
+on the driver's testdata tables. Engine code lives in
+``nyc_taxi_data_prediction_pyspark_spark/``; this module only wires it up.
+
+Naming convention: every computed column is aliased identically in the
+Spark plan and the DuckDB oracle (driver hashes values by sorted
+column name).
 """
 
 from __future__ import annotations
 
+import tempfile
+import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from nyc_taxi_data_prediction_pyspark_spark.catalog import load, pin_session
+from nyc_taxi_data_prediction_pyspark_spark.operators import (
+    aggregates as agg,
+    cleaning,
+    dedup,
+    joins,
+    merge,
+    setops,
+    similarity,
+    text as textops,
+    topk,
+    windows,
+    multimodal,
+)
+from nyc_taxi_data_prediction_pyspark_spark.functions.json import json_get, parse_typed
+from nyc_taxi_data_prediction_pyspark_spark.streaming import pipeline as stream
+from nyc_taxi_data_prediction_pyspark_spark.ml import forecast
+from nyc_taxi_data_prediction_pyspark_spark.ml.embeddings import with_embeddings
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY.md §7.1 minimum slice): cleaning contract
+    (P1-P4) → count + date-range aggregates (A2/A3) — the reference's
+    own verification set (readme.md:151-166) in one frame."""
+    pin_session(spark)
+    li = load(spark, SF0001, "lineitem")
+    cleaned = cleaning.clean_lineitem_as_trips(li)
+    return cleaned.agg(
+        F.count(F.lit(1)).alias("trip_count"),
+        F.min("ship_date").alias("first_pickup"),
+        F.max("ship_date").alias("last_pickup"),
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+LINEITEM_MERGE_KEY = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_shipdate",
+    "l_partkey",
+    "l_quantity",
+    "l_extendedprice",
+]
+
+
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.pricing_summary(load(spark, sf, "lineitem"))
+
+
+def q02_count_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.count_star(load(spark, sf, "orders"))
+
+
+def q03_order_date_range(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.min_max(load(spark, sf, "orders"), "o_orderdate", "first_order", "last_order")
+
+
+def q04_topk_latest_events(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return topk.top_k(
+        ev.select("event_id", "ts", "user_id", "event_type"),
+        10,
+        F.col("ts").desc(),
+        F.col("event_id").desc(),
+    )
+
+
+def q05_clean_contract(spark: SparkSession, sf: str) -> DataFrame:
+    return cleaning.clean_lineitem_as_trips(load(spark, sf, "lineitem"))
+
+
+def q06_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    fact = li.where(F.col("l_orderkey") % 2 == 0)
+    merged = merge.merge_upsert(li, fact, LINEITEM_MERGE_KEY)
+    return merged.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q07_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    enriched = joins.broadcast_enrich(orders, cust, o_custkey="c_custkey")
+    enriched = joins.broadcast_enrich(enriched, nation, c_nationkey="n_nationkey")
+    return enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        agg.dsum("o_totalprice").alias("revenue"),
+    )
+
+
+def q08_hourly_demand(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.hourly_demand(load(spark, sf, "events"))
+
+
+def q09_top_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("user_id", "event_id", "value")
+    return windows.top_per_group(
+        ev, partition=["user_id"], order=[F.col("value").desc(), F.col("event_id").asc()], k=1
+    )
+
+
+def q10_user_gap_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("user_id", "event_id", "event_type", "ts")
+    gaps = windows.lag_gap_seconds(
+        ev, partition=["user_id"], ts="ts", order_tiebreak=["event_id"]
+    )
+    # no ROUND on the average: sum/count are exact ints, so the IEEE
+    # double division is bit-identical across engines — rounding at a
+    # magnitude near the double's ulp is what *introduces* divergence
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        (F.sum("gap_us") / F.count("gap_us")).alias("avg_gap_us"),
+    )
+
+
+def q11_setops(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer")
+    high = cust.where(F.col("c_acctbal") > 7000).select("c_custkey")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    both = setops.intersect(high, building).withColumn("op", F.lit("intersect"))
+    only_high = setops.except_distinct(high, building).withColumn("op", F.lit("except"))
+    either = setops.union_distinct(high, building).withColumn("op", F.lit("union"))
+    return setops.union_all(setops.union_all(both, only_high), either)
+
+
+def q12_json_path_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    k = json_get("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q13_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = textops.fingerprint(load(spark, sf, "documents"))
+    return dedup.exact_dedup(docs, ["doc_fp"], "doc_id").select(
+        "doc_fp", F.col("doc_id").alias("keep_id"), "n_copies"
+    )
+
+
+def q14_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.fingerprint(load(spark, sf, "documents")).select("doc_id", "doc_fp")
+
+
+def q15_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    q = textops.quality_features(load(spark, sf, "documents"))
+    return q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("q_tokens").alias("sum_tokens"),
+        agg.dsum("q_punct_ratio", 6).alias("sum_punct_ratio"),
+        agg.dsum("q_mean_token_len", 6).alias("sum_mean_token_len"),
+        agg.dsum("q_stopword_ratio", 6).alias("sum_stopword_ratio"),
+    )
+
+
+def q16_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    pred = textops.lang_id(load(spark, sf, "documents"))
+    return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q17_ngram_jaccard_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf, "documents"), text_col="text", id_col="doc_id", n=3, threshold=0.3
+    )
+
+
+def q18_embedding_dupes(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.embedding_dupes(load(spark, sf, "embeddings"), threshold=0.4)
+
+
+def q19_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    qrow = emb.orderBy("vec_id").select("vec_id", "embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return similarity.cosine_topk(emb.where(F.col("vec_id") != qrow["vec_id"]), qvec, 10)
+
+
+def q20_minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf, "documents"), text_col="text", id_col="doc_id", jaccard_threshold=0.3
+    )
+
+
+def q21_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash(load(spark, sf, "documents"), text_col="text", id_col="doc_id")
+
+
+def q22_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    pin_session(spark)
+    events = stream.read_event_stream(spark, sf, glob="events.parquet")
+    counts = stream.windowed_counts(events, window="1 hour")
+    sink = f"stream_out_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    stream.run_available_now(counts, checkpoint=ckpt, sink_table=sink, output_mode="complete")
+    return spark.table(sink)
+
+
+def q23_media_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    media = multimodal.attach_binary(docs, src_col="text", id_col="doc_id", mime="text/plain")
+    return multimodal.media_stats(media)
+
+
+def q24_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("value").alias("last_view_value")
+    )
+    return joins.asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        probe_ts="ts",
+        build_ts="vts",
+        value_cols=["last_view_value"],
+    )
+
+
+def q25_order_revenue_topk(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(agg.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+    )
+    return topk.top_k(rev, 10, F.col("revenue").desc(), F.col("o_orderkey").asc())
+
+
+def q26_hour_bucket_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    hourly_purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("obs_ts"))
+        .agg(agg.dsum("value").alias("hour_purchase_value"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "ts", "user_id", "value")
+    joined = joins.hour_bucket_join(
+        clicks, hourly_purch, event_ts="ts", obs_ts="obs_ts", how="left"
+    )
+    return joined.select("event_id", "user_id", "value", "hour_purchase_value")
+
+
+def q27_json_typed_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    typed = ev.withColumn("k", parse_typed("props", "k INT")["k"])
+    return (
+        typed.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q28_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    qrow = emb.orderBy("vec_id").select("vec_id", "embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    planes = similarity.random_hyperplanes(len(qvec), 4, seed=42)
+    bucketed = similarity.lsh_buckets(emb.where(F.col("vec_id") != qrow["vec_id"]), planes)
+    return similarity.lsh_topk(bucketed, planes, qvec, 10)
+
+
+def q29_ml_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    return forecast.predict_demand(load(spark, sf, "events"))
+
+
+def q30_text_embed(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    emb = with_embeddings(docs)
+    return emb.select("doc_id", F.size("embedding").alias("emb_dim"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_count_orders": q02_count_orders,
+        "q03_order_date_range": q03_order_date_range,
+        "q04_topk_latest_events": q04_topk_latest_events,
+        "q05_clean_contract": q05_clean_contract,
+        "q06_merge_upsert": q06_merge_upsert,
+        "q07_revenue_by_nation": q07_revenue_by_nation,
+        "q08_hourly_demand": q08_hourly_demand,
+        "q09_top_event_per_user": q09_top_event_per_user,
+        "q10_user_gap_stats": q10_user_gap_stats,
+        "q11_setops": q11_setops,
+        "q12_json_path_stats": q12_json_path_stats,
+        "q13_exact_dedup": q13_exact_dedup,
+        "q14_fingerprint": q14_fingerprint,
+        "q15_text_quality": q15_text_quality,
+        "q16_lang_id": q16_lang_id,
+        "q17_ngram_jaccard_dedup": q17_ngram_jaccard_dedup,
+        "q18_embedding_dupes": q18_embedding_dupes,
+        "q19_ann_cosine_topk": q19_ann_cosine_topk,
+        "q20_minhash_lsh_dedup": q20_minhash_lsh_dedup,
+        "q21_simhash": q21_simhash,
+        "q22_streaming_hourly": q22_streaming_hourly,
+        "q23_media_stats": q23_media_stats,
+        "q24_asof_join": q24_asof_join,
+        "q25_order_revenue_topk": q25_order_revenue_topk,
+        "q26_hour_bucket_join": q26_hour_bucket_join,
+        "q27_json_typed_stats": q27_json_typed_stats,
+        "q28_lsh_ann": q28_lsh_ann,
+        "q29_ml_forecast": q29_ml_forecast,
+        "q30_text_embed": q30_text_embed,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKENS = f"regexp_split_to_array(trim(text), '\\s+')"
+_MARKERS = {
+    "en": "(the|and|of|to|is)",
+    "es": "(el|la|de|que|los)",
+    "fr": "(le|la|les|des|est)",
+    "de": "(der|die|und|das|ist)",
+}
+_HITS = {
+    lang: f"len(regexp_extract_all(lower(text), '\\b{pat}\\b'))" for lang, pat in _MARKERS.items()
+}
+
+_SHINGLE_CTE = """
+toks AS (
+  SELECT doc_id, regexp_split_to_array({norm}, ' ') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+)""".format(norm=_NORM_TEXT)
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        HOURLY_DEMAND_ORACLE,
+        PRICING_SUMMARY_ORACLE,
+    )
+    from nyc_taxi_data_prediction_pyspark_spark.operators.cleaning import CLEAN_LINEITEM_ORACLE
+
+    merge_keys = " AND ".join(f"f.{k} = s.{k}" for k in LINEITEM_MERGE_KEY)
+    lang_case = (
+        "CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und' "
+        "WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en' "
+        "WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es' "
+        "WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr' "
+        "ELSE 'de' END"
+    )
+    return {
+        "q01_pricing_summary": PRICING_SUMMARY_ORACLE,
+        "q02_count_orders": "SELECT COUNT(*) AS cnt FROM orders",
+        "q03_order_date_range": (
+            "SELECT MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order FROM orders"
+        ),
+        "q04_topk_latest_events": (
+            "SELECT event_id, ts, user_id, event_type FROM events "
+            "ORDER BY ts DESC, event_id DESC LIMIT 10"
+        ),
+        "q05_clean_contract": CLEAN_LINEITEM_ORACLE,
+        "q06_merge_upsert": f"""
+WITH fact AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0),
+new_rows AS (
+  SELECT s.* FROM lineitem s
+  WHERE NOT EXISTS (SELECT 1 FROM fact f WHERE {merge_keys})
+),
+merged AS (SELECT * FROM fact UNION ALL SELECT * FROM new_rows)
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows FROM merged GROUP BY 1, 2
+""",
+        "q07_revenue_by_nation": """
+SELECT n_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "q08_hourly_demand": HOURLY_DEMAND_ORACLE,
+        "q09_top_event_per_user": """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        "q10_user_gap_stats": """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(gap_us) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+       SUM(gap_us) * 1.0 / COUNT(gap_us) AS avg_gap_us
+FROM gaps GROUP BY event_type
+""",
+        "q11_setops": """
+WITH high AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000),
+building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM high INTERSECT SELECT * FROM building)
+UNION ALL
+SELECT c_custkey, 'except' AS op FROM (SELECT * FROM high EXCEPT SELECT * FROM building)
+UNION ALL
+SELECT c_custkey, 'union' AS op FROM (SELECT * FROM high UNION SELECT * FROM building)
+""",
+        "q12_json_path_stats": """
+WITH k AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM k GROUP BY event_type
+""",
+        "q13_exact_dedup": f"""
+SELECT md5({_NORM_TEXT}) AS doc_fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+        "q14_fingerprint": f"SELECT doc_id, md5({_NORM_TEXT}) AS doc_fp FROM documents",
+        "q15_text_quality": f"""
+WITH feat AS (
+  SELECT lang,
+         len(text) AS q_chars,
+         len({_TOKENS}) AS q_tokens,
+         ROUND(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / greatest(len(text), 1), 6) AS q_punct_ratio,
+         ROUND(len(text) * 1.0 / greatest(len({_TOKENS}), 1), 6) AS q_mean_token_len,
+         ROUND({_HITS['en']} * 1.0 / greatest(len({_TOKENS}), 1), 6) AS q_stopword_ratio
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(q_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CAST(q_punct_ratio AS DECIMAL(18,6))) AS DOUBLE) AS sum_punct_ratio,
+       CAST(SUM(CAST(q_mean_token_len AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_token_len,
+       CAST(SUM(CAST(q_stopword_ratio AS DECIMAL(18,6))) AS DOUBLE) AS sum_stopword_ratio
+FROM feat GROUP BY lang
+""",
+        "q16_lang_id": f"""
+WITH h AS (
+  SELECT lang, {_HITS['en']} AS h_en, {_HITS['es']} AS h_es,
+         {_HITS['fr']} AS h_fr, {_HITS['de']} AS h_de
+  FROM documents
+)
+SELECT lang, {lang_case} AS pred_lang, COUNT(*) AS n_docs FROM h GROUP BY 1, 2
+""",
+        "q17_ngram_jaccard_dedup": f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) >= 0.3
+""",
+        "q18_embedding_dupes": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_COS.format(a='a.embedding::DOUBLE[]', b='b.embedding::DOUBLE[]')}, 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_COS.format(a='a.embedding::DOUBLE[]', b='b.embedding::DOUBLE[]')}, 6) >= 0.4
+""",
+        "q19_ann_cosine_topk": f"""
+WITH q AS (
+  SELECT embedding FROM embeddings WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+)
+SELECT e.vec_id,
+       ROUND({_COS.format(a='e.embedding::DOUBLE[]', b='q.embedding::DOUBLE[]')}, 6) AS cos
+FROM embeddings e, q
+WHERE e.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+ORDER BY cos DESC, e.vec_id ASC LIMIT 10
+""",
+        # q20_minhash_lsh_dedup: engine-specific minhash seeds → rows-only check.
+        # q21_simhash: xxhash64 is engine-specific → rows-only check.
+        "q22_streaming_hourly": """
+SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+        "q23_media_stats": """
+SELECT 'text/plain' AS mime, COUNT(*) AS n_media,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+""",
+        "q24_asof_join": """
+WITH p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT p.user_id, p.event_id, p.ts, p.value,
+       (SELECT v.value FROM v
+        WHERE v.user_id = p.user_id AND v.ts <= p.ts
+        ORDER BY v.ts DESC LIMIT 1) AS last_view_value
+FROM p
+""",
+        "q25_order_revenue_topk": """
+SELECT o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+""",
+        "q26_hour_bucket_join": """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS obs_hour,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS hour_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.value, h.hour_purchase_value
+FROM events e LEFT JOIN hourly h ON date_trunc('hour', e.ts) = h.obs_hour
+WHERE e.event_type = 'click'
+""",
+        "q27_json_typed_stats": """
+WITH k AS (SELECT user_id % 10 AS user_bucket, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+SELECT user_bucket, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM k GROUP BY user_bucket
+""",
+        # q28_lsh_ann: seeded-hyperplane bucketing is engine-side → rows-only.
+        # q29_ml_forecast: iterative MLlib fit → rows-only.
+        "q30_text_embed": "SELECT doc_id, 32 AS emb_dim FROM documents",
+    }

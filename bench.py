@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed to completion (count() action — results are
+small aggregates or bounded top-k frames; the count forces the full
+plan without driver-side materialization of wide rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — scan/clean, agg, join+agg,
+# window, merge, topk, json, text, dedup (exact + ngram), ANN, as-of.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q05_clean_contract",
+    "q06_merge_upsert",
+    "q07_revenue_by_nation",
+    "q08_hourly_demand",
+    "q09_top_event_per_user",
+    "q12_json_path_stats",
+    "q13_exact_dedup",
+    "q17_ngram_jaccard_dedup",
+    "q19_ann_cosine_topk",
+    "q24_asof_join",
+    "q25_order_revenue_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry
+
+    from nyc_taxi_data_prediction_pyspark_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry.queries()
+
+    # warm the JVM + parquet footers once so timings measure the
+    # query, not session bring-up
+    qs["q02_count_orders"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

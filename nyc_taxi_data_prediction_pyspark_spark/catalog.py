@@ -1,0 +1,65 @@
+"""Testdata catalog: load the driver's parquet tables and pin the
+session semantics every query depends on.
+
+The driver may hand us an arbitrarily-configured SparkSession, so the
+invariants the oracle comparison needs (UTC naive-timestamp semantics,
+ANSI off so casts behave like the reference's permissive Snowflake
+loads) are (re)asserted here at load time rather than assumed from
+session.get_spark().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def pin_session(spark: SparkSession) -> SparkSession:
+    """Set runtime-mutable confs that correctness depends on."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The driver's events table is written with parquet TIMESTAMP(NANOS),
+    # which Spark refuses by default; read as nanos-since-epoch longs and
+    # convert in the loader (DuckDB parity: ns truncates to µs).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # AQE is safe to flip at runtime and is our 100 TB posture default.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
+def _nanos_to_ts(df: DataFrame) -> DataFrame:
+    """Convert any nanos-as-long timestamp columns back to TimestampType
+    (floor-divide to µs — same truncation DuckDB applies to TIMESTAMP_NS)."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for name, dtype in df.dtypes:
+        if name in ("ts",) and dtype == "bigint":
+            # integer div — double division would lose precision at 1e18 ns
+            out = out.withColumn(name, F.timestamp_micros(F.expr(f"{name} div 1000")))
+    return out
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    pin_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _nanos_to_ts(df)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,109 @@
+"""Aggregations (SURVEY.md §2.4 A1-A3 + the declared grouped analytics).
+
+The reference's own aggregate surface is count / min / max
+(reference: dags/etl_spark_historical.py:197,342-343; readme.md:151-166).
+Grouped aggregation is the declared-but-deferred dbt layer
+("analyze demand and delays by weather", readme.md:136-137) — here it
+is first-class via groupBy.
+
+Scale + determinism note: double-precision SUM is order-dependent, and
+at 1000 executors partial-aggregate ordering is nondeterministic run
+to run. Money-like measures are therefore summed as DECIMAL —
+associative, exact, identical on any cluster size and in the DuckDB
+oracle — and only the *final* scalar is cast back to double. Partial
+(map-side) aggregation still applies: decimal sum is a regular
+declarative agg, so Catalyst does partial→final automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dsum(col: str | Column, scale: int = 4) -> Column:
+    """Exact order-independent sum of a double column via decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def davg(col: str | Column, scale: int = 4) -> Column:
+    """Exact-sum average: decimal sum / count, divided in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, scale) / F.count(c)
+
+
+def count_star(df: DataFrame) -> DataFrame:
+    """A2: scalar COUNT(*) (readme.md:151-152)."""
+    return df.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def min_max(df: DataFrame, col: str, lo: str = "first_val", hi: str = "last_val") -> DataFrame:
+    """A3: MIN/MAX date-range check (readme.md:163-166)."""
+    return df.agg(F.min(col).alias(lo), F.max(col).alias(hi))
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped grouped rollup over the lineitem fixture —
+    the grouped-analytics capability the reference defers to dbt.
+
+    One shuffle on the (low-cardinality) group keys; partial aggs
+    map-side. Survives 100× scale because group cardinality is O(1).
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("sum_disc_price"),
+            F.round(davg("l_quantity"), 6).alias("avg_qty"),
+            F.round(davg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(davg("l_discount", 6), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity       AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice  AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_quantity      AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity), 6)      AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount      AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount), 6)      AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def hourly_demand(events: DataFrame) -> DataFrame:
+    """Demand by hour bucket × type — the trips⋈weather-era analytics
+    shape (readme.md:136-137) on the events fixture: date_trunc to the
+    hour + groupBy. Equivalent to a tumbling window (F.window) in the
+    streaming variant (streaming/pipeline.py)."""
+    return (
+        events.withColumn("hour_bucket", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            F.round(davg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+HOURLY_DEMAND_ORACLE = """
+SELECT
+  date_trunc('hour', ts) AS hour_bucket,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""

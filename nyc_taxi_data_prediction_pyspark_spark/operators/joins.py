@@ -1,0 +1,107 @@
+"""Joins (SURVEY.md §2.3 J1-J2): broadcast dim enrichment, hour-bucket
+time join, and as-of join.
+
+J2 is the reference's declared trips⋈weather "by time and zone" join
+(reference: readme.md:134-137). Two Spark-native forms:
+
+- **bucket join**: truncate the event time to the observation cadence
+  (hour) and equi-join — cheap, exact when the small side has exactly
+  one row per bucket (the weather feed appends 1 row/hour,
+  weather_realtime_etl.py:157);
+- **as-of join**: most recent observation at-or-before each event —
+  Spark has no native ASOF; expressed as a composition of built-ins:
+  union both sides tagged, one window pass carrying the last
+  observation forward, then keep the probe rows. No cross join, no
+  per-group Python — one sort-shuffle on the group key, which is the
+  same cost class as any windowed time-series op at 100 TB; skewed
+  keys go through AQE skew-join/window splitting.
+
+The dim/weather side is tiny → explicit ``F.broadcast`` so the plan
+does not depend on stats being fresh at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def broadcast_enrich(
+    facts: DataFrame, dim: DataFrame, on: Sequence[str] | None = None, how: str = "inner", **eq
+) -> DataFrame:
+    """Equi-join with an explicitly broadcast small side (zones/nation-
+    style dims, FIXTURES.md A4)."""
+    if on is not None:
+        return facts.join(F.broadcast(dim), on=list(on), how=how)
+    (lk, rk), = eq.items()
+    return facts.join(F.broadcast(dim), facts[lk] == dim[rk], how)
+
+
+def hour_bucket_join(
+    events: DataFrame,
+    observations: DataFrame,
+    *,
+    event_ts: str,
+    obs_ts: str,
+    keys: Sequence[str] = (),
+    how: str = "left",
+) -> DataFrame:
+    """J2 bucket form: date_trunc both sides to the hour + equi-join.
+    Exact when observations are unique per (keys, hour)."""
+    ev = events.withColumn("__hour", F.date_trunc("hour", F.col(event_ts)))
+    ob = observations.withColumn("__hour", F.date_trunc("hour", F.col(obs_ts)))
+    joined = ev.join(F.broadcast(ob), on=[*keys, "__hour"], how=how)
+    return joined.drop("__hour")
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    *,
+    on: Sequence[str],
+    probe_ts: str,
+    build_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Most-recent-at-or-before join (ASOF) via tagged union + one
+    window pass.
+
+    For each probe row, attach ``value_cols`` from the build row with
+    the greatest ``build_ts`` <= ``probe_ts`` within the same ``on``
+    group. At equal timestamps the build row matches (it sorts before
+    the probe row). Output schema: probe columns + value_cols.
+    """
+    on = list(on)
+    value_cols = list(value_cols)
+    probe_payload = [c for c in probe.columns if c not in on]
+
+    p = probe.select(
+        *on,
+        F.col(probe_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__p_{c}") for c in probe_payload],
+        *[F.lit(None).cast(build.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    b = build.select(
+        *on,
+        F.col(build_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(f"__p_{c}") for c in probe_payload],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    u = p.unionByName(b)
+
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    for c in value_cols:
+        u = u.withColumn(f"__v_{c}", F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w))
+
+    out = u.filter(F.col("__side") == 1)
+    sel = [F.col(k) for k in on]
+    sel += [F.col(f"__p_{c}").alias(c) for c in probe_payload]
+    sel += [F.col(f"__v_{c}").alias(c) for c in value_cols]
+    return out.select(*sel)

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10 M3).
+
+- ``cosine_topk``    brute-force exact top-k: one scan + TakeOrdered —
+                     the correctness baseline, O(n·d), no shuffle.
+- ``ivf_topk``       IVF-style two-stage ANN: k-means centroids →
+                     route query to nprobe nearest cells → exact scan
+                     inside cells. The 100 TB path: the table is
+                     pre-partitioned by cell id, so a query touches
+                     nprobe partitions instead of all splits.
+- ``lsh_buckets`` /  random-hyperplane (sign) LSH bucketing for
+  ``lsh_topk``       cosine — deterministic seeded projections,
+                     bucket-local candidate scan.
+
+Vector math is built-in fold expressions (functions/vectors.py), not
+UDFs; the per-query vector is a literal array baked into the plan, so
+Catalyst broadcasts it for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.vectors import as_double, cosine, dot
+
+
+def _query_lit(qvec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in qvec])
+
+
+def cosine_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine. orderBy+limit compiles to
+    TakeOrderedAndProject: per-partition heap, only k rows shuffle."""
+    q = _query_lit(qvec)
+    return (
+        emb.select(F.col(id_col), F.round(cosine(as_double(vec_col), q), 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame, n_cells: int, *, vec_col: str = "embedding", seed: int = 42, max_iter: int = 5
+) -> list[list[float]]:
+    """Driver-side tiny k-means (MLlib) to build the IVF coarse
+    quantizer. Centroid count is O(√n) — small enough to broadcast."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(array_to_vector(as_double(vec_col)).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter)
+    model = km.fit(vecs)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def assign_cells(
+    emb: DataFrame, centroids: list[list[float]], *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach ``cell`` = argmax-cosine centroid id, built-ins only:
+    build an array of centroid similarities and take array_position of
+    the max. At write time, ``partitionBy('cell')`` makes cell routing
+    a partition-pruned read."""
+    v = as_double(vec_col)
+    sims = F.array(*[dot(v, _query_lit(c)) for c in centroids])
+    best = F.array_position(sims, F.array_max(sims)) - 1
+    return emb.withColumn("cell", best.cast("int"))
+
+
+def ivf_topk(
+    emb_with_cells: DataFrame,
+    centroids: list[list[float]],
+    qvec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: pick nprobe closest centroids driver-side (tiny),
+    scan only those cells, exact rank within."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], qvec))
+    probe = order[:nprobe]
+    return cosine_topk(
+        emb_with_cells.where(F.col("cell").isin(probe)), qvec, k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic seeded Gaussian hyperplanes (driver-side numpy)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_buckets(
+    emb: DataFrame, planes: list[list[float]], *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Sign-LSH bucket id: bit b = 1 iff v·plane_b > 0. Built-in fold
+    math; bucket becomes the shuffle/partition key at scale."""
+    v = as_double(vec_col)
+    bucket = F.lit(0).cast("bigint")
+    for b, plane in enumerate(planes):
+        bucket = bucket + F.when(dot(v, _query_lit(plane)) > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0)
+        )
+    return emb.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    emb_with_buckets: DataFrame,
+    planes: list[list[float]],
+    qvec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scan only the query's bucket (plus optional multiprobe — here
+    exact-bucket for simplicity); exact cosine rank within."""
+    qb = 0
+    for b, plane in enumerate(planes):
+        if sum(x * y for x, y in zip(qvec, plane)) > 0:
+            qb |= 1 << b
+    return cosine_topk(
+        emb_with_buckets.where(F.col("bucket") == qb), qvec, k, id_col=id_col, vec_col=vec_col
+    )

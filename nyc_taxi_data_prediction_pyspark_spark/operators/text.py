@@ -1,0 +1,98 @@
+"""Text analysis operators (SURVEY.md §2.10 M5 + north-star set):
+token counting, quality scoring, language ID, document fingerprinting.
+
+All four are pure built-in expression pipelines — no UDFs, so the
+whole thing stays inside whole-stage codegen and scales linearly with
+input splits (embarrassingly parallel map; zero shuffles).
+
+Regex note: patterns are restricted to the syntax subset that Java
+regex (Spark) and RE2 (DuckDB oracle) interpret identically, so each
+operator is hash-checkable against ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword lexicons for the n-gram/stopword-hit
+# heuristic. Deliberately small + deterministic (the point is the
+# operator shape, not linguistic accuracy).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+WORD_SPLIT = "\\s+"
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (BPE-ish regex splitting; empty string
+    counts as 1 empty token — identical in Spark and RE2)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(F.trim(c), WORD_SPLIT))
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(PUNCT_CLASS), F.lit(0)))
+
+
+def marker_hits(text: Column | str, words: list[str]) -> Column:
+    """Count of word-boundary stopword occurrences for one language."""
+    c = F.col(text) if isinstance(text, str) else text
+    pat = "\\b(" + "|".join(words) + ")\\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, token count, punctuation ratio, mean
+    token length, stopword(en) ratio. Ratios are double divisions of
+    exact ints → bit-stable."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = token_count(c)
+    return (
+        df.withColumn("q_chars", n_chars)
+        .withColumn("q_tokens", toks)
+        .withColumn("q_punct_ratio", F.round(punct_count(c) / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("q_mean_token_len", F.round(n_chars / F.greatest(toks, F.lit(1)), 6))
+        .withColumn(
+            "q_stopword_ratio",
+            F.round(marker_hits(c, LANG_MARKERS["en"]) / F.greatest(toks, F.lit(1)), 6),
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Language ID via stopword-hit scoring. Deterministic tie-break:
+    languages are compared in LANG_MARKERS order, strict-greater wins,
+    default 'und' when no marker hits at all."""
+    hits = {lang: marker_hits(F.col(text_col), ws) for lang, ws in LANG_MARKERS.items()}
+    df = df
+    for lang, h in hits.items():
+        df = df.withColumn(f"__hits_{lang}", h)
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang in LANG_MARKERS:  # insertion order = priority order
+        take = F.col(f"__hits_{lang}") > best_n
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_n = F.when(take, F.col(f"__hits_{lang}")).otherwise(best_n)
+    df = df.withColumn(out_col, best)
+    return df.drop(*[f"__hits_{lang}" for lang in LANG_MARKERS])
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse
+    whitespace, trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), WORD_SPLIT, " "))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "doc_fp") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text. md5 is
+    content-defined (stable across engines/partitions), unlike
+    xxhash64 whose seed/impl is engine-specific."""
+    return df.withColumn(out_col, F.md5(normalize_text(text_col).cast("binary")))

@@ -1,0 +1,40 @@
+"""Window functions (SURVEY.md §2.8).
+
+The reference has no OVER clauses; its nearest relatives are the
+top-k sort (readme.md:178-187) and the declared per-(hour, zone)
+demand/delay analysis (readme.md:136-137). Ranking and lag-based
+delay metrics are pure Spark built-ins — one sort-shuffle on the
+partition key, whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def top_per_group(
+    df: DataFrame, *, partition: Sequence[str], order: Sequence[Column], k: int = 1
+) -> DataFrame:
+    """Top-k rows per group via row_number. Pass a deterministic
+    tie-breaker as the last order expression."""
+    w = W.partitionBy(*partition).orderBy(*order)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def lag_gap_seconds(
+    df: DataFrame, *, partition: Sequence[str], ts: str, order_tiebreak: Sequence[str] = ()
+) -> DataFrame:
+    """Delay metric: microsecond-exact gap to the previous row per
+    group (lag). Gap is BIGINT micros → exact in any summation order,
+    so downstream averages are oracle-stable."""
+    w = W.partitionBy(*partition).orderBy(F.col(ts).asc(), *[F.col(c).asc() for c in order_tiebreak])
+    prev = F.lag(F.col(ts)).over(w)
+    return df.withColumn(
+        "gap_us", (F.unix_micros(F.col(ts)) - F.unix_micros(prev)).cast("bigint")
+    )

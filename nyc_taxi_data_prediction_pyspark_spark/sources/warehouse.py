@@ -1,0 +1,85 @@
+"""Warehouse-table lifecycle (SURVEY.md §2.1 S7-S12): managed parquet
+tables replacing the Snowflake stage/PUT/COPY/MERGE/TRUNCATE cycle
+(reference: dags/etl_spark_historical.py:251-339).
+
+Design: a plain directory-of-parquet "warehouse" with idempotent DDL
+(S10), staging-directory lifecycle (S11), atomic-enough swap writes,
+and the merge-upsert load (J1) from operators/merge.py. Without a
+transactional table format, atomicity is stage-directory + rename
+(single-writer), which the docstrings call out explicitly
+(SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.merge import merge_upsert
+from ..schemas import LOAD_TS_COL
+
+
+class Warehouse:
+    """Minimal managed-table layout: <root>/<table>/ parquet dirs."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    # S10: CREATE TABLE IF NOT EXISTS — idempotent object creation.
+    def ensure(self, table: str, empty_like: DataFrame) -> None:
+        p = self.path(table)
+        if not os.path.exists(p):
+            empty_like.limit(0).write.mode("overwrite").parquet(p)
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    # S11: CREATE OR REPLACE STAGE — staging dir lifecycle.
+    def stage_dir(self, name: str, *, replace: bool = True) -> str:
+        p = os.path.join(self.root, "_stage", name)
+        if replace and os.path.exists(p):
+            shutil.rmtree(p)
+        os.makedirs(p, exist_ok=True)
+        return p
+
+    # S12: TRUNCATE TABLE.
+    def truncate(self, table: str) -> None:
+        df = self.read(table).limit(0)
+        self._swap_write(table, df)
+
+    def append(self, table: str, df: DataFrame, *, load_ts: bool = True) -> None:
+        """S8/S9 append path; stamps the audit column every ingest
+        (column defaults don't exist in Spark DDL — SURVEY.md §7.4)."""
+        out = df.withColumn(LOAD_TS_COL, F.current_timestamp()) if load_ts else df
+        out.write.mode("append").parquet(self.path(table))
+
+    def merge_load(self, table: str, stg: DataFrame, key: list[str], *, load_ts: bool = True) -> int:
+        """J1 load: insert-if-not-matched on ``key``; returns rows
+        inserted. Rewrites the whole table via stage+rename (the
+        non-transactional MERGE caveat, single-writer assumption)."""
+        fact = self.read(table).drop(LOAD_TS_COL) if load_ts else self.read(table)
+        before = fact.count()
+        merged = merge_upsert(stg, fact, key)
+        if load_ts:
+            merged = merged.withColumn(LOAD_TS_COL, F.current_timestamp())
+        self._swap_write(table, merged)
+        return self.read(table).count() - before
+
+    def _swap_write(self, table: str, df: DataFrame) -> None:
+        tmp = self.path(f"_tmp_{table}_{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.path(table)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)

@@ -1,0 +1,108 @@
+"""Structured Streaming pipelines (SURVEY.md §2.9).
+
+The reference approximates streaming with hourly scheduled
+micro-batches + idempotent MERGE loads (reference:
+dags/etl_spark_historical.py:30, :303-333; dags/weather_realtime_etl.py:29).
+Spark-native mappings:
+
+- T1/T5: ``trigger(availableNow=True)`` — process everything present,
+  then stop; repeated scheduled runs ≙ the reference's hourly DAG with
+  ``catchup=False``.
+- T2: append-mode single-row feeds.
+- T3/T6: idempotence via watermark + dropDuplicates on the merge key,
+  or ``foreachBatch`` reusing the batch merge (exact J1 semantics) —
+  checkpoint + idempotent sink = effective exactly-once.
+- tumbling-window aggregation (F.window) — the hourly bucketing the
+  declared trips⋈weather join needs.
+
+Local testing: parquet source dir + memory/parquet sink,
+``availableNow`` + awaitTermination, per the public streaming docs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+# The driver's events parquet carries TIMESTAMP(NANOS) → read as long
+# (with spark.sql.legacy.parquet.nanosAsLong) and convert to µs below.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, base_dir: str, glob: str = "events.parquet") -> DataFrame:
+    """File-source stream over the events parquet (schema pinned —
+    streaming sources cannot infer; base path must be a directory, the
+    file is selected with pathGlobFilter)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(base_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window demand counts with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def dedup_stream(events: DataFrame, key: Sequence[str], *, watermark: str = "2 hours") -> DataFrame:
+    """T3: duplicate-safe stream via watermark + dropDuplicates on the
+    merge key — the streaming face of the J1 MERGE."""
+    return events.withWatermark("ts", watermark).dropDuplicates(list(key))
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    *,
+    checkpoint: str,
+    sink_table: str,
+    output_mode: str = "complete",
+) -> None:
+    """Drive a streaming frame to completion over current data
+    (availableNow) into an in-memory sink table, synchronously."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def foreach_batch_merge(
+    stream_df: DataFrame,
+    *,
+    checkpoint: str,
+    merge_fn: Callable[[DataFrame, int], None],
+) -> None:
+    """T6: exactly-once-effective sink — every micro-batch goes through
+    the idempotent batch merge (operators/merge.py via warehouse)."""
+    q = (
+        stream_df.writeStream.foreachBatch(merge_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,42 @@
+"""ANN operators: brute-force baseline, IVF and LSH scale paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+from nyc_taxi_data_prediction_pyspark_spark.operators import similarity
+
+
+def _query(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").first()
+    return emb, [float(x) for x in qrow["embedding"]], qrow["vec_id"]
+
+
+def test_bruteforce_self_similarity(spark, sf_dir):
+    emb, qvec, qid = _query(spark, sf_dir)
+    top = similarity.cosine_topk(emb, qvec, 1).first()
+    assert top["vec_id"] == qid and abs(top["cos"] - 1.0) < 1e-9
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb, qvec, qid = _query(spark, sf_dir)
+    rest = emb.where(F.col("vec_id") != qid)
+    exact = [r["vec_id"] for r in similarity.cosine_topk(rest, qvec, 10).collect()]
+    cents = similarity.kmeans_centroids(rest, n_cells=4)
+    cells = similarity.assign_cells(rest, cents)
+    approx = [r["vec_id"] for r in similarity.ivf_topk(cells, cents, qvec, 10, nprobe=2).collect()]
+    # ANN contract: high overlap with exact top-k, and top-1 found
+    assert exact[0] == approx[0]
+    assert len(set(exact) & set(approx)) >= 6
+
+
+def test_lsh_bucket_determinism_and_topk(spark, sf_dir):
+    emb, qvec, qid = _query(spark, sf_dir)
+    planes = similarity.random_hyperplanes(len(qvec), 4, seed=42)
+    b1 = similarity.lsh_buckets(emb, planes).select("vec_id", "bucket")
+    b2 = similarity.lsh_buckets(emb, planes).select("vec_id", "bucket")
+    assert b1.exceptAll(b2).count() == 0
+    top = similarity.lsh_topk(b1.join(emb, "vec_id"), planes, qvec, 5)
+    assert top.first()["vec_id"] == qid  # query's own bucket contains it

@@ -1,0 +1,90 @@
+"""Sources/sinks: discovery, CSV parity options, warehouse lifecycle,
+REST weather source (canned payload)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_prediction_pyspark_spark.schemas import WEATHER
+from nyc_taxi_data_prediction_pyspark_spark.sources import csv_io, discovery, rest
+from nyc_taxi_data_prediction_pyspark_spark.sources.warehouse import Warehouse
+
+
+def test_latest_partition_newest_first(tmp_path):
+    for m in ("2026-01", "2026-03"):
+        (tmp_path / f"yellow_tripdata_{m}.parquet").touch()
+    got = discovery.latest_partition(
+        discovery.month_candidates(2026, 6), discovery.fs_prober(str(tmp_path))
+    )
+    assert got == "2026-03"  # probes 06,05,04 (missing) → hits 03, never 01
+
+
+def test_latest_partition_none_available(tmp_path):
+    got = discovery.latest_partition(
+        discovery.month_candidates(2026, 3), discovery.fs_prober(str(tmp_path))
+    )
+    assert got is None
+
+
+def test_csv_roundtrip_null_parity(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x", 2.5), (2, None, None)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "out_csv")
+    csv_io.write_csv(df, path, single_file=True)
+    back = csv_io.read_csv(spark, path, df.schema)
+    assert back.orderBy("id").collect() == df.orderBy("id").collect()
+    # single-file option reproduces the reference's one part-*.csv
+    parts = [f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".csv")]
+    assert len(parts) == 1
+
+
+def test_warehouse_merge_load_idempotent(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    wh.ensure("t", df)
+    assert wh.merge_load("t", df, ["k"], load_ts=True) == 2
+    assert wh.merge_load("t", df, ["k"], load_ts=True) == 0  # re-run inserts nothing
+    assert wh.read("t").count() == 2
+    assert "load_ts" in wh.read("t").columns  # audit column stamped at ingest
+    wh.truncate("t")
+    assert wh.read("t").count() == 0
+
+
+def test_warehouse_stage_lifecycle(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    p1 = wh.stage_dir("s1")
+    (os.path.join(p1, "f"))
+    open(os.path.join(p1, "f"), "w").write("x")
+    p2 = wh.stage_dir("s1", replace=True)  # CREATE OR REPLACE STAGE
+    assert p1 == p2 and not os.listdir(p2)
+
+
+CANNED = {
+    "name": "New York",
+    "main": {"temp": 34.7, "humidity": 60},
+    "weather": [{"description": "few clouds"}],
+    "extra": {"nested": [1, 2, 3]},
+}
+
+
+def test_weather_observation_typed_extraction(spark):
+    df = rest.weather_observation(spark, fetch=lambda: CANNED)
+    row = df.first()
+    assert row["city"] == "New York"
+    assert row["temp_f"] == 34.7
+    assert row["weather_desc"] == "few clouds"
+    assert row["humidity_pct"] == 60
+    assert json.loads(row["raw_json"])["extra"]["nested"] == [1, 2, 3]
+    assert [f.name for f in WEATHER.fields] == df.columns
+
+
+def test_weather_observation_missing_name_falls_back(spark):
+    payload = {k: v for k, v in CANNED.items() if k != "name"}
+    row = rest.weather_observation(spark, fetch=lambda: payload, default_city="Gotham").first()
+    assert row["city"] == "Gotham"

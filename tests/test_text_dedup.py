@@ -1,0 +1,94 @@
+"""Text analysis + dedup operator properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_prediction_pyspark_spark.operators import dedup, text as textops
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_token_and_punct_counts(spark):
+    df = docs_df(spark, ["hello, world! how are you?", ""])
+    out = df.select(
+        textops.token_count("text").alias("toks"),
+        textops.punct_count("text").alias("punct"),
+    ).collect()
+    assert (out[0]["toks"], out[0]["punct"]) == (5, 3)
+    assert out[1]["toks"] == 1  # empty string → one empty token (documented)
+
+
+def test_lang_id_markers(spark):
+    df = docs_df(
+        spark,
+        [
+            "the cat and the dog is of to",
+            "el perro de la casa que los",
+            "xyzzy plugh qwert",
+        ],
+    )
+    out = [r["pred_lang"] for r in textops.lang_id(df).orderBy("doc_id").collect()]
+    assert out == ["en", "es", "und"]
+
+
+def test_fingerprint_normalization(spark):
+    df = docs_df(spark, ["Hello   World", "hello world", "other"])
+    fps = [r["doc_fp"] for r in textops.fingerprint(df).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = textops.fingerprint(docs_df(spark, ["same text", "same text", "unique"]))
+    out = dedup.exact_dedup(df, ["doc_fp"], "doc_id").collect()
+    by_copies = {r["n_copies"]: r["doc_id"] for r in out}
+    assert by_copies[2] == 0 and by_copies[1] == 2
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    t = "a b c d e f g h"
+    df = docs_df(spark, [t, t, "completely different words here now ok yes no"])
+    pairs = dedup.ngram_jaccard_pairs(df, text_col="text", id_col="doc_id", threshold=0.9).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"], pairs[0]["jaccard"]) == (0, 1, 1.0)
+
+
+def test_simhash_locality(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    edited = base + "extra token"
+    df = docs_df(spark, [base, base, edited])
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, text_col="text", id_col="doc_id").collect()}
+    assert rows[0] == rows[1]  # identical docs → identical signature
+    xor = rows[0] ^ rows[2]
+    assert bin(xor & ((1 << 63) - 1)).count("1") <= 16  # near-dup → small hamming
+
+
+def test_embedding_dupes_finds_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0], 0), (2, [1.0, 0.0, 0.0], 0), (3, [0.0, 1.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = dedup.embedding_dupes(df, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
+def test_minhash_vs_exact_jaccard_agree_on_strong_dupes(spark, sf_dir):
+    """LSH candidates at threshold .3 must cover the exact pairs at .5."""
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", threshold=0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, text_col="text", id_col="doc_id", jaccard_threshold=0.3
+        ).collect()
+    }
+    assert exact <= approx
