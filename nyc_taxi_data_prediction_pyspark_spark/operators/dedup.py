@@ -37,19 +37,36 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
-def word_shingles(df: DataFrame, *, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle). Built-ins
-    only: split → transform over index range → explode → distinct."""
+def shingle_array(text_col: str, n: int = 3, hashed: bool = False):
+    """Column expr: DISTINCT word n-gram shingles of a text column as
+    an array — dedup happens via array_distinct *inside the row*
+    (narrow, no shuffle), unlike explode→distinct which pays a full
+    exchange. ``hashed=True`` maps each shingle to xxhash64: shuffle
+    rows become constant-width bigints instead of strings (collision
+    odds ~m²/2⁶⁴ — negligible at any realistic corpus size)."""
     toks = F.split(normalize_text(text_col), " ")
-    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    sh = F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
-    )
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .where(F.size(toks) >= n)
-        .distinct()
+    cnt = F.size(toks) - (n - 1)
+    # slice + zip_with, NOT sequence + element_at: higher-order lambdas
+    # are interpreted (no codegen), and an element_at formulation
+    # re-evaluates the split per *element*; slices evaluate it per row.
+    sh = F.slice(toks, 1, cnt)
+    for j in range(1, n):
+        sh = F.zip_with(sh, F.slice(toks, j + 1, cnt), lambda x, y: F.concat_ws(" ", x, y))
+    if hashed:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    # guard: short docs (cnt <= 0) must yield [] — If() short-circuits,
+    # so the negative-length slice in the taken=false branch never runs
+    empty = F.array().cast("array<bigint>" if hashed else "array<string>")
+    return F.when(cnt > 0, F.array_distinct(sh)).otherwise(empty)
+
+
+def word_shingles(
+    df: DataFrame, *, text_col: str, id_col: str, n: int = 3, hashed: bool = False
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle) rows."""
+    arr = shingle_array(text_col, n, hashed)
+    return df.where(F.size(F.split(normalize_text(text_col), " ")) >= n).select(
+        F.col(id_col), F.explode(arr).alias("shingle")
     )
 
 
@@ -59,28 +76,43 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup pairs via inverted index:
 
     shingles → self-join on shingle (only docs sharing ≥1 shingle are
-    compared) → |A∩B| per pair → Jaccard with |A|+|B|. One shuffle on
-    shingle + one on the pair key. At 100 TB, cap posting-list length
-    (drop ultra-common shingles) before the join — the ``max_df``
-    parameter of the scale variant (minhash_lsh_pairs) does this
-    implicitly via banding.
+    compared) → |A∩B| per pair → Jaccard with |A|+|B|. Shingles are
+    deduped per-row via array_distinct (narrow) and sizes come from
+    F.size on the same array — the only shuffles are the shingle join
+    and the pair-key aggregation, and shingles travel as 64-bit
+    hashes, not strings. At 100 TB, additionally cap posting-list
+    length (drop ultra-common shingles) before the join — the scale
+    variant (minhash_lsh_pairs) does this implicitly via banding.
     """
-    sh = word_shingles(df, text_col=text_col, id_col=id_col, n=n).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # repartition first: a docs table read from one parquet file is one
+    # partition, which would serialize the (interpreted) shingle map —
+    # at scale the source is many splits and this is a no-op cost-wise
+    # set sizes ride along on the exploded rows (one extra int per
+    # shuffle row) — no size-joins back to the doc table, no cache,
+    # single shingle pass → join → aggregate.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(n_part)
+        .select(F.col(id_col), shingle_array(text_col, n, hashed=True).alias("shs"))
+        .where(F.size("shs") > 0)
+    )
+    sh = base.select(
+        F.col(id_col), F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
     )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
