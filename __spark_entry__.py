@@ -310,6 +310,90 @@ def q30_text_embed(spark: SparkSession, sf: str) -> DataFrame:
     return emb.select("doc_id", F.size("embedding").alias("emb_dim"))
 
 
+def q31_cube_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), agg.dsum("l_quantity").alias("sum_qty")
+    )
+
+
+def q32_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(agg.dsum("l_quantity"))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
+def q33_distinct_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q34_median_stddev(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median (linear interpolation) + stddev derived from exact
+    decimal sums — both engine-independent, unlike streaming variance."""
+    li = load(spark, sf, "lineitem")
+    n = F.count("l_quantity")
+    s = F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+    s2 = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,8)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.round(F.sqrt((s2 - s * s / n) / (n - 1)), 6).alias("stddev_qty"),
+        n.alias("n_rows"),
+    )
+
+
+def q35_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    out = windows.running_sum(
+        ev, partition=["user_id"], order=["ts", "event_id"], value="value", out_col="running_value"
+    )
+    return out.select("user_id", "event_id", "running_value")
+
+
+def q36_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("user_id", "event_id", "ts")
+    sess = windows.sessionize(
+        ev, partition=["user_id"], ts="ts", gap="30 minutes", order_tiebreak=["event_id"]
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q37_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.top_ngrams(load(spark, sf, "documents"), text_col="text", n=2, k=20)
+
+
+def q38_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(
+        load(spark, sf, "documents"), text_col="text", id_col="doc_id", n=3, threshold=0.3
+    )
+    comps = dedup.connected_components(pairs)
+    return comps.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"), F.max("node").alias("max_member")
+    )
+
+
+def q39_brp_lsh_simjoin(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    # embeddings are ~unit-norm: random-pair L2 concentrates at √2;
+    # 1.15 keeps the closest ~0.2% of pairs — a real near-dup band
+    return similarity.brp_similarity_join(emb, l2_threshold=1.15)
+
+
+def q40_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.tfidf_top_terms(load(spark, sf, "documents"), k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -342,6 +426,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_lsh_ann": q28_lsh_ann,
         "q29_ml_forecast": q29_ml_forecast,
         "q30_text_embed": q30_text_embed,
+        "q31_cube_rollup": q31_cube_rollup,
+        "q32_pivot": q32_pivot,
+        "q33_distinct_aggs": q33_distinct_aggs,
+        "q34_median_stddev": q34_median_stddev,
+        "q35_running_sum": q35_running_sum,
+        "q36_sessionization": q36_sessionization,
+        "q37_ngram_topk": q37_ngram_topk,
+        "q38_dedup_clusters": q38_dedup_clusters,
+        "q39_brp_lsh_simjoin": q39_brp_lsh_simjoin,
+        "q40_tfidf_top_terms": q40_tfidf_top_terms,
     }
 
 
@@ -558,4 +652,100 @@ FROM k GROUP BY user_bucket
         # q28_lsh_ann: seeded-hyperplane bucketing is engine-side → rows-only.
         # q29_ml_forecast: iterative MLlib fit → rows-only.
         "q30_text_embed": "SELECT doc_id, 32 AS emb_dim FROM documents",
+        "q31_cube_rollup": """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "q32_pivot": """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+""",
+        "q33_distinct_aggs": """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+        "q34_median_stddev": """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       ROUND(sqrt((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+                   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                     * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity))
+                  / (COUNT(l_quantity) - 1)), 6) AS stddev_qty,
+       COUNT(l_quantity) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+        "q35_running_sum": """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4)))
+            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+FROM events
+""",
+        "q36_sessionization": """
+WITH b AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id,
+         SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM b
+)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id
+""",
+        "q37_ngram_topk": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, ' ') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 2
+),
+grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS ngram FROM idx)
+SELECT ngram, COUNT(*) AS n_docs FROM grams GROUP BY ngram
+ORDER BY n_docs DESC, ngram ASC LIMIT 20
+""",
+        "q38_dedup_clusters": f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) >= 0.3
+),
+edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s WHERE e.t <> r.s
+),
+comp AS (SELECT s AS node, LEAST(s, MIN(t)) AS cluster_id FROM reach GROUP BY s)
+SELECT cluster_id, COUNT(*) AS n_members, MAX(node) AS max_member
+FROM comp GROUP BY cluster_id
+""",
+        # q39_brp_lsh_simjoin: seeded MLlib LSH buckets → rows-only.
+        "q40_tfidf_top_terms": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM_TEXT}, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df_ AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+SELECT tf.doc_id, tf.term, ROUND(tf.tf * (ln((nd.n + 1.0) / (df_.df + 1)) + 1), 6) AS score
+FROM tf JOIN df_ USING (term), nd
+ORDER BY score DESC, tf.doc_id ASC, tf.term ASC LIMIT 20
+""",
     }

@@ -159,6 +159,65 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, *, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a (near-)duplicate pair graph —
+    the "keep one representative per duplicate cluster" step that
+    completes near-dedup (cluster_id = min member id).
+
+    Distributed min-label propagation: each node repeatedly adopts the
+    smallest label among itself and its neighbors; terminates when no
+    label changes. Iterations are O(diameter) — for dedup graphs
+    (small, dense clusters) that's 2-4 rounds. Each round is one
+    shuffle (join on node) + one aggregate; the driver only sees a
+    single converged? flag per round (count action), never the data.
+
+    Returns (node, cluster_id) for every node appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .distinct()
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.t == labels.node)
+            .groupBy("s")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
+            .select(
+                "node",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                    "new_cluster"
+                ),
+                "cluster_id",
+            )
+        )
+        changed = updated.where(F.col("new_cluster") != F.col("cluster_id")).count()
+        labels = updated.select("node", F.col("new_cluster").alias("cluster_id")).localCheckpoint()
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_one(
+    df: DataFrame, pairs: DataFrame, *, id_col: str
+) -> DataFrame:
+    """Drop all but the min-id member of every near-duplicate cluster
+    (anti-join against the non-representative members)."""
+    comps = connected_components(pairs)
+    losers = comps.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def simhash(
     df: DataFrame, *, text_col: str, id_col: str, bits: int = 64
 ) -> DataFrame:

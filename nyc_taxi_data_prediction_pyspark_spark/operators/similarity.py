@@ -99,6 +99,48 @@ def ivf_topk(
     )
 
 
+def brp_similarity_join(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    l2_threshold: float = 1.0,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approx similarity self-join
+    (L2 metric) — the library-native scale path for all-pairs vector
+    near-dup (SURVEY.md §2.10 M3): candidate pairs come from shared
+    LSH buckets, never an O(n²) cross join.
+
+    Returns (id_a, id_b, l2_dist) with id_a < id_b.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vectors import as_double
+
+    feat = emb.select(F.col(id_col), array_to_vector(as_double(vec_col)).alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, l2_threshold, distCol="l2_dist")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("l2_dist", 6).alias("l2_dist"),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic seeded Gaussian hyperplanes (driver-side numpy)."""
     import numpy as np

@@ -91,6 +91,53 @@ def normalize_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), WORD_SPLIT, " "))
 
 
+def top_ngrams(
+    df: DataFrame, *, text_col: str = "text", n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by frequency (deterministic
+    tie-break on the ngram string). explode → groupBy (map-side
+    partials) → TakeOrdered: only k rows reach the driver."""
+    from .dedup import shingle_array
+
+    grams = df.select(F.explode(shingle_array(text_col, n)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """TF-IDF as pure DataFrame algebra (no MLlib, no UDF), so the
+    scores are oracle-checkable:
+
+        tf(d,t)  = occurrences of t in d
+        idf(t)   = ln((N+1)/(df+1)) + 1      (smoothed)
+        score    = tf · idf
+
+    Two shuffles: per-(doc,term) counts and per-term doc frequency;
+    the doc-frequency side is tiny (vocab) → broadcast back.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(docfreq), "term").withColumn(
+        "score",
+        F.round(F.col("tf") * (F.log((F.lit(float(n_docs)) + 1) / (F.col("df") + 1)) + 1), 6),
+    )
+    return (
+        scored.select(id_col, "term", "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "doc_fp") -> DataFrame:
     """Document fingerprint: md5 of the normalized text. md5 is
     content-defined (stable across engines/partitions), unlike

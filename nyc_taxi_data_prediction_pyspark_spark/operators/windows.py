@@ -27,6 +27,56 @@ def top_per_group(
     )
 
 
+def running_sum(
+    df: DataFrame,
+    *,
+    partition: Sequence[str],
+    order: Sequence[str],
+    value: str,
+    out_col: str = "running",
+    exact_decimal_scale: int | None = 4,
+) -> DataFrame:
+    """Cumulative sum per group (rowsBetween unbounded-preceding → current).
+
+    For double measures, summing via decimal keeps every prefix exact
+    and engine-independent (same rationale as aggregates.dsum)."""
+    w = (
+        W.partitionBy(*partition)
+        .orderBy(*[F.col(c).asc() for c in order])
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    v = F.col(value)
+    if exact_decimal_scale is not None:
+        expr = F.sum(v.cast(f"decimal(18,{exact_decimal_scale})")).over(w).cast("double")
+    else:
+        expr = F.sum(v).over(w)
+    return df.withColumn(out_col, expr)
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    partition: Sequence[str],
+    ts: str,
+    gap: str = "30 minutes",
+    order_tiebreak: Sequence[str] = (),
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Sessionization: a new session starts when the gap to the
+    previous row exceeds ``gap``. Classic two-window composition —
+    lag → boundary flag → cumulative sum — one sort-shuffle total
+    (both windows share partitioning+ordering, so Catalyst runs them
+    in a single Window exec)."""
+    order = [F.col(ts).asc(), *[F.col(c).asc() for c in order_tiebreak]]
+    w = W.partitionBy(*partition).orderBy(*order)
+    prev = F.lag(F.col(ts)).over(w)
+    boundary = F.when(
+        prev.isNull() | (F.col(ts) > prev + F.expr(f"INTERVAL {gap}")), 1
+    ).otherwise(0)
+    cum = W.partitionBy(*partition).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    return df.withColumn(out_col, F.sum(boundary).over(cum))
+
+
 def lag_gap_seconds(
     df: DataFrame, *, partition: Sequence[str], ts: str, order_tiebreak: Sequence[str] = ()
 ) -> DataFrame:
