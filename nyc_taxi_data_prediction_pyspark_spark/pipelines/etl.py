@@ -1,0 +1,93 @@
+"""The historical-trips ETL, single-engine (SURVEY.md §3.1).
+
+Reference wiring (3 Airflow tasks, 2 engines, CSV interchange —
+dags/etl_spark_historical.py:359-363):
+
+    ensure_objects → extract_transform_with_pyspark → load_cleaned_to_snowflake
+
+New-engine equivalent — ONE lazy Spark plan from landing zone to fact
+table, no CSV hop, no Py4J↔warehouse split, Catalyst the only IR:
+
+    discover latest month (S2)           sources/discovery.py
+    → scan parquet (S1)
+    → clean contract P1-P4 (+O1 knob)    operators/cleaning.py
+    → anti-join merge on key6 (J1)       operators/merge.py
+    → managed fact table + load_ts (S10) sources/warehouse.py
+    → audit count (A2)
+
+Differences from the reference, by design (SURVEY.md §4):
+- no ``coalesce(1)``/CSV staging: the fact table is parquet, written
+  at full parallelism;
+- no double execution of the plan (the reference re-ran the whole
+  read for count-then-write): the merge path counts once post-write;
+- the 200k cap is a test knob, default off.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.cleaning import clean_trips
+from ..operators.merge import TRIP_MERGE_KEY
+from ..sources.discovery import read_latest_month
+from ..sources.warehouse import Warehouse
+
+
+@dataclass
+class EtlResult:
+    month: str
+    rows_cleaned: int
+    rows_inserted: int
+    fact_count: int
+
+
+FACT_TABLE = "nyc_taxi_trips"
+
+
+def run_trips_etl(
+    spark: SparkSession,
+    *,
+    landing_root: str,
+    warehouse_root: str,
+    year: int,
+    newest_month: int,
+    cap: int | None = None,
+) -> EtlResult:
+    """One scheduled run: probe → clean → idempotent merge → audit.
+
+    Re-running with the same month is a no-op on the fact table (the
+    reference's MERGE invariant, readme.md:30)."""
+    found = read_latest_month(spark, landing_root, year=year, newest_month=newest_month)
+    if found is None:
+        raise FileNotFoundError(f"no landing partition available for {year}")
+    month, raw = found
+
+    cleaned = clean_trips(raw, cap=cap)
+    rows_cleaned = cleaned.count()
+
+    wh = Warehouse(spark, warehouse_root)
+    wh.ensure(FACT_TABLE, cleaned)
+    inserted = wh.merge_load(FACT_TABLE, cleaned, list(TRIP_MERGE_KEY), load_ts=True)
+    fact_count = wh.read(FACT_TABLE).count()
+    return EtlResult(month, rows_cleaned, inserted, fact_count)
+
+
+def verification_queries(spark: SparkSession, warehouse_root: str) -> dict[str, DataFrame]:
+    """§3.3's ad-hoc validation set against the fact table — the
+    reference's manual Snowflake worksheet queries (readme.md:139-190)
+    as spark.sql over the managed table."""
+    from pyspark.sql import functions as F
+
+    fact = Warehouse(spark, warehouse_root).read(FACT_TABLE)
+    fact.createOrReplaceTempView("nyc_taxi_trips")
+    return {
+        "count": spark.sql("SELECT COUNT(*) AS cnt FROM nyc_taxi_trips"),
+        "sample": spark.sql("SELECT * FROM nyc_taxi_trips LIMIT 20"),
+        "date_range": spark.sql(
+            "SELECT MIN(pickup_datetime) AS first_pickup, MAX(pickup_datetime) AS last_pickup "
+            "FROM nyc_taxi_trips"
+        ),
+        "latest_loads": fact.orderBy(F.desc("load_ts")).limit(10),
+    }

@@ -8,29 +8,35 @@ from pyspark.sql import functions as F
 
 from nyc_taxi_data_prediction_pyspark_spark.catalog import load
 from nyc_taxi_data_prediction_pyspark_spark.operators import aggregates as agg, topk
-
-
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from nyc_taxi_data_prediction_pyspark_spark.plans import explain
 
 
 def test_column_pruning_reaches_scan(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    plan = plan_of(li)
-    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+    schemas = explain.read_schemas(li)
+    assert schemas and "struct<l_orderkey:bigint,l_quantity:double>" in schemas[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.cleaning import (
+        clean_lineitem_as_trips,
+    )
+
+    pushed = explain.pushed_filters(clean_lineitem_as_trips(load(spark, sf_dir, "lineitem")))
+    assert "GreaterThan(l_quantity" in ",".join(pushed)
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
-    ev = load(spark, sf_dir, "orders")
-    df = topk.top_k(ev, 10, F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    assert "TakeOrderedAndProject" in plan_of(df)
+    df = topk.top_k(
+        load(spark, sf_dir, "orders"), 10, F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    assert explain.uses_take_ordered(df)
 
 
 def test_grouped_agg_has_partial_aggregate(spark, sf_dir):
     df = agg.pricing_summary(load(spark, sf_dir, "lineitem"))
-    plan = plan_of(df)
-    # partial_ sums before the exchange = map-side combine
-    assert "partial_" in plan and "Exchange hashpartitioning" in plan
+    assert explain.has_partial_aggregate(df)
+    assert explain.exchange_count(df) == 1  # exactly one shuffle: the group keys
 
 
 def test_whole_stage_codegen_covers_clean(spark, sf_dir):
@@ -38,6 +44,23 @@ def test_whole_stage_codegen_covers_clean(spark, sf_dir):
         clean_lineitem_as_trips,
     )
 
-    plan = plan_of(clean_lineitem_as_trips(load(spark, sf_dir, "lineitem")))
-    # '*(n)' node prefix = inside a WholeStageCodegen span
-    assert "*(1) Project" in plan and "*(1) Filter" in plan
+    df = clean_lineitem_as_trips(load(spark, sf_dir, "lineitem"))
+    assert explain.codegen_span_count(df) >= 1
+
+
+def test_asof_join_single_exchange_no_cartesian(spark, sf_dir):
+    """The as-of union trick must cost one shuffle (the window) and
+    never degrade to a cross join."""
+    import __spark_entry__ as e
+
+    df = e.q24_asof_join(spark, sf_dir)
+    assert not explain.has_cartesian(df)
+    assert explain.exchange_count(df) <= 2  # union repartition + window sort
+
+
+def test_merge_upsert_is_join_not_loop(spark, sf_dir):
+    import __spark_entry__ as e
+
+    df = e.q06_merge_upsert(spark, sf_dir)
+    p = explain.physical_plan(df)
+    assert "Join LeftAnti" in p or "LeftAnti" in p
