@@ -35,6 +35,13 @@ def pin_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # AQE is safe to flip at runtime and is our 100 TB posture default.
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Split small files finely so narrow map stages parallelize: the
+    # testdata tables are single ≤11 MB files, which the 128 MB default
+    # would scan as ONE task regardless of cores. This knob scales with
+    # the data: at 100 TB the default (128 MB) is correct — set it per
+    # deployment, not per query.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
     return spark
 
 

@@ -87,9 +87,13 @@ def ngram_jaccard_pairs(
     # repartition first: a docs table read from one parquet file is one
     # partition, which would serialize the (interpreted) shingle map —
     # at scale the source is many splits and this is a no-op cost-wise
-    # set sizes ride along on the exploded rows (one extra int per
-    # shuffle row) — no size-joins back to the doc table, no cache,
-    # single shingle pass → join → aggregate.
+    # Single-pass inverted index: one shuffle groups postings per
+    # shingle, pairs are generated *inside the row* from the posting
+    # list (built-in higher-order fns), then one shuffle aggregates
+    # pair intersections. No self-join → the shingle map runs once and
+    # nothing is recomputed or cached. Set sizes ride along on the
+    # posting entries. Posting lists are short by construction (cap
+    # ultra-common shingles at true scale — see docstring).
     n_part = df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.repartition(n_part)
@@ -99,17 +103,31 @@ def ngram_jaccard_pairs(
     sh = base.select(
         F.col(id_col), F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle")
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+    posting = (
+        sh.groupBy("shingle")
         .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("n_sh").alias("n"))
+            ).alias("docs")
         )
+        .where(F.size("docs") > 1)
+    )
+    pair_list = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda d1: F.transform(F.col("docs"), lambda d2: F.struct(d1.alias("x"), d2.alias("y"))),
+            )
+        ),
+        lambda p: p["x"]["id"] < p["y"]["id"],
+    )
+    pairs = posting.select(F.explode(pair_list).alias("p"))
+    inter = pairs.groupBy(
+        F.col("p.x.id").alias("id_a"), F.col("p.y.id").alias("id_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_inter"),
+        F.first("p.x.n").alias("n_a"),
+        F.first("p.y.n").alias("n_b"),
     )
     return (
         inter.withColumn(
