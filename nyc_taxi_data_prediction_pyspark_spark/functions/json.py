@@ -28,6 +28,23 @@ def parse_typed(col: Column | str, schema: T.StructType) -> Column:
     return F.from_json(c, schema)
 
 
+def parse_variant(col: Column | str) -> Column:
+    """Spark 4 VariantType path (true VARIANT parity with the
+    reference's Snowflake column, weather_realtime_etl.py:60): binary
+    semi-structured encoding + path access via variant_get. Falls back
+    to None-returning guard on pre-4.0 runtimes — callers keep the raw
+    string + from_json path as the portable default."""
+    c = F.col(col) if isinstance(col, str) else col
+    if not hasattr(F, "parse_json"):  # pragma: no cover - Spark < 4
+        raise NotImplementedError("VariantType requires Spark >= 4.0; use parse_typed")
+    return F.parse_json(c)
+
+
+def variant_get(col: Column | str, path: str, target_type: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.variant_get(c, path, target_type)
+
+
 def to_json_string(*cols: str) -> Column:
     """F7: serialize columns back to a JSON payload (json.dumps parity,
     weather_realtime_etl.py:124)."""

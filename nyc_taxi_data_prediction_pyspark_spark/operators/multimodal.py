@@ -26,6 +26,31 @@ DECODED_SCHEMA = (
 )
 
 
+def read_media_dir(spark, path: str, *, glob: str = "*", mime: str = "application/octet-stream") -> DataFrame:
+    """Object-store media ingestion via Spark's binaryFile source
+    (S-series analog for media): one row per file with path, length,
+    modificationTime, content — mapped onto the MEDIA contract.
+    Partition sizing note: binaryFile caps rows per task by
+    ``spark.sql.files.maxPartitionBytes``; size it to a few payloads."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+        F.col("path").alias("source_path"),
+    )
+
+
 def attach_binary(df: DataFrame, *, src_col: str, id_col: str, mime: str) -> DataFrame:
     """Build a media table from any string column: payload = utf-8
     bytes (deterministic fake for a real object-store read), metadata

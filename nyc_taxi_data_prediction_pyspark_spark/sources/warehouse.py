@@ -76,6 +76,22 @@ class Warehouse:
         self._swap_write(table, merged)
         return self.read(table).count() - before
 
+    def save_bucketed(
+        self, table: str, df: DataFrame, *, buckets: int, key: list[str]
+    ) -> None:
+        """Bucketed managed table (saveAsTable — bucketing metadata
+        needs the session catalog, not a bare parquet dir): joins and
+        aggregations on ``key`` between co-bucketed tables skip the
+        shuffle entirely. At 100 TB, bucket the fact table on the merge
+        key prefix so every load's anti-join is exchange-free."""
+        (
+            df.write.mode("overwrite")
+            .bucketBy(buckets, *key)
+            .sortBy(*key)
+            .option("path", self.path(f"bucketed_{table}"))
+            .saveAsTable(table)
+        )
+
     def _swap_write(self, table: str, df: DataFrame) -> None:
         tmp = self.path(f"_tmp_{table}_{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(tmp)
