@@ -394,6 +394,35 @@ def q40_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return textops.tfidf_top_terms(load(spark, sf, "documents"), k=20)
 
 
+def q41_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return textops.chunk_documents(
+        load(spark, sf, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+def q42_stateful_user_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState) driven to
+    completion with availableNow; single-batch totals equal the batch
+    group-by, which the oracle checks."""
+    from nyc_taxi_data_prediction_pyspark_spark.streaming.stateful import user_totals_stateful
+
+    pin_session(spark)
+    events = stream.read_event_stream(spark, sf, glob="events.parquet")
+    totals = user_totals_stateful(events)
+    sink = f"stateful_out_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -436,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_dedup_clusters": q38_dedup_clusters,
         "q39_brp_lsh_simjoin": q39_brp_lsh_simjoin,
         "q40_tfidf_top_terms": q40_tfidf_top_terms,
+        "q41_chunk_documents": q41_chunk_documents,
+        "q42_stateful_user_totals": q42_stateful_user_totals,
     }
 
 
@@ -737,6 +768,28 @@ SELECT cluster_id, COUNT(*) AS n_members, MAX(node) AS max_member
 FROM comp GROUP BY cluster_id
 """,
         # q39_brp_lsh_simjoin: seeded MLlib LSH buckets → rows-only.
+        "q41_chunk_documents": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, ' ') AS w FROM documents
+),
+starts AS (
+  SELECT doc_id, w, unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS s FROM toks
+)
+SELECT doc_id,
+       CAST(s / 48 AS INTEGER) AS chunk_id,
+       array_to_string(w[s + 1 : s + 64], ' ') AS chunk_text,
+       CAST(len(regexp_split_to_array(array_to_string(w[s + 1 : s + 64], ' '), '\\s+')) AS INTEGER) AS n_chunk_tokens
+FROM starts
+""",
+        "q42_stateful_user_totals": """
+WITH ordered AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS total_events
+  FROM events
+)
+SELECT user_id, total_events, value AS last_value FROM ordered WHERE rn = 1
+""",
         "q40_tfidf_top_terms": f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array({_NORM_TEXT}, ' ')) AS term FROM documents

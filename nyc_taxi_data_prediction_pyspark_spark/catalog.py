@@ -42,6 +42,11 @@ def pin_session(spark: SparkSession) -> SparkSession:
     # deployment, not per query.
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
+    # AQE coalesces by shuffle *input* bytes; stages whose per-row
+    # output fans out (pair expansion, explode) starve on the 64 MB
+    # default at this data scale. 1 MB keeps post-shuffle stages wide.
+    # Scale-dependent like maxPartitionBytes: revert to default at TB+.
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(1024 * 1024))
     return spark
 
 

@@ -138,6 +138,34 @@ def tfidf_top_terms(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    standard training-data windowing op. Pure built-ins: tokenize →
+    sequence of chunk starts (stride = chunk_tokens - overlap) →
+    posexplode → slice + array_join. Narrow (no shuffle); output rows
+    = Σ ceil(tokens/stride) per doc.
+
+    Output: (id, chunk_id, chunk_text, n_chunk_tokens).
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.split(normalize_text(text_col), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.array_join(F.slice(toks, s + 1, chunk_tokens), " "))
+    out = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+    return out.withColumn(
+        "n_chunk_tokens", F.size(F.split(F.col("chunk_text"), " "))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "doc_fp") -> DataFrame:
     """Document fingerprint: md5 of the normalized text. md5 is
     content-defined (stable across engines/partitions), unlike

@@ -58,11 +58,19 @@ class Warehouse:
         df = self.read(table).limit(0)
         self._swap_write(table, df)
 
-    def append(self, table: str, df: DataFrame, *, load_ts: bool = True) -> None:
+    def append(
+        self, table: str, df: DataFrame, *, load_ts: bool = True, partition_by: list[str] | None = None
+    ) -> None:
         """S8/S9 append path; stamps the audit column every ingest
-        (column defaults don't exist in Spark DDL — SURVEY.md §7.4)."""
+        (column defaults don't exist in Spark DDL — SURVEY.md §7.4).
+        ``partition_by``: hive-layout partition columns — at 100 TB the
+        fact table partitions by trip month so merge probes and time
+        queries prune to a few directories."""
         out = df.withColumn(LOAD_TS_COL, F.current_timestamp()) if load_ts else df
-        out.write.mode("append").parquet(self.path(table))
+        w = out.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
 
     def merge_load(self, table: str, stg: DataFrame, key: list[str], *, load_ts: bool = True) -> int:
         """J1 load: insert-if-not-matched on ``key``; returns rows
