@@ -423,6 +423,45 @@ def q42_stateful_user_totals(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(sink)
 
 
+def q43_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Column profiling (training-data QA): null/distinct/min/max per
+    numeric column, unpivoted to (column, metric rows) via stack."""
+    li = load(spark, sf, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    profs = []
+    for c in cols:
+        profs.append(
+            li.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("double").alias("min_val"),
+                F.max(c).cast("double").alias("max_val"),
+            )
+        )
+    out = profs[0]
+    for p in profs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q44_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    recent = orders.where(F.year("o_orderdate") >= 2000).select("o_custkey")
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q45_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), agg.dsum("l_extendedprice").alias("sum_price")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -467,6 +506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_tfidf_top_terms": q40_tfidf_top_terms,
         "q41_chunk_documents": q41_chunk_documents,
         "q42_stateful_user_totals": q42_stateful_user_totals,
+        "q43_profile": q43_profile,
+        "q44_semi_join": q44_semi_join,
+        "q45_rollup": q45_rollup,
     }
 
 
@@ -789,6 +831,30 @@ WITH ordered AS (
   FROM events
 )
 SELECT user_id, total_events, value AS last_value FROM ordered WHERE rn = 1
+""",
+        "q43_profile": """
+SELECT c AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(v) AS n_nulls,
+       COUNT(DISTINCT v) AS n_distinct,
+       CAST(MIN(v) AS DOUBLE) AS min_val, CAST(MAX(v) AS DOUBLE) AS max_val
+FROM (
+  SELECT 'l_quantity' AS c, l_quantity AS v FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+) GROUP BY c
+""",
+        "q44_semi_join": """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND year(o_orderdate) >= 2000
+)
+""",
+        "q45_rollup": """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
         "q40_tfidf_top_terms": f"""
 WITH toks AS (
