@@ -11,9 +11,13 @@ column name).
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
 import uuid
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # cwd-independent import
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

@@ -112,6 +112,10 @@ def ngram_jaccard_pairs(
         )
         .where(F.size("docs") > 1)
     )
+    # length filter (similarity-join bound): jaccard(A,B) ≤ min/max of
+    # the set sizes, so pairs with incompatible sizes are pruned inside
+    # the row, before they ever reach the pair shuffle.
+    thr = F.lit(float(threshold))
     pair_list = F.filter(
         F.flatten(
             F.transform(
@@ -119,7 +123,8 @@ def ngram_jaccard_pairs(
                 lambda d1: F.transform(F.col("docs"), lambda d2: F.struct(d1.alias("x"), d2.alias("y"))),
             )
         ),
-        lambda p: p["x"]["id"] < p["y"]["id"],
+        lambda p: (p["x"]["id"] < p["y"]["id"])
+        & (F.least(p["x"]["n"], p["y"]["n"]) >= thr * F.greatest(p["x"]["n"], p["y"]["n"])),
     )
     pairs = posting.select(F.explode(pair_list).alias("p"))
     inter = pairs.groupBy(

@@ -18,7 +18,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.merge import merge_upsert
+from ..operators.merge import anti_new_rows
 from ..schemas import LOAD_TS_COL
 
 
@@ -74,13 +74,20 @@ class Warehouse:
 
     def merge_load(self, table: str, stg: DataFrame, key: list[str], *, load_ts: bool = True) -> int:
         """J1 load: insert-if-not-matched on ``key``; returns rows
-        inserted. Rewrites the whole table via stage+rename (the
-        non-transactional MERGE caveat, single-writer assumption)."""
-        fact = self.read(table).drop(LOAD_TS_COL) if load_ts else self.read(table)
+        inserted. Existing fact rows keep their original ``load_ts``
+        (reference semantics: the audit default fires on INSERT only,
+        etl_spark_historical.py:59) — only the new rows are stamped.
+        Rewrites the table via stage+rename (the non-transactional
+        MERGE caveat, single-writer assumption)."""
+        fact = self.read(table)
+        if load_ts and LOAD_TS_COL not in fact.columns:
+            # freshly ensured table: audit column materializes on first load
+            fact = fact.withColumn(LOAD_TS_COL, F.lit(None).cast("timestamp"))
         before = fact.count()
-        merged = merge_upsert(stg, fact, key)
+        new_rows = anti_new_rows(stg, fact.select(*key), key)
         if load_ts:
-            merged = merged.withColumn(LOAD_TS_COL, F.current_timestamp())
+            new_rows = new_rows.withColumn(LOAD_TS_COL, F.current_timestamp())
+        merged = fact.unionByName(new_rows)
         self._swap_write(table, merged)
         return self.read(table).count() - before
 

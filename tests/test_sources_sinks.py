@@ -52,6 +52,15 @@ def test_warehouse_merge_load_idempotent(spark, tmp_path):
     assert wh.merge_load("t", df, ["k"], load_ts=True) == 0  # re-run inserts nothing
     assert wh.read("t").count() == 2
     assert "load_ts" in wh.read("t").columns  # audit column stamped at ingest
+
+    # audit fidelity: existing rows keep their original load_ts; only
+    # newly inserted rows get a fresh stamp (reference INSERT-default)
+    ts_before = {r["k"]: r["load_ts"] for r in wh.read("t").collect()}
+    df2 = spark.createDataFrame([(3, "c")], "k long, v string")
+    assert wh.merge_load("t", df2, ["k"], load_ts=True) == 1
+    ts_after = {r["k"]: r["load_ts"] for r in wh.read("t").collect()}
+    assert ts_after[1] == ts_before[1] and ts_after[2] == ts_before[2]
+
     wh.truncate("t")
     assert wh.read("t").count() == 0
 
