@@ -35,6 +35,10 @@ HEADLINE = [
     "q19_ann_cosine_topk",
     "q24_asof_join",
     "q25_order_revenue_topk",
+    "q31_cube_rollup",
+    "q36_sessionization",
+    "q40_tfidf_top_terms",
+    "q41_chunk_documents",
 ]
 
 

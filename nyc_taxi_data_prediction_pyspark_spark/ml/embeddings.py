@@ -24,10 +24,20 @@ EMB_DIM = 32
 
 
 def _load_model():
-    """Swap point for a real sentence-transformers model. The fake is
-    deterministic: token → bucket via md5, L1-normalized counts."""
+    """Loads sentence-transformers when present (the reference ships it
+    in its container deps, docker-compose.yaml:69); falls back to a
+    deterministic hashed bag-of-words encoder in this container. Either
+    way the model loads ONCE per Python worker process."""
     global _MODEL
     if _MODEL is None:
+        try:  # pragma: no cover - transformer lib not in this container
+            from sentence_transformers import SentenceTransformer
+
+            m = SentenceTransformer("all-MiniLM-L6-v2")
+            _MODEL = lambda texts: [list(map(float, v)) for v in m.encode(texts)]
+            return _MODEL
+        except ImportError:
+            pass
         import hashlib
 
         def encode(texts: list[str]) -> list[list[float]]:
