@@ -466,6 +466,68 @@ def q45_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q46_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-outer join coverage: customers × their order totals, both
+    unmatched sides preserved."""
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    totals = orders.groupBy("o_custkey").agg(agg.dsum("o_totalprice").alias("order_total"))
+    return (
+        cust.join(totals, cust.c_custkey == totals.o_custkey, "full_outer")
+        .select("c_custkey", "c_mktsegment", "order_total")
+    )
+
+
+def q47_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar string-function parity batch (§2.7 family): case, substr,
+    concat, length, trim, replace, LIKE, split-count."""
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_replace(F.col("c_name"), "[0-9]+", "#").alias("name_masked"),
+        F.col("c_name").like("%1%").alias("has_one"),
+    )
+
+
+def q48_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time scalar parity batch (F4-F6 family)."""
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month_str"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+    )
+
+
+def q49_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Math scalar parity batch: abs/ceil/floor/round/sqrt/ln/pow —
+    all deterministic IEEE ops on identical inputs."""
+    li = load(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round("l_extendedprice", 1).alias("price_round1"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.log(F.col("l_extendedprice")).alias("price_ln"),
+        F.pow(F.col("l_discount"), 2).alias("disc_sq"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -513,6 +575,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_profile": q43_profile,
         "q44_semi_join": q44_semi_join,
         "q45_rollup": q45_rollup,
+        "q46_outer_join": q46_outer_join,
+        "q47_string_funcs": q47_string_funcs,
+        "q48_date_funcs": q48_date_funcs,
+        "q49_math_funcs": q49_math_funcs,
     }
 
 
@@ -859,6 +925,47 @@ WHERE EXISTS (
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "q46_outer_join": """
+WITH totals AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS order_total
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_mktsegment, order_total
+FROM customer FULL OUTER JOIN totals ON c_custkey = o_custkey
+""",
+        "q47_string_funcs": """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       lower(c_mktsegment) AS seg_lower,
+       substring(c_name, 1, 8) AS name_prefix,
+       c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS seg_key,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+       c_name LIKE '%1%' AS has_one
+FROM customer
+""",
+        "q48_date_funcs": """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(day(o_orderdate) AS INTEGER) AS d,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       strftime(o_orderdate, '%Y-%m') AS month_str,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+       CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start
+FROM orders
+""",
+        "q49_math_funcs": """
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS abs_disc,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       round(l_extendedprice, 1) AS price_round1,
+       sqrt(l_quantity) AS qty_sqrt,
+       ln(l_extendedprice) AS price_ln,
+       pow(l_discount, 2) AS disc_sq
+FROM lineitem
 """,
         "q40_tfidf_top_terms": f"""
 WITH toks AS (
