@@ -528,6 +528,27 @@ def q49_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q50_window_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group normalization (z-score) via window *aggregates* —
+    avg/stddev derived from exact decimal window sums so the floats
+    are engine-independent (built-in stddev is a streaming fold whose
+    partial order differs per engine/cluster)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events").select("event_id", "event_type", "value")
+    w = W.partitionBy("event_type")
+    n = F.count("value").over(w)
+    s = F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)")).over(w).cast("double")
+    mean = s / n
+    std = F.sqrt((s2 - s * s / n) / (n - 1))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round((F.col("value") - mean) / std, 6).alias("zscore"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -579,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_string_funcs": q47_string_funcs,
         "q48_date_funcs": q48_date_funcs,
         "q49_math_funcs": q49_math_funcs,
+        "q50_window_zscore": q50_window_zscore,
     }
 
 
@@ -955,6 +977,19 @@ SELECT o_orderkey,
        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
        CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start
 FROM orders
+""",
+        "q50_window_zscore": """
+WITH stats AS (
+  SELECT event_id, event_type, value,
+         COUNT(value) OVER w AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,8))) OVER w AS DOUBLE) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_id, event_type,
+       ROUND((value - s / n) / sqrt((s2 - s * s / n) / (n - 1)), 6) AS zscore
+FROM stats
 """,
         "q49_math_funcs": """
 SELECT l_orderkey, l_linenumber,
