@@ -528,6 +528,14 @@ def q49_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q51_embedding_dupes_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path of q18: LSH-bucket blocking (seeded hyperplanes)
+    instead of label blocking → rows-only (buckets are engine-seeded)."""
+    return dedup.embedding_dupes_lsh(
+        load(spark, sf, "embeddings"), threshold=0.35, n_planes=4
+    )
+
+
 def q50_window_zscore(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group normalization (z-score) via window *aggregates* —
     avg/stddev derived from exact decimal window sums so the floats
@@ -601,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_date_funcs": q48_date_funcs,
         "q49_math_funcs": q49_math_funcs,
         "q50_window_zscore": q50_window_zscore,
+        "q51_embedding_dupes_lsh": q51_embedding_dupes_lsh,
     }
 
 

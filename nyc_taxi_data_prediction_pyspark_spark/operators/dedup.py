@@ -241,6 +241,31 @@ def dedup_keep_one(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def embedding_dupes_lsh(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """The 100 TB form of ``embedding_dupes``: block by sign-LSH bucket
+    (seeded hyperplanes) instead of a label column, then exact cosine
+    within buckets. Bucket count 2^n_planes bounds the candidate set;
+    near-identical vectors land in the same bucket with probability
+    (1 - θ/π)^n_planes, so high-threshold dedup loses almost nothing.
+    """
+    from ..operators.similarity import lsh_buckets, random_hyperplanes
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucketed = lsh_buckets(emb, planes)
+    return embedding_dupes(
+        bucketed, id_col=id_col, vec_col=vec_col, block_col="bucket", threshold=threshold
+    )
+
+
 def simhash(
     df: DataFrame, *, text_col: str, id_col: str, bits: int = 64
 ) -> DataFrame:

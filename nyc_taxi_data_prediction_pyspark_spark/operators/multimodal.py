@@ -114,6 +114,27 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+def frame_sample_stub(df: DataFrame, every_ms: int) -> DataFrame:
+    """Video frame sampling: payload → N frame rows. The Spark shape is
+    mapInPandas with an *expanding* batch (one input row → many output
+    rows — the iterator-of-DataFrames signature handles fan-out
+    natively); the codec is the missing piece in this container."""
+    raise NotImplementedError(
+        "frame sampling requires a video decoder (pyav/ffmpeg); implement as "
+        "mapInPandas yielding one row per sampled frame, schema "
+        "'media_id long, frame_idx int, ts_ms long, frame binary'"
+    )
+
+
+def audio_features_stub(df: DataFrame, window_ms: int = 25) -> DataFrame:
+    """Audio feature extraction (e.g. log-mel windows): same expanding
+    mapInPandas shape as frame sampling; decoder not in-container."""
+    raise NotImplementedError(
+        "audio features require an audio decoder (soundfile/librosa); implement "
+        "as mapInPandas yielding 'media_id long, window_idx int, feature array<float>'"
+    )
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Typed-metadata analytics over the binary table — stays entirely
     in built-ins (no payload access): bytes histogram per mime."""

@@ -76,6 +76,15 @@ def test_embedding_dupes_finds_identical_vectors(spark):
     assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
 
 
+def test_embedding_dupes_lsh_finds_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.5, 0.2]), (2, [1.0, 0.0, 0.5, 0.2]), (3, [-1.0, 0.3, -0.5, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = dedup.embedding_dupes_lsh(df, threshold=0.99, n_planes=4)
+    assert [(r["id_a"], r["id_b"]) for r in out.collect()] == [(1, 2)]
+
+
 def test_minhash_vs_exact_jaccard_agree_on_strong_dupes(spark, sf_dir):
     """LSH candidates at threshold .3 must cover the exact pairs at .5."""
     from nyc_taxi_data_prediction_pyspark_spark.catalog import load
