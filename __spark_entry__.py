@@ -536,6 +536,35 @@ def q51_embedding_dupes_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q52_sql_api_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    """Same logical query as q01 through the SQL front-end (temp views
+    + spark.sql) — proves the parse→analyze path produces the same
+    plan/result as the DataFrame API."""
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+def q53_seeded_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic pseudo-random sample (SURVEY.md §7.4: the
+    reference's bare `limit` picks arbitrary rows; the testable form
+    orders by a content hash). md5 is engine-stable → oracle-exact."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select("doc_id", "lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id"))
+        .limit(50)
+    )
+
+
 def q50_window_zscore(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group normalization (z-score) via window *aggregates* —
     avg/stddev derived from exact decimal window sums so the floats
@@ -610,6 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_math_funcs": q49_math_funcs,
         "q50_window_zscore": q50_window_zscore,
         "q51_embedding_dupes_lsh": q51_embedding_dupes_lsh,
+        "q52_sql_api_pricing": q52_sql_api_pricing,
+        "q53_seeded_sample": q53_seeded_sample,
     }
 
 
@@ -986,6 +1017,18 @@ SELECT o_orderkey,
        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
        CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start
 FROM orders
+""",
+        "q52_sql_api_pricing": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "q53_seeded_sample": """
+SELECT doc_id, lang FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50
 """,
         "q50_window_zscore": """
 WITH stats AS (
