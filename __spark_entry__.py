@@ -565,6 +565,29 @@ def q53_seeded_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q54_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5-shaped five-table join: lineitem⋈orders⋈customer⋈
+    nation⋈region with a date + region filter. Catalyst/AQE order the
+    joins; the two dims broadcast; one agg shuffle at the end."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where((F.col("r_name") == "EUROPE") & (F.year("o_orderdate") >= 1998))
+        .groupBy("n_name")
+        .agg(
+            agg.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q50_window_zscore(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group normalization (z-score) via window *aggregates* —
     avg/stddev derived from exact decimal window sums so the floats
@@ -641,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_embedding_dupes_lsh": q51_embedding_dupes_lsh,
         "q52_sql_api_pricing": q52_sql_api_pricing,
         "q53_seeded_sample": q53_seeded_sample,
+        "q54_regional_revenue": q54_regional_revenue,
     }
 
 
@@ -1017,6 +1041,18 @@ SELECT o_orderkey,
        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
        CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start
 FROM orders
+""",
+        "q54_regional_revenue": """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND year(o_orderdate) >= 1998
+GROUP BY n_name
 """,
         "q52_sql_api_pricing": """
 SELECT l_returnflag, l_linestatus,

@@ -39,6 +39,7 @@ HEADLINE = [
     "q36_sessionization",
     "q40_tfidf_top_terms",
     "q41_chunk_documents",
+    "q54_regional_revenue",
 ]
 
 

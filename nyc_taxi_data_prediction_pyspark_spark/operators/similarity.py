@@ -99,6 +99,46 @@ def ivf_topk(
     )
 
 
+def auto_similarity_join(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    exact_limit: int = 10_000,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Adaptive similarity self-join — the logical-level form of the
+    optional Catalyst rewrite SURVEY.md §4 describes (a Python-side
+    planner decision rather than a custom rule, which would need Scala):
+
+    - row count ≤ ``exact_limit`` → exact blocked-by-nothing pairwise
+      cosine (correct, O(n²) but small);
+    - larger → sign-LSH bucket blocking (candidate set linear-ish),
+      exact cosine within buckets.
+
+    The count used for the decision is a cheap metadata-backed action.
+    Returns (id_a, id_b, cos) either way — callers never see which
+    physical strategy ran, same as an optimizer rewrite.
+    """
+    from .dedup import embedding_dupes, embedding_dupes_lsh
+
+    n = emb.count()
+    if n <= exact_limit:
+        return embedding_dupes(
+            emb, id_col=id_col, vec_col=vec_col, block_col=None, threshold=cosine_threshold
+        )
+    return embedding_dupes_lsh(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=cosine_threshold,
+        n_planes=n_planes,
+        seed=seed,
+    )
+
+
 def brp_similarity_join(
     emb: DataFrame,
     *,

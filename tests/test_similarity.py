@@ -32,6 +32,24 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert len(set(exact) & set(approx)) >= 6
 
 
+def test_auto_similarity_join_picks_exact_for_small(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.auto_similarity_join(df, cosine_threshold=0.99, exact_limit=10)
+    assert [(r["id_a"], r["id_b"]) for r in out.collect()] == [(1, 2)]
+
+
+def test_auto_similarity_join_switches_to_lsh(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    # force the LSH path by setting the exact limit below the row count
+    out = similarity.auto_similarity_join(
+        emb, cosine_threshold=0.35, exact_limit=10, n_planes=4
+    )
+    assert out.count() > 0  # finds the tail pairs through bucket blocking
+
+
 def test_lsh_bucket_determinism_and_topk(spark, sf_dir):
     emb, qvec, qid = _query(spark, sf_dir)
     planes = similarity.random_hyperplanes(len(qvec), 4, seed=42)
