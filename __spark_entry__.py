@@ -588,6 +588,25 @@ def q54_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q55_minhash_native(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+banding built from engine-stable arithmetic (md5-60bit
+    shingle hashes + universal-hash permutations) — the approximate
+    dedup pipeline itself is oracle-checked, unlike seeded-library
+    LSH (q20)."""
+    return dedup.minhash_native_pairs(
+        load(spark, sf, "documents"), text_col="text", id_col="doc_id",
+        n=3, k=16, bands=4, jaccard_threshold=0.3, seed=42,
+    )
+
+
+def q56_simhash_stable(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash with the md5-derived stable token hash (60-bit):
+    signatures are bit-identical across engines → full value check."""
+    return dedup.simhash(
+        load(spark, sf, "documents"), text_col="text", id_col="doc_id", bits=60, stable=True
+    )
+
+
 def q50_window_zscore(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group normalization (z-score) via window *aggregates* —
     avg/stddev derived from exact decimal window sums so the floats
@@ -665,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_sql_api_pricing": q52_sql_api_pricing,
         "q53_seeded_sample": q53_seeded_sample,
         "q54_regional_revenue": q54_regional_revenue,
+        "q55_minhash_native": q55_minhash_native,
+        "q56_simhash_stable": q56_simhash_stable,
     }
 
 
@@ -697,6 +718,81 @@ _COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
+
+
+# md5 first-15-hex-digits → BIGINT, arithmetically (DuckDB side of
+# functions/hashing.md5_int60; verified bit-equal to Spark's conv path)
+_MD5_INT60 = (
+    "list_sum(list_transform(range(15), i -> "
+    "(strpos('0123456789abcdef', substr(md5({col}), i + 1, 1)) - 1)::BIGINT << (4 * (14 - i))"
+    "))::BIGINT"
+)
+
+
+def _minhash_oracle(threshold: float = 0.3, k: int = 16, bands: int = 4, seed: int = 42) -> str:
+    from nyc_taxi_data_prediction_pyspark_spark.functions.hashing import (
+        MERSENNE_P,
+        minhash_params,
+    )
+
+    params = minhash_params(k, seed)
+    r = k // bands
+    mins = ",\n    ".join(
+        f"MIN(((h % {MERSENNE_P}) * {a} + {b}) % {MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT {j} AS band, list_value({', '.join(f'm{j*r+i}' for i in range(r))}) AS bkey, doc_id FROM sig"
+        for j in range(bands)
+    )
+    eq_sum = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(k))
+    return f"""
+WITH {_SHINGLE_CTE},
+hs AS (
+  SELECT doc_id, {_MD5_INT60.format(col='shingle')} AS h FROM sh
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hs GROUP BY doc_id
+),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(({eq_sum}) / {k}.0, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE ROUND(({eq_sum}) / {k}.0, 6) >= {threshold}
+"""
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits - 1)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN ({1 << b}::BIGINT) ELSE 0 END" for b in range(bits - 1)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM_TEXT}, ' ')) AS tok FROM documents
+),
+h AS (SELECT doc_id, {_MD5_INT60.format(col='tok')} AS h FROM tok),
+bitsum AS (
+  SELECT doc_id,
+    {sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, ({sig})::BIGINT AS simhash FROM bitsum
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1042,6 +1138,8 @@ SELECT o_orderkey,
        CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start
 FROM orders
 """,
+        "q55_minhash_native": _minhash_oracle(),
+        "q56_simhash_stable": _simhash_oracle(),
         "q54_regional_revenue": """
 SELECT n_name,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

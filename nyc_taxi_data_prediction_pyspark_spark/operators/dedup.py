@@ -267,20 +267,25 @@ def embedding_dupes_lsh(
 
 
 def simhash(
-    df: DataFrame, *, text_col: str, id_col: str, bits: int = 64
+    df: DataFrame, *, text_col: str, id_col: str, bits: int = 64, stable: bool = False
 ) -> DataFrame:
-    """64-bit SimHash signature per document, built-ins only.
+    """SimHash signature per document, built-ins only.
 
-    Each token hashes to 64 bits (xxhash64); per bit position the doc
-    sums ±1 over tokens; sign of the sum is the signature bit. All via
-    explode + groupBy — one shuffle, no UDF. Signatures are
-    engine-specific (xxhash64 seed) → no SQL oracle; paired with a
-    pytest property (hamming(simhash(x), simhash(x + small edit)) small).
+    Each token hashes to ``bits`` bits; per bit position the doc sums
+    ±1 over tokens; sign of the sum is the signature bit. All via
+    explode + groupBy — one shuffle, no UDF.
+
+    ``stable=False`` (default) hashes with xxhash64 — fastest, but
+    engine-specific. ``stable=True`` uses the md5-derived 60-bit hash
+    (functions/hashing.md5_int60): bit-identical in any engine with
+    md5, so the signature itself is oracle-checkable (use bits<=60).
     """
+    from ..functions.hashing import md5_int60
+
     toks = df.select(
         F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
     )
-    h = toks.withColumn("h", F.xxhash64("tok"))
+    h = toks.withColumn("h", md5_int60("tok") if stable else F.xxhash64("tok"))
     one = F.lit(1).cast("bigint")
     contrib = h.select(
         id_col,
@@ -296,6 +301,94 @@ def simhash(
     for b in range(bits - 1):  # top bit left 0 to stay in signed range
         sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
     return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def minhash_native_pairs(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH banding with NO engine-specific hashing — every
+    step (md5-60bit shingle hash, universal-hash permutations, band
+    bucketing, signature-overlap estimate) is reproducible arithmetic,
+    so the whole approximate pipeline is oracle-checkable.
+
+    Flow: shingles → stable hashes → k permutation minima (signature)
+    → split into bands → bucket docs by (band, band-slice) → candidate
+    pairs from shared buckets (posting-list expansion, as in
+    ngram_jaccard_pairs) → estimate = fraction of equal signature
+    components → filter. Candidate generation is O(n·bands) + bucket-
+    local pair expansion — the same cost shape as MLlib's MinHashLSH.
+
+    Returns (id_a, id_b, est_jaccard), est a multiple of 1/k (exact).
+    """
+    from ..functions.hashing import md5_int60, minhash_params, permute
+
+    params = minhash_params(k, seed)
+    r = k // bands
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+
+    base = (
+        df.repartition(n_part)
+        .select(F.col(id_col), shingle_array(text_col, n, hashed=False).alias("shs"))
+        .where(F.size("shs") > 0)
+    )
+    hs = base.select(F.col(id_col), F.transform("shs", lambda s: md5_int60(s)).alias("hs"))
+    sig = hs.select(
+        F.col(id_col),
+        F.array(
+            *[F.array_min(F.transform("hs", lambda x: permute(x, a, b))) for a, b in params]
+        ).alias("sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(j).alias("band"), F.slice("sig", j * r + 1, r).alias("bkey"))
+            for j in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), "sig", F.explode(band_structs).alias("bd")).select(
+        F.col(id_col), "sig", F.col("bd.band").alias("band"), F.col("bd.bkey").alias("bkey")
+    )
+    posting = (
+        banded.groupBy("band", "bkey")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))).alias("docs"))
+        .where(F.size("docs") > 1)
+    )
+    pair_list = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda d1: F.transform(F.col("docs"), lambda d2: F.struct(d1.alias("x"), d2.alias("y"))),
+            )
+        ),
+        lambda p: p["x"]["id"] < p["y"]["id"],
+    )
+    pairs = (
+        posting.select(F.explode(pair_list).alias("p"))
+        .select(
+            F.col("p.x.id").alias("id_a"),
+            F.col("p.y.id").alias("id_b"),
+            F.col("p.x.sig").alias("sig_a"),
+            F.col("p.y.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # a pair can collide in several bands
+    )
+    eq = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.withColumn("est_jaccard", F.round(eq / F.lit(float(k)), 6))
+        .where(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
 
 
 def hamming64(a, b):

@@ -85,6 +85,26 @@ def test_embedding_dupes_lsh_finds_identical_vectors(spark):
     assert [(r["id_a"], r["id_b"]) for r in out.collect()] == [(1, 2)]
 
 
+def test_native_minhash_covers_exact_strong_dupes(spark, sf_dir):
+    """Engine-stable MinHash banding must recover the exact-Jaccard
+    pairs at 0.5+ (banding recall at j≥0.5 with k=16,b=4 is ~0.3; the
+    real dupes in the fixture are ~0.9+, recall ≈ 1)."""
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", threshold=0.5).collect()
+    }
+    native = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_native_pairs(
+            docs, text_col="text", id_col="doc_id", jaccard_threshold=0.3
+        ).collect()
+    }
+    assert exact <= native
+
+
 def test_minhash_vs_exact_jaccard_agree_on_strong_dupes(spark, sf_dir):
     """LSH candidates at threshold .3 must cover the exact pairs at .5."""
     from nyc_taxi_data_prediction_pyspark_spark.catalog import load
