@@ -607,6 +607,18 @@ def q56_simhash_stable(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q57_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window demand (2h window, 1h slide): each event lands in
+    two windows — F.window's overlapping-bucket semantics, mirrored in
+    SQL as a two-way shifted union."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
 def q50_window_zscore(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group normalization (z-score) via window *aggregates* —
     avg/stddev derived from exact decimal window sums so the floats
@@ -686,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_regional_revenue": q54_regional_revenue,
         "q55_minhash_native": q55_minhash_native,
         "q56_simhash_stable": q56_simhash_stable,
+        "q57_sliding_window": q57_sliding_window,
     }
 
 
@@ -1140,6 +1153,15 @@ FROM orders
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),
+        "q57_sliding_window": """
+WITH contrib AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM contrib GROUP BY 1, 2
+""",
         "q54_regional_revenue": """
 SELECT n_name,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

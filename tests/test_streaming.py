@@ -47,6 +47,35 @@ def test_stream_dedup_drops_duplicate_keys(spark, sf_dir, tmp_path):
     assert spark.table(sink).count() == n_src
 
 
+def test_streaming_session_window(spark, sf_dir, tmp_path):
+    """Built-in session_window (gap-based) in a streaming agg — the
+    streaming face of operators/windows.sessionize."""
+    import uuid
+
+    events = stream.read_event_stream(spark, sf_dir, glob="events.parquet")
+    sessions = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = f"t_sess_{uuid.uuid4().hex[:6]}"
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "cksw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(sink)
+    # session totals must re-aggregate to the per-user event counts
+    per_user = got.groupBy("user_id").agg(F.sum("n_events").alias("n"))
+    batch = load(spark, sf_dir, "events").groupBy("user_id").count()
+    j = per_user.join(batch, "user_id").where(F.col("n") != F.col("count"))
+    assert j.count() == 0
+
+
 def test_foreach_batch_merge_idempotent(spark, sf_dir, tmp_path):
     """T6: re-processing the same batch through the merge sink leaves
     the table unchanged (effective exactly-once)."""
