@@ -619,6 +619,19 @@ def q57_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q58_approx_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate aggregates — the sketch family every OLAP engine
+    ships (HLL++ distinct counts, quantile sketches). Sketch internals
+    are engine-specific → rows-only here; the accuracy contract
+    (approx within rsd/eps of exact) is pinned by pytest instead."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75], 1000).alias("approx_iqr"),
+    )
+
+
 def q50_window_zscore(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group normalization (z-score) via window *aggregates* —
     avg/stddev derived from exact decimal window sums so the floats
@@ -699,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_minhash_native": q55_minhash_native,
         "q56_simhash_stable": q56_simhash_stable,
         "q57_sliding_window": q57_sliding_window,
+        "q58_approx_stats": q58_approx_stats,
     }
 
 

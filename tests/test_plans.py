@@ -58,6 +58,30 @@ def test_asof_join_single_exchange_no_cartesian(spark, sf_dir):
     assert explain.exchange_count(df) <= 2  # union repartition + window sort
 
 
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    """q58's accuracy contract: HLL++ distinct within 3×rsd of exact;
+    approx median within the accuracy-bound rank error."""
+    import __spark_entry__ as e
+
+    approx = {r["l_returnflag"]: r for r in e.q58_approx_stats(spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        )
+        .collect()
+    }
+    for flag, a in approx.items():
+        ex = exact[flag]
+        assert abs(a["approx_parts"] - ex["n_parts"]) / ex["n_parts"] < 0.06
+        assert abs(a["approx_median_price"] - ex["median_price"]) / ex["median_price"] < 0.05
+        lo, hi = a["approx_iqr"]
+        assert lo <= a["approx_median_price"] <= hi
+
+
 def test_merge_upsert_is_join_not_loop(spark, sf_dir):
     import __spark_entry__ as e
 
