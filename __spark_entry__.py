@@ -1094,7 +1094,7 @@ WITH toks AS (
   SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, ' ') AS w FROM documents
 ),
 starts AS (
-  SELECT doc_id, w, unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS s FROM toks
+  SELECT doc_id, w, unnest(generate_series(0, greatest(len(w) - 16 - 1, 0), 48)) AS s FROM toks
 )
 SELECT doc_id,
        CAST(s / 48 AS INTEGER) AS chunk_id,

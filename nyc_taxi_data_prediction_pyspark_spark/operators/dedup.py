@@ -225,8 +225,12 @@ def connected_components(
         changed = updated.where(F.col("new_cluster") != F.col("cluster_id")).count()
         labels = updated.select("node", F.col("new_cluster").alias("cluster_id")).localCheckpoint()
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(component diameter exceeds max_iter) — raise max_iter; returning "
+        "partial labels would silently split duplicate clusters"
+    )
 
 
 def dedup_keep_one(
@@ -249,16 +253,33 @@ def embedding_dupes_lsh(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """The 100 TB form of ``embedding_dupes``: block by sign-LSH bucket
     (seeded hyperplanes) instead of a label column, then exact cosine
-    within buckets. Bucket count 2^n_planes bounds the candidate set;
-    near-identical vectors land in the same bucket with probability
-    (1 - θ/π)^n_planes, so high-threshold dedup loses almost nothing.
+    within buckets.
+
+    Recall caveat (quantified, not hand-waved): a pair at angle θ lands
+    in the same single-probe bucket with probability (1 - θ/π)^n_planes
+    — at cos 0.95 (θ≈18.2°) with 8 planes that is ≈0.43. Acceptable for
+    best-effort dedup sweeps; when recall matters, run multiple seeded
+    repetitions and union the pairs (OR-amplification — each repetition
+    is independent, recall 1-(1-p)^r), or use
+    similarity.brp_similarity_join whose multi-table join amplifies
+    internally.
+
+    ``dim``: pass the embedding dimension to skip the probe job; if
+    probing finds no rows, returns an empty pair frame.
     """
     from ..operators.similarity import lsh_buckets, random_hyperplanes
 
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        first = emb.select(vec_col).first()
+        if first is None:  # empty input → empty result, same schema
+            return emb.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos double"
+            )
+        dim = len(first[0])
     planes = random_hyperplanes(dim, n_planes, seed)
     bucketed = lsh_buckets(emb, planes)
     return embedding_dupes(
@@ -286,17 +307,20 @@ def simhash(
         F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
     )
     h = toks.withColumn("h", md5_int60("tok") if stable else F.xxhash64("tok"))
+    # signature keeps bits-1 positions (top bit stays 0 for signed
+    # range) — build contributions only for the positions actually used
     one = F.lit(1).cast("bigint")
+    used = bits - 1
     contrib = h.select(
         id_col,
         *[
             (
                 F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, F.lit(1)).otherwise(F.lit(-1))
             ).alias(f"b{b}")
-            for b in range(bits)
+            for b in range(used)
         ],
     )
-    sums = contrib.groupBy(id_col).agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(bits)])
+    sums = contrib.groupBy(id_col).agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(used)])
     sig = F.lit(0).cast("bigint")
     for b in range(bits - 1):  # top bit left 0 to stay in signed range
         sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))

@@ -52,14 +52,21 @@ def merge_upsert(
     staging batch's key range — at scale this is the difference between
     probing 3 partitions and probing the whole fact table. Rows outside
     ``prune`` are unioned back untouched.
+
+    The fact table owns the schema: fact-only columns (e.g. a
+    ``load_ts`` audit column) are preserved and NULL-filled on the
+    inserted rows; staging columns absent from fact are an error (the
+    reference's MERGE would reject them too).
     """
-    cols = stg.columns
+    extra = [c for c in stg.columns if c not in fact.columns]
+    if extra:
+        raise ValueError(f"staging columns not in fact table: {extra}")
     if prune is not None:
         fact_probe = fact.filter(prune)
     else:
         fact_probe = fact
     new_rows = anti_new_rows(stg, fact_probe, key)
-    return fact.select(*cols).unionByName(new_rows)
+    return fact.unionByName(new_rows, allowMissingColumns=True)
 
 
 TRIP_MERGE_KEY = (

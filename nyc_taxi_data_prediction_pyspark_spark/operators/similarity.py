@@ -107,6 +107,7 @@ def auto_similarity_join(
     cosine_threshold: float = 0.95,
     exact_limit: int = 10_000,
     n_planes: int = 8,
+    repetitions: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Adaptive similarity self-join — the logical-level form of the
@@ -115,12 +116,14 @@ def auto_similarity_join(
 
     - row count ≤ ``exact_limit`` → exact blocked-by-nothing pairwise
       cosine (correct, O(n²) but small);
-    - larger → sign-LSH bucket blocking (candidate set linear-ish),
-      exact cosine within buckets.
+    - larger → OR-amplified sign-LSH: ``repetitions`` independent
+      bucketings (different seeds), pairs unioned. Single-probe bucket
+      recall at cos 0.95 with 8 planes is only ≈0.43; amplification
+      lifts it to 1-(1-0.43)^r ≈ 0.89 at r=4 while candidate volume
+      stays linear-ish per repetition.
 
     The count used for the decision is a cheap metadata-backed action.
-    Returns (id_a, id_b, cos) either way — callers never see which
-    physical strategy ran, same as an optimizer rewrite.
+    Returns (id_a, id_b, cos) either way.
     """
     from .dedup import embedding_dupes, embedding_dupes_lsh
 
@@ -129,14 +132,23 @@ def auto_similarity_join(
         return embedding_dupes(
             emb, id_col=id_col, vec_col=vec_col, block_col=None, threshold=cosine_threshold
         )
-    return embedding_dupes_lsh(
-        emb,
-        id_col=id_col,
-        vec_col=vec_col,
-        threshold=cosine_threshold,
-        n_planes=n_planes,
-        seed=seed,
-    )
+    first = emb.select(vec_col).first()
+    if first is None:
+        return emb.sparkSession.createDataFrame([], "id_a long, id_b long, cos double")
+    dim = len(first[0])
+    out = None
+    for rep in range(repetitions):
+        pairs = embedding_dupes_lsh(
+            emb,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=cosine_threshold,
+            n_planes=n_planes,
+            seed=seed + rep,
+            dim=dim,
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.dropDuplicates(["id_a", "id_b"])
 
 
 def brp_similarity_join(

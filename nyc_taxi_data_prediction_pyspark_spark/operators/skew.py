@@ -73,7 +73,13 @@ def salted_join(
     """Replicated-salt equi-join: the skewed side gets a random salt,
     the other side is exploded ×buckets so every (key, salt) pair can
     meet. Join width grows by buckets on the small side only — use for
-    hot-key joins where the non-skewed side is modest (dims)."""
+    hot-key joins where the non-skewed side is modest (dims).
+
+    Only ``inner`` and ``left`` (skewed side preserved) are valid:
+    right/full-outer would emit each unmatched replicated row once per
+    salt — ``buckets`` duplicates of every unmatched dim row."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, not {how!r}")
     on = list(on)
     s = with_salt(skewed, buckets)
     o = other.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)])))

@@ -158,7 +158,12 @@ def chunk_documents(
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
     toks = F.split(normalize_text(text_col), " ")
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    # last useful start must introduce at least one token beyond the
+    # previous chunk's overlap: bound starts by n_tokens - overlap - 1,
+    # else the final chunk is a pure subset of its predecessor
+    # (duplicate training text downstream dedup would have to remove)
+    upper = F.greatest(F.size(toks) - overlap - 1, F.lit(0))
+    starts = F.sequence(F.lit(0), upper, F.lit(stride))
     chunks = F.transform(starts, lambda s: F.array_join(F.slice(toks, s + 1, chunk_tokens), " "))
     out = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
     return out.withColumn(

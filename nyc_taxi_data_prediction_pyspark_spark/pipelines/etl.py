@@ -58,13 +58,22 @@ def run_trips_etl(
     """One scheduled run: probe → clean → idempotent merge → audit.
 
     Re-running with the same month is a no-op on the fact table (the
-    reference's MERGE invariant, readme.md:30)."""
+    reference's MERGE invariant, readme.md:30) — except under ``cap``,
+    which samples an arbitrary row subset per run exactly like the
+    reference's bare ``limit(200_000)`` (etl_spark_historical.py:195):
+    a re-run may sample different rows and insert them. That quirk is
+    inherited deliberately; leave ``cap=None`` for exact idempotency."""
     found = read_latest_month(spark, landing_root, year=year, newest_month=newest_month)
     if found is None:
         raise FileNotFoundError(f"no landing partition available for {year}")
     month, raw = found
 
     cleaned = clean_trips(raw, cap=cap)
+    if cap is not None:
+        # limit(cap) picks an arbitrary row subset per execution; pin
+        # one materialization so count and merge see the SAME sample
+        # (and re-runs stay idempotent within a batch)
+        cleaned = cleaned.localCheckpoint()
     rows_cleaned = cleaned.count()
 
     wh = Warehouse(spark, warehouse_root)

@@ -22,16 +22,45 @@ def write_csv(df: DataFrame, path: str, *, single_file: bool = False) -> None:
     (out.write.mode("overwrite").option("header", True).option("quote", '"').csv(path))
 
 
+NULL_LITERALS = ("", "NULL", "null")  # NULL_IF set, etl_spark_historical.py:81
+
+
 def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """S6+S8: header skip, optional-quote, NULL literals → NULL, and
     abort-on-malformed (ON_ERROR='ABORT_STATEMENT' ≙ FAILFAST,
-    etl_spark_historical.py:295)."""
-    return (
-        spark.read.schema(schema)
+    etl_spark_historical.py:295).
+
+    Spark's ``nullValue`` option takes ONE literal, but the reference's
+    file format nullifies all of '', 'NULL', 'null' *before* type
+    conversion. So: read everything as strings (FAILFAST still catches
+    structural malformation), nullify the literal set, then cast —
+    with a ``raise_error`` guard on any non-null cell the cast cannot
+    convert, which is the lazy, executor-side form of ABORT_STATEMENT.
+    """
+    from pyspark.sql import functions as F
+
+    str_schema = T.StructType([T.StructField(f.name, T.StringType(), True) for f in schema.fields])
+    raw = (
+        spark.read.schema(str_schema)
         .option("header", True)
         .option("quote", '"')
-        .option("nullValue", "NULL")
-        .option("emptyValue", None)
         .option("mode", "FAILFAST")
         .csv(path)
     )
+    cols = []
+    for f in schema.fields:
+        s = F.col(f.name)
+        nullified = F.when(s.isin(*NULL_LITERALS), F.lit(None)).otherwise(s)
+        casted = nullified.cast(f.dataType)
+        guarded = F.when(
+            nullified.isNotNull() & casted.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"read_csv abort: cannot cast column {f.name} value '"),
+                    nullified,
+                    F.lit(f"' to {f.dataType.simpleString()}"),
+                )
+            ).cast(f.dataType),
+        ).otherwise(casted)
+        cols.append(guarded.alias(f.name))
+    return raw.select(*cols)

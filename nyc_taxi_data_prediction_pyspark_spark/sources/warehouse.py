@@ -34,10 +34,18 @@ class Warehouse:
         return os.path.join(self.root, table)
 
     # S10: CREATE TABLE IF NOT EXISTS — idempotent object creation.
-    def ensure(self, table: str, empty_like: DataFrame) -> None:
+    def ensure(self, table: str, empty_like: DataFrame, *, load_ts: bool = True) -> None:
+        """``load_ts=True`` bakes the audit column into the empty
+        table so every part file in the directory shares one schema —
+        a 0-row file without it would race the audit-stamped appends
+        for schema inference (single-footer inference picks whichever
+        file sorts first)."""
         p = self.path(table)
         if not os.path.exists(p):
-            empty_like.limit(0).write.mode("overwrite").parquet(p)
+            empty = empty_like.limit(0)
+            if load_ts and LOAD_TS_COL not in empty.columns:
+                empty = empty.withColumn(LOAD_TS_COL, F.lit(None).cast("timestamp"))
+            empty.write.mode("overwrite").parquet(p)
 
     def exists(self, table: str) -> bool:
         return os.path.exists(self.path(table))

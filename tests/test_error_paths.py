@@ -21,7 +21,23 @@ def test_failfast_csv_aborts_on_malformed_row(spark, tmp_path):
     )
     with pytest.raises(Exception) as ei:
         csv_io.read_csv(spark, str(p), schema).collect()
-    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+    msg = str(ei.value)
+    # ANSI sessions abort in the cast itself; non-ANSI sessions hit the
+    # explicit raise_error guard — both are ABORT_STATEMENT parity
+    assert "read_csv abort" in msg or "CAST_INVALID_INPUT" in msg or "Malformed" in msg
+
+
+def test_lowercase_null_literal_accepted(spark, tmp_path):
+    """The reference's NULL_IF covers '', 'NULL' and 'null' — a
+    lowercase null in a typed column must load as NULL, not abort."""
+    p = tmp_path / "lcnull"
+    p.mkdir()
+    (p / "part-000.csv").write_text("k,v\n1,null\n2,\n3,7.5\n")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    rows = {r["k"]: r["v"] for r in csv_io.read_csv(spark, str(p), schema).collect()}
+    assert rows == {1: None, 2: None, 3: 7.5}
 
 
 def test_failfast_csv_reads_clean_file(spark, tmp_path):
