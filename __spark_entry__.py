@@ -653,6 +653,105 @@ def q50_window_zscore(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q59_range_band_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (band) join: lineitem priced into [lo, hi) tiers via a
+    broadcast nested-loop join against a 3-row band dim — the
+    non-equi-join family the reference never needed but any pricing/
+    SLA analysis does. Scale path documented in joins.range_join."""
+    li = load(spark, sf, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 20000.0), ("mid", 20000.0, 50000.0), ("high", 50000.0, 1.0e18)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        joins.range_join(li, bands, value_col="l_extendedprice")
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            agg.dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+def q60_exists_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS decorrelated to a left-semi
+    join: count orders (by priority) having at least one deep-discount
+    line. Semi join never duplicates probe rows, so no distinct."""
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem").where(F.col("l_discount") > 0.06)
+    return (
+        joins.exists_join(o, li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q61_rich_inactive_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar subquery (global positive-balance
+    average, broadcast) + NOT EXISTS anti-join against finished
+    orders. The threshold is dsum/count so both engines compare the
+    identical IEEE double."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    thr = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg((agg.dsum("c_acctbal") / F.count(F.lit(1))).alias("__thr"))
+    )
+    rich = c.crossJoin(F.broadcast(thr)).where(F.col("c_acctbal") > F.col("__thr"))
+    inactive = joins.not_exists_join(rich, o, F.col("c_custkey") == F.col("o_custkey"))
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        agg.dsum("c_acctbal").alias("sum_bal"),
+    )
+
+
+def q62_gap_fill_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resample: hourly spine (sequence+explode, no driver
+    loop) left-joined to the hourly aggregate, empty hours zero-filled.
+    Spine and aggregate are #hours rows → broadcast join at any SF."""
+    return windows.gap_fill_hourly(load(spark, sf, "events"), ts="ts", value="value")
+
+
+def q63_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS ((flag,status),(flag),()) in one pass — Spark
+    expands to a single Expand+Aggregate, not three scans. Rolled-up
+    keys surface as NULL → coalesced to 'ALL' in both engines."""
+    li = load(spark, sf, "lineitem")
+    gs = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        agg.dsum("l_quantity").alias("sum_qty"),
+    )
+    return gs.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "n_rows",
+        "sum_qty",
+    )
+
+
+def q64_window_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution windows: ntile/percent_rank/cume_dist per market
+    segment. Order carries a custkey tie-break so ntile assignment is
+    deterministic; percent_rank/cume_dist are exact integer ratios →
+    bit-identical without rounding."""
+    from pyspark.sql import Window as W
+
+    c = load(spark, sf, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -713,6 +812,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_simhash_stable": q56_simhash_stable,
         "q57_sliding_window": q57_sliding_window,
         "q58_approx_stats": q58_approx_stats,
+        "q59_range_band_join": q59_range_band_join,
+        "q60_exists_priority": q60_exists_priority,
+        "q61_rich_inactive_customers": q61_rich_inactive_customers,
+        "q62_gap_fill_hourly": q62_gap_fill_hourly,
+        "q63_grouping_sets": q63_grouping_sets,
+        "q64_window_ranks": q64_window_ranks,
     }
 
 
@@ -1164,6 +1269,76 @@ SELECT o_orderkey,
        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
        CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start
 FROM orders
+""",
+        "q59_range_band_join": """
+WITH bands(band_name, lo, hi) AS (
+  VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 50000.0), ('high', 50000.0, 1e18)
+)
+SELECT band_name,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM lineitem
+JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band_name
+""",
+        "q60_exists_priority": """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.06
+)
+GROUP BY o_orderpriority
+""",
+        "q61_rich_inactive_customers": """
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS t
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+FROM customer, thr
+WHERE c_acctbal > t
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+  )
+GROUP BY c_mktsegment
+""",
+        "q62_gap_fill_hourly": """
+WITH bounds AS (
+  SELECT date_trunc('hour', CAST(MIN(ts) AS TIMESTAMP)) AS lo,
+         date_trunc('hour', CAST(MAX(ts) AS TIMESTAMP)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM bounds
+),
+actual AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT s.hour_start,
+       COALESCE(a.n_events, 0) AS n_events,
+       COALESCE(a.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN actual a ON s.hour_start = a.hour_start
+""",
+        "q63_grouping_sets": """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+        "q64_window_ranks": """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),

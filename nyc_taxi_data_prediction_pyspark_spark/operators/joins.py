@@ -55,6 +55,46 @@ def hour_bucket_join(
     return joined.drop("__hour")
 
 
+def range_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Band/range join: attach the band row whose ``[lo, hi)`` interval
+    contains ``value_col``.
+
+    The band table is assumed small (price tiers, SLA buckets, time
+    ranges) and is explicitly broadcast; with only range predicates the
+    physical plan is a BroadcastNestedLoopJoin, which is O(facts ×
+    bands) per partition — fine when bands is tens-to-thousands of
+    rows, and it never shuffles the fact side. If the band table ever
+    grows beyond broadcast size, convert to an equi-join first: assign
+    both sides a coarse grid cell (``floor(value / grid)``), equi-join
+    on the cell, then apply the residual between-predicate — that is
+    the standard shuffle-safe rewrite and keeps AQE in play.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(bands), cond, how)
+
+
+def exists_join(probe: DataFrame, sub: DataFrame, cond) -> DataFrame:
+    """Correlated EXISTS as a left-semi join (what Catalyst decorrelates
+    EXISTS subqueries into): keep probe rows with >=1 match, never
+    duplicating probe rows — no distinct needed on ``sub``."""
+    return probe.join(sub, cond, "left_semi")
+
+
+def not_exists_join(probe: DataFrame, sub: DataFrame, cond) -> DataFrame:
+    """Correlated NOT EXISTS as a left-anti join (same NULL semantics
+    as SQL NOT EXISTS: a NULL-keyed probe row survives only if the
+    condition never evaluates true)."""
+    return probe.join(sub, cond, "left_anti")
+
+
 def asof_join(
     probe: DataFrame,
     build: DataFrame,

@@ -77,6 +77,45 @@ def sessionize(
     return df.withColumn(out_col, F.sum(boundary).over(cum))
 
 
+def gap_fill_hourly(
+    df: DataFrame,
+    *,
+    ts: str,
+    value: str,
+    exact_decimal_scale: int = 4,
+) -> DataFrame:
+    """Time-series resample with zero-filled gaps: one row per hour
+    between min(ts) and max(ts), with the hour's row count and exact
+    decimal sum (0 for empty hours).
+
+    The hour spine is generated engine-side (``sequence`` + ``explode``
+    from the 1-row min/max aggregate) — no driver loop, no collect.
+    Both the spine and the hourly aggregate are tiny (rows = distinct
+    hours, not input rows), so the final join broadcasts regardless of
+    input scale; the only full-data pass is the map-side-combined
+    groupBy. At 100 TB the spine is still just #hours rows.
+    """
+    hour = F.date_trunc("hour", F.col(ts))
+    bounds = df.agg(
+        F.date_trunc("hour", F.min(ts)).alias("__lo"),
+        F.date_trunc("hour", F.max(ts)).alias("__hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("__lo", "__hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    actual = df.groupBy(hour.alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value).cast(f"decimal(18,{exact_decimal_scale})"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return spine.join(F.broadcast(actual), "hour_start", "left").select(
+        "hour_start",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
 def lag_gap_seconds(
     df: DataFrame, *, partition: Sequence[str], ts: str, order_tiebreak: Sequence[str] = ()
 ) -> DataFrame:

@@ -1,0 +1,109 @@
+"""Range join, EXISTS/NOT-EXISTS decorrelation, gap-fill spine,
+grouping sets, distribution windows (q59-q64)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_prediction_pyspark_spark.operators.joins import (
+    exists_join,
+    not_exists_join,
+    range_join,
+)
+from nyc_taxi_data_prediction_pyspark_spark.operators.windows import gap_fill_hourly
+
+
+def test_range_join_assigns_each_row_one_band(spark):
+    facts = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 25.0)], "id long, v double")
+    bands = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0), ("c", 20.0, 30.0)],
+        "band_name string, lo double, hi double",
+    )
+    out = range_join(facts, bands, value_col="v")
+    got = {r["id"]: r["band_name"] for r in out.collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    # boundary: value == hi belongs to the NEXT band (half-open interval)
+    edge = spark.createDataFrame([(9, 10.0)], "id long, v double")
+    assert range_join(edge, bands, value_col="v").collect()[0]["band_name"] == "b"
+
+
+def test_range_join_broadcasts_small_side(spark, sf_dir):
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+
+    li = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 20000.0), ("high", 20000.0, 1e18)],
+        "band_name string, lo double, hi double",
+    )
+    plan = range_join(li, bands, value_col="l_extendedprice")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_exists_join_never_duplicates_probe_rows(spark):
+    probe = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    sub = spark.createDataFrame([(1,), (1,), (2,)], "sk long")  # k=1 matches twice
+    out = exists_join(probe, sub, F.col("k") == F.col("sk"))
+    assert sorted(r["k"] for r in out.collect()) == [1, 2]
+
+
+def test_not_exists_join_complements_exists(spark, sf_dir):
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    n_with = exists_join(c, o, cond).count()
+    n_without = not_exists_join(c, o, cond).count()
+    assert n_with + n_without == c.count()
+
+
+def test_gap_fill_hourly_zero_fills_missing_hours(spark):
+    t0 = dt.datetime(2026, 1, 1, 10, 30)
+    rows = [(1, t0, 2.0), (2, t0.replace(minute=50), 3.0),
+            (3, dt.datetime(2026, 1, 1, 13, 10), 5.0)]  # 11:00 and 12:00 empty
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = {r["hour_start"].hour: (r["n_events"], r["sum_value"])
+           for r in gap_fill_hourly(df, ts="ts", value="value").collect()}
+    assert set(out) == {10, 11, 12, 13}
+    assert out[10] == (2, 5.0)
+    assert out[11] == (0, 0.0)
+    assert out[12] == (0, 0.0)
+    assert out[13] == (1, 5.0)
+
+
+def test_gap_fill_spine_is_dense(spark, sf_dir):
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+
+    ev = load(spark, sf_dir, "events")
+    out = gap_fill_hourly(ev, ts="ts", value="value")
+    lo, hi, n = out.agg(
+        F.min("hour_start"), F.max("hour_start"), F.count(F.lit(1))
+    ).collect()[0]
+    expected = int((hi - lo).total_seconds() // 3600) + 1
+    assert n == expected  # one row per hour, no holes, no dupes
+
+
+def test_grouping_sets_rollup_total_consistent(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    out = entry.q63_grouping_sets(spark, sf_dir).collect()
+    total = [r for r in out if r["returnflag"] == "ALL"]
+    assert len(total) == 1
+    per_flag = [r for r in out if r["returnflag"] != "ALL" and r["linestatus"] == "ALL"]
+    assert sum(r["n_rows"] for r in per_flag) == total[0]["n_rows"]
+
+
+def test_window_ranks_quartiles_balanced(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    out = entry.q64_window_ranks(spark, sf_dir)
+    seg_sizes = out.groupBy("c_mktsegment", "quartile").count().collect()
+    by_seg: dict[str, list[int]] = {}
+    for r in seg_sizes:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r["count"])
+    for sizes in by_seg.values():
+        assert max(sizes) - min(sizes) <= 1  # ntile balance property
+    pr = out.agg(F.min("pct_rank"), F.max("pct_rank")).collect()[0]
+    assert pr[0] == 0.0 and pr[1] == 1.0
