@@ -752,6 +752,46 @@ def q64_window_ranks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q65_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array-function parity batch over the embedding
+    column: size/element access/min/max plus an L2-norm² computed with
+    F.aggregate (a sequential left fold — same order as DuckDB's
+    list_aggregate, so the double accumulation is bit-identical).
+    All JVM-side built-ins, no UDF."""
+    e = load(spark, sf, "embeddings")
+    vec = F.col("embedding")
+    sq = F.transform(vec, lambda x: x.cast("double") * x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(vec).alias("dim"),
+        F.element_at(vec, 1).cast("double").alias("first_elem"),
+        F.array_max(vec).cast("double").alias("vmax"),
+        F.array_min(vec).cast("double").alias("vmin"),
+        F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x).alias("l2_sq"),
+    )
+
+
+def q66_trailing_range_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-range window frame (RANGE, not ROWS): trailing-1h event
+    count and exact decimal sum per user, ordered by epoch micros.
+    Range frames are value-based — peers with equal timestamps share a
+    frame in both engines, so no tie-break column is needed."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -818,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_gap_fill_hourly": q62_gap_fill_hourly,
         "q63_grouping_sets": q63_grouping_sets,
         "q64_window_ranks": q64_window_ranks,
+        "q65_array_funcs": q65_array_funcs,
+        "q66_trailing_range_window": q66_trailing_range_window,
     }
 
 
@@ -1339,6 +1381,27 @@ SELECT c_custkey, c_mktsegment, c_acctbal,
        cume_dist() OVER w AS cume
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+""",
+        "q65_array_funcs": """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_elem,
+       CAST(list_max(embedding) AS DOUBLE) AS vmax,
+       CAST(list_min(embedding) AS DOUBLE) AS vmin,
+       CAST(list_aggregate(
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'
+       ) AS DOUBLE) AS l2_sq
+FROM embeddings
+""",
+        "q66_trailing_range_window": """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),

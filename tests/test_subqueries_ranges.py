@@ -95,6 +95,42 @@ def test_grouping_sets_rollup_total_consistent(spark, sf_dir):
     assert sum(r["n_rows"] for r in per_flag) == total[0]["n_rows"]
 
 
+def test_array_funcs_l2_matches_unit_norm(spark, sf_dir):
+    """Embeddings fixtures are ~unit-normalized; the F.aggregate fold
+    must land within float rounding of 1.0 and stay JVM-side (no
+    BatchEvalPython in the plan)."""
+    import __spark_entry__ as entry
+
+    out = entry.q65_array_funcs(spark, sf_dir)
+    assert "BatchEvalPython" not in out._jdf.queryExecution().executedPlan().toString()
+    mn, mx = out.agg(F.min("l2_sq"), F.max("l2_sq")).collect()[0]
+    assert 0.99 < mn <= mx < 1.01
+    assert out.filter(F.col("dim") != 64).count() == 0
+
+
+def test_trailing_range_window_counts_only_last_hour(spark):
+    t0 = dt.datetime(2026, 1, 1, 10, 0)
+    rows = [
+        (1, 7, t0, 1.0),
+        (2, 7, t0 + dt.timedelta(minutes=30), 2.0),
+        (3, 7, t0 + dt.timedelta(minutes=90), 4.0),  # row 1 ages out (61-90min window)
+        (4, 8, t0, 8.0),  # other user isolated
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts")).rangeBetween(-3_600_000_000, 0)
+    out = {
+        r["event_id"]: (r["n"], r["s"])
+        for r in df.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum("value").over(w).alias("s"),
+        ).collect()
+    }
+    assert out == {1: (1, 1.0), 2: (2, 3.0), 3: (2, 6.0), 4: (1, 8.0)}
+
+
 def test_window_ranks_quartiles_balanced(spark, sf_dir):
     import __spark_entry__ as entry
 
