@@ -792,6 +792,19 @@ def q66_trailing_range_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q67_pysource_weather(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom Python Data Source (S4): the REST weather feed as a
+    registered `weather_feed` format. Generation is pure integer
+    arithmetic per obs_id, distributed across InputPartitions — so the
+    oracle regenerates identical rows from generate_series. raw_json
+    is exercised in pytest (engine JSON text formats differ)."""
+    from nyc_taxi_data_prediction_pyspark_spark.sources import pysource
+
+    pysource.register(spark)
+    feed = spark.read.format("weather_feed").option("rows", 240).load()
+    return feed.select("obs_id", "observed_at", "city", "temp_f", "humidity")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -860,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_window_ranks": q64_window_ranks,
         "q65_array_funcs": q65_array_funcs,
         "q66_trailing_range_window": q66_trailing_range_window,
+        "q67_pysource_weather": q67_pysource_weather,
     }
 
 
@@ -1402,6 +1416,15 @@ WINDOW w AS (
   PARTITION BY user_id ORDER BY epoch_us(ts)
   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
 )
+""",
+        "q67_pysource_weather": """
+WITH ids AS (SELECT unnest(generate_series(0, 239)) AS obs_id)
+SELECT obs_id,
+       TIMESTAMP '2026-01-01 00:00:00' + to_hours(obs_id) AS observed_at,
+       (['NYC', 'BOS', 'CHI', 'LAX'])[CAST(obs_id % 4 AS INTEGER) + 1] AS city,
+       40.0 + (obs_id * 7919 % 400) / 10.0 AS temp_f,
+       CAST(30 + obs_id * 13 % 60 AS INTEGER) AS humidity
+FROM ids
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),
