@@ -805,6 +805,15 @@ def q67_pysource_weather(spark: SparkSession, sf: str) -> DataFrame:
     return feed.select("obs_id", "observed_at", "city", "temp_f", "humidity")
 
 
+def q68_grouped_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type linear fit of value ~ hour-of-day, closed form
+    from decimal-exact sufficient statistics (one shuffle). The
+    applyInPandas/numpy variant of the same fit is contract-tested
+    against this in test_multimodal_ml."""
+    ev = load(spark, sf, "events").withColumn("x_hour", F.hour("ts"))
+    return forecast.grouped_linear_fit(ev, group="event_type", x="x_hour", y="value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -874,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_array_funcs": q65_array_funcs,
         "q66_trailing_range_window": q66_trailing_range_window,
         "q67_pysource_weather": q67_pysource_weather,
+        "q68_grouped_regression": q68_grouped_regression,
     }
 
 
@@ -1425,6 +1435,22 @@ SELECT obs_id,
        40.0 + (obs_id * 7919 % 400) / 10.0 AS temp_f,
        CAST(30 + obs_id * 13 % 60 AS INTEGER) AS humidity
 FROM ids
+""",
+        "q68_grouped_regression": """
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(hour(ts) AS BIGINT)) AS sx,
+         SUM(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS sxx,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(hour(ts) AS BIGINT) * value AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       n AS n_obs,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+FROM stats
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),

@@ -58,3 +58,62 @@ def predict_demand(events: DataFrame, model: PipelineModel | None = None) -> Dat
     return m.transform(frame).select(
         "hour_bucket", "event_type", "demand", F.round("prediction", 4).alias("prediction")
     )
+
+
+def grouped_linear_fit(
+    df: DataFrame, *, group: str, x: str, y: str
+) -> DataFrame:
+    """Per-group simple linear regression (y ~ x), closed form from
+    sufficient statistics: one map-side-combined groupBy computes
+    (n, Σx, Σx², Σy, Σxy) and the slope/intercept are pure arithmetic
+    on those five numbers — no iterative solver, one shuffle, scales
+    to any group count.
+
+    Σx/Σx² are exact integers, Σy/Σxy go through decimal so the sums
+    are order-independent (aggregates.dsum rationale) → the resulting
+    doubles are engine-stable and the whole fit oracle-checks.
+    """
+    xc = F.col(x).cast("long")
+    stats = df.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc).alias("sx"),
+        F.sum(xc * xc).alias("sxx"),
+        F.sum(F.col(y).cast("decimal(18,4)")).cast("double").alias("sy"),
+        F.sum((xc * F.col(y)).cast("decimal(28,8)")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return stats.select(
+        group,
+        F.col("n").alias("n_obs"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
+
+
+def grouped_linear_fit_pandas(
+    df: DataFrame, *, group: str, x: str, y: str
+) -> DataFrame:
+    """Same fit via a grouped-map Pandas UDF (applyInPandas + numpy
+    lstsq) — the shape every custom per-group Python model takes:
+    Arrow-batched, one group per call, schema declared up front.
+    Float partial order differs from the closed form, so this variant
+    is contract-tested against grouped_linear_fit (rtol) rather than
+    oracle-hashed."""
+    import pandas as pd
+
+    out_schema = f"{group} string, n_obs long, slope double, intercept double"
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        xs = pdf[x].to_numpy(dtype="float64")
+        ys = pdf[y].to_numpy(dtype="float64")
+        a = np.vstack([xs, np.ones_like(xs)]).T
+        (m, b), *_ = np.linalg.lstsq(a, ys, rcond=None)
+        return pd.DataFrame(
+            {group: [pdf[group].iloc[0]], "n_obs": [len(pdf)], "slope": [m], "intercept": [b]}
+        )
+
+    return df.select(group, x, y).groupBy(group).applyInPandas(fit, out_schema)

@@ -58,3 +58,34 @@ def test_forecast_pipeline_predicts(spark, sf_dir):
     preds = predict_demand(events)
     assert preds.count() > 0
     assert preds.where(F.col("prediction").isNull()).count() == 0
+
+
+def test_grouped_linear_fit_closed_form_matches_numpy(spark, sf_dir):
+    """The decimal-exact closed form (q68, oracle-checked) and the
+    applyInPandas/numpy lstsq variant must agree to float tolerance —
+    the contract that licenses swapping in arbitrary per-group Python
+    models behind the same interface."""
+    import math
+
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+    from nyc_taxi_data_prediction_pyspark_spark.ml import forecast
+
+    ev = load(spark, sf_dir, "events").withColumn("x_hour", F.hour("ts"))
+    exact = {
+        r["event_type"]: r
+        for r in forecast.grouped_linear_fit(
+            ev, group="event_type", x="x_hour", y="value"
+        ).collect()
+    }
+    pandas_fit = {
+        r["event_type"]: r
+        for r in forecast.grouped_linear_fit_pandas(
+            ev, group="event_type", x="x_hour", y="value"
+        ).collect()
+    }
+    assert set(exact) == set(pandas_fit) and len(exact) > 0
+    for k, e in exact.items():
+        p = pandas_fit[k]
+        assert p["n_obs"] == e["n_obs"]
+        assert math.isclose(p["slope"], e["slope"], rel_tol=1e-6, abs_tol=1e-9)
+        assert math.isclose(p["intercept"], e["intercept"], rel_tol=1e-6, abs_tol=1e-9)
