@@ -40,6 +40,12 @@ HEADLINE = [
     "q40_tfidf_top_terms",
     "q41_chunk_documents",
     "q54_regional_revenue",
+    "q59_range_band_join",
+    "q60_exists_priority",
+    "q62_gap_fill_hourly",
+    "q63_grouping_sets",
+    "q66_trailing_range_window",
+    "q68_grouped_regression",
 ]
 
 
