@@ -814,6 +814,38 @@ def q68_grouped_regression(spark: SparkSession, sf: str) -> DataFrame:
     return forecast.grouped_linear_fit(ev, group="event_type", x="x_hour", y="value")
 
 
+def q69_udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF via LATERAL join: one row per token with position
+    and a *stateful* running character offset. Oracle mirrors the
+    offset as prefix-join length. Documents are capped (md5-ordered,
+    deterministic) to keep the row-at-a-time path bounded."""
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import register_views
+    from nyc_taxi_data_prediction_pyspark_spark.functions import udtfs
+
+    register_views(spark, sf)
+    udtfs.register(spark)
+    return spark.sql("""
+        WITH capped AS (
+          SELECT doc_id, text FROM documents
+          ORDER BY md5(CAST(CAST(doc_id AS STRING) AS BINARY)), doc_id LIMIT 100
+        )
+        SELECT doc_id, t.pos, t.token, t.char_offset
+        FROM capped, LATERAL tokenize_offsets(text) t
+    """)
+
+
+def q70_pandas_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom aggregate via pandas UDAF: hour-weighted mean value per
+    event_type. Rows-only for the driver (numpy's partial-sum order is
+    engine-local); the exact-decimal contract lives in pytest."""
+    from nyc_taxi_data_prediction_pyspark_spark.functions.udafs import weighted_mean
+
+    ev = load(spark, sf, "events").withColumn("w", F.hour("ts") + F.lit(1.0))
+    return ev.groupBy("event_type").agg(
+        weighted_mean(F.col("value"), F.col("w")).alias("wmean_value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -884,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_trailing_range_window": q66_trailing_range_window,
         "q67_pysource_weather": q67_pysource_weather,
         "q68_grouped_regression": q68_grouped_regression,
+        "q69_udtf_tokenize": q69_udtf_tokenize,
+        "q70_pandas_udaf": q70_pandas_udaf,
     }
 
 
@@ -1451,6 +1485,20 @@ SELECT event_type,
        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
        (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
 FROM stats
+""",
+        "q69_udtf_tokenize": """
+WITH capped AS (
+  SELECT doc_id, text FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM capped)
+SELECT doc_id,
+       CAST(t.i AS INTEGER) AS pos,
+       arr[t.i] AS token,
+       CAST(CASE WHEN t.i = 1 THEN 0
+                 ELSE len(array_to_string(arr[1:t.i - 1], ' ')) + 1
+            END AS INTEGER) AS char_offset
+FROM toks, unnest(generate_series(1, len(arr))) AS t(i)
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),

@@ -107,3 +107,4 @@ SELECT
 FROM events
 GROUP BY 1, 2
 """
+
