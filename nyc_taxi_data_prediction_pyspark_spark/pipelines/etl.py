@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..operators.cleaning import clean_trips
 from ..operators.merge import TRIP_MERGE_KEY
@@ -41,6 +41,8 @@ class EtlResult:
     rows_cleaned: int
     rows_inserted: int
     fact_count: int
+    first_pickup: object | None = None
+    last_pickup: object | None = None
 
 
 FACT_TABLE = "nyc_taxi_trips"
@@ -74,13 +76,33 @@ def run_trips_etl(
         # one materialization so count and merge see the SAME sample
         # (and re-runs stay idempotent within a batch)
         cleaned = cleaned.localCheckpoint()
-    rows_cleaned = cleaned.count()
 
     wh = Warehouse(spark, warehouse_root)
     wh.ensure(FACT_TABLE, cleaned)
-    inserted = wh.merge_load(FACT_TABLE, cleaned, list(TRIP_MERGE_KEY), load_ts=True)
+
+    # Audit metrics ride the merge's own write action via df.observe —
+    # the reference re-executed its whole read for count-then-write
+    # (etl_spark_historical.py:197-207); here the plan runs ONCE.
+    # Attached after ensure(): ensure's empty-frame write must not be
+    # the observation's first (0-row) execution.
+    obs = Observation()
+    observed = cleaned.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_cleaned"),
+        F.min("pickup_datetime").alias("first_pickup"),
+        F.max("pickup_datetime").alias("last_pickup"),
+    )
+    inserted = wh.merge_load(FACT_TABLE, observed, list(TRIP_MERGE_KEY), load_ts=True)
+    audit = obs.get
     fact_count = wh.read(FACT_TABLE).count()
-    return EtlResult(month, rows_cleaned, inserted, fact_count)
+    return EtlResult(
+        month,
+        audit["rows_cleaned"],
+        inserted,
+        fact_count,
+        first_pickup=audit["first_pickup"],
+        last_pickup=audit["last_pickup"],
+    )
 
 
 def verification_queries(spark: SparkSession, warehouse_root: str) -> dict[str, DataFrame]:

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from nyc_taxi_data_prediction_pyspark_spark.pipelines.etl import (
     FACT_TABLE,
@@ -91,3 +91,21 @@ def test_weather_feed_appends_one_row_per_tick(spark, tmp_path):
     assert len(rows) == 2
     assert rows[0]["load_ts"] >= rows[1]["load_ts"]
     assert rows[0]["temp_f"] == 41.0
+
+
+def test_etl_audit_metrics_from_single_pass(spark, tmp_path):
+    """df.observe audit: rows_cleaned and the date range come from the
+    merge's own write action (no separate count scan) and must agree
+    with a direct recount of the written fact table."""
+    from nyc_taxi_data_prediction_pyspark_spark.pipelines import etl as etl_mod
+    from nyc_taxi_data_prediction_pyspark_spark.sources.warehouse import Warehouse
+
+    landing, wroot = str(tmp_path / "landing"), str(tmp_path / "wh")
+    _write_landing(spark, landing, "2026-03")
+    res = etl_mod.run_trips_etl(
+        spark, landing_root=landing, warehouse_root=wroot, year=2026, newest_month=3
+    )
+    fact = Warehouse(spark, wroot).read(etl_mod.FACT_TABLE)
+    assert res.rows_cleaned == res.rows_inserted == fact.count()
+    lo, hi = fact.agg(F.min("pickup_datetime"), F.max("pickup_datetime")).collect()[0]
+    assert res.first_pickup == lo and res.last_pickup == hi
