@@ -846,6 +846,25 @@ def q70_pandas_udaf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q71_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional aggregation: promo revenue share
+    of a ship-year, lineitem⋈part with the part side broadcast. Both
+    the CASE'd numerator and the denominator go through decimal so the
+    final division is one IEEE op on engine-identical doubles."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(F.year("l_shipdate") == 1997)
+        .agg(
+            (F.lit(100.0) * agg.dsum(promo, 6) / agg.dsum(rev, 6)).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -918,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_grouped_regression": q68_grouped_regression,
         "q69_udtf_tokenize": q69_udtf_tokenize,
         "q70_pandas_udaf": q70_pandas_udaf,
+        "q71_promo_revenue_share": q71_promo_revenue_share,
     }
 
 
@@ -1499,6 +1519,16 @@ SELECT doc_id,
                  ELSE len(array_to_string(arr[1:t.i - 1], ' ')) + 1
             END AS INTEGER) AS char_offset
 FROM toks, unnest(generate_series(1, len(arr))) AS t(i)
+""",
+        "q71_promo_revenue_share": """
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS promo_share,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1997
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),

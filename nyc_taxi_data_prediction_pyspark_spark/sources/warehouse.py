@@ -115,6 +115,34 @@ class Warehouse:
             .saveAsTable(table)
         )
 
+    def compact(
+        self, table: str, *, target_files: int, sort_by: list[str] | None = None
+    ) -> int:
+        """Small-file compaction: rewrite the table as ``target_files``
+        parquet files, optionally sorted within each file.
+
+        Continuous micro-batch appends (the weather feed's
+        one-row-per-run cadence, or per-month merge loads) accumulate
+        tiny files; at scale that throttles every subsequent scan on
+        open/seek cost and starves the scheduler with million-split
+        stages. Compaction is the standing maintenance op every table
+        format runs (Delta OPTIMIZE, Iceberg rewrite_data_files) —
+        here it is repartition + atomic stage-and-rename swap.
+
+        ``sort_by`` gives each file a tight min/max envelope on those
+        columns, so parquet row-group statistics prune reads for
+        range predicates (the poor-man's Z-order; one clustering key
+        is usually enough). Returns the resulting file count.
+        """
+        df = self.read(table)
+        out = df.repartition(target_files)
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
+        self._swap_write(table, out)
+        import glob as _glob
+
+        return len(_glob.glob(os.path.join(self.path(table), "part-*")))
+
     def _swap_write(self, table: str, df: DataFrame) -> None:
         tmp = self.path(f"_tmp_{table}_{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(tmp)

@@ -1,0 +1,72 @@
+"""Hostile-session recovery (the driver may hand us an arbitrarily
+configured SparkSession) and warehouse small-file compaction."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+from nyc_taxi_data_prediction_pyspark_spark.sources.warehouse import Warehouse
+
+HOSTILE = {
+    "spark.sql.session.timeZone": "America/New_York",
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.legacy.parquet.nanosAsLong": "false",
+}
+
+
+def test_load_recovers_hostile_session_confs(spark, sf_dir):
+    """Every correctness-bearing conf must be re-asserted by load():
+    a non-UTC timezone or a disabled nanos bridge silently corrupts
+    every timestamp comparison downstream."""
+    pinned = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    try:
+        for k, v in HOSTILE.items():
+            spark.conf.set(k, v)
+        ev = load(spark, sf_dir, "events")  # must pin_session internally
+        for k, v in pinned.items():
+            assert spark.conf.get(k) == v, k
+        # nanos timestamps actually readable and µs-truncation-correct vs DuckDB
+        got = ev.agg(F.min("ts").alias("lo")).collect()[0]["lo"]
+        want = duckdb.sql(
+            f"SELECT CAST(MIN(ts) AS TIMESTAMP) FROM '{sf_dir}/events.parquet'"
+        ).fetchone()[0]
+        assert got == want
+    finally:
+        for k, v in pinned.items():
+            spark.conf.set(k, v)
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    wh.ensure("events_t", ev, load_ts=False)
+    # simulate micro-batch ingest: many small appends → many files
+    for i in range(6):
+        wh.append("events_t", ev.where(F.col("event_id") % 6 == i), load_ts=False)
+    import glob, os
+
+    before = len(glob.glob(os.path.join(wh.path("events_t"), "part-*")))
+    n_rows = wh.read("events_t").count()
+    checksum = wh.read("events_t").agg(F.sum("event_id")).collect()[0][0]
+
+    n_files = wh.compact("events_t", target_files=2, sort_by=["ts"])
+    assert n_files <= 2 < before
+    assert wh.read("events_t").count() == n_rows
+    assert wh.read("events_t").agg(F.sum("event_id")).collect()[0][0] == checksum
+    # sorted-within-file: each file's rows are ts-ordered (min/max skip envelope)
+    part = wh.read("events_t").withColumn("f", F.input_file_name())
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    disorder = (
+        part.withColumn("prev", F.lag("ts").over(w))
+        .where(F.col("prev") > F.col("ts"))
+        .count()
+    )
+    assert disorder == 0
