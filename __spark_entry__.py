@@ -865,6 +865,70 @@ def q71_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q72_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average
+    quantity) decorrelated to an aggregate + self-join, the rewrite
+    Catalyst itself performs for correlated scalars. The per-group
+    average is dsum/count so the 0.2× threshold is engine-identical."""
+    li = load(spark, sf, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (agg.dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    small = li.join(part_avg, "l_partkey").where(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return small.agg(
+        (agg.dsum("l_extendedprice", 6) / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+def q73_value_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-value window batch: dense_rank + first/nth/last over an
+    unbounded frame, fully tie-broken (price desc, key asc) so every
+    engine sees one total order per partition."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.dense_rank().over(w).alias("drk"),
+        F.first("o_totalprice").over(wf).alias("top_price"),
+        F.nth_value("o_totalprice", 3).over(wf).alias("third_price"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+    )
+
+
+def q74_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-proof two-phase aggregation (salt → partial → final) whose
+    oracle is the PLAIN group-by — proving the rewrite is
+    semantics-preserving: counts re-merge by sum, decimal partials
+    re-sum exactly, so even the value hash survives the extra phase."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import skew
+
+    li = load(spark, sf, "lineitem")
+    out = skew.salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_rows": F.count(F.lit(1)),
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,4)")),
+        },
+        buckets=8,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -938,6 +1002,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_udtf_tokenize": q69_udtf_tokenize,
         "q70_pandas_udaf": q70_pandas_udaf,
         "q71_promo_revenue_share": q71_promo_revenue_share,
+        "q72_small_qty_revenue": q72_small_qty_revenue,
+        "q73_value_windows": q73_value_windows,
+        "q74_salted_agg": q74_salted_agg,
     }
 
 
@@ -1529,6 +1596,34 @@ SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE year(l_shipdate) = 1997
+""",
+        "q72_small_qty_revenue": """
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem JOIN pa USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+""",
+        "q73_value_windows": """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(dense_rank() OVER w AS INTEGER) AS drk,
+       first_value(o_totalprice) OVER wf AS top_price,
+       nth_value(o_totalprice, 3) OVER wf AS third_price,
+       last_value(o_orderkey) OVER wf AS last_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC),
+       wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+        "q74_salted_agg": """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),
