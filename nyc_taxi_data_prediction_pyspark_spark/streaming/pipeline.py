@@ -71,6 +71,35 @@ def dedup_stream(events: DataFrame, key: Sequence[str], *, watermark: str = "2 h
     return events.withWatermark("ts", watermark).dropDuplicates(list(key))
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair right-side events
+    that occur within ``within`` AFTER the left event, same ``key``.
+
+    Both watermarks plus the time-range condition bound the join state
+    on BOTH sides — without the range predicate a stream-stream join
+    must buffer one side forever. State size ≈ input rate × (watermark
+    + within) per side, independent of total stream length — the
+    property that keeps this runnable on an unbounded 100 TB/day feed.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_available_now(
     stream_df: DataFrame,
     *,

@@ -91,3 +91,46 @@ def test_foreach_batch_merge_idempotent(spark, sf_dir, tmp_path):
     # replay the same data through the merge again (simulated redelivery)
     do_merge(load(spark, sf_dir, "events"), 99)
     assert state["fact"].count() == n1 == load(spark, sf_dir, "events").count()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join (append mode) must
+    produce exactly the pairs the equivalent batch range-join does."""
+    types = sorted(
+        r["event_type"]
+        for r in load(spark, sf_dir, "events").select("event_type").distinct().collect()
+    )[:2]
+
+    def sides(df):
+        left = df.where(F.col("event_type") == types[0]).select(
+            F.col("event_id").alias("l_id"), F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+        )
+        right = df.where(F.col("event_type") == types[1]).select(
+            F.col("event_id").alias("r_id"), F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+        )
+        return left, right
+
+    sl, sr = sides(stream.read_event_stream(spark, sf_dir, glob="events.parquet"))
+    joined = stream.stream_stream_join(
+        sl.withColumnRenamed("l_user", "user_id"),
+        sr.withColumnRenamed("r_user", "user_id"),
+        key="user_id",
+        left_ts="l_ts",
+        right_ts="r_ts",
+        within="1 hour",
+    ).select("l_id", "r_id")
+    sink = f"t_ssj_{uuid.uuid4().hex[:6]}"
+    stream.run_available_now(
+        joined, checkpoint=str(tmp_path / "ckpt_ssj"), sink_table=sink, output_mode="append"
+    )
+    got = spark.table(sink)
+
+    bl, br = sides(load(spark, sf_dir, "events"))
+    batch = bl.join(
+        br,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("l_id", "r_id")
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
