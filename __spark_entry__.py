@@ -929,6 +929,19 @@ def q74_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q75_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-token budgeting: whitespace tokens vs BPE-ish subword
+    pieces per document + corpus totals come from a second pass in the
+    same plan (groupBy().agg on the same narrow projection)."""
+    docs = load(spark, sf, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        textops.token_count("text").alias("n_ws_tokens"),
+        textops.token_count_bpe("text").alias("n_bpe_pieces"),
+    )
+    return per_doc
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1005,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_small_qty_revenue": q72_small_qty_revenue,
         "q73_value_windows": q73_value_windows,
         "q74_salted_agg": q74_salted_agg,
+        "q75_token_budget": q75_token_budget,
     }
 
 
@@ -1624,6 +1638,12 @@ SELECT l_returnflag,
        COUNT(*) AS n_rows,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY l_returnflag
+""",
+        "q75_token_budget": """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_pieces
+FROM documents
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),

@@ -35,6 +35,20 @@ def token_count(text: Column | str) -> Column:
     return F.size(F.split(F.trim(c), WORD_SPLIT))
 
 
+BPE_ISH = "[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish piece count: greedy left-to-right split into ≤4-char
+    alpha pieces, ≤3-digit number pieces, and single symbols — the
+    cheap deterministic stand-in for a real subword tokenizer when
+    budgeting LLM training tokens. Greedy quantifiers behave
+    identically in Java regex and RE2, so the count is engine-stable
+    (a true BPE vocabulary would be a broadcast lookup + pandas UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH), F.lit(0)))
+
+
 def punct_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.size(F.regexp_extract_all(c, F.lit(PUNCT_CLASS), F.lit(0)))
