@@ -58,3 +58,27 @@ def test_lsh_bucket_determinism_and_topk(spark, sf_dir):
     assert b1.exceptAll(b2).count() == 0
     top = similarity.lsh_topk(b1.join(emb, "vec_id"), planes, qvec, 5)
     assert top.first()["vec_id"] == qid  # query's own bucket contains it
+
+
+def test_ivf_persisted_index_partition_prunes(spark, sf_dir, tmp_path):
+    """The IVF scale path: the cell assignment persisted as a
+    partitioned table makes an nprobe query a partition-pruned read —
+    the scan must touch ONLY the probed cells' directories."""
+    emb, qvec, qid = _query(spark, sf_dir)
+    cents = similarity.kmeans_centroids(emb, n_cells=4)
+    cells = similarity.assign_cells(emb, cents)
+    path = str(tmp_path / "ivf_index")
+    cells.write.partitionBy("cell").parquet(path)
+
+    idx = spark.read.parquet(path)
+    probed = idx.where(F.col("cell").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    touched = {
+        r["f"].split("/cell=")[1].split("/")[0]
+        for r in probed.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert touched <= {"0", "1"}  # no file outside the probed partitions
+    # the pruned read still answers the query end-to-end
+    total = idx.count()
+    assert probed.count() < total and probed.count() > 0
