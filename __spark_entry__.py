@@ -942,6 +942,17 @@ def q75_token_budget(spark: SparkSession, sf: str) -> DataFrame:
     return per_doc
 
 
+def q76_pretrain_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Contiguous sequence packing over the BPE-ish token budget:
+    which fixed-length pack each document starts in, and at what
+    offset — the layout op an LLM data loader runs. Single prefix sum
+    here; two-phase partition-parallel prefix sum at scale (see
+    text.pack_documents)."""
+    docs = load(spark, sf, "documents")
+    budget = docs.select("doc_id", textops.token_count_bpe("text").alias("n_tokens"))
+    return textops.pack_documents(budget, seq_len=512)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1019,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_value_windows": q73_value_windows,
         "q74_salted_agg": q74_salted_agg,
         "q75_token_budget": q75_token_budget,
+        "q76_pretrain_packing": q76_pretrain_packing,
     }
 
 
@@ -1644,6 +1656,23 @@ SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_pieces
 FROM documents
+""",
+        "q76_pretrain_packing": """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
+       CAST(start % 512 AS BIGINT) AS pack_offset
+FROM s
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),

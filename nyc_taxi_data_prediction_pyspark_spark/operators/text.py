@@ -12,7 +12,7 @@ operator is hash-checkable against ANSI SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 # Tiny per-language stopword lexicons for the n-gram/stopword-hit
 # heuristic. Deliberately small + deterministic (the point is the
@@ -190,3 +190,35 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "doc_fp") 
     content-defined (stable across engines/partitions), unlike
     xxhash64 whose seed/impl is engine-specific."""
     return df.withColumn(out_col, F.md5(normalize_text(text_col).cast("binary")))
+
+
+def pack_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    seq_len: int = 512,
+) -> DataFrame:
+    """Pretraining-style sequence packing: lay documents end-to-end in
+    a deterministic order and cut fixed ``seq_len`` windows — each doc
+    gets the pack it STARTS in plus its offset there (docs spill into
+    the next pack exactly like contiguous token packing in LLM data
+    loaders).
+
+    The global token offset is one unpartitioned prefix sum — fine to
+    ~millions of docs, a deliberate single-sort bottleneck beyond. The
+    scale path is the standard two-phase prefix sum: per-partition
+    token subtotals (tiny) -> cumulative partition offsets broadcast
+    back -> per-partition local prefix + offset, every step
+    partition-parallel. Exact integer arithmetic -> oracle-stable.
+    """
+    w = W.orderBy(F.col(id_col).asc()).rowsBetween(W.unboundedPreceding, -1)
+    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("bigint")
+    return df.select(
+        id_col,
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        # floor, not int-cast: cast-to-int truncates in Spark but
+        # rounds in DuckDB — floor is unambiguous in both
+        F.floor(start / seq_len).cast("bigint").alias("pack_id"),
+        (start % seq_len).cast("bigint").alias("pack_offset"),
+    )

@@ -121,3 +121,22 @@ def test_minhash_vs_exact_jaccard_agree_on_strong_dupes(spark, sf_dir):
         ).collect()
     }
     assert exact <= approx
+
+
+def test_pack_documents_invariants(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.text import pack_documents
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 100), (4, 50)], "doc_id long, n_tokens long"
+    )
+    out = {r["doc_id"]: r for r in pack_documents(df, seq_len=512).collect()}
+    # doc1 starts pack 0 @0; doc2 starts @300 (spills into pack 1);
+    # doc3 starts @600 → pack 1 offset 88; doc4 @700 → pack 1 offset 188
+    assert (out[1]["pack_id"], out[1]["pack_offset"]) == (0, 0)
+    assert (out[2]["pack_id"], out[2]["pack_offset"]) == (0, 300)
+    assert (out[3]["pack_id"], out[3]["pack_offset"]) == (1, 88)
+    assert (out[4]["pack_id"], out[4]["pack_offset"]) == (1, 188)
+    # offsets are always < seq_len and pack ids non-decreasing in doc order
+    assert all(0 <= r["pack_offset"] < 512 for r in out.values())
+    ids = [out[k]["pack_id"] for k in sorted(out)]
+    assert ids == sorted(ids)
