@@ -953,6 +953,20 @@ def q76_pretrain_packing(spark: SparkSession, sf: str) -> DataFrame:
     return textops.pack_documents(budget, seq_len=512)
 
 
+def q77_training_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The full training-data pipeline composed end-to-end (dedup →
+    chunk → quality gate → budget → pack). Each stage is individually
+    oracle-verified (q55/q41/q75/q76); the composition is rows-only
+    with invariants pinned in test_pipelines."""
+    from nyc_taxi_data_prediction_pyspark_spark.pipelines.training_data import (
+        build_training_set,
+    )
+
+    return build_training_set(spark, sf).select(
+        "chunk_key", "doc_id", "chunk_id", "n_tokens", "pack_id", "pack_offset"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1031,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_salted_agg": q74_salted_agg,
         "q75_token_budget": q75_token_budget,
         "q76_pretrain_packing": q76_pretrain_packing,
+        "q77_training_pipeline": q77_training_pipeline,
     }
 
 

@@ -109,3 +109,42 @@ def test_etl_audit_metrics_from_single_pass(spark, tmp_path):
     assert res.rows_cleaned == res.rows_inserted == fact.count()
     lo, hi = fact.agg(F.min("pickup_datetime"), F.max("pickup_datetime")).collect()[0]
     assert res.first_pickup == lo and res.last_pickup == hi
+
+
+def test_training_data_pipeline_invariants(spark, sf_dir):
+    """End-to-end dedup→chunk→gate→budget→pack composition: duplicate
+    docs removed, every chunk above the gate, offsets within seq_len,
+    packing dense in chunk order, and the whole thing deterministic."""
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+    from nyc_taxi_data_prediction_pyspark_spark.operators import dedup as dedup_ops
+    from nyc_taxi_data_prediction_pyspark_spark.pipelines.training_data import (
+        build_training_set,
+    )
+
+    out = build_training_set(spark, sf_dir, seq_len=512, min_chunk_tokens=8)
+    rows = out.orderBy("chunk_key").collect()
+    assert len(rows) > 0
+
+    # dedup really removed the minhash losers
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_native_pairs(
+        docs, text_col="text", id_col="doc_id",
+        n=3, k=16, bands=4, jaccard_threshold=0.3, seed=42,
+    )
+    survivors = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    losers = {
+        r["node"]
+        for r in dedup_ops.connected_components(pairs.select("id_a", "id_b")).collect()
+        if r["node"] != r["cluster_id"]
+    }
+    assert survivors.isdisjoint(losers)
+
+    # gate + packing invariants
+    assert all(r["n_tokens"] >= 8 for r in rows)
+    assert all(0 <= r["pack_offset"] < 512 for r in rows)
+    pack_ids = [r["pack_id"] for r in rows]
+    assert pack_ids == sorted(pack_ids)  # contiguous layout in chunk order
+
+    # deterministic end-to-end
+    again = build_training_set(spark, sf_dir, seq_len=512, min_chunk_tokens=8)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
