@@ -967,6 +967,34 @@ def q77_training_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q78_feed_enrichment(spark: SparkSession, sf: str) -> DataFrame:
+    """The J2 trips⋈weather join with BOTH sides live: events enriched
+    from the custom Python DataSource feed (re-based onto the events
+    month) via the hour-bucket join, then demand by temperature
+    decade. Cross-source, still fully oracle-checked — the feed
+    regenerates in SQL."""
+    from nyc_taxi_data_prediction_pyspark_spark.sources import pysource
+
+    pysource.register(spark)
+    feed = (
+        spark.read.format("weather_feed")
+        .option("rows", 720)
+        .option("start", "2024-01-01T00:00:00")
+        .load()
+        .select("observed_at", "temp_f")
+    )
+    ev = load(spark, sf, "events")
+    joined = joins.hour_bucket_join(
+        ev, feed, event_ts="ts", obs_ts="observed_at", how="inner"
+    )
+    return joined.groupBy(
+        (F.floor(F.col("temp_f") / 10.0) * 10).cast("int").alias("temp_decade")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        agg.dsum("value").alias("sum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1046,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_token_budget": q75_token_budget,
         "q76_pretrain_packing": q76_pretrain_packing,
         "q77_training_pipeline": q77_training_pipeline,
+        "q78_feed_enrichment": q78_feed_enrichment,
     }
 
 
@@ -1688,6 +1717,19 @@ SELECT doc_id, n_tokens,
        CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
        CAST(start % 512 AS BIGINT) AS pack_offset
 FROM s
+""",
+        "q78_feed_enrichment": """
+WITH ids AS (SELECT unnest(generate_series(0, 719)) AS obs_id),
+feed AS (
+  SELECT TIMESTAMP '2024-01-01 00:00:00' + to_hours(obs_id) AS observed_at,
+         40.0 + (obs_id * 7919 % 400) / 10.0 AS temp_f
+  FROM ids
+)
+SELECT CAST(floor(temp_f / 10.0) * 10 AS INTEGER) AS temp_decade,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events JOIN feed ON date_trunc('hour', CAST(ts AS TIMESTAMP)) = observed_at
+GROUP BY 1
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),

@@ -68,3 +68,24 @@ def test_stream_replay_is_deterministic():
     assert nxt == {"obs_id": 6}
     replayed = list(r.readBetweenOffsets({"obs_id": 5}, {"obs_id": 6}))
     assert list(batch) == replayed == [pysource.observation(5)]
+
+
+def test_batch_feed_rebase_epoch(spark):
+    import datetime as dt
+
+    df = (
+        _feed(spark, rows=24)
+        .orderBy("obs_id")
+        .limit(1)
+        .union(
+            spark.read.format("weather_feed")
+            .option("rows", 24)
+            .option("start", "2024-01-01T00:00:00")
+            .load()
+            .orderBy("obs_id")
+            .limit(1)
+        )
+    )
+    stamps = [r["observed_at"] for r in df.collect()]
+    assert stamps[0] == dt.datetime(2026, 1, 1)   # default epoch
+    assert stamps[1] == dt.datetime(2024, 1, 1)   # re-based epoch
