@@ -995,6 +995,43 @@ def q78_feed_enrichment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q79_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 20 docs per language,
+    chosen by content-hash order (md5) — the balanced-corpus sampling
+    op a training pipeline runs instead of seeded sampleBy (whose RNG
+    is engine-local). One window shuffle on the stratum key."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "lang", "rn")
+    )
+
+
+def q80_disjunctive_join(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape — disjunctive (OR-of-conjunctions) predicates
+    across both join sides: Catalyst extracts the common l_partkey =
+    p_partkey equi-condition so the plan is a real hash join with a
+    residual OR filter, not a nested loop."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_discount") >= 0.05))
+    )
+    return joined.where(cond).agg(
+        agg.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1075,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_pretrain_packing": q76_pretrain_packing,
         "q77_training_pipeline": q77_training_pipeline,
         "q78_feed_enrichment": q78_feed_enrichment,
+        "q79_stratified_sample": q79_stratified_sample,
+        "q80_disjunctive_join": q80_disjunctive_join,
     }
 
 
@@ -1730,6 +1769,22 @@ SELECT CAST(floor(temp_f / 10.0) * 10 AS INTEGER) AS temp_decade,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events JOIN feed ON date_trunc('hour', CAST(ts AS TIMESTAMP)) = observed_at
 GROUP BY 1
+""",
+        "q79_stratified_sample": """
+SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+""",
+        "q80_disjunctive_join": """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 10)
+   OR (p_type = 'PROMO' AND l_discount >= 0.05)
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),
