@@ -1032,6 +1032,24 @@ def q80_disjunctive_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q81_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (melt): part attributes wide→long — the inverse of q32's
+    pivot. DataFrame-native `unpivot`; the oracle is the equivalent
+    UNION ALL, which is also what the physical plan expands to."""
+    p = load(spark, sf, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=["size", "retailprice"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1114,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_feed_enrichment": q78_feed_enrichment,
         "q79_stratified_sample": q79_stratified_sample,
         "q80_disjunctive_join": q80_disjunctive_join,
+        "q81_unpivot_metrics": q81_unpivot_metrics,
     }
 
 
@@ -1785,6 +1804,11 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 20)
    OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 10)
    OR (p_type = 'PROMO' AND l_discount >= 0.05)
+""",
+        "q81_unpivot_metrics": """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS metric_value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS metric_value FROM part
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),
