@@ -1050,6 +1050,38 @@ def q81_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q82_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-width histogram: floor-bucketing on price → counts +
+    exact sums per bucket. One map-side-combined shuffle; bucket
+    count is O(range/step), independent of rows."""
+    li = load(spark, sf, "lineitem")
+    bucket = F.floor((F.col("l_extendedprice") - 900.0) / 10000.0).cast("int")
+    return li.groupBy(bucket.alias("price_bucket")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        agg.dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+def q83_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance scalar (classic DP, same result in every engine):
+    distance from each customer name to a fixed probe, grouped into a
+    distance histogram so output stays small at any SF."""
+    c = load(spark, sf, "customer")
+    d = F.levenshtein(F.col("c_name"), F.lit("Customer#000000001"))
+    return c.groupBy(d.alias("edit_dist")).agg(F.count(F.lit(1)).alias("n_names"))
+
+
+def q84_bitwise_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise aggregates (AND/OR/XOR fold over order keys) — order-
+    independent by algebra, so no decimal trick needed."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_orderkey").alias("keys_and"),
+        F.bit_or("l_orderkey").alias("keys_or"),
+        F.bit_xor("l_orderkey").alias("keys_xor"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1133,6 +1165,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_stratified_sample": q79_stratified_sample,
         "q80_disjunctive_join": q80_disjunctive_join,
         "q81_unpivot_metrics": q81_unpivot_metrics,
+        "q82_price_histogram": q82_price_histogram,
+        "q83_levenshtein": q83_levenshtein,
+        "q84_bitwise_aggs": q84_bitwise_aggs,
     }
 
 
@@ -1809,6 +1844,24 @@ WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 20)
 SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS metric_value FROM part
 UNION ALL
 SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS metric_value FROM part
+""",
+        "q82_price_histogram": """
+SELECT CAST(floor((l_extendedprice - 900.0) / 10000.0) AS INTEGER) AS price_bucket,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY 1
+""",
+        "q83_levenshtein": """
+SELECT CAST(levenshtein(c_name, 'Customer#000000001') AS INTEGER) AS edit_dist,
+       COUNT(*) AS n_names
+FROM customer GROUP BY 1
+""",
+        "q84_bitwise_aggs": """
+SELECT l_returnflag,
+       CAST(bit_and(l_orderkey) AS BIGINT) AS keys_and,
+       CAST(bit_or(l_orderkey) AS BIGINT) AS keys_or,
+       CAST(bit_xor(l_orderkey) AS BIGINT) AS keys_xor
+FROM lineitem GROUP BY l_returnflag
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),
