@@ -1082,6 +1082,31 @@ def q84_bitwise_aggs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q85_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Funnel analysis: sessions where a 'view' precedes a 'purchase'
+    (sessionize → conditional MIN timestamps per session → ordered-
+    pair test). Sequence detection stays in window/agg algebra — no
+    per-user iteration anywhere."""
+    ev = load(spark, sf, "events").select("user_id", "event_id", "ts", "event_type")
+    sess = windows.sessionize(
+        ev, partition=["user_id"], ts="ts", gap="30 minutes", order_tiebreak=["event_id"]
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    converted = F.when(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_view") < F.col("first_purchase")),
+        1,
+    ).otherwise(0)
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(converted).cast("bigint").alias("n_converted"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1168,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_price_histogram": q82_price_histogram,
         "q83_levenshtein": q83_levenshtein,
         "q84_bitwise_aggs": q84_bitwise_aggs,
+        "q85_session_funnel": q85_session_funnel,
     }
 
 
@@ -1862,6 +1888,30 @@ SELECT l_returnflag,
        CAST(bit_or(l_orderkey) AS BIGINT) AS keys_or,
        CAST(bit_xor(l_orderkey) AS BIGINT) AS keys_xor
 FROM lineitem GROUP BY l_returnflag
+""",
+        "q85_session_funnel": """
+WITH b AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, event_type, ts,
+         SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM b
+), per AS (
+  SELECT user_id, session_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM s GROUP BY user_id, session_id
+)
+SELECT COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_purchase IS NOT NULL
+                          AND first_view < first_purchase THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted
+FROM per
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),
