@@ -1107,6 +1107,86 @@ def q85_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q86_custdist(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape — customer order-count distribution via LEFT
+    OUTER join with an extra join-side predicate (the filter belongs
+    in the join condition, not a WHERE, or null-extended rows vanish).
+    Two shuffles: join on custkey, then re-agg on the tiny c_count
+    domain (AQE coalesces the second)."""
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = load(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q87_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-filtered agg driving a join-back:
+    total quantity per order > 250, then enrich with customer/order
+    attrs and take ordered top-100. The agg shrinks lineitem ~4:1
+    before either join, and the survivors (<2% of orders) broadcast
+    to the orders/customer probe side."""
+    li = load(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(agg.dsum(F.col("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 250.0)
+    )
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q88_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape — semi + anti joins whose conditions mix an
+    equi key (l_orderkey) with a non-equi residual (l_suppkey <>):
+    'R'-flagged lineitems of finished orders where ANOTHER supplier
+    shares the order but NO other supplier also returned. Both
+    existence probes stay hash joins on orderkey with the inequality
+    as a post-probe residual — no nested loop."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    s = load(spark, sf, "supplier")
+    o = load(spark, sf, "orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.where(F.col("l_returnflag") == "R").alias("l3")
+    cand = l1.join(F.broadcast(o), F.col("l1.l_orderkey") == F.col("o_orderkey")).drop("o_orderkey")
+    cand = cand.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    cand = cand.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1194,6 +1274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_levenshtein": q83_levenshtein,
         "q84_bitwise_aggs": q84_bitwise_aggs,
         "q85_session_funnel": q85_session_funnel,
+        "q86_custdist": q86_custdist,
+        "q87_large_orders": q87_large_orders,
+        "q88_waiting_suppliers": q88_waiting_suppliers,
     }
 
 
@@ -1912,6 +1995,43 @@ SELECT COUNT(*) AS n_sessions,
                           AND first_view < first_purchase THEN 1 ELSE 0 END) AS BIGINT)
          AS n_converted
 FROM per
+""",
+        "q86_custdist": """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+        "q87_large_orders": """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250.0
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+        "q88_waiting_suppliers": """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),

@@ -7,6 +7,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
+from nyc_taxi_data_prediction_pyspark_spark.catalog import load
 from nyc_taxi_data_prediction_pyspark_spark.operators.joins import (
     exists_join,
     not_exists_join,
@@ -143,3 +144,52 @@ def test_window_ranks_quartiles_balanced(spark, sf_dir):
         assert max(sizes) - min(sizes) <= 1  # ntile balance property
     pr = out.agg(F.min("pct_rank"), F.max("pct_rank")).collect()[0]
     assert pr[0] == 0.0 and pr[1] == 1.0
+
+
+def test_custdist_left_join_keeps_orderless_customers(spark, sf_dir):
+    """Q13 shape: the priority filter lives in the JOIN condition, so
+    customers with zero (or only urgent) orders must still appear with
+    c_count = 0 — and the distribution must cover every customer."""
+    import __spark_entry__ as entry
+
+    out = entry.q86_custdist(spark, sf_dir).collect()
+    n_customers = load(spark, sf_dir, "customer").count()
+    assert sum(r["custdist"] for r in out) == n_customers
+    # urgent-only orders are excluded by the join condition: the total
+    # counted orders must be strictly fewer than the orders table
+    n_orders = load(spark, sf_dir, "orders").count()
+    counted = sum(r["c_count"] * r["custdist"] for r in out)
+    assert 0 < counted < n_orders
+
+
+def test_large_orders_threshold_and_joinback(spark, sf_dir):
+    """Q18 shape: every surviving order exceeds the quantity threshold
+    and the join-back re-derives the same total from raw lineitem."""
+    import __spark_entry__ as entry
+
+    rows = entry.q87_large_orders(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    assert all(r["total_qty"] > 250.0 for r in rows)
+    li = load(spark, sf_dir, "lineitem")
+    check = {
+        r["l_orderkey"]: r["tq"]
+        for r in li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .where(F.col("tq") > 250.0)
+        .collect()
+    }
+    for r in rows[:10]:
+        assert abs(check[r["o_orderkey"]] - r["total_qty"]) < 1e-6
+
+
+def test_waiting_suppliers_no_cartesian(spark, sf_dir):
+    """Q21 shape: the <> residual must ride on the orderkey hash join —
+    a cartesian/nested-loop plan would be quadratic in lineitem."""
+    import __spark_entry__ as entry
+    from nyc_taxi_data_prediction_pyspark_spark.plans import explain
+
+    df = entry.q88_waiting_suppliers(spark, sf_dir)
+    assert not explain.has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert df.count() > 0
