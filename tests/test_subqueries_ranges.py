@@ -193,3 +193,54 @@ def test_waiting_suppliers_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert df.count() > 0
+
+
+def test_volume_shipping_symmetric_pairs_broadcast(spark, sf_dir):
+    """Q7 shape: both nation roles must resolve independently (alias
+    hygiene) and the dimension probes must broadcast, not shuffle."""
+    import __spark_entry__ as entry
+    from nyc_taxi_data_prediction_pyspark_spark.plans import explain
+
+    df = entry.q89_volume_shipping(spark, sf_dir)
+    assert not explain.has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    pairs = {(r["supp_nation"], r["cust_nation"]) for r in rows}
+    assert pairs <= {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    # independent recount of qualifying lineitems (may be 0 at sf0.001)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    key = {
+        r["n_name"]: r["n_nationkey"]
+        for r in n.where(F.col("n_name").isin("NATION_1", "NATION_2")).collect()
+    }
+    expected = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(
+            ((F.col("s_nationkey") == key["NATION_1"]) & (F.col("c_nationkey") == key["NATION_2"]))
+            | ((F.col("s_nationkey") == key["NATION_2"]) & (F.col("c_nationkey") == key["NATION_1"]))
+        )
+        .select(F.year("l_shipdate").alias("y"), "s_nationkey", "c_nationkey")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == expected
+
+
+def test_market_share_is_a_proper_fraction(spark, sf_dir):
+    """Q8 shape: share in [0, 1] every year, and the single-pass
+    conditional-sum plan must not self-join lineitem."""
+    import __spark_entry__ as entry
+
+    rows = entry.q90_market_share(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(0.0 <= r["mkt_share"] <= 1.0 for r in rows)
+    plan = rows and entry.q90_market_share(spark, sf_dir)
+    n_scans = plan._jdf.queryExecution().executedPlan().toString().count("lineitem.parquet")
+    assert n_scans <= 1
