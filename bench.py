@@ -46,6 +46,9 @@ HEADLINE = [
     "q63_grouping_sets",
     "q66_trailing_range_window",
     "q68_grouped_regression",
+    "q87_large_orders",
+    "q88_waiting_suppliers",
+    "q89_volume_shipping",
 ]
 
 
