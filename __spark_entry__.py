@@ -1252,6 +1252,30 @@ def q90_market_share(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("l_year")
 
 
+def q91_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention-cohort matrix over the events stream: cohort =
+    user's first-seen week, cell = distinct users from that cohort
+    active N weeks later. Three shuffles, each on a shrinking keyset
+    (user → user×week distinct → cohort×offset agg); the per-user
+    first-week frame broadcasts back against the deduped activity, so
+    the raw event log is scanned exactly once."""
+    ev = load(spark, sf, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    activity = ev.distinct()
+    first = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(F.broadcast(first), "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1344,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_waiting_suppliers": q88_waiting_suppliers,
         "q89_volume_shipping": q89_volume_shipping,
         "q90_market_share": q90_market_share,
+        "q91_retention_cohorts": q91_retention_cohorts,
     }
 
 
@@ -2137,6 +2162,20 @@ FROM (
   GROUP BY 1
 )
 ORDER BY l_year
+""",
+        "q91_retention_cohorts": """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+), first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) // 7 AS INTEGER) AS week_offset,
+       COUNT(DISTINCT activity.user_id) AS active_users
+FROM activity JOIN first ON activity.user_id = first.user_id
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
 """,
         "q55_minhash_native": _minhash_oracle(),
         "q56_simhash_stable": _simhash_oracle(),

@@ -244,3 +244,19 @@ def test_market_share_is_a_proper_fraction(spark, sf_dir):
     plan = rows and entry.q90_market_share(spark, sf_dir)
     n_scans = plan._jdf.queryExecution().executedPlan().toString().count("lineitem.parquet")
     assert n_scans <= 1
+
+
+def test_retention_cohort_invariants(spark, sf_dir):
+    """Offset 0 counts the whole cohort (every user is active in their
+    first week by construction), later offsets never exceed it, and
+    summed cohort sizes equal the distinct-user universe."""
+    import __spark_entry__ as entry
+
+    rows = entry.q91_retention_cohorts(spark, sf_dir).collect()
+    assert len(rows) > 0
+    base = {r["cohort_week"]: r["active_users"] for r in rows if r["week_offset"] == 0}
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert r["active_users"] <= base[r["cohort_week"]]
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(base.values()) == n_users
