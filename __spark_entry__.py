@@ -529,8 +529,11 @@ def q49_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q51_embedding_dupes_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Scale path of q18: LSH-bucket blocking (seeded hyperplanes)
-    instead of label blocking → rows-only (buckets are engine-seeded)."""
+    """Scale path of q18: LSH-bucket blocking instead of label
+    blocking. The hyperplanes are deterministic driver-side constants
+    (seeded numpy), so the oracle bakes the same floats into SQL and
+    the bucketing — and therefore the full result — value-hash
+    matches (same trick as the q55/q56 stable pipelines)."""
     return dedup.embedding_dupes_lsh(
         load(spark, sf, "embeddings"), threshold=0.35, n_planes=4
     )
@@ -836,8 +839,9 @@ def q69_udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
 
 def q70_pandas_udaf(spark: SparkSession, sf: str) -> DataFrame:
     """Custom aggregate via pandas UDAF: hour-weighted mean value per
-    event_type. Rows-only for the driver (numpy's partial-sum order is
-    engine-local); the exact-decimal contract lives in pytest."""
+    event_type. The UDAF sums quantized decimals (order-independent,
+    exact), so the result value-hash matches the DuckDB closed form
+    SUM(v·w)/SUM(w) in decimal — full oracle, not rows-only."""
     from nyc_taxi_data_prediction_pyspark_spark.functions.udafs import weighted_mean
 
     ev = load(spark, sf, "events").withColumn("w", F.hour("ts") + F.lit(1.0))
@@ -945,9 +949,9 @@ def q75_token_budget(spark: SparkSession, sf: str) -> DataFrame:
 def q76_pretrain_packing(spark: SparkSession, sf: str) -> DataFrame:
     """Contiguous sequence packing over the BPE-ish token budget:
     which fixed-length pack each document starts in, and at what
-    offset — the layout op an LLM data loader runs. Single prefix sum
-    here; two-phase partition-parallel prefix sum at scale (see
-    text.pack_documents)."""
+    offset — the layout op an LLM data loader runs. Uses the two-phase
+    partition-parallel prefix sum (default in text.pack_documents), so
+    no task ever sorts the whole corpus."""
     docs = load(spark, sf, "documents")
     budget = docs.select("doc_id", textops.token_count_bpe("text").alias("n_tokens"))
     return textops.pack_documents(budget, seq_len=512)
@@ -955,9 +959,12 @@ def q76_pretrain_packing(spark: SparkSession, sf: str) -> DataFrame:
 
 def q77_training_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The full training-data pipeline composed end-to-end (dedup →
-    chunk → quality gate → budget → pack). Each stage is individually
-    oracle-verified (q55/q41/q75/q76); the composition is rows-only
-    with invariants pinned in test_pipelines."""
+    chunk → quality gate → budget → pack). Every stage is engine-
+    stable (md5 minhash, regex chunking, exact prefix sums), so the
+    WHOLE composition value-hash matches a single stitched DuckDB
+    query (minhash CTEs → recursive-CTE connected components → chunk →
+    gate → budget → pack); invariants are additionally pinned in
+    test_pipelines."""
     from nyc_taxi_data_prediction_pyspark_spark.pipelines.training_data import (
         build_training_set,
     )
@@ -1132,8 +1139,11 @@ def q87_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q18 shape — HAVING-filtered agg driving a join-back:
     total quantity per order > 250, then enrich with customer/order
     attrs and take ordered top-100. The agg shrinks lineitem ~4:1
-    before either join, and the survivors (<2% of orders) broadcast
-    to the orders/customer probe side."""
+    before either join. The survivors are a FRACTION OF A FACT TABLE
+    (<2% of orders here, but growing with the data), so no broadcast
+    hint: both sides hash on the order key and AQE converts to
+    broadcast at runtime only when the survivor frame actually fits
+    the budget — a forced hint would OOM executors at 100×."""
     li = load(spark, sf, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -1143,8 +1153,7 @@ def q87_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders")
     c = load(spark, sf, "customer")
     return (
-        F.broadcast(big)
-        .join(o, big.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -1256,16 +1265,19 @@ def q91_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly retention-cohort matrix over the events stream: cohort =
     user's first-seen week, cell = distinct users from that cohort
     active N weeks later. Three shuffles, each on a shrinking keyset
-    (user → user×week distinct → cohort×offset agg); the per-user
-    first-week frame broadcasts back against the deduped activity, so
-    the raw event log is scanned exactly once."""
+    (user → user×week distinct → cohort×offset agg). The per-user
+    first-week frame joins back on user_id WITHOUT a broadcast hint —
+    it scales with |users|, so at 100× it blows any broadcast budget;
+    both sides are already hash-partitioned on user_id from the
+    upstream shuffles, so the join co-partitions for free and AQE
+    still picks broadcast when the frame genuinely fits."""
     ev = load(spark, sf, "events").select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("week")
     )
     activity = ev.distinct()
     first = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
-        activity.join(F.broadcast(first), "user_id")
+        activity.join(first, "user_id")
         .withColumn(
             "week_offset",
             F.floor(F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int"),
@@ -1273,6 +1285,56 @@ def q91_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+def q92_merge_prune_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 MERGE against a MONTH-PARTITIONED fact table with the
+    ``prune`` predicate — the 100 TB load path end-to-end: the fact
+    probe side of the anti-join is partition-pruned to the staging
+    batch's month, so the merge touches one directory instead of the
+    whole table (operators/merge.py:42 ``prune``; the partition layout
+    is sources/warehouse.append's ``partition_by`` design).
+
+    Physically: fact (2/3 of lineitem, hive-partitioned by ship
+    month) is materialized to a scratch dir, staging = ALL of
+    1997-06; merge inserts the missing third of that month only.
+    Pruning is semantics-preserving because the staging batch's key
+    range lies entirely inside the pruned partition (the operator's
+    documented contract). Returns per-month merged row counts —
+    deterministic, so the DuckDB oracle checks the whole path.
+    test_plans asserts PartitionFilters actually reached the probe
+    scan."""
+    import os as _os
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators.merge import merge_upsert
+
+    li = load(spark, sf, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    root = f"/tmp/sparkgraft_q92_{_os.path.basename(sf.rstrip('/'))}"
+    fact_path = f"{root}/lineitem_by_month"
+    (
+        li.where(F.col("l_orderkey") % 3 != 0)
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    stg = li.where(F.col("ship_month") == "1997-06").select(*fact.columns)
+    merged = merge_upsert(
+        stg,
+        fact,
+        ["l_orderkey", "l_linenumber"],
+        prune=F.col("ship_month") == "1997-06",
+    )
+    return (
+        merged.groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            agg.dsum("l_quantity", 2).alias("sum_qty"),
+        )
+        .orderBy("ship_month")
     )
 
 
@@ -1369,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_volume_shipping": q89_volume_shipping,
         "q90_market_share": q90_market_share,
         "q91_retention_cohorts": q91_retention_cohorts,
+        "q92_merge_prune_partitioned": q92_merge_prune_partitioned,
     }
 
 
@@ -1403,6 +1466,28 @@ _COS = (
 )
 
 
+def _lsh_bucket_sql(vec_expr: str, n_planes: int = 4, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB expression for the sign-LSH bucket id used by q28/q51.
+
+    The hyperplanes are deterministic driver-side constants
+    (similarity.random_hyperplanes — seeded numpy), so the oracle bakes
+    the SAME floats in as literals; repr() round-trips doubles exactly
+    and list_dot_product matches the Spark fold bit-for-bit (the q18/
+    q19 precedent), so bucket ids agree exactly."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    terms = []
+    for b, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 THEN {1 << b} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 # md5 first-15-hex-digits → BIGINT, arithmetically (DuckDB side of
 # functions/hashing.md5_int60; verified bit-equal to Spark's conv path)
 _MD5_INT60 = (
@@ -1412,7 +1497,11 @@ _MD5_INT60 = (
 )
 
 
-def _minhash_oracle(threshold: float = 0.3, k: int = 16, bands: int = 4, seed: int = 42) -> str:
+def _minhash_ctes(k: int = 16, bands: int = 4, seed: int = 42, threshold: float = 0.3) -> str:
+    """The shared CTE chain of the native-minhash pipeline (shingles →
+    md5-60bit hashes → k permutation minima → banded bucket join →
+    threshold-filtered pairs). Used by both the q55 oracle and the q77
+    full-pipeline oracle, so the two can never drift apart."""
     from nyc_taxi_data_prediction_pyspark_spark.functions.hashing import (
         MERSENNE_P,
         minhash_params,
@@ -1428,9 +1517,8 @@ def _minhash_oracle(threshold: float = 0.3, k: int = 16, bands: int = 4, seed: i
         f"SELECT {j} AS band, list_value({', '.join(f'm{j*r+i}' for i in range(r))}) AS bkey, doc_id FROM sig"
         for j in range(bands)
     )
-    eq_sum = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(k))
-    return f"""
-WITH {_SHINGLE_CTE},
+    eq_sum = _minhash_eq_sum(k)
+    return f"""{_SHINGLE_CTE},
 hs AS (
   SELECT doc_id, {_MD5_INT60.format(col='shingle')} AS h FROM sh
 ),
@@ -1446,13 +1534,24 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-)
-SELECT id_a, id_b,
-       ROUND(({eq_sum}) / {k}.0, 6) AS est_jaccard
-FROM cand
-JOIN sig sa ON sa.doc_id = id_a
-JOIN sig sb ON sb.doc_id = id_b
-WHERE ROUND(({eq_sum}) / {k}.0, 6) >= {threshold}
+),
+mh_pairs AS (
+  SELECT id_a, id_b, ROUND(({eq_sum}) / {k}.0, 6) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+  WHERE ROUND(({eq_sum}) / {k}.0, 6) >= {threshold}
+)"""
+
+
+def _minhash_eq_sum(k: int = 16) -> str:
+    return " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(k))
+
+
+def _minhash_oracle(threshold: float = 0.3, k: int = 16, bands: int = 4, seed: int = 42) -> str:
+    return f"""
+WITH {_minhash_ctes(k, bands, seed, threshold)}
+SELECT id_a, id_b, est_jaccard FROM mh_pairs
 """
 
 
@@ -1657,7 +1756,22 @@ WITH k AS (SELECT user_id % 10 AS user_bucket, CAST(json_extract_string(props, '
 SELECT user_bucket, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
 FROM k GROUP BY user_bucket
 """,
-        # q28_lsh_ann: seeded-hyperplane bucketing is engine-side → rows-only.
+        "q28_lsh_ann": f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+b AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         {_lsh_bucket_sql('e.embedding::DOUBLE[]')} AS bucket
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+),
+qb AS (SELECT {_lsh_bucket_sql('qv')} AS qbucket FROM q)
+SELECT b.vec_id, ROUND({_COS.format(a='b.v', b='q.qv')}, 6) AS cos
+FROM b, q, qb
+WHERE b.bucket = qb.qbucket
+ORDER BY cos DESC, b.vec_id ASC LIMIT 10
+""",
         # q29_ml_forecast: iterative MLlib fit → rows-only.
         "q30_text_embed": "SELECT doc_id, 32 AS emb_dim FROM documents",
         "q31_cube_rollup": """
@@ -2246,5 +2360,85 @@ nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
 SELECT tf.doc_id, tf.term, ROUND(tf.tf * (ln((nd.n + 1.0) / (df_.df + 1)) + 1), 6) AS score
 FROM tf JOIN df_ USING (term), nd
 ORDER BY score DESC, tf.doc_id ASC, tf.term ASC LIMIT 20
+""",
+        "q51_embedding_dupes_lsh": f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_lsh_bucket_sql('embedding::DOUBLE[]')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_COS.format(a='a.v', b='b.v')}, 6) AS cos
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({_COS.format(a='a.v', b='b.v')}, 6) >= 0.35
+""",
+        "q70_pandas_udaf": """
+WITH t AS (SELECT event_type, value, hour(ts) + 1.0 AS w FROM events)
+SELECT event_type,
+       CAST(SUM(CAST(value * w AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS wmean_value
+FROM t GROUP BY event_type
+""",
+        "q77_training_pipeline": f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT id_a AS s, id_b AS t FROM mh_pairs UNION SELECT id_b, id_a FROM mh_pairs),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s WHERE e.t <> r.s
+),
+losers AS (
+  SELECT s AS doc_id FROM reach GROUP BY s HAVING LEAST(s, MIN(t)) <> s
+),
+kept AS (
+  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+),
+ktoks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, ' ') AS w FROM kept
+),
+kstarts AS (
+  SELECT doc_id, w, unnest(generate_series(0, greatest(len(w) - 16 - 1, 0), 48)) AS s FROM ktoks
+),
+chunks AS (
+  SELECT doc_id, CAST(s / 48 AS INTEGER) AS chunk_id,
+         array_to_string(w[s + 1 : s + 64], ' ') AS chunk_text
+  FROM kstarts
+),
+gated AS (
+  SELECT * FROM chunks
+  WHERE len(regexp_split_to_array(chunk_text, '\\s+')) >= 8
+),
+budgeted AS (
+  SELECT CAST(doc_id * 100000 + chunk_id AS BIGINT) AS chunk_key, doc_id, chunk_id,
+         CAST(len(regexp_extract_all(chunk_text, '[A-Za-z]{{1,4}}|[0-9]{{1,3}}|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens
+  FROM gated
+),
+packed AS (
+  SELECT chunk_key, doc_id, chunk_id, n_tokens,
+         COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY chunk_key ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM budgeted
+)
+SELECT chunk_key, doc_id, chunk_id, n_tokens,
+       CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
+       CAST(start % 512 AS BIGINT) AS pack_offset
+FROM packed
+""",
+        "q92_merge_prune_partitioned": """
+WITH li AS (SELECT *, strftime(l_shipdate, '%Y-%m') AS ship_month FROM lineitem),
+fact AS (SELECT * FROM li WHERE l_orderkey % 3 <> 0),
+stg AS (SELECT * FROM li WHERE ship_month = '1997-06'),
+new_rows AS (
+  SELECT s.* FROM stg s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM fact f
+    WHERE f.ship_month = '1997-06'
+      AND f.l_orderkey = s.l_orderkey AND f.l_linenumber = s.l_linenumber
+  )
+),
+merged AS (SELECT * FROM fact UNION ALL SELECT * FROM new_rows)
+SELECT ship_month, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM merged GROUP BY ship_month ORDER BY ship_month
 """,
     }

@@ -71,7 +71,14 @@ def word_shingles(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, *, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_posting: int | None = 10_000,
+    cap_observation=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index:
 
@@ -80,9 +87,28 @@ def ngram_jaccard_pairs(
     deduped per-row via array_distinct (narrow) and sizes come from
     F.size on the same array — the only shuffles are the shingle join
     and the pair-key aggregation, and shingles travel as 64-bit
-    hashes, not strings. At 100 TB, additionally cap posting-list
-    length (drop ultra-common shingles) before the join — the scale
-    variant (minhash_lsh_pairs) does this implicitly via banding.
+    hashes, not strings.
+
+    ``max_posting`` caps posting-list length: pair expansion is
+    quadratic WITHIN a posting list, so one stop-word-like shingle
+    shared by millions of docs would otherwise generate a single
+    quadratic row. Lists longer than the cap are dropped BEFORE pair
+    expansion — a shingle that common carries no near-dup signal
+    (standard CCNet-style df-capping; the scale variant
+    minhash_lsh_pairs bounds this implicitly via banding). Dropped
+    shingles shrink |A∩B| but never |A|/|B|, so capping only lowers
+    Jaccard — it can hide a pair, never invent one. The drop count
+    rides the same pass as a named observation (pass a
+    ``pyspark.sql.Observation`` as ``cap_observation`` to read
+    ``dropped_postings`` after any action; with None a string-named
+    observe still records it for QueryExecutionListener consumers).
+
+    At EXTREME skew (a shingle in ~100M docs) even building the
+    capped-away list inside collect_list is a multi-GB row; the
+    escalation is a pre-pass doc-frequency filter (map-side-combined
+    count per shingle → drop hot keys before the collect) at the cost
+    of one extra shuffle — not the default because it taxes every
+    query for a pathology the cap already renders non-quadratic.
     """
     # repartition first: a docs table read from one parquet file is one
     # partition, which would serialize the (interpreted) shingle map —
@@ -112,6 +138,43 @@ def ngram_jaccard_pairs(
         )
         .where(F.size("docs") > 1)
     )
+    if max_posting is not None:
+        too_big = F.size("docs") > max_posting
+        dropped = F.sum(too_big.cast("long")).alias("dropped_postings")
+        posting = posting.observe(
+            cap_observation if cap_observation is not None else "ngram_jaccard_posting_cap",
+            dropped,
+        ).where(~too_big)
+    return _jaccard_from_postings(posting, threshold)
+
+
+def read_cap_observation(obs) -> int:
+    """``dropped_postings`` from the Observation passed to
+    ngram_jaccard_pairs, after an action has run.
+
+    Works around two PySpark 4.1 AQE defects observed in this build:
+    with adaptive execution ON, the observed-metrics row arrives
+    schema-less AND empty (the metric value is silently lost — probed
+    empirically: ``getRow() == []``), and ``Observation.get`` dies in
+    ``toPyRow`` on the missing schema. So: read positionally when the
+    row carries the value, and raise a clear error when AQE ate it —
+    callers that need the count (tests, audits) should run the action
+    with ``spark.sql.adaptive.enabled=false`` for that one query."""
+    try:
+        return int(obs.get["dropped_postings"])
+    except Exception:
+        row = obs._jo.getRow()
+        if row.length() == 0:
+            raise RuntimeError(
+                "observed metrics row is empty — AQE dropped the "
+                "CollectMetrics result (PySpark 4.1 defect); re-run the "
+                "action with spark.sql.adaptive.enabled=false to read "
+                "the posting-cap drop count"
+            )
+        return int(row.getLong(0))
+
+
+def _jaccard_from_postings(posting: DataFrame, threshold: float) -> DataFrame:
     # length filter (similarity-join bound): jaccard(A,B) ≤ min/max of
     # the set sizes, so pairs with incompatible sizes are pruned inside
     # the row, before they ever reach the pair shuffle.

@@ -198,27 +198,83 @@ def pack_documents(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     seq_len: int = 512,
+    two_phase: bool = True,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Pretraining-style sequence packing: lay documents end-to-end in
-    a deterministic order and cut fixed ``seq_len`` windows — each doc
-    gets the pack it STARTS in plus its offset there (docs spill into
-    the next pack exactly like contiguous token packing in LLM data
-    loaders).
+    a deterministic order (ascending unique ``id_col``) and cut fixed
+    ``seq_len`` windows — each doc gets the pack it STARTS in plus its
+    offset there (docs spill into the next pack exactly like contiguous
+    token packing in LLM data loaders).
 
-    The global token offset is one unpartitioned prefix sum — fine to
-    ~millions of docs, a deliberate single-sort bottleneck beyond. The
-    scale path is the standard two-phase prefix sum: per-partition
-    token subtotals (tiny) -> cumulative partition offsets broadcast
-    back -> per-partition local prefix + offset, every step
-    partition-parallel. Exact integer arithmetic -> oracle-stable.
+    Default path is the two-phase distributed prefix sum, so no single
+    task ever sorts the whole corpus:
+
+      1. ``repartitionByRange`` on the id (explicit partition count so
+         AQE can't renumber partitions between plan subtrees),
+      2. per-partition local prefix sum — a Window PARTITIONED by
+         ``spark_partition_id()``, partition-parallel,
+      3. per-partition token subtotals (``groupBy`` pid — one row per
+         partition, metadata-sized) → exclusive cumulative offsets via
+         a window over those #partitions rows,
+      4. broadcast the offsets back and add to the local prefix.
+
+    The range exchange appears in two plan subtrees (main + subtotals)
+    and is deduplicated by ReuseExchange, so the corpus is shuffled
+    once. Range partition indices are ordered by key range, which is
+    what makes step 3's cumulative sum correct. Exact integer
+    arithmetic → oracle-stable and bit-identical to the single-window
+    form (``two_phase=False``, kept as the small-N cross-check).
     """
-    w = W.orderBy(F.col(id_col).asc()).rowsBetween(W.unboundedPreceding, -1)
-    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("bigint")
-    return df.select(
+    start = _pack_start(df, id_col, tokens_col, two_phase, num_partitions)
+    return start.select(
         id_col,
         F.col(tokens_col).cast("bigint").alias("n_tokens"),
         # floor, not int-cast: cast-to-int truncates in Spark but
         # rounds in DuckDB — floor is unambiguous in both
-        F.floor(start / seq_len).cast("bigint").alias("pack_id"),
-        (start % seq_len).cast("bigint").alias("pack_offset"),
+        F.floor(F.col("__start") / seq_len).cast("bigint").alias("pack_id"),
+        (F.col("__start") % seq_len).cast("bigint").alias("pack_offset"),
+    )
+
+
+def _pack_start(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    two_phase: bool,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Global exclusive prefix sum of ``tokens_col`` in ``id_col``
+    order, returned as column ``__start``."""
+    if not two_phase:
+        w = W.orderBy(F.col(id_col).asc()).rowsBetween(W.unboundedPreceding, -1)
+        return df.withColumn(
+            "__start", F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("bigint")
+        )
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    part = df.repartitionByRange(n_parts, F.col(id_col).asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = (
+        W.partitionBy("__pid")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(tokens_col).over(local_w), F.lit(0)).cast("bigint")
+    # one row per non-empty partition — metadata-sized, so the
+    # unpartitioned window below runs over ≤ n_parts rows
+    subtotals = part.groupBy("__pid").agg(
+        F.sum(F.col(tokens_col).cast("bigint")).alias("__sub")
+    )
+    off_w = W.orderBy(F.col("__pid").asc()).rowsBetween(W.unboundedPreceding, -1)
+    offsets = subtotals.select(
+        "__pid", F.coalesce(F.sum("__sub").over(off_w), F.lit(0)).cast("bigint").alias("__off")
+    )
+    return (
+        part.withColumn("__local", local)
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn("__start", F.col("__off") + F.col("__local"))
+        .drop("__pid", "__local", "__off")
     )

@@ -25,6 +25,15 @@ def optimized_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Partition-pruning predicates that reached a file scan — the
+    evidence that a hive-partitioned probe touches few directories."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)", physical_plan(df)):
+        out.extend(p.strip() for p in m.group(1).split(",") if p.strip())
+    return out
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Filter predicates that reached the parquet scan."""
     out: list[str] = []
@@ -67,6 +76,14 @@ def codegen_span_count(df: DataFrame) -> int:
     """Number of distinct WholeStageCodegen spans ('*(n)' prefixes) —
     fewer spans over the same ops = wider fused pipelines."""
     return len(set(re.findall(r"\*\((\d+)\)", physical_plan(df))))
+
+
+def window_specs(df: DataFrame) -> list[str]:
+    """Argument list of every windowspecdefinition in the physical
+    plan — partition columns (if any) precede the ORDER BY columns, so
+    an unpartitioned global window is one whose spec starts with an
+    ordering expression rather than a plain partition column."""
+    return re.findall(r"windowspecdefinition\(([^)]*)", physical_plan(df))
 
 
 def exchange_count(df: DataFrame) -> int:

@@ -260,3 +260,17 @@ def test_retention_cohort_invariants(spark, sf_dir):
         assert r["active_users"] <= base[r["cohort_week"]]
     n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
     assert sum(base.values()) == n_users
+
+
+def test_fact_derived_frames_carry_no_broadcast_hint(spark, sf_dir):
+    """100×-scale gate for q87/q91: frames that grow with the fact
+    table (HAVING survivors, per-user aggregates) must NOT be
+    hint-broadcast — the hint bypasses AQE's size check and OOMs
+    executors at scale. The analyzed plan is where ResolvedHint nodes
+    live; the dim-side hints elsewhere (nation/supplier) are fine, so
+    we assert on these two queries specifically."""
+    import __spark_entry__ as entry
+
+    for q in (entry.q87_large_orders, entry.q91_retention_cohorts):
+        analyzed = q(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, q.__name__

@@ -140,3 +140,91 @@ def test_pack_documents_invariants(spark):
     assert all(0 <= r["pack_offset"] < 512 for r in out.values())
     ids = [out[k]["pack_id"] for k in sorted(out)]
     assert ids == sorted(ids)
+
+
+def test_ngram_jaccard_posting_cap_bounds_hostile_input(spark):
+    """One shingle shared by ALL docs must not produce a quadratic
+    pair expansion: the cap drops the mega posting list before pair
+    generation, and the drop is observable in the same pass."""
+    from pyspark.sql import Observation
+
+    docs = spark.createDataFrame(
+        [(i, "common prefix words unique%d tail%d end%d" % (i, i, i)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    obs = Observation("cap")
+    capped = dedup.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", threshold=0.1,
+        max_posting=10, cap_observation=obs,
+    )
+    # AQE in this Spark build loses CollectMetrics rows (see
+    # read_cap_observation) — flip it off for the one action that
+    # needs to READ the drop count; the cap itself is AQE-agnostic
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = capped.collect()
+        # the only shared shingle ("common prefix words") is in all 40
+        # docs → dropped; every other shingle is unique → no pairs
+        assert out == []
+        assert dedup.read_cap_observation(obs) == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # and with the default (high) cap the same corpus DOES pair up
+    uncapped = dedup.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", threshold=0.1
+    ).collect()
+    assert len(uncapped) > 0
+
+
+def test_ngram_jaccard_identical_docs_all_pair_under_default_cap(spark):
+    """Default cap must be invisible on benign corpora: 30 identical
+    docs yield all C(30,2) pairs at jaccard 1.0."""
+    docs = spark.createDataFrame(
+        [(i, "the same exact sentence repeated for every document here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", threshold=0.5
+    ).collect()
+    assert len(pairs) == 30 * 29 // 2
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_pack_documents_two_phase_matches_single_window(spark, sf_dir):
+    """The distributed two-phase prefix sum is bit-identical to the
+    single-window reference form on real data spread across many
+    range partitions."""
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+    from nyc_taxi_data_prediction_pyspark_spark.operators.text import (
+        pack_documents,
+        token_count,
+    )
+    import pyspark.sql.functions as F
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    kw = dict(seq_len=512)
+    two = pack_documents(docs, two_phase=True, num_partitions=8, **kw)
+    one = pack_documents(docs, two_phase=False, **kw)
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+
+
+def test_pack_documents_two_phase_has_no_global_data_window(spark):
+    """Scale gate for q76/q77: the full-data prefix sum must be a
+    Window PARTITIONED by spark_partition_id — the only unpartitioned
+    window allowed is the metadata-sized one over per-partition
+    subtotals (ordered by __pid, ≤ #partitions rows)."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.text import pack_documents
+    from nyc_taxi_data_prediction_pyspark_spark.plans import explain
+
+    df = spark.createDataFrame(
+        [(i, 100 + i % 7) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    specs = explain.window_specs(pack_documents(df, num_partitions=8))
+    data_specs = [s for s in specs if "doc_id" in s]
+    assert data_specs, "expected a window ordered by doc_id"
+    assert all("__pid" in s for s in data_specs), data_specs
+    # and the legacy form is exactly the shape we forbid
+    legacy = explain.window_specs(pack_documents(df, two_phase=False))
+    assert any("doc_id" in s and "__pid" not in s for s in legacy)
