@@ -69,14 +69,22 @@ def main() -> None:
     for name in HEADLINE:
         try:
             qs[name](spark, warm_sf).count()
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 — name the query, keep benching
+            print(
+                f"WARNING: warm-up failed for {name} ({type(e).__name__}: {e}) — "
+                "its timing below includes first-call compilation or the timed "
+                "pass will surface the real error",
+                file=sys.stderr,
+            )
 
-    # two full timed passes, min per query: the host is a shared VM and
+    # N full timed passes, min per query: the host is a shared VM and
     # single-shot timings carry multi-second noisy-neighbor stalls; the
-    # minimum is the standard least-noise estimator of true cost
+    # minimum is the standard least-noise estimator of true cost.
+    # Per-query best-of-N plus N are recorded so round-over-round
+    # regressions are attributable to plans, not host noise.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(n_passes):
         for name in HEADLINE:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
@@ -92,6 +100,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "passes": n_passes,
+                "stat": "min_of_passes",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,0 +1,60 @@
+"""Doc-drift gate: the self-reported counts in README.md / docs/
+SCALING.md are DERIVED here from the actual entry-point surfaces, so
+adding a query without updating the docs fails CI instead of shipping
+stale numbers (round-1 advice)."""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+
+def _surface():
+    import __spark_entry__ as entry
+    import bench
+
+    q = entry.queries()
+    o = entry.oracle_sql()
+    return len(q), len(o), len(q) - len(o), len(bench.HEADLINE)
+
+
+def test_readme_counts_match_entry_surface():
+    n_q, n_oracle, n_rows_only, n_headline = _surface()
+    text = (ROOT / "README.md").read_text()
+
+    m = re.search(r"\((\d+) queries, (\d+) value-hash", text)
+    assert m, "README lost its '(N queries, M value-hash' summary line"
+    assert int(m.group(1)) == n_q
+    assert int(m.group(2)) == n_oracle
+
+    m = re.search(r"the (\d+)\s*\n?rows-only queries", text)
+    assert m, "README lost its rows-only count"
+    assert int(m.group(1)) == n_rows_only
+
+    m = re.search(r"headline timings \((\d+) queries", text)
+    assert m, "README lost its headline-query count"
+    assert int(m.group(1)) == n_headline
+
+    m = re.search(r"on all (\d+) queries", text)
+    assert m, "README lost its check_oracle coverage line"
+    assert int(m.group(1)) == n_q
+
+
+def test_scaling_md_counts_match_entry_surface():
+    n_q, n_oracle, _, _ = _surface()
+    text = (ROOT / "docs" / "SCALING.md").read_text()
+    m = re.search(r"(\d+) of\s*\n?(\d+) entry queries value-hash match", text)
+    assert m, "SCALING.md lost its oracle-coverage sentence"
+    assert int(m.group(1)) == n_oracle
+    assert int(m.group(2)) == n_q
+
+
+def test_every_oracle_query_exists():
+    import __spark_entry__ as entry
+
+    q, o = entry.queries(), entry.oracle_sql()
+    assert set(o) <= set(q), f"oracles without queries: {sorted(set(o) - set(q))}"

@@ -88,3 +88,16 @@ def test_merge_upsert_is_join_not_loop(spark, sf_dir):
     df = e.q06_merge_upsert(spark, sf_dir)
     p = explain.physical_plan(df)
     assert "Join LeftAnti" in p or "LeftAnti" in p
+
+
+def test_merge_prune_reaches_partition_scan(spark, sf_dir):
+    """q92's `prune` predicate must become a PartitionFilter on the
+    hive-partitioned fact probe — the 100 TB merge contract: the
+    anti-join reads ONE month directory, not the whole fact table."""
+    import __spark_entry__ as e
+
+    df = e.q92_merge_prune_partitioned(spark, sf_dir)
+    pf = explain.partition_filters(df)
+    assert any("ship_month" in p and "1997-06" in p for p in pf), pf
+    # the merge itself still plans as an anti-join, never a loop
+    assert "LeftAnti" in explain.physical_plan(df)

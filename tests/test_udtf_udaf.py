@@ -37,8 +37,9 @@ def test_udtf_null_text_yields_no_rows(spark):
 
 
 def test_pandas_udaf_matches_exact_decimal_formula(spark, sf_dir):
-    """numpy weighted mean vs dsum(w*v)/dsum(w): the contract that
-    stands in for the value-hash oracle on the UDAF path."""
+    """Decimal-exact UDAF vs dsum(w*v)/dsum(w): since the UDAF now
+    quantizes+sums exactly, the match is bit-for-bit (and q70 carries
+    a full DuckDB value-hash oracle on top of this contract)."""
     from nyc_taxi_data_prediction_pyspark_spark.catalog import load
 
     from nyc_taxi_data_prediction_pyspark_spark.functions.udafs import weighted_mean
@@ -60,4 +61,4 @@ def test_pandas_udaf_matches_exact_decimal_formula(spark, sf_dir):
     }
     assert set(got) == set(exact) and len(got) > 0
     for k in got:
-        assert math.isclose(got[k], exact[k], rel_tol=1e-9)
+        assert got[k] == exact[k], (k, got[k], exact[k])
