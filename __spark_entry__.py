@@ -1338,6 +1338,90 @@ def q92_merge_prune_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q93_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing word 3-grams with
+    a (deterministic) held-out eval slice — the overlap audit run
+    before any pretraining job. Eval side collapses to distinct md5
+    shingle ints and broadcasts; the corpus is scanned once
+    (operators/dedup.decontaminate)."""
+    docs = load(spark, sf, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate(train, eval_df, text_col="text", id_col="doc_id", n=3)
+
+
+def q94_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4-style intra-document repetition quality signals
+    (top-bigram fraction, duplicate-bigram fraction) — the corpus
+    filters that drop degenerate/boilerplate text before training
+    (operators/text.repetition_signals)."""
+    return textops.repetition_signals(
+        load(spark, sf, "documents"), id_col="doc_id", text_col="text", n=2
+    )
+
+
+def q95_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub before training: emails + long digit runs redacted to
+    tags, with audit counts. The corpus has no organic PII, so a
+    deterministic salt injects synthetic emails/phones first (every
+    5th/7th doc) — the oracle applies the identical salt, proving the
+    redaction semantics, not just zeros."""
+    docs = load(spark, sf, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" call 555"), (F.col("doc_id") + 1000000).cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    red = textops.redact_pii(salted)
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_long_digits",
+        F.length("redacted").alias("redacted_len"),
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_fp"),
+    )
+
+
+MIXTURE_WEIGHTS = {"en": 0.9, "es": 0.6, "fr": 0.5, "de": 0.4, "zh": 0.25}
+
+
+def q96_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: per-language keep
+    probabilities decided by a content-derived uniform draw
+    (md5_int60(doc_id)/2^60) — reproducible on any engine/cluster, no
+    RNG state (operators/text.mixture_sample)."""
+    docs = load(spark, sf, "documents").select("doc_id", "lang")
+    return textops.mixture_sample(docs, MIXTURE_WEIGHTS, id_col="doc_id", group_col="lang")
+
+
+def q97_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-shard manifest over the full pipeline output: chunks
+    grouped into shards of 64 contiguous packs with chunk/token counts
+    and pack ranges — the sidecar a data loader plans epochs from
+    (pipelines/training_data.with_shards/shard_manifest; the writer
+    materializes the same frame hive-partitioned by shard_id)."""
+    from nyc_taxi_data_prediction_pyspark_spark.pipelines.training_data import (
+        build_training_set,
+        shard_manifest,
+        with_shards,
+    )
+
+    return shard_manifest(with_shards(build_training_set(spark, sf), packs_per_shard=64))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1432,6 +1516,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_market_share": q90_market_share,
         "q91_retention_cohorts": q91_retention_cohorts,
         "q92_merge_prune_partitioned": q92_merge_prune_partitioned,
+        "q93_decontamination": q93_decontamination,
+        "q94_repetition_signals": q94_repetition_signals,
+        "q95_pii_redaction": q95_pii_redaction,
+        "q96_mixture_sample": q96_mixture_sample,
+        "q97_shard_manifest": q97_shard_manifest,
     }
 
 
@@ -1553,6 +1642,51 @@ def _minhash_oracle(threshold: float = 0.3, k: int = 16, bands: int = 4, seed: i
 WITH {_minhash_ctes(k, bands, seed, threshold)}
 SELECT id_a, id_b, est_jaccard FROM mh_pairs
 """
+
+
+def _training_pipeline_ctes() -> str:
+    """Full training-data pipeline as a WITH chain ending in ``packed``
+    (chunk_key, doc_id, chunk_id, n_tokens, start) — shared by the q77
+    (per-chunk) and q97 (per-shard manifest) oracles."""
+    return f"""WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT id_a AS s, id_b AS t FROM mh_pairs UNION SELECT id_b, id_a FROM mh_pairs),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s WHERE e.t <> r.s
+),
+losers AS (
+  SELECT s AS doc_id FROM reach GROUP BY s HAVING LEAST(s, MIN(t)) <> s
+),
+kept AS (
+  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+),
+ktoks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, ' ') AS w FROM kept
+),
+kstarts AS (
+  SELECT doc_id, w, unnest(generate_series(0, greatest(len(w) - 16 - 1, 0), 48)) AS s FROM ktoks
+),
+chunks AS (
+  SELECT doc_id, CAST(s / 48 AS INTEGER) AS chunk_id,
+         array_to_string(w[s + 1 : s + 64], ' ') AS chunk_text
+  FROM kstarts
+),
+gated AS (
+  SELECT * FROM chunks
+  WHERE len(regexp_split_to_array(chunk_text, '\\s+')) >= 8
+),
+budgeted AS (
+  SELECT CAST(doc_id * 100000 + chunk_id AS BIGINT) AS chunk_key, doc_id, chunk_id,
+         CAST(len(regexp_extract_all(chunk_text, '[A-Za-z]{{1,4}}|[0-9]{{1,3}}|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens
+  FROM gated
+),
+packed AS (
+  SELECT chunk_key, doc_id, chunk_id, n_tokens,
+         COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY chunk_key ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM budgeted
+)"""
 
 
 def _simhash_oracle(bits: int = 60) -> str:
@@ -2380,45 +2514,7 @@ SELECT event_type,
 FROM t GROUP BY event_type
 """,
         "q77_training_pipeline": f"""
-WITH RECURSIVE {_minhash_ctes()},
-edges AS (SELECT id_a AS s, id_b AS t FROM mh_pairs UNION SELECT id_b, id_a FROM mh_pairs),
-reach(s, t) AS (
-  SELECT s, t FROM edges
-  UNION
-  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s WHERE e.t <> r.s
-),
-losers AS (
-  SELECT s AS doc_id FROM reach GROUP BY s HAVING LEAST(s, MIN(t)) <> s
-),
-kept AS (
-  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-),
-ktoks AS (
-  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, ' ') AS w FROM kept
-),
-kstarts AS (
-  SELECT doc_id, w, unnest(generate_series(0, greatest(len(w) - 16 - 1, 0), 48)) AS s FROM ktoks
-),
-chunks AS (
-  SELECT doc_id, CAST(s / 48 AS INTEGER) AS chunk_id,
-         array_to_string(w[s + 1 : s + 64], ' ') AS chunk_text
-  FROM kstarts
-),
-gated AS (
-  SELECT * FROM chunks
-  WHERE len(regexp_split_to_array(chunk_text, '\\s+')) >= 8
-),
-budgeted AS (
-  SELECT CAST(doc_id * 100000 + chunk_id AS BIGINT) AS chunk_key, doc_id, chunk_id,
-         CAST(len(regexp_extract_all(chunk_text, '[A-Za-z]{{1,4}}|[0-9]{{1,3}}|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens
-  FROM gated
-),
-packed AS (
-  SELECT chunk_key, doc_id, chunk_id, n_tokens,
-         COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY chunk_key ASC
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
-  FROM budgeted
-)
+{_training_pipeline_ctes()}
 SELECT chunk_key, doc_id, chunk_id, n_tokens,
        CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
        CAST(start % 512 AS BIGINT) AS pack_offset
@@ -2440,5 +2536,72 @@ merged AS (SELECT * FROM fact UNION ALL SELECT * FROM new_rows)
 SELECT ship_month, COUNT(*) AS n_rows,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM merged GROUP BY ship_month ORDER BY ship_month
+""",
+        "q93_decontamination": f"""
+WITH {_SHINGLE_CTE},
+hsh AS (SELECT doc_id, {_MD5_INT60.format(col='shingle')} AS h FROM sh),
+ev AS (SELECT DISTINCT h FROM hsh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, h FROM hsh WHERE doc_id % 97 <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh WHERE doc_id % 97 <> 0 GROUP BY 1),
+shared AS (SELECT doc_id, COUNT(*) AS n_shared FROM tr JOIN ev USING (h) GROUP BY 1)
+SELECT s.doc_id, CAST(z.n_shingles AS INTEGER) AS n_shingles,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       CAST(s.n_shared AS DOUBLE) / z.n_shingles AS contamination
+FROM shared s JOIN sizes z ON s.doc_id = z.doc_id
+""",
+        "q94_repetition_signals": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, ' ') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 2
+),
+grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram FROM idx),
+pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_gram_frac,
+       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_gram_frac
+FROM pg GROUP BY doc_id
+""",
+        "q95_pii_redaction": f"""
+WITH salted AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 5 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' call 555' || CAST(doc_id + 1000000 AS VARCHAR) ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{textops.EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{textops.LONG_DIGITS_RE}')) AS INTEGER) AS n_long_digits,
+       CAST(len(regexp_replace(regexp_replace(t, '{textops.EMAIL_RE}', '<EMAIL>', 'g'),
+                               '{textops.LONG_DIGITS_RE}', '<NUM>', 'g')) AS INTEGER) AS redacted_len,
+       md5(regexp_replace(regexp_replace(t, '{textops.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{textops.LONG_DIGITS_RE}', '<NUM>', 'g')) AS redacted_fp
+FROM salted
+""",
+        "q96_mixture_sample": f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         {_MD5_INT60.format(col='CAST(doc_id AS VARCHAR)')} / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang, u FROM u
+WHERE u < CASE lang WHEN 'en' THEN 0.9 WHEN 'es' THEN 0.6 WHEN 'fr' THEN 0.5
+                    WHEN 'de' THEN 0.4 WHEN 'zh' THEN 0.25 ELSE 0.0 END
+""",
+        "q97_shard_manifest": f"""
+{_training_pipeline_ctes()},
+final AS (
+  SELECT chunk_key, n_tokens, CAST(floor(start / 512.0) AS BIGINT) AS pack_id FROM packed
+)
+SELECT CAST(floor(pack_id / 64.0) AS BIGINT) AS shard_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS n_tokens,
+       MIN(pack_id) AS first_pack,
+       MAX(pack_id) AS last_pack
+FROM final GROUP BY 1 ORDER BY shard_id
 """,
     }

@@ -209,6 +209,59 @@ def _jaccard_from_postings(posting: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: which training documents share word
+    n-grams with an evaluation/benchmark set — the overlap audit every
+    serious pretraining pipeline runs before training.
+
+    Returns (id, n_shingles, n_shared, contamination) for every train
+    doc with ≥1 shared shingle, where contamination = n_shared /
+    n_shingles (distinct-shingle Jaccard containment of the eval set
+    in the doc).
+
+    Scale shape: both sides reduce to distinct (id, shingle) rows with
+    shingles as engine-stable md5-60bit ints; the eval side collapses
+    to DISTINCT shingles (benchmarks are tiny vs the corpus) and
+    BROADCASTS, so the train side is a map-side semi-join + one
+    aggregation keyed on the train id — the corpus is scanned once and
+    never shuffled on shingle. md5 hashing keeps the whole audit
+    oracle-checkable."""
+    from ..functions.hashing import md5_int60
+
+    t_sh = word_shingles(train, text_col=text_col, id_col=id_col, n=n).select(
+        F.col(id_col), md5_int60("shingle").alias("h")
+    )
+    sizes = (
+        train.select(
+            F.col(id_col), F.size(shingle_array(text_col, n)).alias("n_shingles")
+        )
+        .where(F.col("n_shingles") > 0)
+    )
+    e_sh = (
+        word_shingles(eval_df, text_col=text_col, id_col=id_col, n=n)
+        .select(md5_int60("shingle").alias("h"))
+        .distinct()
+    )
+    shared = (
+        t_sh.join(F.broadcast(e_sh), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return shared.join(sizes, id_col).select(
+        id_col,
+        "n_shingles",
+        "n_shared",
+        (F.col("n_shared") / F.col("n_shingles")).alias("contamination"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,

@@ -185,6 +185,107 @@ def chunk_documents(
     )
 
 
+def ngram_list(text: Column | str, n: int = 2) -> Column:
+    """ALL word n-gram occurrences in order (NOT deduplicated — unlike
+    dedup.shingle_array) over the normalized text; the raw material
+    for per-document repetition statistics."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(normalize_text(c), " ")
+    cnt = F.size(toks) - (n - 1)
+    empty = F.array().cast("array<string>")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(cnt > 0, grams).otherwise(empty)
+
+
+def repetition_signals(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher/C4-style intra-document repetition quality signals:
+
+      n_grams        total n-gram occurrences in the doc
+      top_gram_frac  occurrences of the single most frequent n-gram /
+                     total (high → boilerplate or degenerate text)
+      dup_gram_frac  fraction of occurrences belonging to n-grams that
+                     appear ≥2× (the 'duplicate n-gram fraction' rule
+                     LLM corpus filters threshold on)
+
+    Shape: explode → (doc, gram) count → per-doc aggregate. Both
+    shuffles key on (doc, gram) / doc, so the op scales as an
+    embarrassingly parallel map + two shrinking aggregations; ratios
+    are IEEE divisions of exact ints → oracle-stable."""
+    grams = df.select(F.col(id_col), F.explode(ngram_list(text_col, n)).alias("gram"))
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        (F.max("c") / F.sum("c")).alias("top_gram_frac"),
+        (
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)) / F.sum("c")
+        ).alias("dup_gram_frac"),
+    )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+# backrefs, no lookaround) so redaction is oracle-checkable.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,4}"
+LONG_DIGITS_RE = "[0-9]{7,}"
+
+
+def redact_pii(
+    df: DataFrame, *, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails and long digit runs (phone/SSN-ish) from a text
+    column — the standard pre-training privacy pass. Adds:
+
+      n_emails / n_long_digits   match counts (audit trail)
+      <out_col>                  text with matches replaced by tags
+
+    Pure regexp built-ins → narrow map, no shuffle, codegen-friendly;
+    Spark's regexp_replace replaces all occurrences (DuckDB needs the
+    'g' flag — handled in the oracle)."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))))
+        .withColumn(
+            "n_long_digits", F.size(F.regexp_extract_all(c, F.lit(LONG_DIGITS_RE), F.lit(0)))
+        )
+        .withColumn(
+            out_col,
+            F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), LONG_DIGITS_RE, "<NUM>"
+            ),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each row with
+    probability ``weights[group]``, decided by a content-derived
+    uniform draw u = md5_int60(id) / 2^60 ∈ [0,1) — no RNG state, so
+    the sample is identical on any engine, any cluster size, any
+    re-run (reproducible data mixtures are table stakes for training
+    pipelines). Adds column ``u``; keeps rows with u < weight.
+
+    Narrow map + filter → no shuffle; the weight table is a literal
+    CASE, not a join."""
+    from ..functions.hashing import md5_int60
+
+    u = md5_int60(F.col(id_col).cast("string")) / F.lit(float(1 << 60))
+    w: Column = F.lit(float(default_weight))
+    for g, p in weights.items():
+        w = F.when(F.col(group_col) == g, F.lit(float(p))).otherwise(w)
+    return df.withColumn("u", u).where(F.col("u") < w)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "doc_fp") -> DataFrame:
     """Document fingerprint: md5 of the normalized text. md5 is
     content-defined (stable across engines/partitions), unlike

@@ -69,3 +69,51 @@ def build_training_set(
         budgeted, id_col="chunk_key", tokens_col="n_tokens", seq_len=seq_len
     )
     return budgeted.join(packed.select("chunk_key", "pack_id", "pack_offset"), "chunk_key")
+
+
+def with_shards(training: DataFrame, *, packs_per_shard: int = 64) -> DataFrame:
+    """Assign each packed chunk to a training shard: shard_id =
+    floor(pack_id / packs_per_shard). Contiguous packs share a shard,
+    so a data loader reads one shard file sequentially — the layout
+    every large-scale training job expects."""
+    return training.withColumn(
+        "shard_id",
+        F.floor(F.col("pack_id") / packs_per_shard).cast("bigint"),
+    )
+
+
+def shard_manifest(training_with_shards: DataFrame) -> DataFrame:
+    """Per-shard manifest (the sidecar metadata a loader uses to plan
+    epochs without opening data files): chunk/token counts and the
+    pack range. One aggregation on shard_id — tiny output."""
+    return (
+        training_with_shards.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("n_tokens"),
+            F.min("pack_id").alias("first_pack"),
+            F.max("pack_id").alias("last_pack"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def write_training_shards(
+    training: DataFrame, path: str, *, packs_per_shard: int = 64
+) -> DataFrame:
+    """Materialize the training set hive-partitioned by shard_id,
+    sorted by (pack_id, pack_offset) within each file so a shard reads
+    back in pack order with zero post-sorting. Partitioned layout =
+    a loader can open exactly the shards of its data-parallel rank
+    (partition pruning), and shard counts rebalance by repartitioning
+    on shard_id first (one shuffle, then parallel writes). Returns the
+    manifest of what was written."""
+    sharded = with_shards(training, packs_per_shard=packs_per_shard)
+    (
+        sharded.repartition(F.col("shard_id"))
+        .sortWithinPartitions("pack_id", "pack_offset")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    return shard_manifest(sharded)

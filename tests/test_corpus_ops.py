@@ -1,0 +1,119 @@
+"""Corpus-preparation operators added in round 2: decontamination,
+repetition signals, PII redaction, mixture sampling, shard writing.
+Each also has a full DuckDB oracle (q93-q97); these tests pin the
+operator semantics on crafted inputs the synthetic corpus can't
+exercise."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from nyc_taxi_data_prediction_pyspark_spark.operators import dedup, text as textops
+
+
+def test_decontaminate_flags_exact_and_partial_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about spark engines here"),
+            (3, "the quick brown fox appears again in this doc"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.decontaminate(train, eval_df).collect()}
+    # doc 2 shares nothing → absent; docs 1 and 3 share 3-grams
+    assert set(out) == {1, 3}
+    # doc 1 contains all 3 eval shingles; 7 distinct shingles of its own
+    assert out[1]["n_shared"] == 3
+    assert out[1]["contamination"] == 3 / out[1]["n_shingles"]
+    # doc 3 shares only 'the quick brown' / 'quick brown fox'
+    assert out[3]["n_shared"] == 2
+
+
+def test_repetition_signals_detects_degenerate_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),          # one bigram repeated 4x
+            (2, "all distinct words appear once only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.repetition_signals(df).collect()}
+    assert out[1]["n_grams"] == 4
+    assert out[1]["top_gram_frac"] == 1.0
+    assert out[1]["dup_gram_frac"] == 1.0
+    assert out[2]["n_grams"] == 5
+    assert out[2]["top_gram_frac"] == 1 / 5
+    assert out[2]["dup_gram_frac"] == 0.0
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@example.co or call 5551234567 now"),
+            (2, "no pii here, just 123 and a word"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.redact_pii(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_long_digits"] == 1
+    assert out[1]["redacted"] == "mail me at <EMAIL> or call <NUM> now"
+    assert out[2]["n_emails"] == 0 and out[2]["n_long_digits"] == 0
+    assert out[2]["redacted"] == "no pii here, just 123 and a word"
+
+
+def test_mixture_sample_is_deterministic_and_weight_monotone(spark, sf_dir):
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w_hi = {"en": 0.9, "es": 0.9, "fr": 0.9, "de": 0.9, "zh": 0.9}
+    w_lo = {k: 0.3 for k in w_hi}
+    hi1 = {r["doc_id"] for r in textops.mixture_sample(docs, w_hi).collect()}
+    hi2 = {r["doc_id"] for r in textops.mixture_sample(docs, w_hi).collect()}
+    lo = {r["doc_id"] for r in textops.mixture_sample(docs, w_lo).collect()}
+    assert hi1 == hi2                     # same seedless draw every run
+    assert lo <= hi1                      # lower weight ⊂ higher weight
+    n = docs.count()
+    assert 0.8 * n < len(hi1) < n         # ≈90% kept
+    assert 0.2 * n < len(lo) < 0.4 * n    # ≈30% kept
+    # unknown group defaults to weight 0 → dropped
+    extra = spark.createDataFrame([(10_000_000, "xx")], "doc_id long, lang string")
+    assert textops.mixture_sample(extra, w_hi).count() == 0
+
+
+def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
+    from nyc_taxi_data_prediction_pyspark_spark.pipelines.training_data import (
+        build_training_set,
+        shard_manifest,
+        with_shards,
+        write_training_shards,
+    )
+
+    training = build_training_set(spark, sf_dir)
+    path = str(tmp_path / "shards")
+    manifest = {
+        r["shard_id"]: r for r in write_training_shards(training, path, packs_per_shard=8).collect()
+    }
+    back = spark.read.parquet(path)
+    # partition layout: shard_id is a hive partition column
+    got = {
+        r["shard_id"]: r
+        for r in back.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"), F.sum("n_tokens").alias("n_tokens"))
+        .collect()
+    }
+    assert set(got) == set(manifest) and len(got) > 1
+    for sid, m in manifest.items():
+        assert got[sid]["n_chunks"] == m["n_chunks"]
+        assert got[sid]["n_tokens"] == m["n_tokens"]
+    # reading ONE shard prunes partitions (loader-rank access pattern)
+    from nyc_taxi_data_prediction_pyspark_spark.plans import explain
+
+    one = back.where(F.col("shard_id") == sorted(got)[0])
+    assert any("shard_id" in p for p in explain.partition_filters(one))
+    # within a shard, data comes back in pack order per file
+    rows = one.collect()
+    assert rows == sorted(rows, key=lambda r: (r["pack_id"], r["pack_offset"]))
