@@ -1422,6 +1422,158 @@ def q97_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
     return shard_manifest(with_shards(build_training_set(spark, sf), packs_per_shard=64))
 
 
+def q98_returned_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item customer ranking: revenue lost
+    to 'R'-flagged lineitems per customer in one order-year, enriched
+    with nation, top-20. Fact joins shuffle on their keys, nation
+    broadcasts, TakeOrderedAndProject caps driver rows at 20."""
+    li = load(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load(spark, sf, "orders").where(F.year("o_orderdate") == 1997).select(
+        "o_orderkey", "o_custkey"
+    )
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(agg.dsum(rev, 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q99_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table in the testdata, so
+    the part-supplier catalog derives from lineitem): for each LARGE
+    part, the supplier offering the minimum unit price. The correlated
+    MIN subquery decorrelates to an aggregate + equality join-back —
+    the rewrite Catalyst itself applies to correlated scalars. Unit
+    price is one IEEE division and MIN selects an exact element, so
+    the float equality join matches the oracle bit-for-bit."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").where(F.col("p_type") == "LARGE")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    catalog = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = catalog.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        catalog.join(best, "l_partkey")
+        .where(F.col("unit_cost") == F.col("best_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("p_partkey", "p_brand", "s_name", "n_name", "unit_cost")
+        .orderBy(F.asc("p_partkey"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+def q100_revenue_share_threshold(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted to revenue): parts whose revenue
+    exceeds a fraction of GLOBAL revenue — the scalar-subquery HAVING.
+    The global total is a 1-row aggregate cross-joined back
+    (broadcast by construction); both sums are exact decimals so the
+    threshold comparison is engine-identical."""
+    li = load(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(agg.dsum(rev, 6).alias("part_rev"))
+    total = li.agg(agg.dsum(rev, 6).alias("total_rev"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_rev") > 0.001 * F.col("total_rev"))
+        .select(
+            "l_partkey",
+            "part_rev",
+            (F.col("part_rev") / F.col("total_rev")).alias("rev_share"),
+        )
+        .orderBy(F.desc("part_rev"), F.asc("l_partkey"))
+    )
+
+
+def q101_nation_year_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: cost term from p_retailprice instead
+    of the absent partsupp supplycost): profit proxy per supplier
+    nation per order year over PROMO parts. One lineitem scan, two
+    broadcast dims, one fact shuffle."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").where(F.col("p_type") == "PROMO").select(
+        "p_partkey", "p_retailprice"
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name", F.year("l_shipdate").alias("o_year"))
+        .agg(agg.dsum(amount, 6).alias("sum_profit"))
+        .orderBy(F.asc("n_name"), F.desc("o_year"))
+    )
+
+
+def q102_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape — max-of-aggregate: the supplier(s) whose 1997
+    revenue equals the global maximum (the CREATE VIEW + MAX subquery
+    form, decorrelated to agg → 1-row broadcast → equality filter).
+    Exact decimal revenue makes the float equality deterministic, and
+    ties (all of them) are returned just like the reference query."""
+    li = load(spark, sf, "lineitem").where(F.year("l_shipdate") == 1997)
+    s = load(spark, sf, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(agg.dsum(rev, 6).alias("total_revenue"))
+    top = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        per_supp.crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q103_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted) — nested agg + semi-join chain:
+    suppliers who are the PRIMARY (highest shipped quantity, ties by
+    suppkey) source for at least 3 SMALL parts — the supply-
+    concentration audit. A fixed >50%-share predicate goes empty as
+    SF grows (shares dilute), so the rank-within-part form keeps the
+    query meaningful at every scale. per-(part,supp) quantities are
+    exact decimal sums; the within-part rank is a deterministic
+    window (qty DESC, suppkey ASC); the final stage is a left-semi
+    against supplier."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").where(F.col("p_type") == "SMALL").select("p_partkey")
+    s = load(spark, sf, "supplier")
+    pair = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(agg.dsum("l_quantity", 2).alias("supp_qty"))
+    )
+    w = W.partitionBy("l_partkey").orderBy(F.desc("supp_qty"), F.asc("l_suppkey"))
+    primary = pair.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    heavy = (
+        primary.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_primary_parts"))
+        .where(F.col("n_primary_parts") >= 3)
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey)
+        .select("s_suppkey", "s_name", "n_primary_parts")
+        .orderBy("s_suppkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1521,6 +1673,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_pii_redaction": q95_pii_redaction,
         "q96_mixture_sample": q96_mixture_sample,
         "q97_shard_manifest": q97_shard_manifest,
+        "q98_returned_customers": q98_returned_customers,
+        "q99_min_cost_supplier": q99_min_cost_supplier,
+        "q100_revenue_share_threshold": q100_revenue_share_threshold,
+        "q101_nation_year_profit": q101_nation_year_profit,
+        "q102_top_supplier": q102_top_supplier,
+        "q103_dominant_suppliers": q103_dominant_suppliers,
     }
 
 
@@ -2603,5 +2761,96 @@ SELECT CAST(floor(pack_id / 64.0) AS BIGINT) AS shard_id,
        MIN(pack_id) AS first_pack,
        MAX(pack_id) AS last_pack
 FROM final GROUP BY 1 ORDER BY shard_id
+""",
+        "q98_returned_customers": """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R' AND year(o_orderdate) = 1997
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+""",
+        "q99_min_cost_supplier": """
+WITH catalog AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+best AS (SELECT l_partkey, MIN(unit_cost) AS best_cost FROM catalog GROUP BY 1)
+SELECT p_partkey, p_brand, s_name, n_name, unit_cost
+FROM catalog
+JOIN best USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE unit_cost = best_cost AND p_type = 'LARGE'
+ORDER BY p_partkey ASC, s_name ASC LIMIT 100
+""",
+        "q100_revenue_share_threshold": """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS part_rev
+  FROM lineitem GROUP BY 1
+),
+total AS (
+  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+  FROM lineitem
+)
+SELECT l_partkey, part_rev, part_rev / total_rev AS rev_share
+FROM per_part, total
+WHERE part_rev > CAST(0.001 AS DOUBLE) * total_rev
+ORDER BY part_rev DESC, l_partkey ASC
+""",
+        "q101_nation_year_profit": """
+SELECT n_name, year(l_shipdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY n_name, year(l_shipdate)
+ORDER BY n_name ASC, o_year DESC
+""",
+        "q102_top_supplier": """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1
+),
+top AS (SELECT MAX(total_revenue) AS max_revenue FROM per_supp)
+SELECT s_suppkey, s_name, total_revenue
+FROM per_supp CROSS JOIN top
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = max_revenue
+ORDER BY s_suppkey
+""",
+        "q103_dominant_suppliers": """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supp_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL'
+  GROUP BY 1, 2
+),
+primary_src AS (
+  SELECT l_partkey, l_suppkey FROM (
+    SELECT l_partkey, l_suppkey,
+           ROW_NUMBER() OVER (PARTITION BY l_partkey
+                              ORDER BY supp_qty DESC, l_suppkey ASC) AS rn
+    FROM pair
+  ) WHERE rn = 1
+),
+heavy AS (
+  SELECT l_suppkey, COUNT(*) AS n_primary_parts
+  FROM primary_src GROUP BY 1 HAVING COUNT(*) >= 3
+)
+SELECT s_suppkey, s_name, CAST(n_primary_parts AS BIGINT) AS n_primary_parts
+FROM supplier JOIN heavy ON s_suppkey = l_suppkey
+ORDER BY s_suppkey
 """,
     }

@@ -274,3 +274,25 @@ def test_fact_derived_frames_carry_no_broadcast_hint(spark, sf_dir):
     for q in (entry.q87_large_orders, entry.q91_retention_cohorts):
         analyzed = q(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in analyzed, q.__name__
+
+
+def test_new_tpch_shapes_plan_hygiene(spark, sf_dir):
+    """q98-q103: top-k compiles to TakeOrdered; the decorrelated
+    scalar queries produce no cartesian blowup (the only intentional
+    product is a 1-row broadcast), and all six return rows."""
+    import __spark_entry__ as entry
+    from nyc_taxi_data_prediction_pyspark_spark.plans import explain
+
+    q98 = entry.q98_returned_customers(spark, sf_dir)
+    assert explain.uses_take_ordered(q98)
+
+    for q in (entry.q99_min_cost_supplier, entry.q103_dominant_suppliers):
+        df = q(spark, sf_dir)
+        assert not explain.has_cartesian(df), q.__name__
+        assert df.count() > 0, q.__name__
+
+    # q100/q102's cross joins multiply by exactly one row (global agg)
+    for q in (entry.q100_revenue_share_threshold, entry.q102_top_supplier):
+        df = q(spark, sf_dir)
+        assert df.count() > 0, q.__name__
+    assert entry.q101_nation_year_profit(spark, sf_dir).count() > 0
