@@ -1574,6 +1574,17 @@ def q103_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q104_streaming_corpus_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming incremental corpus ingestion: documents arrive as
+    micro-batches (one file per trigger) and fold into a fingerprint
+    dedup store via an idempotent MIN merge — the final store equals
+    batch q13 dedup regardless of batch boundaries or redelivery
+    (streaming/pipeline.ingest_corpus_incrementally). The oracle is
+    the plain batch GROUP BY, which is exactly the point."""
+    work = f"/tmp/sparkgraft_q104_{os.path.basename(sf.rstrip('/'))}"
+    return stream.ingest_corpus_incrementally(spark, sf, work, n_arrival_files=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1679,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_nation_year_profit": q101_nation_year_profit,
         "q102_top_supplier": q102_top_supplier,
         "q103_dominant_suppliers": q103_dominant_suppliers,
+        "q104_streaming_corpus_ingest": q104_streaming_corpus_ingest,
     }
 
 
@@ -2852,5 +2864,9 @@ heavy AS (
 SELECT s_suppkey, s_name, CAST(n_primary_parts AS BIGINT) AS n_primary_parts
 FROM supplier JOIN heavy ON s_suppkey = l_suppkey
 ORDER BY s_suppkey
+""",
+        "q104_streaming_corpus_ingest": f"""
+SELECT md5({_NORM_TEXT}) AS doc_fp, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
 """,
     }

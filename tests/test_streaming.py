@@ -134,3 +134,27 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     ).select("l_id", "r_id")
     assert got.count() == batch.count() > 0
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+
+
+def test_incremental_corpus_ingest_batch_boundary_invariant(spark, sf_dir, tmp_path):
+    """The fingerprint store must equal batch dedup (q13's keep
+    mapping) for ANY arrival split — 2 files vs 5 files vs one-shot —
+    because the per-key merge is MIN (idempotent + commutative)."""
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+    from nyc_taxi_data_prediction_pyspark_spark.operators.text import fingerprint
+
+    def run(n):
+        out = stream.ingest_corpus_incrementally(
+            spark, sf_dir, str(tmp_path / f"ingest_{n}"), n_arrival_files=n
+        )
+        return {(r["doc_fp"], r["keep_id"]) for r in out.collect()}
+
+    batch = {
+        (r["doc_fp"], r["keep_id"])
+        for r in fingerprint(load(spark, sf_dir, "documents"))
+        .groupBy("doc_fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .collect()
+    }
+    assert run(2) == batch
+    assert run(5) == batch
