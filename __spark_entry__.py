@@ -1574,6 +1574,56 @@ def q103_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q105_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style two-stage ANN with a DETERMINISTIC coarse quantizer
+    (the 16 lowest-vec_id vectors as centroids instead of k-means
+    whose iterative seeds are engine-local) — which makes the entire
+    IVF route oracle-checkable: cell assignment is argmax-dot
+    (similarity.assign_cells), the query probes its nprobe=2 best
+    cells by cosine, exact rank within. At scale the table is written
+    partitionBy('cell') so this probe is a partition-pruned read
+    (plan-tested in test_multimodal_ml). Centroid pull is a 16-row
+    driver action — quantizer metadata, same class as AQE stats."""
+    emb = load(spark, sf, "embeddings")
+    cent_rows = emb.orderBy("vec_id").limit(16).select("vec_id", "embedding").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    qrow = cent_rows[0]
+    qvec = [float(x) for x in qrow["embedding"]]
+    rest = emb.where(F.col("vec_id") != qrow["vec_id"])
+    cells = similarity.assign_cells(rest, centroids)
+    return similarity.ivf_topk(cells, centroids, qvec, k=10, nprobe=2)
+
+
+def q106_zorder_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustering audit: Morton-interleave (orderkey, partkey)
+    and report per-z-range locality — how many distinct values of EACH
+    dimension land in each of 64 z-ranges. Sorting a table by this key
+    (Warehouse.compact(sort_by=['zkey'])) bounds BOTH dims per file,
+    so range predicates on either column prune row groups — the
+    expression-level OPTIMIZE ZORDER BY (functions/zorder.py). Exact
+    integer bit math → oracle bit-for-bit."""
+    from nyc_taxi_data_prediction_pyspark_spark.functions.zorder import zorder_key
+
+    li = load(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") % 65536).alias("d1"),
+        (F.col("l_partkey") % 65536).alias("d2"),
+    )
+    zk = zorder_key("d1", "d2", bits=16)
+    return (
+        li.withColumn("zkey", zk)
+        .withColumn("zrange", F.floor(F.col("zkey") / F.lit(float(1 << 26))).cast("bigint"))
+        .groupBy("zrange")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("d1").alias("n_d1"),
+            F.countDistinct("d2").alias("n_d2"),
+            F.min("zkey").alias("z_min"),
+            F.max("zkey").alias("z_max"),
+        )
+        .orderBy("zrange")
+    )
+
+
 def q104_streaming_corpus_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming incremental corpus ingestion: documents arrive as
     micro-batches (one file per trigger) and fold into a fingerprint
@@ -1691,6 +1741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_top_supplier": q102_top_supplier,
         "q103_dominant_suppliers": q103_dominant_suppliers,
         "q104_streaming_corpus_ingest": q104_streaming_corpus_ingest,
+        "q105_ivf_ann": q105_ivf_ann,
+        "q106_zorder_clustering": q106_zorder_clustering,
     }
 
 
@@ -1723,6 +1775,12 @@ _COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
+
+
+def _zorder_sql() -> str:
+    from nyc_taxi_data_prediction_pyspark_spark.functions.zorder import zorder_key_sql
+
+    return zorder_key_sql(["d1", "d2"], bits=16)
 
 
 def _lsh_bucket_sql(vec_expr: str, n_planes: int = 4, seed: int = 42, dim: int = 64) -> str:
@@ -2868,5 +2926,46 @@ ORDER BY s_suppkey
         "q104_streaming_corpus_ingest": f"""
 SELECT md5({_NORM_TEXT}) AS doc_fp, MIN(doc_id) AS keep_id
 FROM documents GROUP BY 1
+""",
+        "q105_ivf_ann": f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS idx, vec_id,
+         embedding::DOUBLE[] AS c
+  FROM embeddings ORDER BY vec_id ASC LIMIT 16
+),
+q AS (SELECT c AS qv, vec_id AS qid FROM cent WHERE idx = 0),
+assign AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, cent.idx AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.embedding::DOUBLE[], cent.c) DESC, cent.idx ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cent CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+),
+cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+probe AS (
+  SELECT idx FROM cent CROSS JOIN q
+  ORDER BY {_COS.format(a='c', b='qv')} DESC, idx ASC LIMIT 2
+)
+SELECT cells.vec_id, ROUND({_COS.format(a='v', b='qv')}, 6) AS cos
+FROM cells CROSS JOIN q
+WHERE cell IN (SELECT idx FROM probe)
+ORDER BY cos DESC, cells.vec_id ASC LIMIT 10
+""",
+        "q106_zorder_clustering": f"""
+WITH dims AS (
+  SELECT l_orderkey % 65536 AS d1, l_partkey % 65536 AS d2 FROM lineitem
+),
+z AS (
+  SELECT d1, d2, {_zorder_sql()} AS zkey FROM dims
+)
+SELECT CAST(floor(zkey / 67108864.0) AS BIGINT) AS zrange,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT d1) AS n_d1,
+       COUNT(DISTINCT d2) AS n_d2,
+       MIN(zkey) AS z_min,
+       MAX(zkey) AS z_max
+FROM z GROUP BY 1 ORDER BY zrange
 """,
     }

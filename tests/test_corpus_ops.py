@@ -117,3 +117,43 @@ def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
     # within a shard, data comes back in pack order per file
     rows = one.collect()
     assert rows == sorted(rows, key=lambda r: (r["pack_id"], r["pack_offset"]))
+
+
+def test_zorder_key_bit_interleave(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(0b1010, 0b0101), (0, 0), (1, 0), (0, 1), (65535, 65535)], "a long, b long"
+    )
+    got = [r["z"] for r in df.select(zorder_key("a", "b").alias("z")).collect()]
+    # a owns even bit positions, b odd: a=1010,b=0101 → z=01100110
+    assert got[0] == 0b01100110
+    assert got[1] == 0
+    assert got[2] == 1          # a bit0 → z bit0
+    assert got[3] == 2          # b bit0 → z bit1
+    assert got[4] == (1 << 32) - 1
+
+
+def test_zorder_sort_bounds_both_dims_per_file(spark, tmp_path):
+    """The point of z-clustering: after sorting by zkey, every
+    contiguous block bounds BOTH dimensions — unlike a single-column
+    sort, where the second dim spans its full range in every block."""
+    import pyspark.sql.functions as F2
+    from nyc_taxi_data_prediction_pyspark_spark.functions.zorder import zorder_key
+
+    n = 64
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    ).withColumn("z", zorder_key("x", "y", bits=6))
+    blocks = (
+        df.withColumn("blk", F2.floor(F2.col("z") / 256))
+        .groupBy("blk")
+        .agg(
+            (F2.max("x") - F2.min("x")).alias("span_x"),
+            (F2.max("y") - F2.min("y")).alias("span_y"),
+        )
+        .collect()
+    )
+    # every 256-key z-block is a 16x16 tile: both spans tiny vs n-1
+    assert all(r["span_x"] <= 15 and r["span_y"] <= 15 for r in blocks)
+    assert len(blocks) == 16
