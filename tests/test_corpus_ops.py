@@ -157,3 +157,57 @@ def test_zorder_sort_bounds_both_dims_per_file(spark, tmp_path):
     # every 256-key z-block is a 16x16 tile: both spans tiny vs n-1
     assert all(r["span_x"] <= 15 and r["span_y"] <= 15 for r in blocks)
     assert len(blocks) == 16
+
+
+# ---------------------------------------------------------------- property
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@pytest.fixture(scope="session")
+def spark_h(spark):
+    return spark
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=60),
+    st.sampled_from([1, 3, 8]),
+    st.sampled_from([64, 512]),
+)
+def test_pack_documents_property(spark_h, tokens, n_parts, seq_len):
+    """For ARBITRARY token counts and partition counts: two-phase ==
+    single-window bit-for-bit, offsets < seq_len, and consecutive
+    starts differ by exactly the intervening doc's tokens."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.text import pack_documents
+
+    df = spark_h.createDataFrame(
+        list(enumerate(tokens)), "doc_id long, n_tokens long"
+    )
+    two = sorted(
+        map(tuple, pack_documents(df, seq_len=seq_len, num_partitions=n_parts).collect())
+    )
+    one = sorted(map(tuple, pack_documents(df, seq_len=seq_len, two_phase=False).collect()))
+    assert two == one
+    # reconstruct starts and check the prefix-sum law
+    starts = [pid * seq_len + off for (_, _, pid, off) in two]
+    for i in range(1, len(starts)):
+        assert starts[i] - starts[i - 1] == tokens[i - 1]
+    assert all(0 <= off < seq_len for (_, _, _, off) in two)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)), min_size=1, max_size=50))
+def test_zorder_key_deinterleaves_property(spark_h, pairs):
+    """The Spark bitwise expression agrees with an independent Python
+    bit-extraction for arbitrary 16-bit pairs (round-trip: both
+    coordinates recover exactly from the key)."""
+    from nyc_taxi_data_prediction_pyspark_spark.functions.zorder import zorder_key
+
+    df = spark_h.createDataFrame(pairs, "a long, b long")
+    got = df.select("a", "b", zorder_key("a", "b").alias("z")).collect()
+    for r in got:
+        a = sum(((r["z"] >> (2 * b)) & 1) << b for b in range(16))
+        b_ = sum(((r["z"] >> (2 * b + 1)) & 1) << b for b in range(16))
+        assert (a, b_) == (r["a"], r["b"])
