@@ -1635,6 +1635,137 @@ def q104_streaming_corpus_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return stream.ingest_corpus_incrementally(spark, sf, work, n_arrival_files=4)
 
 
+def q107_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key-proof dim join (operators/skew.salted_join): lineitem
+    (fact side, salted ∈[0,8)) ⋈ part (dim side, replicated ×8 so
+    every (key, salt) pair can meet), then revenue per p_type. The
+    oracle is the PLAIN join+agg — proving the replicate-salt rewrite
+    is semantics-preserving even through the value hash. This is the
+    manual fallback for hot keys AQE's skew splitting can't fix
+    (skewed key on the BUILD side of a broadcast, or pre-AQE engines);
+    dim width grows ×buckets, fact side stays one pass."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import skew
+
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    part = load(spark, sf, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    j = skew.salted_join(li, part, ["l_partkey"], buckets=8)
+    return (
+        j.groupBy("p_type")
+        .agg(
+            agg.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_type")
+    )
+
+
+def q108_stream_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join (streaming/pipeline.stream_stream_join):
+    view events ⋈ purchase events of the same user within 1 hour, both
+    sides watermarked so join state is bounded by rate × (watermark +
+    interval) — the property that keeps an unbounded feed joinable.
+    Driven availableNow into a memory sink, then a batch rollup per
+    user. Oracle = the equivalent batch interval self-join."""
+    ev = stream.read_event_stream(spark, sf, glob="events.parquet")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    joined = stream.stream_stream_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        within="1 hour",
+        watermark="2 hours",
+    )
+    pairs = joined.select(F.col("l.user_id").alias("user_id"), F.col("r.value").alias("value"))
+    sink = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    stream.run_available_now(pairs, checkpoint=ckpt, sink_table=sink, output_mode="append")
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            agg.dsum("value").alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q109_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-point integer PageRank (operators/graph.py), 3 iterations
+    at d=0.85 over the symmetrized customer↔supplier trade graph
+    (distinct (custkey, suppkey) pairs from orders⋈lineitem, edges in
+    both directions so no node is dangling). Because ranks are BIGINT
+    pico-units and every step is floor division, the oracle can unroll
+    the SAME three iterations as SQL CTEs and value-hash-match an
+    ITERATIVE algorithm — the exception to 'iterative ⇒ rows-only'
+    (q29). Top-20 by (rank, node) for a bounded deterministic result."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import graph
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = graph.pagerank_fixedpoint(
+        edges, iters=3, damping_pct=85, assume_distinct=True
+    )
+    return (
+        pr.orderBy(F.desc("pr"), "node")
+        .limit(20)
+        .select("node", F.col("pr").alias("pr_pico"))
+    )
+
+
+def q110_quality_terciles(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style curation buckets: per-language quality terciles over
+    (stopword ratio, doc_id), then per-bucket doc count, ratio range,
+    and token mass. NOT `ntile(3) OVER (PARTITION BY lang ...)` — that
+    funnels each language through one task, and one language is half
+    of any real corpus. Instead: the two-phase grouped rank
+    (windows.grouped_rank_two_phase — range-partitioned local ranks +
+    metadata-sized cumulative offsets) and the closed-form NTILE
+    bucket from (rank, group size) (windows.ntile_from_rank), all
+    BIGINT floor division — bit-identical to the oracle's native
+    NTILE window, with no task ever holding a whole language."""
+    docs = load(spark, sf, "documents")
+    q = textops.quality_features(docs)
+    ranked = windows.grouped_rank_two_phase(
+        q,
+        ["lang"],
+        ["q_stopword_ratio", "doc_id"],
+        out_col="__rk",
+        group_size_col="__n",  # from the metadata-sized counts — no 2nd corpus scan
+    )
+    return (
+        ranked.withColumn("tercile", windows.ntile_from_rank("__rk", "__n", 3))
+        .groupBy("lang", "tercile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("q_stopword_ratio").alias("min_ratio"),
+            F.max("q_stopword_ratio").alias("max_ratio"),
+            F.sum("q_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang", "tercile")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1743,6 +1874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_streaming_corpus_ingest": q104_streaming_corpus_ingest,
         "q105_ivf_ann": q105_ivf_ann,
         "q106_zorder_clustering": q106_zorder_clustering,
+        "q107_salted_join": q107_salted_join,
+        "q108_stream_attribution": q108_stream_attribution,
+        "q109_pagerank": q109_pagerank,
+        "q110_quality_terciles": q110_quality_terciles,
     }
 
 
@@ -1775,6 +1910,55 @@ _COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
+
+
+def _pagerank_sql(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
+    """Unrolled fixed-point PageRank oracle: the SAME recurrence as
+    operators/graph.pagerank_fixedpoint, one (contrib, rank) CTE pair
+    per iteration. All arithmetic is BIGINT floor division (`//` in
+    DuckDB ≡ `div` in Spark for the all-positive values here), so an
+    iterative algorithm value-hash-matches. DuckDB's SUM returns
+    HUGEINT — every aggregate is cast back to BIGINT to keep the
+    schema identical to Spark's."""
+    head = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                  's' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (SELECT c AS node FROM pairs UNION SELECT s AS node FROM pairs),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+cfg AS (
+  SELECT {scale} // COUNT(*) AS base,
+         (15 * ({scale} // COUNT(*))) // 100 AS tel
+  FROM nodes
+),
+pr0 AS (SELECT node, CAST((SELECT base FROM cfg) AS BIGINT) AS pr FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+c{k} AS (
+  SELECT e.dst, CAST(SUM(p.pr // o.deg) AS BIGINT) AS recv
+  FROM edges e
+  JOIN pr{k - 1} p ON p.node = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+pr{k} AS (
+  SELECT n.node,
+         CAST((SELECT tel FROM cfg) + (85 * COALESCE(c.recv, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c{k} c ON c.dst = n.node
+)""")
+    tail = f"""
+SELECT node, pr AS pr_pico FROM pr{iters}
+ORDER BY pr DESC, node ASC LIMIT 20
+"""
+    return head + "".join(steps) + tail
 
 
 def _zorder_sql() -> str:
@@ -2967,5 +3151,44 @@ SELECT CAST(floor(zkey / 67108864.0) AS BIGINT) AS zrange,
        MIN(zkey) AS z_min,
        MAX(zkey) AS z_max
 FROM z GROUP BY 1 ORDER BY zrange
+""",
+        "q107_salted_join": """
+SELECT p_type,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+ORDER BY p_type
+""",
+        "q108_stream_attribution": """
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase')
+SELECT v.user_id,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+FROM v JOIN p
+  ON p.user_id = v.user_id AND p.pts >= v.ts AND p.pts <= v.ts + INTERVAL 1 HOUR
+GROUP BY v.user_id
+ORDER BY v.user_id
+""",
+        "q109_pagerank": _pagerank_sql(iters=3),
+        "q110_quality_terciles": f"""
+WITH feat AS (
+  SELECT doc_id, lang,
+         len({_TOKENS}) AS q_tokens,
+         ROUND({_HITS['en']} * 1.0 / greatest(len({_TOKENS}), 1), 6) AS q_stopword_ratio
+  FROM documents
+),
+t AS (
+  SELECT lang, q_tokens, q_stopword_ratio,
+         CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY q_stopword_ratio, doc_id) AS INTEGER) AS tercile
+  FROM feat
+)
+SELECT lang, tercile, COUNT(*) AS n_docs,
+       MIN(q_stopword_ratio) AS min_ratio,
+       MAX(q_stopword_ratio) AS max_ratio,
+       CAST(SUM(q_tokens) AS BIGINT) AS total_tokens
+FROM t GROUP BY lang, tercile
+ORDER BY lang, tercile
 """,
     }

@@ -49,6 +49,9 @@ HEADLINE = [
     "q87_large_orders",
     "q88_waiting_suppliers",
     "q89_volume_shipping",
+    "q107_salted_join",
+    "q109_pagerank",
+    "q110_quality_terciles",
 ]
 
 

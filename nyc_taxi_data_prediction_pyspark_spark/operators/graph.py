@@ -1,0 +1,91 @@
+"""Iterative graph algorithms as DataFrame loops (north-star extension;
+same family as dedup.connected_components, dedup.py:185).
+
+PageRank here is FIXED-POINT INTEGER PageRank: ranks live in integer
+pico-units of total mass 1.0 (``SCALE`` = 10^12) and every step uses
+floor division, so the result is bit-identical on any engine — an
+unrolled SQL oracle can value-check an *iterative* algorithm, which
+double arithmetic (order-dependent float sums) cannot. The verdictable
+property this buys: q29-style "iterative ⇒ rows-only" does NOT have to
+hold when the recurrence is expressed in exact integer arithmetic.
+
+Scale posture (100 TB / 10^9-node graphs):
+- the (src, dst, deg) frame is built ONCE (edges ⋈ out-degrees),
+  hash-partitioned on src and cached — InMemoryTableScan preserves
+  that HashPartitioning in its outputPartitioning, so each
+  iteration's join re-shuffles only the |V|-sized rank frame, never
+  the |E|-sized edge frame;
+- each iteration is therefore one |V| shuffle + one aggregation keyed
+  on dst — O(|E|) scan work off the cache, no driver data motion;
+- rank state is one row per node (|V|, not |E|);
+- ``localCheckpoint`` per iteration truncates lineage so the plan
+  stays O(1) in the iteration count (the connected-components idiom);
+- the single ``nodes.count()`` is quantizer-class metadata (one
+  scalar), used only to size the teleport constant.
+
+Dangling nodes (no out-edges) leak their mass — the standard "leaky"
+variant; callers that need conservation should symmetrize the edge
+set (as q109 does), which guarantees every node has out-degree ≥ 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 1_000_000_000_000  # pico-units: sum of initial ranks == SCALE
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_pct: int = 85,
+    checkpoint: bool = True,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Fixed-point PageRank: pr_{k+1}(v) = teleport + (d·Σ_{u→v} pr_k(u) div deg(u)) div 100
+    with teleport = ((100−d)·(SCALE div N)) div 100, all in BIGINT floor
+    division. Returns (node, pr) — pr in pico-units.
+
+    ``assume_distinct=True`` skips the defensive edge dedup (one full
+    |E| shuffle) when the caller guarantees edge uniqueness — e.g. it
+    built the edge set from a ``.distinct()`` pair frame, as q109 does."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, deg) built once, hash-partitioned on the probe key and
+    # cached: the per-iteration join then re-shuffles only the rank
+    # frame (|V| rows) — the cached scan keeps its HashPartitioning.
+    fanout = e.join(outdeg, "src").repartition("src").cache()
+
+    n_nodes = nodes.count()  # scalar metadata action (sizes the constants)
+    base = SCALE // n_nodes
+    teleport = ((100 - damping_pct) * base) // 100
+
+    pr = nodes.withColumn("pr", F.lit(base).cast("bigint"))
+    for _ in range(iters):
+        contrib = (
+            fanout.join(pr, fanout["src"] == pr["node"])
+            .select(F.col("dst"), F.expr("pr div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("recv"))
+        )
+        pr = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(f"({damping_pct} * coalesce(recv, 0L)) div 100")
+            ).cast("bigint").alias("pr"),
+        )
+        if checkpoint:
+            pr = pr.localCheckpoint(eager=False)
+    return pr

@@ -127,3 +127,111 @@ def lag_gap_seconds(
     return df.withColumn(
         "gap_us", (F.unix_micros(F.col(ts)) - F.unix_micros(prev)).cast("bigint")
     )
+
+
+def grouped_rank_two_phase(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    *,
+    out_col: str = "rank_in_group",
+    two_phase: bool = True,
+    num_partitions: int | None = None,
+    group_size_col: str | None = None,
+) -> DataFrame:
+    """Global 1-based row_number within each group WITHOUT a per-group
+    single task — the two-phase prefix-sum idiom (text._pack_start)
+    generalized to ranking inside skewed groups.
+
+    ``Window.partitionBy(group)`` funnels each group through ONE task;
+    when one group dominates (one language is half a 100 TB corpus,
+    one tenant is half the events), that task sorts the whole group.
+    Here instead:
+
+      1. ``repartitionByRange`` on (group, order) — the group's rows
+         spread over many range partitions, each partition-local sort
+         is bounded by partition size, not group size;
+      2. local row_number within (partition, group) — parallel;
+      3. per-(partition, group) counts — metadata-sized (≤ partitions
+         × groups rows) — cumulated per group over the partition index
+         (range partition indices are ordered by key range, which is
+         what makes the cumulative offset correct);
+      4. broadcast the offsets back: rank = local + offset.
+
+    Ties in ``order_cols`` must be broken by a unique column (range
+    partitioning sends equal keys to one partition, so ranking is
+    deterministic only when the full order key is unique). Exact
+    integer arithmetic → bit-identical to the single-window form
+    (``two_phase=False``, the small-N cross-check).
+
+    ``group_size_col`` additionally emits each group's total row count
+    — derived from the SAME metadata-sized counts frame, so consumers
+    that need (rank, n) pairs (ntile_from_rank, percentiles) don't
+    re-scan the input for a separate group-size aggregate.
+    """
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    order_exprs = [F.col(c).asc() for c in [*gcols, *ocols]]
+    if not two_phase:
+        w = W.partitionBy(*gcols).orderBy(*[F.col(c).asc() for c in ocols])
+        out = df.withColumn(out_col, F.row_number().over(w).cast("bigint"))
+        if group_size_col:
+            size_w = W.partitionBy(*gcols).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+            out = out.withColumn(
+                group_size_col, F.count(F.lit(1)).over(size_w).cast("bigint")
+            )
+        return out
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    part = df.repartitionByRange(n_parts, *order_exprs).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = W.partitionBy("__pid", *gcols).orderBy(*[F.col(c).asc() for c in ocols])
+    local = part.withColumn("__local_rn", F.row_number().over(local_w).cast("bigint"))
+    counts = part.groupBy("__pid", *gcols).agg(F.count(F.lit(1)).alias("__cnt"))
+    off_w = (
+        W.partitionBy(*gcols)
+        .orderBy(F.col("__pid").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    size_cols = (
+        [
+            F.sum("__cnt")
+            .over(W.partitionBy(*gcols))
+            .cast("bigint")
+            .alias(group_size_col)
+        ]
+        if group_size_col
+        else []
+    )
+    offsets = counts.select(
+        "__pid",
+        *gcols,
+        F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).cast("bigint").alias("__off"),
+        *size_cols,
+    )
+    out = (
+        local.join(F.broadcast(offsets), on=["__pid", *gcols])
+        .withColumn(out_col, (F.col("__local_rn") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__local_rn", "__off")
+    )
+    return out
+
+
+def ntile_from_rank(rank_col: str, n_col: str, k: int) -> Column:
+    """Standard-SQL NTILE(k) bucket from a 1-based in-group rank column
+    and a group-size column — the first (n mod k) buckets take
+    ceil(n/k) rows, the rest floor(n/k). Closed-form BIGINT floor
+    division (`div`), so it composes with grouped_rank_two_phase into
+    a skew-proof ntile bit-identical to the window-function NTILE.
+    CASE evaluates lazily per row, so the small-bucket division never
+    sees q = 0 (groups with n < k land entirely in the first branch)."""
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= ({n_col} % {k}) * (({n_col} div {k}) + 1) "
+        f"THEN ({rank_col} - 1) div (({n_col} div {k}) + 1) + 1 "
+        f"ELSE ({n_col} % {k}) + ({rank_col} - 1 - ({n_col} % {k}) * (({n_col} div {k}) + 1)) "
+        f"div ({n_col} div {k}) + 1 END AS INT)"
+    )
