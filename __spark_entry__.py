@@ -1766,6 +1766,110 @@ def q110_quality_terciles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q111_grouped_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-proof per-group top-k (operators/topk.grouped_top_k): the
+    top-5 events by value within each event_type via the SALTED
+    two-phase ranking — local row_number per (salt, group) keeps ≤
+    k×buckets survivors per group, then the exact window runs on that
+    bounded set. A hot group (one event type dominating the feed)
+    spreads over up to 64 tasks instead of sorting on one. Oracle =
+    the plain `ROW_NUMBER() OVER (PARTITION BY ...) <= k` window —
+    proving the salted rewrite selects identical rows."""
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ranked = topk.grouped_top_k(
+        ev,
+        ["event_type"],
+        5,
+        [F.col("value").desc(), F.col("event_id").asc()],
+        out_col="rk",
+    )
+    return ranked.select("event_type", "rk", "event_id", "user_id", "value").orderBy(
+        "event_type", "rk"
+    )
+
+
+def q112_session_busy_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Large×large interval-overlap join with NO equi-key
+    (operators/joins.interval_overlap_join): user sessions (30-min-gap
+    sessionization, the q36 contract) × the 100 busiest hours of the
+    feed, overlap = closed-interval intersection. The non-equi
+    predicate alone would plan as a nested loop; binning both interval
+    sets to epoch hours turns it into a hash join on the bin, with the
+    overlap test as post-probe residual and the first-shared-bin
+    arithmetic dedup (no distinct shuffle). Oracle = DuckDB's plain
+    non-equi join."""
+    ev = load(spark, sf, "events").select("user_id", "event_id", "ts")
+    sess = windows.sessionize(
+        ev, partition=["user_id"], ts="ts", gap="30 minutes", order_tiebreak=["event_id"]
+    )
+    bounds = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    busy = (
+        load(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("b_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("b_start"))
+        .limit(100)
+        .select("b_start", (F.col("b_start") + F.expr("INTERVAL 1 HOUR")).alias("b_end"))
+    )
+    pairs = joins.interval_overlap_join(
+        bounds,
+        busy,
+        left_start="s_start",
+        left_end="s_end",
+        right_start="b_start",
+        right_end="b_end",
+        bin_micros=3_600_000_000,
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap_pairs"),
+            F.countDistinct("session_id").alias("n_sessions_hit"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q113_ewma_user_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user exponentially decayed activity score
+    (operators/windows.ewma_last): EWMA of event value in event-time
+    order, α=0.25 (exact binary fraction). A sequential recurrence no
+    window frame can express — computed as sort_array + F.aggregate
+    seeded with the first element, the same left-to-right double fold
+    DuckDB's list_reduce performs, so an inherently ORDER-DEPENDENT
+    float statistic still value-hash matches (the q65 fold-parity
+    property applied to a recurrence)."""
+    ev = load(spark, sf, "events")
+    return windows.ewma_last(
+        ev,
+        partition=["user_id"],
+        ts="ts",
+        value_col="value",
+        alpha=0.25,
+        order_tiebreak=["event_id"],
+    ).orderBy("user_id")
+
+
+def q114_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally maintained (hour, event_type) rollup — the
+    hypertable continuous-aggregate pattern
+    (streaming/pipeline.maintain_hourly_rollup): events stream in
+    micro-batches; each batch folds its PARTIAL decimal-sum/count
+    aggregate into a persistent store guarded by a batch-id ledger
+    (additive merges are not idempotent under at-least-once
+    redelivery, so idempotence comes from the ledger + atomic rename).
+    Oracle = the plain batch GROUP BY over the whole feed — the
+    maintained table must be indistinguishable from recomputation."""
+    work = f"/tmp/sparkgraft_q114_{os.path.basename(sf.rstrip('/'))}"
+    return stream.maintain_hourly_rollup(spark, sf, work, n_arrival_files=4).orderBy(
+        "hour", "event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1878,6 +1982,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_stream_attribution": q108_stream_attribution,
         "q109_pagerank": q109_pagerank,
         "q110_quality_terciles": q110_quality_terciles,
+        "q111_grouped_topk": q111_grouped_topk,
+        "q112_session_busy_overlap": q112_session_busy_overlap,
+        "q113_ewma_user_score": q113_ewma_user_score,
+        "q114_incremental_rollup": q114_incremental_rollup,
     }
 
 
@@ -3190,5 +3298,66 @@ SELECT lang, tercile, COUNT(*) AS n_docs,
        CAST(SUM(q_tokens) AS BIGINT) AS total_tokens
 FROM t GROUP BY lang, tercile
 ORDER BY lang, tercile
+""",
+        "q111_grouped_topk": """
+WITH r AS (
+  SELECT event_type, event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rk
+  FROM events
+)
+SELECT event_type, CAST(rk AS INTEGER) AS rk, event_id, user_id, value
+FROM r WHERE rk <= 5
+ORDER BY event_type, rk
+""",
+        "q112_session_busy_overlap": """
+WITH b AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, ts,
+         SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM b
+), sess AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM s GROUP BY user_id, session_id
+), hours AS (
+  SELECT date_trunc('hour', ts) AS b_start, COUNT(*) AS n FROM events GROUP BY 1
+), busy AS (
+  SELECT b_start, b_start + INTERVAL 1 HOUR AS b_end
+  FROM hours ORDER BY n DESC, b_start ASC LIMIT 100
+)
+SELECT user_id,
+       COUNT(*) AS n_overlap_pairs,
+       COUNT(DISTINCT session_id) AS n_sessions_hit
+FROM sess JOIN busy ON s_start <= b_end AND b_start <= s_end
+GROUP BY user_id
+ORDER BY user_id
+""",
+        "q113_ewma_user_score": """
+WITH packed AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         list_sort(list(struct_pack(
+           ts_us := epoch_us(ts), tb := event_id, v := CAST(value AS DOUBLE)
+         ))) AS arr
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       list_reduce(list_transform(arr, s -> s.v),
+                   (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+FROM packed
+ORDER BY user_id
+""",
+        "q114_incremental_rollup": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
 """,
     }

@@ -52,6 +52,9 @@ HEADLINE = [
     "q107_salted_join",
     "q109_pagerank",
     "q110_quality_terciles",
+    "q111_grouped_topk",
+    "q112_session_busy_overlap",
+    "q113_ewma_user_score",
 ]
 
 

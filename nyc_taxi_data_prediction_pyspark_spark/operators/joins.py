@@ -145,3 +145,51 @@ def asof_join(
     sel += [F.col(f"__p_{c}").alias(c) for c in probe_payload]
     sel += [F.col(f"__v_{c}").alias(c) for c in value_cols]
     return out.select(*sel)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_micros: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Large×large interval-overlap join (closed intervals:
+    ``l_start <= r_end AND r_start <= l_end``) as an EQUI-join on time
+    bins — the standard rewrite of a non-equi range predicate that
+    Spark would otherwise plan as a nested-loop/cartesian.
+
+    Each side explodes its interval into the epoch-micro bins it
+    covers (``sequence(start div w, end div w)``); the pair meets on
+    (keys…, bin) in an ordinary hash join; the overlap predicate is
+    the post-probe residual. A pair overlapping several shared bins
+    would duplicate, so each pair is kept ONLY in its first shared
+    bin — ``bin == greatest(l_start, r_start) div w`` — which
+    deduplicates arithmetically, with no distinct shuffle.
+
+    Scale posture: shuffle volume = Σ interval_span/bin_width per row
+    (pick ``bin_micros`` near the median interval length so the
+    explosion factor stays O(1)); the join hashes on (keys, bin), so
+    time spreads the load even when ``keys`` is empty — no task sees
+    more than one bin's worth of pairs. Both outputs keep their input
+    columns; prefix/alias them before the call if names collide.
+    """
+    w = int(bin_micros)
+
+    def bin_of(col_name: str):  # exact BIGINT floor division — matches the oracle's //
+        return F.expr(f"unix_micros({col_name}) div {w}")
+
+    lb = left.withColumn("__bin", F.explode(F.sequence(bin_of(left_start), bin_of(left_end))))
+    rb = right.withColumn("__bin", F.explode(F.sequence(bin_of(right_start), bin_of(right_end))))
+    joined = lb.join(rb, on=[*keys, "__bin"])
+    overlap = (F.unix_micros(F.col(left_start)) <= F.unix_micros(F.col(right_end))) & (
+        F.unix_micros(F.col(right_start)) <= F.unix_micros(F.col(left_end))
+    )
+    first_shared = F.col("__bin") == F.expr(
+        f"greatest(unix_micros({left_start}), unix_micros({right_start})) div {w}"
+    )
+    return joined.where(overlap & first_shared).drop("__bin")

@@ -235,3 +235,57 @@ def ntile_from_rank(rank_col: str, n_col: str, k: int) -> Column:
         f"ELSE ({n_col} % {k}) + ({rank_col} - 1 - ({n_col} % {k}) * (({n_col} div {k}) + 1)) "
         f"div ({n_col} div {k}) + 1 END AS INT)"
     )
+
+
+def ewma_last(
+    df: DataFrame,
+    *,
+    partition: Sequence[str],
+    ts: str,
+    value_col: str,
+    alpha: float = 0.25,
+    order_tiebreak: Sequence[str] = (),
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-group exponentially weighted moving average of ``value_col``
+    in event-time order, returning each group's FINAL smoothed value —
+    the classic decayed-activity score (recurrence: s_0 = x_0,
+    s_i = α·x_i + (1−α)·s_{i−1}).
+
+    EWMA is a sequential fold, which Spark windows cannot express
+    (no carry between rows) and a distributed float sum would make
+    order-dependent. Expressed instead as collect → ``sort_array`` →
+    ``F.aggregate`` seeded with the first element: a per-group
+    LEFT-TO-RIGHT fold, bit-identical run-to-run AND engine-to-engine
+    (DuckDB's ``list_reduce`` folds in the same order with the same
+    first-element seed — the q65 fold-parity property), so an
+    inherently sequential statistic stays value-hash verifiable.
+    Pick α with an exact binary representation (0.25, 0.5, 0.125…) so
+    the per-step multipliers introduce no decimal-literal rounding.
+
+    Scale posture: one shuffle (the groupBy); per-group state is the
+    group's own rows — bounded by events-per-entity, not corpus size
+    (a user's history fits in an executor; a group that does not —
+    telemetry with 10^8 rows per key — needs the segmented-scan
+    variant: per-chunk folds carrying (weight, offset) pairs, composed
+    associatively, the grouped_rank_two_phase discipline applied to
+    an affine recurrence).
+
+    Ties in (ts, tiebreak) must be unique per group for a total order
+    — pass the event id.
+    """
+    order_cols = [F.unix_micros(F.col(ts)).alias("__ts_us")] + [
+        F.col(c).cast("bigint").alias(f"__tb{i}") for i, c in enumerate(order_tiebreak)
+    ]
+    packed = F.struct(*order_cols, F.col(value_col).cast("double").alias("__v"))
+    arr = F.sort_array(F.collect_list(packed))
+    vals = F.transform(arr, lambda s: s["__v"])
+    a = float(alpha)
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+    )
+    return df.groupBy(*partition).agg(
+        F.count(F.lit(1)).alias("n_events"), fold.alias(out_col)
+    )

@@ -199,3 +199,118 @@ def ingest_corpus_incrementally(
 
     foreach_batch_merge(stream, checkpoint=ckpt, merge_fn=merge)
     return spark.read.parquet(store)
+
+
+def rollup_merge_fn(store: str) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch merge for ``maintain_hourly_rollup``, exposed
+    so tests can replay a batch_id directly and assert the ledger makes
+    the additive merge idempotent. Batches carry the raw events schema
+    (ts as nano-long)."""
+    import os
+    import shutil
+    import uuid
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        data_dir, ledger_dir = os.path.join(store, "data"), os.path.join(store, "ledger")
+        applied = (
+            {r.batch_id for r in s.read.parquet(ledger_dir).collect()}
+            if os.path.exists(ledger_dir)
+            else set()
+        )
+        if batch_id in applied:
+            return  # redelivered batch — already folded in
+        b = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        partial = b.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+        )
+        if os.path.exists(data_dir):
+            prev = s.read.parquet(data_dir)
+            merged = (
+                prev.unionByName(partial)
+                .groupBy("hour", "event_type")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("value_sum").cast("decimal(18,4)").alias("value_sum"),
+                )
+            )
+        else:
+            merged = partial
+        ledger = s.createDataFrame(
+            [(int(i),) for i in sorted({*applied, batch_id})], "batch_id bigint"
+        )
+        tmp = f"{store}_tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        ledger.write.mode("overwrite").parquet(os.path.join(tmp, "ledger"))
+        if os.path.exists(store):
+            shutil.rmtree(store)
+        os.rename(tmp, store)
+
+    return merge
+
+
+def maintain_hourly_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    *,
+    n_arrival_files: int = 4,
+) -> DataFrame:
+    """Incrementally maintained materialized rollup (the hypertable
+    continuous-aggregate pattern): events arrive in micro-batches and
+    fold into a persistent (hour, event_type) → (n, decimal sum)
+    aggregate table, so readers query the small rollup instead of
+    re-scanning the raw feed.
+
+    SUM/COUNT are additive — a batch contributes its PARTIAL aggregate
+    and the store re-aggregates — but additive merges are NOT
+    idempotent under foreachBatch's at-least-once redelivery (unlike
+    q104's MIN-merge). Idempotence is restored the warehouse way: a
+    ledger of applied batch_ids rides inside the store directory and
+    the swap is a single atomic rename, so a redelivered batch is
+    recognized and skipped, and a crash between data and ledger writes
+    cannot split them. The maintained table is IDENTICAL to the batch
+    group-by however arrivals are split or redelivered
+    (batch-boundary invariance + redelivery invariance, both tested).
+
+    Per-trigger cost is O(|store| + |batch|) — the rollup is bounded
+    by the (hour, type) domain, not the event count, so the re-agg
+    stays metadata-sized at any feed volume; sums are kept as DECIMAL
+    in the store (order-independent, exactly mergeable) and cast to
+    double only at the read boundary.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)  # deterministic re-runs
+    arrivals = os.path.join(work_dir, "arrivals")
+    store = os.path.join(work_dir, "store")
+    ckpt = os.path.join(work_dir, "ckpt")
+
+    # events.parquet carries TIMESTAMP(NANOS): read as long, convert to
+    # µs per batch below — same discipline as read_event_stream.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(sf_dir, "events.parquet"))
+    raw.repartition(n_arrival_files).write.mode("overwrite").parquet(arrivals)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+    )
+
+    foreach_batch_merge(stream, checkpoint=ckpt, merge_fn=rollup_merge_fn(store))
+    return (
+        spark.read.parquet(os.path.join(store, "data"))
+        .select(
+            "hour",
+            "event_type",
+            "n",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+    )

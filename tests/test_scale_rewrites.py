@@ -1,0 +1,190 @@
+"""Equivalence tests for the scale rewrites of q111-q114: each rewrite
+(salted top-k, binned interval join, fold-EWMA, ledger-guarded rollup)
+must be bit-identical to its naive formulation — the rewrites buy
+scale, never different answers."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_prediction_pyspark_spark.operators import joins, topk, windows
+from nyc_taxi_data_prediction_pyspark_spark.streaming import pipeline as stream
+
+
+def _rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_grouped_topk_matches_plain_window(spark):
+    rng = random.Random(7)
+    # hot group: 'a' holds 80% of rows — the case the salt exists for
+    rows = [
+        ("a" if rng.random() < 0.8 else rng.choice("bcd"), i, rng.randrange(10_000))
+        for i in range(5_000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, v long").repartition(16)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    fast = topk.grouped_top_k(df, ["grp"], 7, order, out_col="rk")
+    slow = topk.grouped_top_k(df, ["grp"], 7, order, out_col="rk", two_phase=False)
+    assert _rows_set(fast) == _rows_set(slow)
+    assert fast.where(F.col("rk") > 7).count() == 0
+
+
+def test_grouped_topk_k_exceeds_group(spark):
+    df = spark.createDataFrame(
+        [("g", i, i) for i in range(3)], "grp string, id long, v long"
+    )
+    out = topk.grouped_top_k(df, ["grp"], 10, [F.col("v").desc(), F.col("id").asc()])
+    assert out.count() == 3  # groups smaller than k survive whole
+
+
+def test_interval_overlap_join_matches_nested_loop(spark):
+    rng = random.Random(13)
+    base = dt.datetime(2026, 1, 1)
+
+    def intervals(n, tag):
+        out = []
+        for i in range(n):
+            s = base + dt.timedelta(minutes=rng.randrange(10_000))
+            # spans from sub-bin to multi-bin (0..5 h) — exercises both
+            # the residual filter and the first-shared-bin dedup
+            e = s + dt.timedelta(minutes=rng.randrange(300))
+            out.append((f"{tag}{i}", s, e))
+        return out
+
+    left = spark.createDataFrame(intervals(300, "L"), "lid string, ls timestamp, le timestamp")
+    right = spark.createDataFrame(intervals(80, "R"), "rid string, rs timestamp, re timestamp")
+    binned = joins.interval_overlap_join(
+        left,
+        right,
+        left_start="ls",
+        left_end="le",
+        right_start="rs",
+        right_end="re",
+        bin_micros=3_600_000_000,
+    ).select("lid", "rid")
+    naive = (
+        left.crossJoin(right)
+        .where((F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")))
+        .select("lid", "rid")
+    )
+    assert _rows_set(binned) == _rows_set(naive)
+    # no pair duplicated by multi-bin overlap
+    assert binned.count() == binned.distinct().count()
+
+
+def test_interval_overlap_join_respects_keys(spark):
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1, 0), dt.datetime(2026, 1, 1, 5))],
+        "k int, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2026, 1, 1, 2), dt.datetime(2026, 1, 1, 3)),
+            (2, dt.datetime(2026, 1, 1, 2), dt.datetime(2026, 1, 1, 3)),
+        ],
+        "k int, rs timestamp, re timestamp",
+    )
+    out = joins.interval_overlap_join(
+        left,
+        right,
+        left_start="ls",
+        left_end="le",
+        right_start="rs",
+        right_end="re",
+        bin_micros=3_600_000_000,
+        keys=["k"],
+    )
+    assert out.count() == 1  # the k=2 interval never meets the k=1 session
+
+
+def test_ewma_matches_python_fold(spark):
+    rng = random.Random(21)
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (rng.randrange(5), i, base + dt.timedelta(seconds=i), rng.random() * 100)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    out = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in windows.ewma_last(
+            df, partition=["user_id"], ts="ts", value_col="value",
+            alpha=0.25, order_tiebreak=["event_id"],
+        ).collect()
+    }
+    by_user: dict[int, list[tuple[int, float]]] = {}
+    for u, eid, _ts, v in rows:
+        by_user.setdefault(u, []).append((eid, v))
+    for u, seq in by_user.items():
+        acc = None
+        for _eid, v in sorted(seq):
+            acc = v if acc is None else 0.25 * v + 0.75 * acc
+        n, got = out[u]
+        assert n == len(seq)
+        assert got == acc  # bit-identical left fold, not approx
+
+
+def test_rollup_batch_split_invariance(spark, sf_dir, tmp_path):
+    one = stream.maintain_hourly_rollup(
+        spark, sf_dir, str(tmp_path / "w1"), n_arrival_files=1
+    )
+    five = stream.maintain_hourly_rollup(
+        spark, sf_dir, str(tmp_path / "w5"), n_arrival_files=5
+    )
+    assert _rows_set(one) == _rows_set(five)
+    batch = (
+        spark.read.schema(stream.EVENTS_SCHEMA)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("value_sum"),
+        )
+    )
+    assert _rows_set(one) == _rows_set(batch)
+
+
+def test_rollup_ledger_makes_redelivery_idempotent(spark, sf_dir, tmp_path):
+    store = str(tmp_path / "store")
+    merge = stream.rollup_merge_fn(store)
+    batch = spark.read.schema(stream.EVENTS_SCHEMA).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    merge(batch, 0)
+    once = _rows_set(spark.read.parquet(os.path.join(store, "data")))
+    merge(batch, 0)  # at-least-once redelivery of the SAME batch id
+    assert _rows_set(spark.read.parquet(os.path.join(store, "data"))) == once
+    merge(batch, 1)  # a genuinely new batch still folds in
+    doubled = spark.read.parquet(os.path.join(store, "data"))
+    assert _rows_set(doubled.select("hour", "event_type", (F.col("n") / 2).cast("bigint").alias("n"))) == {
+        (h, t, n) for h, t, n, _ in once
+    }
+
+
+def test_interval_join_plans_as_hash_join(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.plans import explain as ex
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1, 0), dt.datetime(2026, 1, 1, 5))],
+        "lid int, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [(2, dt.datetime(2026, 1, 1, 2), dt.datetime(2026, 1, 1, 3))],
+        "rid int, rs timestamp, re timestamp",
+    )
+    out = joins.interval_overlap_join(
+        left, right,
+        left_start="ls", left_end="le", right_start="rs", right_end="re",
+        bin_micros=3_600_000_000,
+    )
+    # the whole point of the bin rewrite: the non-equi overlap plans as
+    # an equi join on the bin, never a cartesian/nested loop
+    assert not ex.has_cartesian(out)
+    assert ex.has_broadcast_join(out) or ex.has_shuffle_join(out)

@@ -50,6 +50,9 @@ NOTES = {
     "q107_salted_join": "dim exploded ×8 meets the salted fact on (key, salt) — a hot key spreads over 8 partitions; final agg keeps map-side partials",
     "q109_pagerank": "per iteration: ONE edges⋈ranks shuffle + one dst-keyed agg; rank state O(|V|); lineage truncated per round",
     "q110_quality_terciles": "two-phase grouped rank: range exchange, pid-partitioned local windows, closed-form ntile CASE — no per-language single task",
+    "q111_grouped_topk": "salted local row_number keeps ≤ k×64 rows per group before the exact window — hot group spreads over 64 tasks",
+    "q112_session_busy_overlap": "interval join as bin equi-join: explode to hour bins, hash join, overlap residual + first-shared-bin dedup — no nested loop",
+    "q113_ewma_user_score": "one groupBy shuffle; the EWMA recurrence is a per-group array fold, no window, no UDF",
 }
 
 
