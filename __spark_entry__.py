@@ -1870,6 +1870,64 @@ def q114_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q115_recursive_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+    """Native recursive CTE (Spark 4.x WITH RECURSIVE) walking the
+    radix tree parent(k) = k div 10 over customers: each node gets its
+    root ancestor and depth in one recursive fixpoint, then a subtree
+    rollup (size, max depth, exact decimal balance) per root. Depth is
+    O(log10 |customers|), so the recursion is ~5 joins even at 10^9
+    customers, each a hash join on the parent key — the same plan
+    family as connected_components but expressed in the SQL front-end
+    and oracle-checked against DuckDB's recursive CTE (an ITERATIVE
+    query both engines run natively)."""
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql("""
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey AS node, c_custkey AS root, 0 AS depth, c_acctbal AS bal
+          FROM customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, w.root, w.depth + 1, c.c_acctbal
+          FROM customer c JOIN walk w ON (c.c_custkey div 10) = w.node
+          WHERE c.c_custkey >= 10
+        )
+        SELECT root,
+               COUNT(*) AS n_nodes,
+               CAST(MAX(depth) AS INT) AS max_depth,
+               CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_balance
+        FROM walk GROUP BY root ORDER BY root
+    """)
+
+
+def q116_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap — the corpus-balancing pass of a crawl
+    pipeline (no domain may dominate the training mix): keep the top
+    10 docs per source by quality (stopword ratio, doc_id tiebreak)
+    using the SALTED grouped top-k (q111's operator — at crawl scale
+    one domain is a hot group), then account kept/dropped and the
+    surviving token mass per source. Oracle = the plain ROW_NUMBER
+    window + the same accounting."""
+    q = textops.quality_features(load(spark, sf, "documents"))
+    kept = topk.grouped_top_k(
+        q,
+        ["source"],
+        10,
+        [F.col("q_stopword_ratio").desc(), F.col("doc_id").asc()],
+        out_col="rk",
+    )
+    totals = q.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_stats = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("q_tokens").cast("bigint").alias("kept_tokens"),
+    )
+    return (
+        totals.join(kept_stats, "source")
+        .withColumn("n_dropped", (F.col("n_docs") - F.col("n_kept")).cast("bigint"))
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1986,6 +2044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_session_busy_overlap": q112_session_busy_overlap,
         "q113_ewma_user_score": q113_ewma_user_score,
         "q114_incremental_rollup": q114_incremental_rollup,
+        "q115_recursive_hierarchy": q115_recursive_hierarchy,
+        "q116_domain_cap": q116_domain_cap,
     }
 
 
@@ -3359,5 +3419,40 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
+""",
+        "q115_recursive_hierarchy": """
+WITH RECURSIVE walk AS (
+  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth, c_acctbal AS bal
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, w.root, w.depth + 1, c.c_acctbal
+  FROM customer c JOIN walk w ON (c.c_custkey // 10) = w.node
+  WHERE c.c_custkey >= 10
+)
+SELECT root,
+       COUNT(*) AS n_nodes,
+       CAST(MAX(depth) AS INTEGER) AS max_depth,
+       CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_balance
+FROM walk GROUP BY root ORDER BY root
+""",
+        "q116_domain_cap": f"""
+WITH feat AS (
+  SELECT doc_id, source,
+         len({_TOKENS}) AS q_tokens,
+         ROUND({_HITS['en']} * 1.0 / greatest(len({_TOKENS}), 1), 6) AS q_stopword_ratio
+  FROM documents
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY q_stopword_ratio DESC, doc_id ASC) AS rk
+  FROM feat
+), totals AS (
+  SELECT source, COUNT(*) AS n_docs FROM feat GROUP BY source
+), kept AS (
+  SELECT source, COUNT(*) AS n_kept, CAST(SUM(q_tokens) AS BIGINT) AS kept_tokens
+  FROM r WHERE rk <= 10 GROUP BY source
+)
+SELECT t.source, t.n_docs, k.n_kept, k.kept_tokens,
+       CAST(t.n_docs - k.n_kept AS BIGINT) AS n_dropped
+FROM totals t JOIN kept k USING (source)
+ORDER BY t.source
 """,
     }

@@ -55,6 +55,8 @@ HEADLINE = [
     "q111_grouped_topk",
     "q112_session_busy_overlap",
     "q113_ewma_user_score",
+    "q115_recursive_hierarchy",
+    "q116_domain_cap",
 ]
 
 

@@ -53,6 +53,7 @@ NOTES = {
     "q111_grouped_topk": "salted local row_number keeps ≤ k×64 rows per group before the exact window — hot group spreads over 64 tasks",
     "q112_session_busy_overlap": "interval join as bin equi-join: explode to hour bins, hash join, overlap residual + first-shared-bin dedup — no nested loop",
     "q113_ewma_user_score": "one groupBy shuffle; the EWMA recurrence is a per-group array fold, no window, no UDF",
+    "q115_recursive_hierarchy": "native WITH RECURSIVE: one hash join per tree level, O(log N) levels — iterative SQL both engines run",
 }
 
 
