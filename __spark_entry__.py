@@ -1928,6 +1928,72 @@ def q116_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q117_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-pruned semi join (operators/bloom.py): revenue per month
+    for lineitems of high-balance suppliers. The supplier key set
+    builds a 2^16-bit bitmap (one aggregation, m/64 BIGINT words);
+    the fact side drops non-members on cheap broadcast bit probes
+    BEFORE its shuffle; the exact semi join then removes bloom false
+    positives — so the result is IDENTICAL to the plain semi join
+    (the oracle), and the bloom changed only how many rows reached
+    the shuffle. The explicit form of the runtime-filter rewrite
+    Catalyst injects when stats allow (sideways information passing)."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import bloom
+
+    li = load(spark, sf, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    hot = load(spark, sf, "supplier").where(F.col("s_acctbal") > 9000).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    kept = bloom.bloom_semi_join(li, hot, on=["l_suppkey"])
+    return (
+        kept.groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
+        .agg(
+            agg.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("month")
+    )
+
+
+def q118_table_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed table reconciliation (operators/setops.table_diff): diff
+    orders against a deterministically perturbed next version (every
+    97th key re-priced, every 101st dropped, keys shifted past the max
+    added) and count keys per change class. One full-outer hash join +
+    NULL-safe column compares — the anti-entropy check a warehouse
+    runs after a CDC backfill. Oracle = the same classification in
+    SQL."""
+    o = load(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    v2 = (
+        o.where(F.col("o_orderkey") % 101 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") * 1.1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.orderBy("o_orderkey")
+            .limit(50)  # deterministic added set: the 50 lowest keys, shifted
+            .select(
+                (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    d = setops.table_diff(o, v2, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+    return (
+        d.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("change_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2046,6 +2112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_incremental_rollup": q114_incremental_rollup,
         "q115_recursive_hierarchy": q115_recursive_hierarchy,
         "q116_domain_cap": q116_domain_cap,
+        "q117_bloom_semi_join": q117_bloom_semi_join,
+        "q118_table_diff": q118_table_diff,
     }
 
 
@@ -3454,5 +3522,36 @@ SELECT t.source, t.n_docs, k.n_kept, k.kept_tokens,
        CAST(t.n_docs - k.n_kept AS BIGINT) AS n_dropped
 FROM totals t JOIN kept k USING (source)
 ORDER BY t.source
+""",
+        "q117_bloom_semi_join": """
+SELECT date_trunc('month', l_shipdate)::TIMESTAMP AS month,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000)
+GROUP BY 1
+ORDER BY month
+""",
+        "q118_table_diff": """
+WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM o WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice, o_orderstatus
+  FROM (SELECT * FROM o ORDER BY o_orderkey LIMIT 50)
+),
+d AS (
+  SELECT COALESCE(o.o_orderkey, v2.o_orderkey) AS k,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN v2.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_totalprice IS NOT DISTINCT FROM v2.o_totalprice
+                   AND o.o_orderstatus IS NOT DISTINCT FROM v2.o_orderstatus THEN 'unchanged'
+              ELSE 'changed' END AS change_type
+  FROM o FULL OUTER JOIN v2 ON o.o_orderkey = v2.o_orderkey
+)
+SELECT change_type, COUNT(*) AS n_keys FROM d GROUP BY change_type ORDER BY change_type
 """,
     }

@@ -188,3 +188,52 @@ def test_interval_join_plans_as_hash_join(spark):
     # an equi join on the bin, never a cartesian/nested loop
     assert not ex.has_cartesian(out)
     assert ex.has_broadcast_join(out) or ex.has_shuffle_join(out)
+
+
+def test_bloom_semi_join_exact_even_with_false_positives(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators import bloom
+
+    fact = spark.createDataFrame([(i,) for i in range(2_000)], "k long")
+    keys = spark.createDataFrame([(i,) for i in range(0, 2_000, 37)], "k long")
+    exact = {r.k for r in fact.join(keys, "k", "left_semi").collect()}
+    # m_bits=64: one word, saturated — nearly every probe is a false
+    # positive; the exact join must still strip them all
+    tiny = bloom.bloom_semi_join(fact, keys, on=["k"], m_bits=64)
+    assert {r.k for r in tiny.collect()} == exact
+    # realistic bitmap: same answer, AND the prefilter actually prunes
+    pruned = bloom.bloom_prefilter(
+        fact, bloom.bloom_build(keys, "k"), "k"
+    )
+    assert {r.k for r in bloom.bloom_semi_join(fact, keys, on=["k"]).collect()} == exact
+    n_pruned = pruned.count()
+    assert len(exact) <= n_pruned < 2_000  # members always survive, most non-members drop
+
+
+def test_bloom_prefilter_never_drops_members(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators import bloom
+
+    keys = spark.createDataFrame([(i * 13,) for i in range(500)], "k long")
+    b = bloom.bloom_build(keys, "k")
+    survivors = {r.k for r in bloom.bloom_prefilter(keys, b, "k").collect()}
+    assert survivors == {i * 13 for i in range(500)}  # zero false negatives, ever
+
+
+def test_table_diff_classification(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators import setops
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, None)],
+        "k long, v double, s string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 21.0, "b"), (3, None, "c"), (5, 50.0, "e")],
+        "k long, v double, s string",
+    )
+    got = {r.k: r.change_type for r in setops.table_diff(left, right, ["k"], ["v", "s"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",  # NULL == NULL under eqNullSafe
+        4: "removed",
+        5: "added",
+    }
