@@ -1994,7 +1994,48 @@ def q118_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Driver-slot rotation (round 3): the correctness driver hard-checks the
+# FIRST 50 registry entries only.  Rounds 1-2 proved q01-q50 twice over,
+# so this round rotates the never-driver-checked queries into the 50
+# slots: all of q75-q118 (LLM-data pipeline, TPC-H shapes, streaming,
+# scale rewrites) plus the oracle-siblings of the rows-only queries
+# (q51/q55/q56/q67/q68/q74).  The 18 still-unrotated queries
+# (q52-q54, q57-q66, q69-q73) hold positions 51-68 and take the slots
+# next round; q01-q50 (double-confirmed) close the registry.  Every
+# query stays registered and oracle-checked locally regardless of
+# position (tools/check_oracle.py runs all of them).
+_DRIVER_SLOTS_R03 = [  # plus every q75-q118, added by number in _driver_order
+    "q51_embedding_dupes_lsh",
+    "q55_minhash_native",
+    "q56_simhash_stable",
+    "q67_pysource_weather",
+    "q68_grouped_regression",
+    "q74_salted_agg",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _all_queries()
+    order = _driver_order(list(base))
+    return {k: base[k] for k in order}
+
+
+def _driver_order(names: list[str]) -> list[str]:
+    """First-50 = round-3 rotation targets; then the 18 deferred to
+    round 4; then the double-confirmed q01-q50."""
+
+    def num(n: str) -> int:
+        return int(n[1:].split("_", 1)[0])
+
+    head = [n for n in names if n in set(_DRIVER_SLOTS_R03) or num(n) >= 75]
+    deferred = [n for n in names if 51 <= num(n) <= 74 and n not in head]
+    tail = [n for n in names if num(n) <= 50]
+    out = sorted(head, key=num) + sorted(deferred, key=num) + sorted(tail, key=num)
+    assert len(out) == len(names) and set(out) == set(names)
+    return out
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_count_orders": q02_count_orders,
@@ -2360,6 +2401,12 @@ SELECT doc_id, ({sig})::BIGINT AS simhash FROM bitsum
 
 
 def oracle_sql() -> dict[str, str]:
+    base = _all_oracle_sql()
+    order = [n for n in _driver_order(list(_all_queries())) if n in base]
+    return {k: base[k] for k in order}
+
+
+def _all_oracle_sql() -> dict[str, str]:
     from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
         HOURLY_DEMAND_ORACLE,
         PRICING_SUMMARY_ORACLE,
