@@ -1199,26 +1199,32 @@ def q88_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
 def q89_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 shape — one dimension table (nation) joined twice in
     different roles (supplier's vs customer's nation) with a
-    symmetric pair filter. Both nation probes broadcast; the only
-    shuffles are the three fact-side equi-joins, all on keys the
-    optimizer can reuse."""
+    symmetric pair filter.  The standard Q7 plan: each nation role
+    frame is pre-filtered to the two named nations BEFORE its join, so
+    supplier and customer shrink to ~2/25 of their rows at the (25-row
+    broadcast) nation joins and ~92% of lineitem is pruned at the very
+    first probe — the pair disjunction survives only as a residual over
+    the remaining 2x2 nation space.  Supplier and customer carry no
+    broadcast hints (both grow with SF); AQE picks their join strategy
+    from runtime sizes."""
     li = load(spark, sf, "lineitem")
     o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
     c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
     s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf, "nation").select("n_nationkey", "n_name")
-    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    both = n.where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    n1 = both.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = both.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
     pair = (
         ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
+    s_pruned = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+    c_pruned = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        li.join(s_pruned, li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c_pruned, o.o_custkey == F.col("c_custkey"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(agg.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
