@@ -1485,14 +1485,19 @@ def q100_revenue_share_threshold(spark: SparkSession, sf: str) -> DataFrame:
     exceeds a fraction of GLOBAL revenue — the scalar-subquery HAVING.
     The global total is a 1-row aggregate cross-joined back
     (broadcast by construction); both sums are exact decimals so the
-    threshold comparison is engine-identical."""
+    threshold comparison is engine-identical.  Threshold 5e-5: the
+    fixture has ~2000·(sf/0.01) parts with near-uniform revenue (share
+    mean 1/n; max ~1.9x mean), so 5e-5 keeps every part at sf0.01 and
+    the above-mean half at sf0.1 — the result is NON-EMPTY at both SFs
+    and the share math and ordering are value-checked rather than
+    vacuously agreeing on the empty set (round-2 verdict item 4)."""
     li = load(spark, sf, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_part = li.groupBy("l_partkey").agg(agg.dsum(rev, 6).alias("part_rev"))
     total = li.agg(agg.dsum(rev, 6).alias("total_rev"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("part_rev") > 0.001 * F.col("total_rev"))
+        .where(F.col("part_rev") > 0.00005 * F.col("total_rev"))
         .select(
             "l_partkey",
             "part_rev",
@@ -3343,7 +3348,7 @@ total AS (
 )
 SELECT l_partkey, part_rev, part_rev / total_rev AS rev_share
 FROM per_part, total
-WHERE part_rev > CAST(0.001 AS DOUBLE) * total_rev
+WHERE part_rev > CAST(0.00005 AS DOUBLE) * total_rev
 ORDER BY part_rev DESC, l_partkey ASC
 """,
         "q101_nation_year_profit": """
