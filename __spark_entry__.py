@@ -2005,6 +2005,29 @@ def q118_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q119_ewma_segmented(spark: SparkSession, sf: str) -> DataFrame:
+    """Segmented-scan EWMA (operators/windows.ewma_last_segmented) —
+    the hot-entity variant of q113: per-group state is bounded by one
+    5-day TIME BUCKET of events, not the entity's whole history.  The
+    affine recurrence folds per (user, bucket) to (W, B, S) and the
+    bucket summaries compose per user.  Chunking is exact integer floor
+    division of event-time µs — deterministic from row content — so the
+    DuckDB oracle replays the identical chunked float recurrence
+    (per-chunk list_reduce + a recursive CTE over bucket summaries) and
+    an order-dependent float statistic computed in BOUNDED memory still
+    value-hash matches."""
+    ev = load(spark, sf, "events")
+    return windows.ewma_last_segmented(
+        ev,
+        partition=["user_id"],
+        ts="ts",
+        value_col="value",
+        alpha=0.25,
+        order_tiebreak=["event_id"],
+        chunk_micros=5 * 86_400_000_000,
+    ).orderBy("user_id")
+
+
 # Driver-slot rotation (round 3): the correctness driver hard-checks the
 # FIRST 50 registry entries only.  Rounds 1-2 proved q01-q50 twice over,
 # so this round rotates the never-driver-checked queries into the 50
@@ -2166,6 +2189,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_domain_cap": q116_domain_cap,
         "q117_bloom_semi_join": q117_bloom_semi_join,
         "q118_table_diff": q118_table_diff,
+        "q119_ewma_segmented": q119_ewma_segmented,
     }
 
 
@@ -3611,5 +3635,37 @@ d AS (
   FROM o FULL OUTER JOIN v2 ON o.o_orderkey = v2.o_orderkey
 )
 SELECT change_type, COUNT(*) AS n_keys FROM d GROUP BY change_type ORDER BY change_type
+""",
+        "q119_ewma_segmented": """
+WITH RECURSIVE chunk_folds AS (
+  SELECT user_id,
+         (epoch_us(ts) - (((epoch_us(ts) % 432000000000) + 432000000000) % 432000000000))
+           // 432000000000 AS chunk_id,
+         COUNT(*) AS cnt,
+         list_transform(list_sort(list(struct_pack(
+           ts_us := epoch_us(ts), tb := event_id, v := CAST(value AS DOUBLE)
+         ))), s -> s.v) AS vals
+  FROM events GROUP BY 1, 2
+),
+summ AS (
+  SELECT user_id, cnt,
+         row_number() OVER (PARTITION BY user_id ORDER BY chunk_id) AS ci,
+         COUNT(*) OVER (PARTITION BY user_id) AS nchunks,
+         list_reduce(list_prepend(CAST(1.0 AS DOUBLE), vals), (acc, x) -> 0.75 * acc) AS w,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals), (acc, x) -> 0.25 * x + 0.75 * acc) AS b,
+         list_reduce(vals, (acc, x) -> 0.25 * x + 0.75 * acc) AS s
+  FROM chunk_folds
+),
+rec AS (
+  SELECT user_id, ci, nchunks, s AS acc FROM summ WHERE ci = 1
+  UNION ALL
+  SELECT o.user_id, o.ci, o.nchunks, o.w * r.acc + o.b AS acc
+  FROM summ o JOIN rec r ON o.user_id = r.user_id AND o.ci = r.ci + 1
+),
+totals AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_events FROM summ GROUP BY 1)
+SELECT t.user_id, t.n_events, r.acc AS ewma
+FROM rec r JOIN totals t ON r.user_id = t.user_id
+WHERE r.ci = r.nchunks
+ORDER BY t.user_id
 """,
     }

@@ -320,12 +320,16 @@ def pack_documents(
          a window over those #partitions rows,
       4. broadcast the offsets back and add to the local prefix.
 
-    The range exchange appears in two plan subtrees (main + subtotals)
-    and is deduplicated by ReuseExchange, so the corpus is shuffled
-    once. Range partition indices are ordered by key range, which is
-    what makes step 3's cumulative sum correct. Exact integer
-    arithmetic → oracle-stable and bit-identical to the single-window
-    form (``two_phase=False``, kept as the small-N cross-check).
+    The pid-stamped frame appears in two plan subtrees (main +
+    subtotals), so it is localCheckpoint'd: ``spark_partition_id`` is
+    nondeterministic (range boundaries come from sampling) and exchange
+    reuse is an optimization, not a guarantee — two independent
+    evaluations could disagree on pids and silently corrupt the offsets
+    join. Materializing once pins the assignment and shuffles the
+    corpus exactly once. Range partition indices are ordered by key
+    range, which is what makes step 3's cumulative sum correct. Exact
+    integer arithmetic → oracle-stable and bit-identical to the
+    single-window form (``two_phase=False``, the small-N cross-check).
     """
     start = _pack_start(df, id_col, tokens_col, two_phase, num_partitions)
     return start.select(
@@ -355,8 +359,12 @@ def _pack_start(
     n_parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    part = df.repartitionByRange(n_parts, F.col(id_col).asc()).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint pins the nondeterministic (row -> __pid) map for
+    # both consumers — see pack_documents docstring / windows.py:200
+    part = (
+        df.repartitionByRange(n_parts, F.col(id_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     local_w = (
         W.partitionBy("__pid")

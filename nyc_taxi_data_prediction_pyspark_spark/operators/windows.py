@@ -186,8 +186,19 @@ def grouped_rank_two_phase(
     n_parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    part = df.repartitionByRange(n_parts, *order_exprs).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint freezes the (row -> __pid) assignment: spark_
+    # partition_id is NONDETERMINISTIC (range boundaries come from
+    # sampling), and this frame is consumed twice (ranked rows + the
+    # offsets aggregate).  If the two subtrees re-evaluate the exchange
+    # independently — exchange reuse is an optimization, never a
+    # guarantee — their pid assignments can disagree and the offsets
+    # join silently drops/shifts rows.  Materializing once is the
+    # correctness fix; the cost is one pass of the projected input to
+    # executor storage (disk-spillable), amortized by both consumers.
+    part = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     local_w = W.partitionBy("__pid", *gcols).orderBy(*[F.col(c).asc() for c in ocols])
     local = part.withColumn("__local_rn", F.row_number().over(local_w).cast("bigint"))
@@ -266,10 +277,9 @@ def ewma_last(
     Scale posture: one shuffle (the groupBy); per-group state is the
     group's own rows — bounded by events-per-entity, not corpus size
     (a user's history fits in an executor; a group that does not —
-    telemetry with 10^8 rows per key — needs the segmented-scan
-    variant: per-chunk folds carrying (weight, offset) pairs, composed
-    associatively, the grouped_rank_two_phase discipline applied to
-    an affine recurrence).
+    telemetry with 10^8 rows per key — uses ``ewma_last_segmented``
+    below: per-time-bucket affine folds composed per group, bounded by
+    bucket size instead of history size).
 
     Ties in (ts, tiebreak) must be unique per group for a total order
     — pass the event id.
@@ -288,4 +298,99 @@ def ewma_last(
     )
     return df.groupBy(*partition).agg(
         F.count(F.lit(1)).alias("n_events"), fold.alias(out_col)
+    )
+
+
+def ewma_last_segmented(
+    df: DataFrame,
+    *,
+    partition: Sequence[str],
+    ts: str,
+    value_col: str,
+    alpha: float = 0.25,
+    order_tiebreak: Sequence[str] = (),
+    out_col: str = "ewma",
+    chunk_micros: int = 86_400_000_000,
+) -> DataFrame:
+    """``ewma_last`` for HOT entities — the segmented-scan variant the
+    plain fold's docstring promises: per-group state is bounded by one
+    TIME BUCKET of the entity's events, not its whole history, so a
+    telemetry key with 10^8 lifetime events still folds in bounded
+    memory (one day of a 1 kHz feed is ~9e7… pick ``chunk_micros`` so
+    rate × width fits a task).
+
+    The EWMA step s' = α·x + (1−α)·s is AFFINE in s, so a contiguous
+    run composes to one affine map s ↦ W·s + B with W = (1−α)^m
+    (folded multiply) and B the zero-seeded fold of the same
+    recurrence.  Algorithm:
+
+      1. chunk = floor(event-time µs / chunk_micros) — DETERMINISTIC
+         from row content alone (exact integer floor division, valid
+         for pre-1970 timestamps).  No ranks, no dependence on Spark
+         partitioning: unlike a spark_partition_id-based split, the
+         chunking cannot disagree between re-evaluations of the plan;
+      2. one aggregate keyed on (group, chunk) folds each chunk's
+         time-sorted values to (W, B, S, cnt), where S is the chunk's
+         first-element-seeded value (used iff the chunk is the group's
+         first) — a hot group spreads over its time buckets;
+      3. one aggregate per group folds the (span/chunk_micros)-bounded
+         chunk summaries in chunk order: acc = S_first, then
+         acc = W_k·acc + B_k per later chunk.
+
+    DETERMINISM, not bit-equality with the plain fold: for a fixed
+    ``chunk_micros`` the result is bit-identical run-to-run and
+    engine-to-engine — an independent engine replaying the same
+    chunked recurrence (the q119 DuckDB oracle: per-chunk
+    ``list_reduce`` + a recursive CTE over chunk summaries)
+    hash-matches exactly.  Relative to the unsegmented fold the result
+    differs only by float rounding-order (ulp-scale; exactly equal
+    whenever the arithmetic is exact — see the property tests), which
+    is the standard segmented-scan contract.
+
+    Ties in (ts, tiebreak) must be unique per group for a total order
+    — pass the event id.
+    """
+    a = float(alpha)
+    gcols = list(partition)
+    w_us = int(chunk_micros)
+    ts_us = F.unix_micros(F.col(ts))
+    # exact floor division (ts - pmod(ts, w) is an exact multiple, so
+    # `div` is safe on it for ANY sign — the joins.py `div` caveat)
+    chunk = F.expr(
+        f"(unix_micros({ts}) - pmod(unix_micros({ts}), {w_us}L)) div {w_us}L"
+    )
+    pre = df.select(
+        *gcols,
+        chunk.alias("__chunk"),
+        F.struct(
+            ts_us.alias("__ts_us"),
+            *[
+                F.col(c).cast("bigint").alias(f"__tb{i}")
+                for i, c in enumerate(order_tiebreak)
+            ],
+            F.col(value_col).cast("double").alias("__v"),
+        ).alias("__row"),
+    )
+    vals = F.transform(F.sort_array(F.collect_list(F.col("__row"))), lambda s: s["__v"])
+    step = lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc  # noqa: E731
+    per_chunk = pre.groupBy(*gcols, "__chunk").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.aggregate(vals, F.lit(1.0), lambda acc, x: F.lit(1.0 - a) * acc).alias("__w"),
+        F.aggregate(vals, F.lit(0.0), step).alias("__b"),
+        F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            step,
+        ).alias("__s"),
+    )
+    summaries = F.sort_array(
+        F.collect_list(F.struct("__chunk", "__w", "__b", "__s", "__cnt"))
+    )
+    compose = F.aggregate(
+        F.slice(summaries, 2, F.greatest(F.size(summaries) - 1, F.lit(0))),
+        F.element_at(summaries, 1)["__s"],
+        lambda acc, c: c["__w"] * acc + c["__b"],
+    )
+    return per_chunk.groupBy(*gcols).agg(
+        F.sum("__cnt").cast("bigint").alias("n_events"), compose.alias(out_col)
     )

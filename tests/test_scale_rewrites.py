@@ -130,6 +130,83 @@ def test_ewma_matches_python_fold(spark):
         assert got == acc  # bit-identical left fold, not approx
 
 
+def _segmented(df, chunk_micros, alpha=0.25):
+    return {
+        r.user_id: (r.n_events, r.ewma)
+        for r in windows.ewma_last_segmented(
+            df, partition=["user_id"], ts="ts", value_col="value",
+            alpha=alpha, order_tiebreak=["event_id"], chunk_micros=chunk_micros,
+        ).collect()
+    }
+
+
+def test_ewma_segmented_exact_regime_equals_fold(spark):
+    """α=0.5 (multiply by 0.5 never rounds) + small-integer values +
+    short chains keep EVERY float op exact, so the segmented scan must
+    equal the sequential fold BIT-FOR-BIT at ANY chunk boundary — the
+    algebra check: chunk-level affine composition is the identity
+    rewrite of the recurrence."""
+    rng = random.Random(7)
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (rng.randrange(4), i, base + dt.timedelta(hours=i % 37, seconds=i), float(rng.randrange(1024)))
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    fold = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in windows.ewma_last(
+            df, partition=["user_id"], ts="ts", value_col="value",
+            alpha=0.5, order_tiebreak=["event_id"],
+        ).collect()
+    }
+    hour = 3_600_000_000
+    for width in (hour, 3 * hour, 11 * hour, 10**15):
+        seg = _segmented(df, width, alpha=0.5)
+        assert seg == fold, f"chunk width {width} diverged in the exact regime"
+
+
+def test_ewma_segmented_general_floats_close_and_counts_exact(spark):
+    """General doubles: segmented differs from the fold only by
+    rounding order (ulp-scale), and n_events is exactly preserved."""
+    rng = random.Random(3)
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (rng.randrange(5), i, base + dt.timedelta(minutes=i), rng.random() * 1e6)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    fold = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in windows.ewma_last(
+            df, partition=["user_id"], ts="ts", value_col="value",
+            alpha=0.25, order_tiebreak=["event_id"],
+        ).collect()
+    }
+    seg = _segmented(df, 3_600_000_000)
+    assert set(seg) == set(fold)
+    for u, (n, v) in fold.items():
+        sn, sv = seg[u]
+        assert sn == n
+        assert abs(sv - v) <= 1e-12 * max(abs(v), 1.0)
+
+
+def test_ewma_segmented_deterministic_across_runs(spark):
+    """Same chunk width -> bit-identical results run-to-run (the
+    hash-checkability contract; chunking depends on row content only,
+    never on Spark partitioning)."""
+    rng = random.Random(11)
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (rng.randrange(3), i, base + dt.timedelta(minutes=i), rng.random() * 100)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    a = _segmented(df.repartition(7), 3_600_000_000)
+    b = _segmented(df.repartition(13), 3_600_000_000)
+    assert a == b
+
+
 def test_rollup_batch_split_invariance(spark, sf_dir, tmp_path):
     one = stream.maintain_hourly_rollup(
         spark, sf_dir, str(tmp_path / "w1"), n_arrival_files=1
