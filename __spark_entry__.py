@@ -1318,7 +1318,9 @@ def q92_merge_prune_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem").withColumn(
         "ship_month", F.date_format("l_shipdate", "yyyy-MM")
     )
-    root = f"/tmp/sparkgraft_q92_{_os.path.basename(sf.rstrip('/'))}"
+    # per-call uuid: concurrent runs against the same sf dir must not
+    # race on the overwrite + rmtree/rename swap (q108's sink pattern)
+    root = f"/tmp/sparkgraft_q92_{_os.path.basename(sf.rstrip('/'))}_{uuid.uuid4().hex[:8]}"
     fact_path = f"{root}/lineitem_by_month"
     (
         li.where(F.col("l_orderkey") % 3 != 0)
@@ -1642,7 +1644,7 @@ def q104_streaming_corpus_ingest(spark: SparkSession, sf: str) -> DataFrame:
     batch q13 dedup regardless of batch boundaries or redelivery
     (streaming/pipeline.ingest_corpus_incrementally). The oracle is
     the plain batch GROUP BY, which is exactly the point."""
-    work = f"/tmp/sparkgraft_q104_{os.path.basename(sf.rstrip('/'))}"
+    work = f"/tmp/sparkgraft_q104_{os.path.basename(sf.rstrip('/'))}_{uuid.uuid4().hex[:8]}"
     return stream.ingest_corpus_incrementally(spark, sf, work, n_arrival_files=4)
 
 
@@ -1875,7 +1877,7 @@ def q114_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
     redelivery, so idempotence comes from the ledger + atomic rename).
     Oracle = the plain batch GROUP BY over the whole feed — the
     maintained table must be indistinguishable from recomputation."""
-    work = f"/tmp/sparkgraft_q114_{os.path.basename(sf.rstrip('/'))}"
+    work = f"/tmp/sparkgraft_q114_{os.path.basename(sf.rstrip('/'))}_{uuid.uuid4().hex[:8]}"
     return stream.maintain_hourly_rollup(spark, sf, work, n_arrival_files=4).orderBy(
         "hour", "event_type"
     )
@@ -2551,9 +2553,14 @@ SELECT lang, {lang_case} AS pred_lang, COUNT(*) AS n_docs FROM h GROUP BY 1, 2
         "q17_ngram_jaccard_dedup": f"""
 WITH {_SHINGLE_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+-- df-cap mirrors ngram_jaccard_pairs max_posting=10000: shingles
+-- shared by more docs are dropped BEFORE pair expansion in BOTH
+-- engines, so implementation and oracle cannot drift at scale
+ok_sh AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10000),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+  FROM sh a JOIN sh b USING (shingle) JOIN ok_sh USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 )
 SELECT id_a, id_b,
        ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
@@ -2703,9 +2710,12 @@ ORDER BY n_docs DESC, ngram ASC LIMIT 20
         "q38_dedup_clusters": f"""
 WITH RECURSIVE {_SHINGLE_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+-- df-cap mirrors ngram_jaccard_pairs max_posting=10000 (see q17)
+ok_sh AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10000),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+  FROM sh a JOIN sh b USING (shingle) JOIN ok_sh USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ),
 pairs AS (
   SELECT id_a, id_b FROM inter

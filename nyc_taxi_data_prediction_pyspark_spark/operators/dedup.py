@@ -97,7 +97,11 @@ def ngram_jaccard_pairs(
     (standard CCNet-style df-capping; the scale variant
     minhash_lsh_pairs bounds this implicitly via banding). Dropped
     shingles shrink |A∩B| but never |A|/|B|, so capping only lowers
-    Jaccard — it can hide a pair, never invent one. The drop count
+    Jaccard — it can hide a pair, never invent one. The q17/q38
+    DuckDB oracles model the SAME df-cap (an ``ok_sh`` CTE keeping
+    shingles with doc-frequency ≤ 10000), so implementation and oracle
+    agree at any scale, not just while posting lists stay under the
+    cap. The drop count
     rides the same pass as a named observation (pass a
     ``pyspark.sql.Observation`` as ``cap_observation`` to read
     ``dropped_postings`` after any action; with None a string-named

@@ -88,4 +88,12 @@ def pagerank_fixedpoint(
         )
         if checkpoint:
             pr = pr.localCheckpoint(eager=False)
+    if checkpoint:
+        # pr is (or derives from) a checkpoint that no longer needs the
+        # cached frames; force it, then release executor storage so
+        # repeated calls in a long-lived session (bench loops, notebook
+        # reuse) don't accumulate cached blocks.
+        pr = pr.localCheckpoint(eager=True)
+        nodes.unpersist()
+        fanout.unpersist()
     return pr

@@ -180,8 +180,14 @@ def interval_overlap_join(
     """
     w = int(bin_micros)
 
-    def bin_of(col_name: str):  # exact BIGINT floor division — matches the oracle's //
-        return F.expr(f"unix_micros({col_name}) div {w}")
+    def bin_of(col_name: str):
+        # exact BIGINT FLOOR division (matches DuckDB's `//` for ANY
+        # sign): Spark's `div` truncates toward zero, which would
+        # misbin pre-1970 timestamps; subtracting the non-negative
+        # pmod first makes the dividend an exact multiple, where div
+        # and floor agree.
+        us = f"unix_micros({col_name})"
+        return F.expr(f"({us} - pmod({us}, {w}L)) div {w}L")
 
     lb = left.withColumn("__bin", F.explode(F.sequence(bin_of(left_start), bin_of(left_end))))
     rb = right.withColumn("__bin", F.explode(F.sequence(bin_of(right_start), bin_of(right_end))))
@@ -189,7 +195,6 @@ def interval_overlap_join(
     overlap = (F.unix_micros(F.col(left_start)) <= F.unix_micros(F.col(right_end))) & (
         F.unix_micros(F.col(right_start)) <= F.unix_micros(F.col(left_end))
     )
-    first_shared = F.col("__bin") == F.expr(
-        f"greatest(unix_micros({left_start}), unix_micros({right_start})) div {w}"
-    )
+    gmax = f"greatest(unix_micros({left_start}), unix_micros({right_start}))"
+    first_shared = F.col("__bin") == F.expr(f"({gmax} - pmod({gmax}, {w}L)) div {w}L")
     return joined.where(overlap & first_shared).drop("__bin")

@@ -130,6 +130,31 @@ def test_ewma_matches_python_fold(spark):
         assert got == acc  # bit-identical left fold, not approx
 
 
+def test_interval_join_pre_1970_floor_bins(spark):
+    """Negative epoch micros: bin ids must use FLOOR division (Spark's
+    `div` truncates toward zero), or intervals straddling 1970 misbin
+    and the first-shared-bin dedup term diverges from the oracle."""
+    left = spark.createDataFrame(
+        [(1, dt.datetime(1969, 12, 31, 22, 30), dt.datetime(1970, 1, 1, 1, 30))],
+        "k int, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(1969, 12, 31, 23, 0), dt.datetime(1969, 12, 31, 23, 45)),
+            (1, dt.datetime(1970, 1, 1, 0, 15), dt.datetime(1970, 1, 1, 0, 45)),
+            (1, dt.datetime(1969, 12, 31, 20, 0), dt.datetime(1969, 12, 31, 21, 0)),
+        ],
+        "k int, rs timestamp, re timestamp",
+    )
+    out = joins.interval_overlap_join(
+        left, right,
+        left_start="ls", left_end="le", right_start="rs", right_end="re",
+        bin_micros=3_600_000_000, keys=["k"],
+    )
+    rows = out.collect()
+    assert len(rows) == 2  # both overlapping intervals, each exactly once
+
+
 def _segmented(df, chunk_micros, alpha=0.25):
     return {
         r.user_id: (r.n_events, r.ewma)
