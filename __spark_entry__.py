@@ -212,13 +212,30 @@ def q19_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q20_minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(
-        load(spark, sf, "documents"), text_col="text", id_col="doc_id", jaccard_threshold=0.3
+    """MinHash+LSH near-dup pairs on the engine-stable arithmetic path
+    (md5-60bit shingle hashes, universal-hash permutations) at a
+    DIFFERENT operating point than q55 — k=24 hashes in 6 bands of 4
+    (candidate recall 1-(1-j^4)^6 vs q55's 1-(1-j^4)^4, and a lower-
+    variance 24-hash Jaccard estimate), threshold 0.35, seed 7 — so
+    the banding/estimator parameterization itself is oracle-exercised.
+    The seeded MLlib MinHashLSH variant (dedup.minhash_lsh_pairs) has
+    engine-specific signatures and stays pytest-covered
+    (tests/test_text_dedup.py)."""
+    return dedup.minhash_native_pairs(
+        load(spark, sf, "documents"), text_col="text", id_col="doc_id",
+        n=3, k=24, bands=6, jaccard_threshold=0.35, seed=7,
     )
 
 
 def q21_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.simhash(load(spark, sf, "documents"), text_col="text", id_col="doc_id")
+    """SimHash near-dup PAIRS via banded hamming search (exact for
+    hamming <= bands-1 by pigeonhole — dedup.simhash_pairs). The
+    xxhash64 signature variant stays pytest-covered
+    (tests/test_text_dedup.py::test_simhash_locality)."""
+    return dedup.simhash_pairs(
+        load(spark, sf, "documents"), text_col="text", id_col="doc_id",
+        bits=60, bands=4, max_hamming=3,
+    )
 
 
 def q22_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
@@ -1700,7 +1717,9 @@ def q108_stream_attribution(spark: SparkSession, sf: str) -> DataFrame:
     pairs = joined.select(F.col("l.user_id").alias("user_id"), F.col("r.value").alias("value"))
     sink = f"stream_attr_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    stream.run_available_now(pairs, checkpoint=ckpt, sink_table=sink, output_mode="append")
+    stream.run_available_now(
+        pairs, checkpoint=ckpt, sink_table=sink, output_mode="append", state_partitions=8
+    )
     return (
         spark.table(sink)
         .groupBy("user_id")
@@ -2415,7 +2434,9 @@ packed AS (
 )"""
 
 
-def _simhash_oracle(bits: int = 60) -> str:
+def _simhash_sig_ctes(bits: int = 60) -> str:
+    """WITH-body computing the stable simhash signature per doc —
+    shared by the q56 (signatures) and q21 (banded pairs) oracles."""
     sums = ",\n    ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(bits - 1)
@@ -2423,8 +2444,7 @@ def _simhash_oracle(bits: int = 60) -> str:
     sig = " + ".join(
         f"CASE WHEN s{b} > 0 THEN ({1 << b}::BIGINT) ELSE 0 END" for b in range(bits - 1)
     )
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id, unnest(regexp_split_to_array({_NORM_TEXT}, ' ')) AS tok FROM documents
 ),
 h AS (SELECT doc_id, {_MD5_INT60.format(col='tok')} AS h FROM tok),
@@ -2432,8 +2452,37 @@ bitsum AS (
   SELECT doc_id,
     {sums}
   FROM h GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, ({sig})::BIGINT AS simhash FROM bitsum)"""
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    return f"""
+WITH {_simhash_sig_ctes(bits)}
+SELECT doc_id, simhash FROM sigs
+"""
+
+
+def _simhash_pairs_oracle(bits: int = 60, bands: int = 4, max_hamming: int = 3) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band, (simhash >> {j * width}) & {mask} AS bkey FROM sigs"
+        for j in range(bands)
+    )
+    return f"""
+WITH {_simhash_sig_ctes(bits)},
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 )
-SELECT doc_id, ({sig})::BIGINT AS simhash FROM bitsum
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
@@ -2583,8 +2632,10 @@ FROM embeddings e, q
 WHERE e.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
 ORDER BY cos DESC, e.vec_id ASC LIMIT 10
 """,
-        # q20_minhash_lsh_dedup: engine-specific minhash seeds → rows-only check.
-        # q21_simhash: xxhash64 is engine-specific → rows-only check.
+        "q20_minhash_lsh_dedup": _minhash_oracle(
+            threshold=0.35, k=24, bands=6, seed=7
+        ),
+        "q21_simhash": _simhash_pairs_oracle(bits=60, bands=4, max_hamming=3),
         "q22_streaming_hourly": """
 SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events
 FROM events GROUP BY 1, 2

@@ -21,7 +21,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one per operator family — scan/clean, agg, join+agg,
-# window, merge, topk, json, text, dedup (exact + ngram), ANN, as-of.
+# window, merge, topk, json, text, dedup (exact + ngram), ANN, as-of,
+# plus the streaming/maintenance operators (corpus ingest, stream-stream
+# attribution, incremental rollup) and the sideways-info-passing /
+# diff operators (bloom semi-join, table diff) so their cost is
+# tracked round-over-round.
 HEADLINE = [
     "q01_pricing_summary",
     "q05_clean_contract",
@@ -49,14 +53,19 @@ HEADLINE = [
     "q87_large_orders",
     "q88_waiting_suppliers",
     "q89_volume_shipping",
+    "q104_streaming_corpus_ingest",
     "q107_salted_join",
+    "q108_stream_attribution",
     "q109_pagerank",
     "q110_quality_terciles",
     "q111_grouped_topk",
     "q112_session_busy_overlap",
     "q113_ewma_user_score",
+    "q114_incremental_rollup",
     "q115_recursive_hierarchy",
     "q116_domain_cap",
+    "q117_bloom_semi_join",
+    "q118_table_diff",
 ]
 
 

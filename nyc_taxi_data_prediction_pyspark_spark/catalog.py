@@ -29,9 +29,11 @@ TABLES = (
 def pin_session(spark: SparkSession) -> SparkSession:
     """Set runtime-mutable confs that correctness depends on."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # The driver's events table is written with parquet TIMESTAMP(NANOS),
-    # which Spark refuses by default; read as nanos-since-epoch longs and
-    # convert in the loader (DuckDB parity: ns truncates to µs).
+    # The driver's events table has shipped with BOTH TIMESTAMP(NANOS)
+    # and TIMESTAMP(MICROS) physical types across testdata generations.
+    # nanosAsLong makes the NANOS case readable (as ns-since-epoch
+    # longs, converted back in _nanos_to_ts); MICROS files read as
+    # TimestampType directly and need no conversion.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # AQE is safe to flip at runtime and is our 100 TB posture default.
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -51,8 +53,13 @@ def pin_session(spark: SparkSession) -> SparkSession:
 
 
 def _nanos_to_ts(df: DataFrame) -> DataFrame:
-    """Convert any nanos-as-long timestamp columns back to TimestampType
-    (floor-divide to µs — same truncation DuckDB applies to TIMESTAMP_NS)."""
+    """Normalize the ts column to plain TimestampType whatever physical
+    type this testdata generation shipped: nanos-as-long (floor-divide
+    to µs — same truncation DuckDB applies to TIMESTAMP_NS) or
+    TIMESTAMP_NTZ (cast under the pinned UTC session zone, which is
+    value-preserving and matches DuckDB's naive-timestamp reading;
+    epoch-extraction functions like unix_micros reject NTZ, so queries
+    need the cast even where wall values already agree)."""
     from pyspark.sql import functions as F
 
     out = df
@@ -60,6 +67,8 @@ def _nanos_to_ts(df: DataFrame) -> DataFrame:
         if name in ("ts",) and dtype == "bigint":
             # integer div — double division would lose precision at 1e18 ns
             out = out.withColumn(name, F.timestamp_micros(F.expr(f"{name} div 1000")))
+        elif name in ("ts",) and dtype == "timestamp_ntz":
+            out = out.withColumn(name, F.col(name).cast("timestamp"))
     return out
 
 

@@ -447,6 +447,87 @@ def simhash(
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS via banded hamming-neighbor search
+    — signature banding instead of all-pairs comparison.
+
+    The stable (md5-60bit) signature is split into ``bands`` equal bit
+    slices; documents sharing any slice value become candidates (one
+    equi self-join on (band, slice)), and candidates are kept when
+    ``bit_count(sig_a XOR sig_b) <= max_hamming``. By pigeonhole the
+    banding is LOSSLESS whenever ``max_hamming < bands``: a pair
+    differing in at most bands-1 bit positions cannot differ in every
+    slice, so every qualifying pair survives — this is exact hamming
+    search, not an approximation, at O(docs x bands) index size.
+
+    Scale posture: one shuffle to build signatures, one equi-join on
+    the band key — no cross join. A degenerate corpus (many identical
+    slices, e.g. mass near-empty docs) fattens a bucket the same way a
+    hot shingle fattens a posting list; upstream length/quality gates
+    (q15) are the guard, and the q17 posting-cap template applies if a
+    cap must be enforced in-operator.
+
+    Reference parity: near-dup detection family
+    (dedup strategies doc); hamming-LSH per Manku et al. (WWW'07
+    simhash paper, public).
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
+    sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits, stable=True)
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = (
+        sig.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.shiftrightunsigned(F.col("simhash"), j * width)
+                            .bitwiseAND(F.lit(mask))
+                            .cast("bigint")
+                            .alias("bkey"),
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(F.col(id_col), F.col("simhash"), F.col("bb.band"), F.col("bb.bkey"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()  # a pair may share several slices — count it once
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
 def minhash_native_pairs(
     df: DataFrame,
     *,

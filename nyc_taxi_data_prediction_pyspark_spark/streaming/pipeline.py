@@ -26,31 +26,64 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-# The driver's events parquet carries TIMESTAMP(NANOS) → read as long
-# (with spark.sql.legacy.parquet.nanosAsLong) and convert to µs below.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# The driver's events parquet has shipped with BOTH TIMESTAMP(NANOS)
+# (read as long via spark.sql.legacy.parquet.nanosAsLong, ÷1000 to µs)
+# and plain TIMESTAMP(MICROS) physical types across testdata
+# generations — the streaming read path detects the unit from parquet
+# metadata (one driver-side footer read) and picks the right schema.
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+EVENTS_SCHEMA = _events_schema(T.LongType())  # nanos-as-long variant
+EVENTS_SCHEMA_TS = _events_schema(T.TimestampType())
+
+
+def events_ts_unit(path: str, glob: str = "*.parquet") -> str:
+    """'ns' or 'us': physical parquet unit of the events ts column —
+    a driver-side footer read, no Spark job."""
+    import glob as g
+    import os
+
+    import pyarrow.parquet as pq
+
+    f = path
+    if not os.path.isfile(f):
+        matches = sorted(g.glob(os.path.join(path, glob)))
+        if not matches:
+            raise FileNotFoundError(f"no parquet matching {glob!r} under {path}")
+        f = matches[0]
+    return "ns" if "[ns" in str(pq.ParquetFile(f).schema_arrow.field("ts").type) else "us"
 
 
 def read_event_stream(spark: SparkSession, base_dir: str, glob: str = "events.parquet") -> DataFrame:
     """File-source stream over the events parquet (schema pinned —
     streaming sources cannot infer; base path must be a directory, the
-    file is selected with pathGlobFilter)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    file is selected with pathGlobFilter). Always yields TimestampType
+    ``ts`` (µs) regardless of the file's physical unit."""
+    unit = events_ts_unit(base_dir, glob)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", glob)
+            .parquet(base_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA_TS)
         .option("pathGlobFilter", glob)
         .parquet(base_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_counts(
@@ -106,18 +139,38 @@ def run_available_now(
     checkpoint: str,
     sink_table: str,
     output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> None:
     """Drive a streaming frame to completion over current data
-    (availableNow) into an in-memory sink table, synchronously."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(sink_table)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    (availableNow) into an in-memory sink table, synchronously.
+
+    ``state_partitions`` sizes the stateful shuffle for THIS query:
+    stateful operators (stream-stream join, windowed agg) instantiate
+    one state store per shuffle partition per side and pay a commit per
+    store per micro-batch, and the count is frozen into the checkpoint
+    at first start — so it must be sized to expected STATE volume, not
+    inherited from the batch default (AQE cannot resize it). A small
+    local run with near-empty state wants a handful; a 100 TB/day feed
+    wants thousands. The session conf is set only for the start and
+    restored after termination."""
+    s = stream_df.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = s.conf.get(conf_key) if state_partitions is not None else None
+    if state_partitions is not None:
+        s.conf.set(conf_key, str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old_parts is not None:
+            s.conf.set(conf_key, old_parts)
 
 
 def foreach_batch_merge(
@@ -205,51 +258,97 @@ def rollup_merge_fn(store: str) -> Callable[[DataFrame, int], None]:
     """The foreachBatch merge for ``maintain_hourly_rollup``, exposed
     so tests can replay a batch_id directly and assert the ledger makes
     the additive merge idempotent. Batches carry the raw events schema
-    (ts as nano-long)."""
+    (ts as nano-long).
+
+    The applied-batch ledger is kept COMPACTED and DRIVER-SIDE: a tiny
+    JSON file holding a watermark (every batch_id <= it has been
+    applied) plus any straggler ids above it — the same shape as
+    Structured Streaming's own checkpoint commit log. Batch ids arrive
+    in order, so after every merge the contiguous prefix folds into the
+    watermark and the steady-state ledger is one integer; the per-batch
+    ledger read is an O(1) driver file read (no Spark job, no
+    unbounded ``collect()``) over an unbounded stream lifetime.
+    Out-of-order replay (test harnesses) leaves stragglers, which fold
+    in as soon as the gap closes. The ledger rides inside the store's
+    atomic rename-swap, so a crash cannot split data from ledger.
+
+    The merge shuffle is sized to the OUTPUT domain: the rollup is
+    bounded by (hour, event_type) — metadata-sized by design — and the
+    batch partial aggregate map-side-combines down to that domain per
+    task before the exchange, so a handful of reducers is the right
+    number at any input scale (AQE, which would pick this, is disabled
+    inside foreachBatch). The previous conf is restored after the
+    merge so direct (non-stream) callers see no leaked setting.
+    """
+    import json
     import os
     import shutil
     import uuid
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        data_dir, ledger_dir = os.path.join(store, "data"), os.path.join(store, "ledger")
-        applied = (
-            {r.batch_id for r in s.read.parquet(ledger_dir).collect()}
-            if os.path.exists(ledger_dir)
-            else set()
-        )
-        if batch_id in applied:
+        data_dir = os.path.join(store, "data")
+        wm, ids = read_rollup_ledger(store)
+        if batch_id <= wm or batch_id in ids:
             return  # redelivered batch — already folded in
-        b = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        partial = b.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
-        ).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
-        )
-        if os.path.exists(data_dir):
-            prev = s.read.parquet(data_dir)
-            merged = (
-                prev.unionByName(partial)
-                .groupBy("hour", "event_type")
-                .agg(
-                    F.sum("n").alias("n"),
-                    F.sum("value_sum").cast("decimal(18,4)").alias("value_sum"),
-                )
+        conf_key = "spark.sql.shuffle.partitions"
+        old_parts = s.conf.get(conf_key)
+        s.conf.set(conf_key, "4")
+        try:
+            # arrivals are written pre-normalized (TimestampType µs);
+            # test harnesses may replay raw nanos-long batches
+            b = batch
+            if dict(b.dtypes).get("ts") == "bigint":
+                b = b.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            partial = b.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
             )
-        else:
-            merged = partial
-        ledger = s.createDataFrame(
-            [(int(i),) for i in sorted({*applied, batch_id})], "batch_id bigint"
-        )
-        tmp = f"{store}_tmp_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
-        ledger.write.mode("overwrite").parquet(os.path.join(tmp, "ledger"))
-        if os.path.exists(store):
-            shutil.rmtree(store)
-        os.rename(tmp, store)
+            if os.path.exists(data_dir):
+                prev = s.read.parquet(data_dir)
+                merged = (
+                    prev.unionByName(partial)
+                    .groupBy("hour", "event_type")
+                    .agg(
+                        F.sum("n").alias("n"),
+                        F.sum("value_sum").cast("decimal(18,4)").alias("value_sum"),
+                    )
+                )
+            else:
+                merged = partial
+            # fold the new id, then compact the contiguous prefix into
+            # the watermark; steady state (in-order delivery) is wm only
+            ids.add(batch_id)
+            while wm + 1 in ids:
+                wm += 1
+                ids.discard(wm)
+            tmp = f"{store}_tmp_{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+            with open(os.path.join(tmp, "ledger.json"), "w") as f:
+                json.dump({"watermark": wm, "stragglers": sorted(ids)}, f)
+            if os.path.exists(store):
+                shutil.rmtree(store)
+            os.rename(tmp, store)
+        finally:
+            s.conf.set(conf_key, old_parts)
 
     return merge
+
+
+def read_rollup_ledger(store: str) -> tuple[int, set]:
+    """Read the compacted applied-batch ledger: (watermark, straggler
+    ids). watermark=-1 and no stragglers when the store is empty."""
+    import json
+    import os
+
+    path = os.path.join(store, "ledger.json")
+    if not os.path.exists(path):
+        return -1, set()
+    with open(path) as f:
+        led = json.load(f)
+    return int(led["watermark"]), set(led["stragglers"])
 
 
 def maintain_hourly_rollup(
@@ -292,14 +391,16 @@ def maintain_hourly_rollup(
     store = os.path.join(work_dir, "store")
     ckpt = os.path.join(work_dir, "ckpt")
 
-    # events.parquet carries TIMESTAMP(NANOS): read as long, convert to
-    # µs per batch below — same discipline as read_event_stream.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(sf_dir, "events.parquet"))
+    # arrivals are written NORMALIZED (TimestampType µs, whatever the
+    # source file's physical unit) so the per-batch merge never
+    # re-converts — catalog.load handles ns-vs-µs detection.
+    from ..catalog import load
+
+    raw = load(spark, sf_dir, "events")
     raw.repartition(n_arrival_files).write.mode("overwrite").parquet(arrivals)
 
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_TS)
         .option("maxFilesPerTrigger", 1)
         .parquet(arrivals)
     )

@@ -12,6 +12,7 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
+from nyc_taxi_data_prediction_pyspark_spark import catalog
 from nyc_taxi_data_prediction_pyspark_spark.operators import joins, topk, windows
 from nyc_taxi_data_prediction_pyspark_spark.streaming import pipeline as stream
 
@@ -241,9 +242,7 @@ def test_rollup_batch_split_invariance(spark, sf_dir, tmp_path):
     )
     assert _rows_set(one) == _rows_set(five)
     batch = (
-        spark.read.schema(stream.EVENTS_SCHEMA)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        catalog.load(spark, sf_dir, "events")
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -256,9 +255,7 @@ def test_rollup_batch_split_invariance(spark, sf_dir, tmp_path):
 def test_rollup_ledger_makes_redelivery_idempotent(spark, sf_dir, tmp_path):
     store = str(tmp_path / "store")
     merge = stream.rollup_merge_fn(store)
-    batch = spark.read.schema(stream.EVENTS_SCHEMA).parquet(
-        os.path.join(sf_dir, "events.parquet")
-    )
+    batch = catalog.load(spark, sf_dir, "events")
     merge(batch, 0)
     once = _rows_set(spark.read.parquet(os.path.join(store, "data")))
     merge(batch, 0)  # at-least-once redelivery of the SAME batch id
@@ -268,6 +265,33 @@ def test_rollup_ledger_makes_redelivery_idempotent(spark, sf_dir, tmp_path):
     assert _rows_set(doubled.select("hour", "event_type", (F.col("n") / 2).cast("bigint").alias("n"))) == {
         (h, t, n) for h, t, n, _ in once
     }
+
+
+def test_rollup_ledger_compacts_to_watermark(spark, sf_dir, tmp_path):
+    """The applied-batch ledger must stay O(1): in-order batches fold
+    into a single watermark row, redelivery across the compaction
+    boundary is still recognized, and out-of-order gaps hold stragglers
+    until the gap closes."""
+    store = str(tmp_path / "store")
+    merge = stream.rollup_merge_fn(store)
+    batch = catalog.load(spark, sf_dir, "events")
+
+    for bid in (0, 1, 2):
+        merge(batch, bid)
+    assert stream.read_rollup_ledger(store) == (2, set())
+
+    once = _rows_set(spark.read.parquet(os.path.join(store, "data")))
+    for bid in (0, 1, 2):  # redelivery AFTER compaction erased the ids
+        merge(batch, bid)
+    assert _rows_set(spark.read.parquet(os.path.join(store, "data"))) == once
+    assert stream.read_rollup_ledger(store) == (2, set())
+
+    merge(batch, 4)  # gap: 3 missing -> 4 is a straggler, wm stays 2
+    assert stream.read_rollup_ledger(store) == (2, {4})
+    merge(batch, 4)  # straggler redelivery is also recognized
+    assert stream.read_rollup_ledger(store) == (2, {4})
+    merge(batch, 3)  # gap closes -> everything folds into the watermark
+    assert stream.read_rollup_ledger(store) == (4, set())
 
 
 def test_interval_join_plans_as_hash_join(spark):

@@ -67,6 +67,41 @@ def test_simhash_locality(spark):
     assert bin(xor & ((1 << 63) - 1)).count("1") <= 16  # near-dup → small hamming
 
 
+def test_simhash_pairs_banding_is_lossless(spark):
+    """Pigeonhole exactness: with max_hamming < bands, the banded
+    candidate join must find EXACTLY the brute-force hamming pairs."""
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    texts = [
+        base,
+        base,  # identical twin: hamming 0
+        base + "extra token tail",  # near dup
+        "completely unrelated content about spark shuffles and parquet footers",
+        "another fully distinct document mentioning watermarks and state stores",
+    ]
+    df = docs_df(spark, texts)
+    bits, bands, max_h = 60, 4, 3
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_pairs(
+            df, text_col="text", id_col="doc_id", bits=bits, bands=bands, max_hamming=max_h
+        ).collect()
+    }
+    sigs = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash(
+            df, text_col="text", id_col="doc_id", bits=bits, stable=True
+        ).collect()
+    }
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+    }
+    assert got == brute
+    assert (0, 1, 0) in got  # the identical twin survives at hamming 0
+
+
 def test_embedding_dupes_finds_identical_vectors(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0, 0.0], 0), (2, [1.0, 0.0, 0.0], 0), (3, [0.0, 1.0, 0.0], 0)],
