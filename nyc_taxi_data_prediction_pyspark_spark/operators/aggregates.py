@@ -81,6 +81,56 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def exact_heavy_hitters(items: DataFrame, col: str, *, k_inv: int) -> DataFrame:
+    """EXACT frequent items — every value with frequency > n/``k_inv``
+    — without shuffling the full value domain.
+
+    Two phases:
+    1. Per-partition Misra-Gries summaries (capacity ``k_inv``) via
+       ``mapInPandas``: each task streams its partition once in Arrow
+       batches, keeping at most ``k_inv`` counters (merge rule: add the
+       batch's counts, then subtract the (cap+1)-th largest count from
+       all and drop non-positives — Agarwal et al., "Mergeable
+       Summaries", PODS'12). Guarantee: any value absent from EVERY
+       summary has per-partition count <= n_p/(cap+1), so global count
+       <= n/(k_inv+1) < n/k_inv — the union of summaries is a SUPERSET
+       of the true heavy hitters.
+    2. Exact recount of only the candidates: a broadcast semi-join
+       (candidates <= partitions x k_inv rows — metadata-sized) and one
+       small groupBy, then the exact threshold filter.
+
+    Because phase 2 recounts exactly and filters on the true n/k_inv,
+    the output is DETERMINISTIC and independent of partitioning or
+    batch order, even though intermediate MG contents are not — which
+    is what makes an approximate-prefilter pipeline oracle-checkable.
+    At 100 TB the alternative (groupBy over every distinct token) is a
+    full-domain shuffle; this shuffles candidate rows only.
+    """
+    import pandas as pd
+
+    cap = k_inv
+    dtype = items.schema[col].dataType.simpleString()
+
+    def mg_summaries(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > cap:
+                kth = sorted(counters.values(), reverse=True)[cap]
+                counters = {v: c - kth for v, c in counters.items() if c > kth}
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    candidates = items.mapInPandas(mg_summaries, schema=f"{col} {dtype}").distinct()
+    n = items.count()
+    return (
+        items.join(F.broadcast(candidates), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > n / k_inv)
+    )
+
+
 def hourly_demand(events: DataFrame) -> DataFrame:
     """Demand by hour bucket × type — the trips⋈weather-era analytics
     shape (readme.md:136-137) on the events fixture: date_trunc to the

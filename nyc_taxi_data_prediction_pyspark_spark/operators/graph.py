@@ -97,3 +97,72 @@ def pagerank_fixedpoint(
         nodes.unpersist()
         fanout.unpersist()
     return pr
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact triangle count of an undirected graph via DEGREE-ORDERED
+    orientation — the standard skew-proof formulation (cf. the
+    node-iterator++ / forward algorithm, Schank & Wagner 2005).
+
+    Input: one row per undirected edge, either direction, self-loops
+    and duplicates tolerated. Each edge is oriented from its
+    lower-(degree, id) endpoint to the higher one; a triangle {a,b,c}
+    then has EXACTLY one wedge a→b, a→c with b→c closing it, so the
+    count is wedge ⋈ closing-edge with no post-division.
+
+    Why degree ordering matters at scale: wedges are generated at the
+    wedge apex, and an apex of out-degree d yields d·(d-1)/2 wedges.
+    Orienting by degree caps every out-degree at O(sqrt(|E|))
+    (a node of degree d keeps only edges toward HIGHER-degree nodes,
+    and at most sqrt(|E|) nodes have degree >= sqrt(|E|)) — a
+    10^7-degree celebrity node in id-ordering would emit ~10^13
+    wedges; in degree-ordering it emits at most |{nodes with larger
+    degree}|^2. Three hash joins total, no cross join.
+    """
+    # canonical undirected edge set (a < b), self-loops dropped
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge toward the (degree, id)-larger endpoint
+    da, db = deg.alias("da"), deg.alias("db")
+    oriented = (
+        e.join(da, F.col("a") == F.col("da.v"))
+        .join(db, F.col("b") == F.col("db.v"))
+        .select(
+            F.when(
+                (F.col("da.deg") < F.col("db.deg"))
+                | ((F.col("da.deg") == F.col("db.deg")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("o")
+        )
+        .select(F.col("o.lo").alias("u"), F.col("o.hi").alias("w"))
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    # unordered out-neighbor pairs at the apex, canonicalized by id so
+    # the closing lookup is a single EQUI join against the undirected
+    # edge set (an OR over both oriented directions would plan as a
+    # nested loop)
+    wedges = w1.join(w2, (F.col("w1.u") == F.col("w2.u")) & (F.col("w1.w") < F.col("w2.w"))).select(
+        F.col("w1.w").alias("x"), F.col("w2.w").alias("y")
+    )
+    cl = e.alias("cl")
+    tri = wedges.join(cl, (F.col("x") == F.col("cl.a")) & (F.col("y") == F.col("cl.b")))
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -79,3 +79,53 @@ def table_diff(
         F.coalesce(F.col(f"__lk_{c}"), F.col(f"__rk_{c}")).alias(c) for c in key_cols
     ]
     return j.select(*keys, change.alias("change_type"))
+
+
+def table_checksum(
+    df: DataFrame,
+    *,
+    bucket_col: "str | None",
+    cols: "list[str]",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Order-invariant per-bucket content checksum — the anti-entropy
+    primitive that lets two engines (or two replicas / two versions of
+    a 100 TB table) agree on WHERE they differ by exchanging
+    ``n_buckets`` rows instead of the table: buckets whose (row count,
+    checksum) match need no further work; only mismatched buckets go
+    through the row-level ``table_diff``.
+
+    Each row is rendered to a canonical string (field-separated
+    ``cols``), hashed with the engine-stable md5-60bit, and SUMMED per
+    bucket as DECIMAL(38,0) — commutative/associative, so the result
+    is independent of row order, partitioning, and merge tree shape,
+    and exact (no i64 wraparound until 1e38). The final checksum is
+    the sum mod 2^60, emitted as BIGINT.
+
+    Canonicalization caveat: callers pick ``cols`` whose string
+    rendering is engine-stable (ints, strings, dates). Doubles and
+    decimals render differently across engines — normalize those
+    upstream (e.g. cast to DECIMAL then to string with fixed scale)
+    before handing them here.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_int60
+
+    bucket = (
+        (F.col(bucket_col) % n_buckets).alias("bucket")
+        if bucket_col is not None
+        else F.lit(0).alias("bucket")
+    )
+    row_str = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    hashed = df.select(bucket, md5_int60(row_str).alias("h"))
+    two60 = F.lit(1 << 60).cast("decimal(38,0)")
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.col("h").cast("decimal(38,0)")) % two60)
+            .cast("bigint")
+            .alias("checksum"),
+        )
+    )
