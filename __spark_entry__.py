@@ -2110,6 +2110,40 @@ def q122_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     return graph.triangle_count(pairs, src="p1", dst="p2")
 
 
+def q123_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension evolution (sources/warehouse.Warehouse.scd2_merge
+    — the J1 MERGE's keep-history sibling): two deterministic change
+    batches fold into a versioned customer dim, and the FULL history
+    table (open + closed rows with valid_from/valid_to/is_current) is
+    value-checked against an oracle that replays the same evolution as
+    set algebra. Batch 1 = every customer's (balance bucket, segment)
+    at t1; batch 2 = customers with any order over 480k promoted to
+    segment 'PREMIUM' at t2 — a no-op for unchanged rows (idempotent
+    redelivery invariant), close-and-version for changed ones."""
+    from nyc_taxi_data_prediction_pyspark_spark.sources.warehouse import Warehouse
+
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    t1, t2 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    b1 = cust.select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    prem = orders.where(F.col("o_totalprice") > 480000).select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    b2 = b1.join(prem, "c_custkey", "left_semi").withColumn(
+        "segment", F.lit("PREMIUM")
+    ).unionByName(b1.join(prem, "c_custkey", "left_anti"))
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix=f"scd2_{uuid.uuid4().hex[:8]}_"))
+    wh.scd2_merge("dim_customer", b1, key=["c_custkey"], attrs=["bal_bucket", "segment"], batch_ts=t1)
+    wh.scd2_merge("dim_customer", b2, key=["c_custkey"], attrs=["bal_bucket", "segment"], batch_ts=t2)
+    return wh.read("dim_customer").select(
+        "c_custkey", "bal_bucket", "segment", "valid_from", "valid_to", "is_current"
+    )
+
+
 # Driver-slot rotation (round 3): the correctness driver hard-checks the
 # FIRST 50 registry entries only.  Rounds 1-2 proved q01-q50 twice over,
 # so this round rotates the never-driver-checked queries into the 50
@@ -2275,6 +2309,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_heavy_hitters": q120_heavy_hitters,
         "q121_table_checksum": q121_table_checksum,
         "q122_triangle_count": q122_triangle_count,
+        "q123_scd2_history": q123_scd2_history,
     }
 
 
@@ -3836,5 +3871,25 @@ tri AS (
   JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
 )
 SELECT COUNT(*)::BIGINT AS n_triangles FROM tri
+""",
+        "q123_scd2_history": """
+WITH prem AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 480000),
+base AS (
+  SELECT c_custkey, CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+         c_mktsegment AS segment
+  FROM customer
+),
+changed AS (
+  SELECT b.c_custkey, b.bal_bucket FROM base b JOIN prem p ON b.c_custkey = p.o_custkey
+  WHERE b.segment <> 'PREMIUM'
+)
+SELECT b.c_custkey, b.bal_bucket, b.segment,
+       TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+       CASE WHEN c.c_custkey IS NOT NULL THEN TIMESTAMP '2024-02-01 00:00:00' END AS valid_to,
+       c.c_custkey IS NULL AS is_current
+FROM base b LEFT JOIN changed c ON b.c_custkey = c.c_custkey
+UNION ALL
+SELECT c_custkey, bal_bucket, 'PREMIUM', TIMESTAMP '2024-02-01 00:00:00', NULL, TRUE
+FROM changed
 """,
     }
