@@ -131,6 +131,59 @@ def exact_heavy_hitters(items: DataFrame, col: str, *, k_inv: int) -> DataFrame:
     )
 
 
+def binned_quantiles(
+    df: DataFrame,
+    col: str,
+    *,
+    quantiles: "list[float]",
+    bin_width: float,
+) -> DataFrame:
+    """Single-pass quantile estimates from a fixed-width binned
+    histogram — the mergeable, deterministic alternative to both exact
+    quantiles (global sort / whole-group buffering) and
+    approx_percentile (estimator-defined, engine-specific).
+
+    Pass 1: one map-side-combined groupBy builds the histogram —
+    #bins = value-range / bin_width rows, metadata-sized for any input
+    volume, and partials merge by addition (mergeable-summary
+    property: shard histograms sum). Pass 2: a cumulative sum over the
+    tiny bin frame locates each quantile's target rank
+    (floor(q·(n-1)), the 0-based lower-interpolation convention) and
+    estimates the value at the bin's interior midpoint offset
+    ((pos+0.5)/bin_count). Error is bounded by bin_width/2 — CHOSEN,
+    not estimator luck — and every step is integer arithmetic plus one
+    IEEE multiply, so two engines agree bit-for-bit: an approximate
+    quantile that value-hash checks.
+
+    The single-partition window runs over #bins rows (not data rows);
+    callers size bin_width so #bins stays metadata-class.
+    """
+    from pyspark.sql import Window
+
+    bins = (
+        df.select(F.floor(F.col(col) / F.lit(bin_width)).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "prev", F.col("cum") - F.col("c")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n"))
+    qf = df.sparkSession.createDataFrame([(float(q),) for q in quantiles], "q double")
+    # 1-row total and #quantiles-row frames broadcast onto the bin frame
+    t = cum.join(F.broadcast(total)).join(F.broadcast(qf))
+    target = F.floor(F.col("q") * (F.col("n") - 1)).cast("bigint")
+    hit = t.where((F.col("prev") <= target) & (target < F.col("cum")))
+    est = (
+        F.col("bin").cast("double") * F.lit(bin_width)
+        + F.lit(bin_width)
+        * ((target - F.col("prev")).cast("double") + F.lit(0.5))
+        / F.col("c").cast("double")
+    )
+    return hit.select(F.col("q"), est.alias("value_est")).orderBy("q")
+
+
 def hourly_demand(events: DataFrame) -> DataFrame:
     """Demand by hour bucket × type — the trips⋈weather-era analytics
     shape (readme.md:136-137) on the events fixture: date_trunc to the

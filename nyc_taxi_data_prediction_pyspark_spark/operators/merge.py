@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def anti_new_rows(stg: DataFrame, fact: DataFrame, key: Sequence[str]) -> DataFrame:
@@ -77,3 +77,55 @@ TRIP_MERGE_KEY = (
     "trip_distance",
     "total_amount",
 )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    key: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    upsert_op: str = "U",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a change-data-capture feed to a snapshot: latest-op-wins
+    per key, honoring deletes — the missing D of the MERGE family
+    (J1 upserts only; SCD2 versions; this one REPLAYS a change log).
+
+    Semantics: for each key, order its change rows by ``seq_col`` and
+    keep only the LAST; if that op is ``delete_op`` the key disappears,
+    if ``upsert_op`` the change row's values replace (or insert) the
+    base row. Base rows with no changes pass through untouched.
+
+    Plan: one window over the (small) change feed to pick last-ops —
+    partitioned by key, so state is per-key rows-in-feed, never the
+    base table — then ONE full-shuffle-free pass over base: left_anti
+    against touched keys (drops both deleted and superseded rows) plus
+    a union of the upsert rows. The base table is scanned once and
+    never windowed. At 100 TB: same discipline as merge_upsert — the
+    feed is batch-sized, base co-partitions on key, and a partition-
+    pruning predicate derived from the feed's key range keeps the
+    anti-join probe narrow.
+
+    Determinism: ties on (key, seq) are broken by preferring the
+    delete (a replayed feed cannot flap) — callers with genuinely
+    concurrent same-seq writes must disambiguate upstream.
+    """
+    from pyspark.sql import Window
+
+    keyl = list(key)
+    w = Window.partitionBy(*keyl).orderBy(
+        F.col(seq_col).desc(),
+        # tie-break: delete sorts first so it wins over a same-seq upsert
+        F.when(F.col(op_col) == delete_op, F.lit(0)).otherwise(F.lit(1)).asc(),
+    )
+    last = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    touched = last.select(*keyl)
+    survivors = base.join(touched, keyl, "left_anti")
+    upserts = last.where(F.col(op_col) == upsert_op).drop(op_col, seq_col)
+    return survivors.unionByName(upserts)

@@ -8,6 +8,7 @@ import datetime as dt
 
 from nyc_taxi_data_prediction_pyspark_spark.operators.merge import (
     TRIP_MERGE_KEY,
+    apply_cdc,
     merge_upsert,
 )
 
@@ -67,3 +68,40 @@ def test_float_equality_key_exact(spark):
     fact = spark.createDataFrame([trip(dist=3.5)], SCHEMA)
     stg = spark.createDataFrame([trip(dist=3.5000001)], SCHEMA)
     assert merge_upsert(stg, fact, TRIP_MERGE_KEY).count() == 2
+
+
+def test_apply_cdc_latest_op_wins(spark):
+    """CDC replay: updates replace, deletes remove, inserts add,
+    same-seq ties prefer the delete, and untouched base rows pass
+    through — all per latest (seq, delete-first) order."""
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 1, "U"),   # plain update
+            (2, "x", 1, "U"),    # superseded by the seq-2 delete
+            (2, None, 2, "D"),
+            (3, "zz", 2, "D"),   # same-seq tie below: delete must win
+            (3, "z", 2, "U"),
+            (5, "new", 1, "U"),  # insert (key not in base)
+        ],
+        "k long, v string, seq long, op string",
+    )
+    out = {
+        r.k: r.v
+        for r in apply_cdc(base, changes, key=["k"], seq_col="seq").collect()
+    }
+    assert out == {1: "a2", 4: "d", 5: "new"}
+
+
+def test_apply_cdc_replay_idempotent(spark):
+    """Applying the same change log to an already-applied table is a
+    no-op for deletes (keys gone) and updates (values identical)."""
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "a2", 1, "U"), (2, None, 2, "D")], "k long, v string, seq long, op string"
+    )
+    once = apply_cdc(base, changes, key=["k"], seq_col="seq")
+    twice = apply_cdc(once, changes, key=["k"], seq_col="seq")
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}

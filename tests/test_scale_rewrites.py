@@ -294,6 +294,35 @@ def test_rollup_ledger_compacts_to_watermark(spark, sf_dir, tmp_path):
     assert stream.read_rollup_ledger(store) == (4, set())
 
 
+def test_binned_quantiles_error_bound_and_partition_invariance(spark):
+    """The histogram quantile must land within one bin width of the
+    true order statistic, and be bit-identical under any partitioning
+    (mergeable-summary property)."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import aggregates as agg
+
+    rng = random.Random(5)
+    vals = [rng.uniform(0, 10_000) for _ in range(5_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    w = 250.0
+    got = {
+        r.q: r.value_est
+        for r in agg.binned_quantiles(
+            df, "v", quantiles=[0.1, 0.5, 0.99], bin_width=w
+        ).collect()
+    }
+    s = sorted(vals)
+    for q, est in got.items():
+        exact = s[int(q * (len(s) - 1))]
+        assert abs(est - exact) <= w, (q, est, exact)
+    again = {
+        r.q: r.value_est
+        for r in agg.binned_quantiles(
+            df.repartition(17), "v", quantiles=[0.1, 0.5, 0.99], bin_width=w
+        ).collect()
+    }
+    assert got == again  # bit-identical, not approximately equal
+
+
 def test_interval_join_plans_as_hash_join(spark):
     from nyc_taxi_data_prediction_pyspark_spark.plans import explain as ex
 
