@@ -2204,6 +2204,24 @@ def q125_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q126_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming session-window aggregation
+    (streaming/pipeline.session_window_counts): per-user 30-min-gap
+    sessions computed by Spark's stateful session_window operator over
+    the event stream, driven availableNow — value-hash checked against
+    the batch gap-island SQL rewrite (same islands, session_end =
+    last_ts + gap)."""
+    pin_session(spark)
+    events = stream.read_event_stream(spark, sf, glob="events.parquet")
+    sess = stream.session_window_counts(events, key="user_id", gap="30 minutes")
+    sink = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    stream.run_available_now(
+        sess, checkpoint=ckpt, sink_table=sink, output_mode="complete", state_partitions=8
+    )
+    return spark.table(sink)
+
+
 # Driver-slot rotation (round 3): the correctness driver hard-checks the
 # FIRST 50 registry entries only.  Rounds 1-2 proved q01-q50 twice over,
 # so this round rotates the never-driver-checked queries into the 50
@@ -2372,6 +2390,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_scd2_history": q123_scd2_history,
         "q124_binned_quantiles": q124_binned_quantiles,
         "q125_cdc_apply": q125_cdc_apply,
+        "q126_streaming_sessions": q126_streaming_sessions,
     }
 
 
@@ -4007,5 +4026,24 @@ applied AS (
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
 FROM applied GROUP BY o_orderstatus
+""",
+        "q126_streaming_sessions": """
+WITH b AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, ts,
+         SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM b
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_id
 """,
     }

@@ -98,6 +98,36 @@ def windowed_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming SESSION windows (F.session_window): per-key dynamic
+    windows that extend while events keep arriving within ``gap`` and
+    close ``gap`` after the last one — the native stateful form of
+    batch gap-island sessionization (q36). State per key is the open
+    session only; the watermark closes sessions and releases state, so
+    memory is rate x (gap + watermark), independent of stream length.
+    session_end is last_ts + gap (Spark's session_window contract) —
+    mirrored exactly by the batch-SQL island rewrite, which is the
+    oracle: a STREAMING stateful operator whose output value-hash
+    matches batch SQL."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, key: Sequence[str], *, watermark: str = "2 hours") -> DataFrame:
     """T3: duplicate-safe stream via watermark + dropDuplicates on the
     merge key — the streaming face of the J1 MERGE."""
