@@ -1744,11 +1744,15 @@ def q109_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 
     o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    # integer node ids (customer 2k, supplier 2k+1): fixed 8-byte keys
+    # through every shuffle/hash instead of variable-length strings —
+    # the encoding that holds at 10^9 nodes; labels reconstructed on
+    # the final 20 rows only
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -1758,10 +1762,14 @@ def q109_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     pr = graph.pagerank_fixedpoint(
         edges, iters=3, damping_pct=85, assume_distinct=True
     )
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
+    ).otherwise(F.concat(F.lit("s"), F.expr("node div 2").cast("string")))
     return (
         pr.orderBy(F.desc("pr"), "node")
         .limit(20)
-        .select("node", F.col("pr").alias("pr_pico"))
+        .select(label.alias("node"), F.col("pr").alias("pr_pico"))
     )
 
 
@@ -2435,8 +2443,7 @@ def _pagerank_sql(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
     schema identical to Spark's."""
     head = f"""
 WITH pairs AS (
-  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
-                  's' || CAST(l_suppkey AS VARCHAR) AS s
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 edges AS (
@@ -2468,8 +2475,10 @@ pr{k} AS (
   FROM nodes n LEFT JOIN c{k} c ON c.dst = n.node
 )""")
     tail = f"""
-SELECT node, pr AS pr_pico FROM pr{iters}
-ORDER BY pr DESC, node ASC LIMIT 20
+SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+       pr AS pr_pico
+FROM (SELECT node, pr FROM pr{iters} ORDER BY pr DESC, node ASC LIMIT 20)
 """
     return head + "".join(steps) + tail
 

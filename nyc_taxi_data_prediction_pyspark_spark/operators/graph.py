@@ -55,6 +55,12 @@ def pagerank_fixedpoint(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
+    # Transient edge cache: nodes, outdeg and fanout all consume the
+    # (possibly expensive) upstream edge plan — without this cache each
+    # build re-runs it from the source. It is released as soon as the
+    # durable frames are forced, so peak extra storage is one |E| pass
+    # during setup, not for the iteration phase.
+    e = e.cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -68,6 +74,8 @@ def pagerank_fixedpoint(
     fanout = e.join(outdeg, "src").repartition("src").cache()
 
     n_nodes = nodes.count()  # scalar metadata action (sizes the constants)
+    fanout.count()  # force while the edge cache is warm, then drop it
+    e.unpersist()
     base = SCALE // n_nodes
     teleport = ((100 - damping_pct) * base) // 100
 

@@ -54,6 +54,13 @@ NOTES = {
     "q112_session_busy_overlap": "interval join as bin equi-join: explode to hour bins, hash join, overlap residual + first-shared-bin dedup — no nested loop",
     "q113_ewma_user_score": "one groupBy shuffle; the EWMA recurrence is a per-group array fold, no window, no UDF",
     "q115_recursive_hierarchy": "native WITH RECURSIVE: one hash join per tree level, O(log N) levels — iterative SQL both engines run",
+    "q117_bloom_semi_join": "distributed bitmap build (int-array agg) + map-side membership prefilter, then the exact semi-join strips false positives",
+    "q118_table_diff": "ONE full-outer hash join on the key; per-column eqNullSafe comparisons codegen'd, no per-column joins",
+    "q120_heavy_hitters": "Misra-Gries candidates from mapInPandas (no shuffle) → broadcast semi-join recount — the full token domain never shuffles",
+    "q121_table_checksum": "narrow md5 map + one bucket-keyed aggregate; decimal hash-sum keeps map-side partials, 64 rows out",
+    "q122_triangle_count": "degree-ordered orientation then wedge⋈closing-edge as pure equi hash joins — no cartesian at any stage",
+    "q124_binned_quantiles": "histogram aggregate (#bins rows) + single-partition cumulative window over bins, never over data rows",
+    "q125_cdc_apply": "window over the CHANGE FEED only picks last-ops; base scanned once (anti-join + union) — base is never windowed",
 }
 
 
