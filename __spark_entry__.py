@@ -2230,6 +2230,49 @@ def q126_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(sink)
 
 
+def q127_point_in_time_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal (point-in-time) join: every order matched to the
+    customer-dimension VERSION that was valid at its order date — the
+    standard bitemporal lookup against an SCD2 dim (q123's builder with
+    1990/1995 batch timestamps so the TPC-H 1992-1998 order dates
+    straddle the version boundary). Plan: ONE equi hash join on
+    custkey with the validity window as a residual filter — dim
+    versions per key are few, so no interval-join machinery is needed;
+    at 100 TB the dim broadcasts or co-partitions on the key. Rolled
+    up per (segment, pre/post boundary) with decimal sums."""
+    from nyc_taxi_data_prediction_pyspark_spark.sources.warehouse import Warehouse
+
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    t1, t2 = "1990-01-01 00:00:00", "1995-01-01 00:00:00"
+    b1 = cust.select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    prem = orders.where(F.col("o_totalprice") > 480000).select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    b2 = b1.join(prem, "c_custkey", "left_semi").withColumn(
+        "segment", F.lit("PREMIUM")
+    ).unionByName(b1.join(prem, "c_custkey", "left_anti"))
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix=f"pit_{uuid.uuid4().hex[:8]}_"))
+    wh.scd2_merge("dim", b1, key=["c_custkey"], attrs=["bal_bucket", "segment"], batch_ts=t1)
+    wh.scd2_merge("dim", b2, key=["c_custkey"], attrs=["bal_bucket", "segment"], batch_ts=t2)
+    dim = wh.read("dim")
+    o = orders.select("o_custkey", "o_orderdate", "o_totalprice")
+    j = o.join(
+        dim,
+        (o.o_custkey == dim.c_custkey)
+        & (o.o_orderdate >= dim.valid_from)
+        & (dim.valid_to.isNull() | (o.o_orderdate < dim.valid_to)),
+    )
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        agg.dsum("o_totalprice").alias("total_price"),
+    )
+
+
 # Driver-slot rotation (round 3): the correctness driver hard-checks the
 # FIRST 50 registry entries only.  Rounds 1-2 proved q01-q50 twice over,
 # so this round rotates the never-driver-checked queries into the 50
@@ -2399,6 +2442,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_binned_quantiles": q124_binned_quantiles,
         "q125_cdc_apply": q125_cdc_apply,
         "q126_streaming_sessions": q126_streaming_sessions,
+        "q127_point_in_time_join": q127_point_in_time_join,
     }
 
 
@@ -4054,5 +4098,33 @@ SELECT user_id,
        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
        COUNT(*) AS n_events
 FROM s GROUP BY user_id, session_id
+""",
+        "q127_point_in_time_join": """
+WITH prem AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 480000),
+base AS (
+  SELECT c_custkey, CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+         c_mktsegment AS segment
+  FROM customer
+),
+changed AS (
+  SELECT b.c_custkey, b.bal_bucket FROM base b JOIN prem p ON b.c_custkey = p.o_custkey
+  WHERE b.segment <> 'PREMIUM'
+),
+dim AS (
+  SELECT b.c_custkey, b.bal_bucket, b.segment,
+         TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+         CASE WHEN c.c_custkey IS NOT NULL THEN TIMESTAMP '1995-01-01 00:00:00' END AS valid_to
+  FROM base b LEFT JOIN changed c ON b.c_custkey = c.c_custkey
+  UNION ALL
+  SELECT c_custkey, bal_bucket, 'PREMIUM', TIMESTAMP '1995-01-01 00:00:00', NULL
+  FROM changed
+)
+SELECT d.segment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= d.valid_from
+ AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+GROUP BY d.segment
 """,
     }
