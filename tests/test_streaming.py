@@ -158,3 +158,55 @@ def test_incremental_corpus_ingest_batch_boundary_invariant(spark, sf_dir, tmp_p
     }
     assert run(2) == batch
     assert run(5) == batch
+
+
+def test_event_stream_reads_both_ns_and_us_parquet(spark, tmp_path):
+    """The driver's testdata generator has shipped events.ts as BOTH
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds; the stream
+    reader must sniff the footer and produce identical TimestampType
+    rows either way (the regression that broke q22/q108/q114 when the
+    unit flipped)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "event_id": [1, 2, 3],
+        "ts": [
+            dt.datetime(2024, 1, 1, 0, 10),
+            dt.datetime(2024, 1, 1, 1, 20),
+            dt.datetime(2024, 1, 1, 1, 40),
+        ],
+        "user_id": [7, 7, 8],
+        "event_type": ["view", "click", "view"],
+        "value": [1.0, 2.0, 3.0],
+        "props": ["{}", "{}", "{}"],
+    }
+    got = {}
+    for unit in ("ns", "us"):
+        d = tmp_path / unit
+        d.mkdir()
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp(unit)),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pydict(rows, schema=schema), d / "events.parquet")
+        assert stream.events_ts_unit(str(d), "events.parquet") == unit
+        ev = stream.read_event_stream(spark, str(d), glob="events.parquet")
+        counts = stream.windowed_counts(ev)
+        sink = f"t_unit_{unit}_{uuid.uuid4().hex[:6]}"
+        stream.run_available_now(
+            counts,
+            checkpoint=str(tmp_path / f"ckpt_{unit}"),
+            sink_table=sink,
+            output_mode="complete",
+        )
+        got[unit] = {tuple(r) for r in spark.table(sink).collect()}
+    assert got["ns"] == got["us"] and len(got["us"]) == 3
