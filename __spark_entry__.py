@@ -2273,6 +2273,24 @@ def q127_point_in_time_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q128_event_throttle(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user event throttle (operators/windows.throttle_last): keep
+    an event only if ≥6h after the last KEPT one — a true sequential
+    fold (each decision depends on prior keeps, so no lag/window can
+    express it; distinct from gap-island sessionization, which
+    suppresses a long burst entirely). Integer-µs fold + kept-set
+    checksum ⇒ the decision sequence value-hash matches DuckDB's
+    list_reduce replay."""
+    ev = load(spark, sf, "events")
+    return windows.throttle_last(
+        ev,
+        partition=["user_id"],
+        ts="ts",
+        min_gap_micros=6 * 3_600_000_000,
+        order_tiebreak=["event_id"],
+    ).orderBy("user_id")
+
+
 # Driver-slot rotation (round 3): the correctness driver hard-checks the
 # FIRST 50 registry entries only.  Rounds 1-2 proved q01-q50 twice over,
 # so this round rotates the never-driver-checked queries into the 50
@@ -2443,6 +2461,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_cdc_apply": q125_cdc_apply,
         "q126_streaming_sessions": q126_streaming_sessions,
         "q127_point_in_time_join": q127_point_in_time_join,
+        "q128_event_throttle": q128_event_throttle,
     }
 
 
@@ -4126,5 +4145,32 @@ FROM orders o JOIN dim d
  AND o.o_orderdate >= d.valid_from
  AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
 GROUP BY d.segment
+""",
+        "q128_event_throttle": """
+-- fold replayed as a RECURSIVE CTE (one level per event rank), not
+-- list_reduce: DuckDB 1.0 lambdas mis-alias list-typed accumulators
+-- across vector rows (the same query gives different answers filtered
+-- vs whole-table), so only scalar-accumulator lambdas are trustworthy
+-- — the recursive join replay is exact row-at-a-time arithmetic
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+),
+fold(user_id, rn, n_events, last_t, n_kept, ts_sum) AS (
+  SELECT user_id, rn, n_events, t, 1::BIGINT, t FROM e WHERE rn = 1
+  UNION ALL
+  SELECT f.user_id, e.rn, f.n_events,
+         CASE WHEN e.t >= f.last_t + 21600000000 THEN e.t ELSE f.last_t END,
+         CASE WHEN e.t >= f.last_t + 21600000000 THEN f.n_kept + 1 ELSE f.n_kept END,
+         CASE WHEN e.t >= f.last_t + 21600000000 THEN f.ts_sum + e.t ELSE f.ts_sum END
+  FROM fold f JOIN e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+)
+SELECT user_id, n_events,
+       CAST(n_kept AS INTEGER) AS n_kept,
+       CAST(ts_sum AS BIGINT) AS kept_ts_sum
+FROM fold WHERE rn = n_events
+ORDER BY user_id
 """,
     }

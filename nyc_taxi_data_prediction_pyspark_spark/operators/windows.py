@@ -394,3 +394,56 @@ def ewma_last_segmented(
     return per_chunk.groupBy(*gcols).agg(
         F.sum("__cnt").cast("bigint").alias("n_events"), compose.alias(out_col)
     )
+
+
+def throttle_last(
+    df: DataFrame,
+    *,
+    partition: Sequence[str],
+    ts: str,
+    min_gap_micros: int,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group event THROTTLE (debounce): walking each group in
+    event-time order, an event is KEPT iff it is at least
+    ``min_gap_micros`` after the last KEPT event; the first event is
+    always kept. Returns per group (n_events, n_kept, kept_ts_sum) —
+    the kept-set checksum makes the decision sequence value-checkable
+    without shipping the set.
+
+    This is NOT gap-island sessionization (q36/q126 keep one event per
+    ISLAND — a chain of sub-gap events extends the island, suppressing
+    later events forever): throttling re-arms from the last KEPT
+    event, so a long burst still yields one event per ``min_gap``.
+    The keep decision depends on prior keep decisions — a true
+    sequential fold, inexpressible as lag/window — expressed as
+    collect → sort_array → F.aggregate with a grow-only array
+    accumulator of kept timestamps (DuckDB's list_reduce replays the
+    identical fold, so pure integer-µs arithmetic hash-matches).
+
+    Scale posture: q113's class — one shuffle, per-group state bounded
+    by events-per-entity; hot entities (10^8 rows/key) would use a
+    q119-style segmented compose, whose composition operator for
+    throttling is (first_kept, last_kept, count) per chunk — not
+    implemented, the fold form is the contract.
+    """
+    order_cols = [F.unix_micros(F.col(ts)).alias("__ts_us")] + [
+        F.col(c).cast("bigint").alias(f"__tb{i}") for i, c in enumerate(order_tiebreak)
+    ]
+    arr = F.sort_array(F.collect_list(F.struct(*order_cols)))
+    tss = F.transform(arr, lambda s: s["__ts_us"])
+    gap = F.lit(int(min_gap_micros)).cast("bigint")
+    kept = F.aggregate(
+        F.slice(tss, 2, F.greatest(F.size(tss) - 1, F.lit(0))),
+        F.slice(tss, 1, 1),  # init: first event always kept
+        lambda acc, t: F.when(
+            t >= F.element_at(acc, -1) + gap, F.concat(acc, F.array(t))
+        ).otherwise(acc),
+    )
+    return df.groupBy(*partition).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.size(kept).alias("n_kept"),
+        F.aggregate(kept, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "kept_ts_sum"
+        ),
+    )

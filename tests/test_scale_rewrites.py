@@ -294,6 +294,39 @@ def test_rollup_ledger_compacts_to_watermark(spark, sf_dir, tmp_path):
     assert stream.read_rollup_ledger(store) == (4, set())
 
 
+def test_throttle_matches_python_fold(spark):
+    """Keep-iff->=gap-after-last-KEPT is a sequential decision chain;
+    the Spark fold must match a literal python replay, including burst
+    re-arming (which distinguishes throttle from sessionization)."""
+    rng = random.Random(31)
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (rng.randrange(4), i, base + dt.timedelta(minutes=rng.randrange(10_000)))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    gap_us = 3_600_000_000
+    got = {
+        r.user_id: (r.n_events, r.n_kept, r.kept_ts_sum)
+        for r in windows.throttle_last(
+            df, partition=["user_id"], ts="ts",
+            min_gap_micros=gap_us, order_tiebreak=["event_id"],
+        ).collect()
+    }
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for u, eid, t in rows:
+        by_user.setdefault(u, []).append((int(t.timestamp() * 1_000_000), eid))
+    for u, seq in by_user.items():
+        seq.sort()
+        kept = [seq[0][0]]
+        for t, _ in seq[1:]:
+            if t >= kept[-1] + gap_us:
+                kept.append(t)
+        assert got[u] == (len(seq), len(kept), sum(kept))
+        # non-vacuous: some events kept, some dropped
+        assert 1 <= len(kept) < len(seq)
+
+
 def test_binned_quantiles_error_bound_and_partition_invariance(spark):
     """The histogram quantile must land within one bin width of the
     true order statistic, and be bit-identical under any partitioning
