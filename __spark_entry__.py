@@ -2291,6 +2291,43 @@ def q128_event_throttle(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q129_listagg_top_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """LISTAGG / STRING_AGG surface: per nation, the CSV of its top-3
+    customers by account balance in rank order — grouped top-k feeding
+    an ORDERED string aggregation. Spark has no ordered string_agg
+    aggregate; the deterministic form is collect_list(struct(rank,
+    name)) → array_sort → transform → array_join, which reproduces
+    DuckDB's string_agg(... ORDER BY rank) exactly. One window + one
+    groupBy; the collected list is k rows per group by construction."""
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    top = (
+        cust.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg_list = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rk", "c_name"))),
+            lambda s: s.c_name,
+        ),
+        ",",
+    )
+    return (
+        top.groupBy("n_name")
+        .agg(
+            agg_list.alias("top_customers"),
+            F.count(F.lit(1)).alias("n_listed"),
+        )
+        .orderBy("n_name")
+    )
+
+
 # Driver-slot rotation (round 3): the correctness driver hard-checks the
 # FIRST 50 registry entries only.  Rounds 1-2 proved q01-q50 twice over,
 # so this round rotates the never-driver-checked queries into the 50
@@ -2462,6 +2499,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_streaming_sessions": q126_streaming_sessions,
         "q127_point_in_time_join": q127_point_in_time_join,
         "q128_event_throttle": q128_event_throttle,
+        "q129_listagg_top_customers": q129_listagg_top_customers,
     }
 
 
@@ -4172,5 +4210,20 @@ SELECT user_id, n_events,
        CAST(ts_sum AS BIGINT) AS kept_ts_sum
 FROM fold WHERE rn = n_events
 ORDER BY user_id
+""",
+        "q129_listagg_top_customers": """
+WITH ranked AS (
+  SELECT c_nationkey, c_name,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer
+)
+SELECT n.n_name,
+       string_agg(r.c_name, ',' ORDER BY r.rk) AS top_customers,
+       COUNT(*) AS n_listed
+FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
+WHERE r.rk <= 3
+GROUP BY n.n_name
+ORDER BY n.n_name
 """,
     }
