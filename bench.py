@@ -66,6 +66,18 @@ HEADLINE = [
     "q116_domain_cap",
     "q117_bloom_semi_join",
     "q118_table_diff",
+    "q119_ewma_segmented",
+    "q120_heavy_hitters",
+    "q121_table_checksum",
+    "q122_triangle_count",
+    "q123_scd2_history",
+    "q124_binned_quantiles",
+    "q125_cdc_apply",
+    "q126_streaming_sessions",
+    "q127_point_in_time_join",
+    "q128_event_throttle",
+    "q129_listagg_top_customers",
+    "q130_streaming_dedup",
 ]
 
 
