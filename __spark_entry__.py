@@ -2354,6 +2354,27 @@ def q130_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q131_data_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative expectation checks (operators/cleaning.quality_report
+    — the dbt-test family): range rules in ONE conditional-sum scan,
+    key-uniqueness via excess-count agg, referential integrity via
+    left_anti on the parent key projection. Mixed zero and non-zero
+    violation counts so both outcomes are value-checked."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    return cleaning.quality_report(
+        li,
+        rules=[
+            ("quantity_in_1_50", ~F.col("l_quantity").between(1, 50)),
+            ("quantity_le_30", F.col("l_quantity") > 30),
+            ("discount_le_7pct", F.col("l_discount") > 0.07),
+            ("price_positive", F.col("l_extendedprice") <= 0),
+        ],
+        unique=[["l_orderkey", "l_linenumber"]],
+        fk=[(["l_orderkey"], orders, ["o_orderkey"])],
+    ).orderBy("rule")
+
+
 # Driver-slot rotation (round 3): the correctness driver hard-checks the
 # FIRST 50 registry entries only.  Rounds 1-2 proved q01-q50 twice over,
 # so this round rotates the never-driver-checked queries into the 50
@@ -2527,6 +2548,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_event_throttle": q128_event_throttle,
         "q129_listagg_top_customers": q129_listagg_top_customers,
         "q130_streaming_dedup": q130_streaming_dedup,
+        "q131_data_quality": q131_data_quality,
     }
 
 
@@ -4257,5 +4279,31 @@ ORDER BY n.n_name
 SELECT event_type, COUNT(*) AS n_events
 FROM events GROUP BY event_type
 ORDER BY event_type
+""",
+        "q131_data_quality": """
+WITH r AS (
+  SELECT 'quantity_in_1_50' AS rule,
+         CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM lineitem
+  UNION ALL
+  SELECT 'quantity_le_30',
+         CAST(SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'discount_le_7pct',
+         CAST(SUM(CASE WHEN l_discount > 0.07 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'price_positive',
+         CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'unique(l_orderkey, l_linenumber)',
+         CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+  FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+  UNION ALL
+  SELECT 'fk(l_orderkey)',
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL
+)
+SELECT rule, n_violations FROM r ORDER BY rule
 """,
     }

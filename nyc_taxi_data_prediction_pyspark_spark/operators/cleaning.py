@@ -110,3 +110,84 @@ WHERE l_shipdate IS NOT NULL AND l_orderkey IS NOT NULL
   AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
   AND l_quantity > 0 AND l_extendedprice > 0
 """
+
+
+def quality_report(
+    df: DataFrame,
+    *,
+    rules: "Sequence[tuple[str, Column]]" = (),
+    unique: "Sequence[Sequence[str]]" = (),
+    fk: "Sequence[tuple[Sequence[str], DataFrame, Sequence[str]]]" = (),
+) -> DataFrame:
+    """Declarative data-quality expectations (the dbt-test family the
+    reference's verification queries gesture at, readme.md:149-187):
+    evaluate every check in ONE pass shape and return (rule,
+    n_violations) — zero rows pass silently is NOT the contract; every
+    rule reports, so a disappearing check is visible.
+
+    - ``rules``: (name, violation_condition Column) — counted with a
+      conditional sum in a single scan over the table, however many
+      rules there are (no per-rule scans).
+    - ``unique``: key column lists; violations = rows in excess of one
+      per key (groupBy count > 1 — one shuffle per key set, on the
+      key projection only).
+    - ``fk``: (child_cols, parent_df, parent_cols) referential checks;
+      violations = child rows with no parent (left_anti on the parent
+      key projection — AQE broadcasts dim-sized parents).
+
+    At 100 TB: the rule scan is one pass; unique/fk checks shuffle
+    narrow key projections only; results are #checks rows.
+    """
+    from pyspark.sql import functions as F
+
+    reports = []
+    if rules:
+        agg_cols = [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"__r{i}")
+            for i, (_, cond) in enumerate(rules)
+        ]
+        wide = df.agg(*agg_cols)
+        stack = ", ".join(
+            f"'{name}', __r{i}" for i, (name, _) in enumerate(rules)
+        )
+        reports.append(
+            wide.selectExpr(
+                f"stack({len(rules)}, {stack}) as (rule, n_violations)"
+            )
+        )
+    for cols in unique:
+        key = [F.col(c) for c in cols]
+        dup = (
+            df.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .agg(
+                F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+                .cast("bigint")
+                .alias("n_violations")
+            )
+            .select(
+                F.lit(f"unique({', '.join(cols)})").alias("rule"), "n_violations"
+            )
+        )
+        reports.append(dup)
+    for child_cols, parent, parent_cols in fk:
+        pk = parent.select(
+            *[F.col(p).alias(c) for c, p in zip(child_cols, parent_cols)]
+        ).distinct()
+        orphans = (
+            df.select(*[F.col(c) for c in child_cols])
+            .join(pk, list(child_cols), "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .select(
+                F.lit(
+                    f"fk({', '.join(child_cols)})"
+                ).alias("rule"),
+                "n_violations",
+            )
+        )
+        reports.append(orphans)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
