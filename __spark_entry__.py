@@ -2375,6 +2375,71 @@ def q131_data_quality(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("rule")
 
 
+def q132_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP/time-weighted
+    telemetry mean): each observation holds until the next one, so its
+    weight is the µs gap to the successor (last observation carries no
+    weight — the standard right-open convention). One lag/lead window
+    + exact integer-µs × decimal weighting; engines agree bit-for-bit
+    because the weighted sum is decimal and the division is a single
+    IEEE op."""
+    ev = load(spark, sf, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    t = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.col("value"),
+    ).withColumn("next_us", F.lead("t_us").over(
+        Window.partitionBy("user_id").orderBy(F.col("t_us").asc(), F.col("event_id").asc())
+    ))
+    seg = t.where(F.col("next_us").isNotNull()).select(
+        "user_id",
+        ((F.col("next_us") - F.col("t_us")).cast("decimal(38,6)") * F.col("value").cast("decimal(18,6)")).alias("wv"),
+        (F.col("next_us") - F.col("t_us")).alias("dur"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum("dur").alias("total_us"),
+            (F.sum("wv").cast("double") / F.sum("dur").cast("double")).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q133_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC candlestick bars: per (hour, event_type) the opening value
+    (first by (ts, event_id)), high, low, and closing value (last) —
+    the market-data rollup shape. Open/close via min/max over packed
+    (ts, event_id, value) structs: Spark orders structs
+    lexicographically, so ONE aggregation pass yields the extreme-row
+    values without a window or self-join; DuckDB's arg_min/arg_max
+    over the same composite key agree exactly."""
+    ev = load(spark, sf, "events")
+    packed = ev.select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        F.struct(
+            F.unix_micros("ts").alias("t"), F.col("event_id").alias("e"), F.col("value").alias("v")
+        ).alias("p"),
+        "value",
+    )
+    return (
+        packed.groupBy("hour", "event_type")
+        .agg(
+            F.min("p").getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max("p").getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
 # Driver-slot rotation (round 3): the correctness driver hard-checks the
 # FIRST 50 registry entries only.  Rounds 1-2 proved q01-q50 twice over,
 # so this round rotates the never-driver-checked queries into the 50
@@ -2549,6 +2614,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_listagg_top_customers": q129_listagg_top_customers,
         "q130_streaming_dedup": q130_streaming_dedup,
         "q131_data_quality": q131_data_quality,
+        "q132_twap": q132_twap,
+        "q133_ohlc_bars": q133_ohlc_bars,
     }
 
 
@@ -4305,5 +4372,35 @@ WITH r AS (
   WHERE o.o_orderkey IS NULL
 )
 SELECT rule, n_violations FROM r ORDER BY rule
+""",
+        "q132_twap": """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id, value,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) ASC, event_id ASC) AS next_us
+  FROM events
+),
+seg AS (
+  SELECT user_id,
+         CAST(next_us - t_us AS DECIMAL(38,6)) * CAST(value AS DECIMAL(18,6)) AS wv,
+         next_us - t_us AS dur
+  FROM t WHERE next_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(SUM(dur) AS BIGINT) AS total_us,
+       CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE) AS twap
+FROM seg GROUP BY user_id
+ORDER BY user_id
+""",
+        "q133_ohlc_bars": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       (MIN(ROW(epoch_us(ts), event_id, value)))[3] AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       (MAX(ROW(epoch_us(ts), event_id, value)))[3] AS close,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
 """,
     }
