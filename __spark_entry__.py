@@ -2440,6 +2440,75 @@ def q133_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q134_rolling_wau(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day: exact sliding-window
+    DISTINCT, which no window frame computes (distinct doesn't
+    decompose) — rewritten as contribution explode: each (day, user)
+    presence row feeds the 7 windows it belongs to via a sequence
+    explode, then one distinct + count per window. Work is
+    7 x |daily presences| — linear with a constant, never a per-window
+    rescan; the classic rolling-MAU formulation."""
+    ev = load(spark, sf, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("window_day"),
+        "user_id",
+    ).distinct()
+    # keep only windows fully inside the observed range so every
+    # reported day has a complete 7-day lookback
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("min_day"),
+        F.date_trunc("day", F.max("ts")).alias("max_day"),
+    )
+    return (
+        contrib.join(F.broadcast(bounds))
+        .where(
+            (F.col("window_day") >= F.col("min_day") + F.expr("INTERVAL 6 DAYS"))
+            & (F.col("window_day") <= F.col("max_day"))
+        )
+        .groupBy("window_day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .orderBy("window_day")
+    )
+
+
+def q135_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-bucketed shuffle-free join (Warehouse.save_bucketed): orders
+    and lineitem written bucketBy(8, orderkey) + sortBy into the
+    session catalog, then joined on the bucket key — SortMergeJoin
+    with ZERO Exchange on either side (bucket layout IS the shuffle,
+    paid once at write). The 100 TB discipline for every recurring
+    fact-to-fact join; plan asserted exchange-free in
+    tests/test_skew_bucketing.py. Returns per-priority revenue."""
+    from nyc_taxi_data_prediction_pyspark_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix=f"bkt_{uuid.uuid4().hex[:8]}_"))
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    tag = uuid.uuid4().hex[:8]
+    wh.save_bucketed(f"bkt_orders_{tag}", o, buckets=8, key=["o_orderkey"])
+    wh.save_bucketed(f"bkt_lineitem_{tag}", li, buckets=8, key=["l_orderkey"])
+    ob = spark.table(f"bkt_orders_{tag}")
+    lb = spark.table(f"bkt_lineitem_{tag}")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            agg.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # Driver-slot rotation (round 3): the correctness driver hard-checks the
 # FIRST 50 registry entries only.  Rounds 1-2 proved q01-q50 twice over,
 # so this round rotates the never-driver-checked queries into the 50
@@ -2616,6 +2685,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_data_quality": q131_data_quality,
         "q132_twap": q132_twap,
         "q133_ohlc_bars": q133_ohlc_bars,
+        "q134_rolling_wau": q134_rolling_wau,
+        "q135_bucketed_join": q135_bucketed_join,
     }
 
 
@@ -4402,5 +4473,32 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
+""",
+        "q134_rolling_wau": """
+WITH daily AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+contrib AS (
+  SELECT DISTINCT day + (i || ' days')::INTERVAL AS window_day, user_id
+  FROM daily, (SELECT unnest(range(7)) AS i)
+),
+bounds AS (
+  SELECT date_trunc('day', MIN(ts)) AS min_day, date_trunc('day', MAX(ts)) AS max_day
+  FROM events
+)
+SELECT c.window_day, COUNT(*) AS wau
+FROM contrib c, bounds b
+WHERE c.window_day >= b.min_day + INTERVAL 6 DAYS
+  AND c.window_day <= b.max_day
+GROUP BY c.window_day
+ORDER BY c.window_day
+""",
+        "q135_bucketed_join": """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
 """,
     }
