@@ -2509,6 +2509,54 @@ def q135_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q136_key_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew profile — the diagnostic run BEFORE choosing a
+    join strategy (salt? broadcast? AQE skew split?): per candidate
+    key, the frequency distribution's (n_keys, n_rows, max, min,
+    avg, top-key share in ppm). One groupBy to the key domain + a
+    metadata-sized re-agg; integers and one IEEE division so it
+    value-checks. Profiles lineitem.l_suppkey."""
+    li = load(spark, sf, "lineitem")
+    freq = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("f"))
+    return freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("f").alias("n_rows"),
+        F.max("f").alias("max_freq"),
+        F.min("f").alias("min_freq"),
+        (F.sum("f").cast("double") / F.count(F.lit(1))).alias("avg_freq"),
+        F.floor(F.max("f") * F.lit(1_000_000) / F.sum("f")).cast("bigint").alias("top_share_ppm"),
+    )
+
+
+def q137_order_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table reconciliation (the q121/q131 audit family applied
+    across tables): orders.o_totalprice vs the lineitem-derived total
+    sum(extprice·(1-disc)·(1+tax)) per order — one aggregation to
+    order grain, one full-outer-ish comparison pass, all diffs in
+    exact DECIMAL with the max divergence integerized to cents.
+    The synthetic fixture is deliberately inconsistent (every total
+    drifts; 27 orders have no items at sf0.001), so all three
+    counters are non-vacuous."""
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, sf, "lineitem")
+    derived = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+            .cast("decimal(18,4)")
+        ).alias("derived_total")
+    )
+    j = orders.join(derived, orders.o_orderkey == derived.l_orderkey, "left")
+    diff = F.abs(F.col("o_totalprice").cast("decimal(18,4)") - F.col("derived_total"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("derived_total").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_no_items"),
+        F.sum(F.when(diff > 0.01, 1).otherwise(0)).cast("bigint").alias("n_mismatched"),
+        F.floor(F.max(diff) * 100).cast("bigint").alias("max_abs_diff_cents"),
+    )
+
+
 # Driver-slot rotation (round 3): the correctness driver hard-checks the
 # FIRST 50 registry entries only.  Rounds 1-2 proved q01-q50 twice over,
 # so this round rotates the never-driver-checked queries into the 50
@@ -2687,6 +2735,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_ohlc_bars": q133_ohlc_bars,
         "q134_rolling_wau": q134_rolling_wau,
         "q135_bucketed_join": q135_bucketed_join,
+        "q136_key_skew_profile": q136_key_skew_profile,
+        "q137_order_reconciliation": q137_order_reconciliation,
     }
 
 
@@ -4500,5 +4550,34 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+""",
+        "q136_key_skew_profile": """
+WITH freq AS (
+  SELECT l_suppkey, COUNT(*) AS f FROM lineitem GROUP BY l_suppkey
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(f) AS BIGINT) AS n_rows,
+       CAST(MAX(f) AS BIGINT) AS max_freq,
+       CAST(MIN(f) AS BIGINT) AS min_freq,
+       CAST(SUM(f) AS DOUBLE) / COUNT(*) AS avg_freq,
+       CAST(FLOOR(MAX(f) * 1000000.0 / SUM(f)) AS BIGINT) AS top_share_ppm
+FROM freq
+""",
+        "q137_order_reconciliation": """
+WITH derived AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS derived_total
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderkey, o.o_totalprice, d.derived_total,
+         abs(CAST(o.o_totalprice AS DECIMAL(18,4)) - d.derived_total) AS diff
+  FROM orders o LEFT JOIN derived d ON o.o_orderkey = d.l_orderkey
+)
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN derived_total IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_items,
+       CAST(SUM(CASE WHEN diff > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+       CAST(FLOOR(MAX(diff) * 100) AS BIGINT) AS max_abs_diff_cents
+FROM j
 """,
     }
