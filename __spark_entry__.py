@@ -2380,9 +2380,12 @@ def q132_twap(spark: SparkSession, sf: str) -> DataFrame:
     telemetry mean): each observation holds until the next one, so its
     weight is the µs gap to the successor (last observation carries no
     weight — the standard right-open convention). One lag/lead window
-    + exact integer-µs × decimal weighting; engines agree bit-for-bit
-    because the weighted sum is decimal and the division is a single
-    IEEE op."""
+    + exact integer-µs × decimal weighting. The weighted sum's decimal
+    payload (~1e20 at µs scale) exceeds 2^53, where DuckDB's two-step
+    decimal→double cast (payload→double, then ÷10^scale) and Spark's
+    exactly-rounded BigDecimal cast can disagree by one ulp — so twap
+    is rounded to 1e-6, a grid nine orders above the ulp at this
+    magnitude (safe per the ROUND-near-ulp rule)."""
     ev = load(spark, sf, "events")
     from pyspark.sql import Window
 
@@ -2404,7 +2407,9 @@ def q132_twap(spark: SparkSession, sf: str) -> DataFrame:
         seg.groupBy("user_id")
         .agg(
             F.sum("dur").alias("total_us"),
-            (F.sum("wv").cast("double") / F.sum("dur").cast("double")).alias("twap"),
+            F.round(
+                F.sum("wv").cast("double") / F.sum("dur").cast("double"), 6
+            ).alias("twap"),
         )
         .orderBy("user_id")
     )
@@ -4509,7 +4514,7 @@ seg AS (
 )
 SELECT user_id,
        CAST(SUM(dur) AS BIGINT) AS total_us,
-       CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE) AS twap
+       ROUND(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 6) AS twap
 FROM seg GROUP BY user_id
 ORDER BY user_id
 """,
