@@ -132,7 +132,10 @@ def triangle_count(
     wedges; in degree-ordering it emits at most |{nodes with larger
     degree}|^2. Three hash joins total, no cross join.
     """
-    # canonical undirected edge set (a < b), self-loops dropped
+    # canonical undirected edge set (a < b), self-loops dropped;
+    # lazily checkpointed — it feeds FOUR plan subtrees (both degree
+    # scans, the orientation join, the closing join), which would
+    # otherwise each re-run the caller's edge construction
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -140,6 +143,7 @@ def triangle_count(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("v"))
