@@ -2562,6 +2562,48 @@ def q137_order_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q138_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized (clamped) robust mean per event_type: values clipped
+    to the group's exact [p05, p95] ORDER STATISTICS (discrete
+    percentiles — rank selection by floor(q·(n-1)), no interpolation,
+    so the bounds are actual data values and engine-exact), then a
+    decimal mean of the clamped values. The robust aggregate a
+    telemetry pipeline uses when hot sensors emit garbage tails. Two
+    windows sharing one (type, value, id) sort + a broadcast of
+    #groups bound rows."""
+    ev = load(spark, sf, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select("event_type", "event_id", "value").withColumn(
+        "rn", F.row_number().over(w) - 1
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    bounds = (
+        ranked.where(
+            (F.col("rn") == F.floor(F.lit(0.05) * (F.col("n") - 1)))
+            | (F.col("rn") == F.floor(F.lit(0.95) * (F.col("n") - 1)))
+        )
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    clamped = ranked.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("cv"),
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("cv").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+                "winsorized_mean"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 # Driver-slot rotation (round 3): the correctness driver hard-checks the
 # FIRST 50 registry entries only.  Rounds 1-2 proved q01-q50 twice over,
 # so this round rotates the never-driver-checked queries into the 50
@@ -2742,6 +2784,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_bucketed_join": q135_bucketed_join,
         "q136_key_skew_profile": q136_key_skew_profile,
         "q137_order_reconciliation": q137_order_reconciliation,
+        "q138_winsorized_mean": q138_winsorized_mean,
     }
 
 
@@ -4584,5 +4627,27 @@ SELECT COUNT(*) AS n_orders,
        CAST(SUM(CASE WHEN diff > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
        CAST(FLOOR(MAX(diff) * 100) AS BIGINT) AS max_abs_diff_cents
 FROM j
+""",
+        "q138_winsorized_mean": """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+  FROM ranked
+  WHERE rn = FLOOR(0.05 * (n - 1)) OR rn = FLOOR(0.95 * (n - 1))
+  GROUP BY event_type
+)
+SELECT r.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(LEAST(GREATEST(r.value, b.lo), b.hi) AS DECIMAL(18,6))) AS DOUBLE)
+         / COUNT(*) AS winsorized_mean
+FROM ranked r JOIN bounds b ON r.event_type = b.event_type
+GROUP BY r.event_type
+ORDER BY r.event_type
 """,
     }
