@@ -2604,6 +2604,32 @@ def q138_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q139_grouped_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic grouped MODE: the most frequent value-bucket per
+    event_type with ties broken toward the smaller bucket — count to
+    the (group, bucket) domain, then a rank-1 window over the tiny
+    count frame. Spark's native `mode` aggregate is tie-nondeterministic
+    across partitionings, so the explicit (count desc, bucket asc)
+    rank is the hash-checkable form."""
+    ev = load(spark, sf, "events")
+    from pyspark.sql import Window
+
+    counts = (
+        ev.select("event_type", F.floor(F.col("value") / 10).cast("bigint").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("bucket").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("event_type", F.col("bucket").alias("mode_bucket"), "cnt")
+        .orderBy("event_type")
+    )
+
+
 # Driver-slot rotation (round 3): the correctness driver hard-checks the
 # FIRST 50 registry entries only.  Rounds 1-2 proved q01-q50 twice over,
 # so this round rotates the never-driver-checked queries into the 50
@@ -2785,6 +2811,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_key_skew_profile": q136_key_skew_profile,
         "q137_order_reconciliation": q137_order_reconciliation,
         "q138_winsorized_mean": q138_winsorized_mean,
+        "q139_grouped_mode": q139_grouped_mode,
     }
 
 
@@ -4649,5 +4676,20 @@ SELECT r.event_type,
 FROM ranked r JOIN bounds b ON r.event_type = b.event_type
 GROUP BY r.event_type
 ORDER BY r.event_type
+""",
+        "q139_grouped_mode": """
+WITH counts AS (
+  SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bucket, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, bucket, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, bucket ASC) AS rk
+  FROM counts
+)
+SELECT event_type, bucket AS mode_bucket, cnt
+FROM ranked WHERE rk = 1
+ORDER BY event_type
 """,
     }

@@ -61,6 +61,15 @@ NOTES = {
     "q122_triangle_count": "degree-ordered orientation then wedge⋈closing-edge as pure equi hash joins — no cartesian at any stage",
     "q124_binned_quantiles": "histogram aggregate (#bins rows) + single-partition cumulative window over bins, never over data rows",
     "q125_cdc_apply": "window over the CHANGE FEED only picks last-ops; base scanned once (anti-join + union) — base is never windowed",
+    "q127_point_in_time_join": "temporal lookup = ONE equi hash join on the key, validity window as residual filter — no interval machinery",
+    "q128_event_throttle": "one groupBy shuffle; the keep-chain is a per-group integer array fold — no window, no UDF",
+    "q132_twap": "one lead window + grouped decimal sums; the division is a single IEEE op rounded at 1e-6",
+    "q133_ohlc_bars": "ONE aggregation pass: open/close via lexicographic struct min/max — no window, no self-join",
+    "q134_rolling_wau": "contribution explode (x7) + one distinct + one count — never a per-window rescan",
+    "q136_key_skew_profile": "key-domain groupBy then a #keys-row summary agg — two map-side-combined aggregations",
+    "q137_order_reconciliation": "lineitem aggregated to order grain once; one left join; exact decimal diffs",
+    "q138_winsorized_mean": "two windows share one (group, value, id) sort; bounds broadcast back at #groups rows",
+    "q139_grouped_mode": "count to the (group, bucket) domain, rank-1 window over the tiny count frame — deterministic ties",
 }
 
 
