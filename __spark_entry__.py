@@ -2630,6 +2630,45 @@ def q139_grouped_mode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q140_last_n_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-store snapshot: per user, the LAST 5 event values in
+    time order as an array plus their decimal sum — the bounded-
+    history feature materialization an online model reads. Built as
+    sort_array(collect_list(struct)) → tail slice → transform: one
+    shuffle, per-group state bounded by events-per-entity (the q113
+    class), and the array itself is order-deterministic so it
+    value-hash checks as a column."""
+    ev = load(spark, sf, "events")
+    packed = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("value").alias("v"),
+            )
+        )
+    )
+    tail = F.slice(packed, -5, 5)
+    vals = F.transform(tail, lambda s: F.round(s["v"], 6))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            vals.alias("last5_values"),
+            F.aggregate(
+                vals,
+                F.lit(0).cast("decimal(18,6)"),
+                # re-cast: decimal addition widens to (19,6), which the
+                # fold's accumulator type contract rejects
+                lambda a, x: (a + x.cast("decimal(18,6)")).cast("decimal(18,6)"),
+            )
+            .cast("double")
+            .alias("last5_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # Driver-slot rotation (round 3): the correctness driver hard-checks the
 # FIRST 50 registry entries only.  Rounds 1-2 proved q01-q50 twice over,
 # so this round rotates the never-driver-checked queries into the 50
@@ -2812,6 +2851,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_order_reconciliation": q137_order_reconciliation,
         "q138_winsorized_mean": q138_winsorized_mean,
         "q139_grouped_mode": q139_grouped_mode,
+        "q140_last_n_features": q140_last_n_features,
     }
 
 
@@ -4691,5 +4731,21 @@ ranked AS (
 SELECT event_type, bucket AS mode_bucket, cnt
 FROM ranked WHERE rk = 1
 ORDER BY event_type
+""",
+        "q140_last_n_features": """
+WITH packed AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         list_sort(list(struct_pack(t := epoch_us(ts), e := event_id, v := value))) AS arr
+  FROM events GROUP BY user_id
+),
+tails AS (
+  SELECT user_id, n_events,
+         list_transform(arr[-5:], s -> ROUND(s.v, 6)) AS last5_values
+  FROM packed
+)
+SELECT user_id, n_events, last5_values,
+       CAST(list_sum(list_transform(last5_values, x -> CAST(x AS DECIMAL(18,6)))) AS DOUBLE) AS last5_sum
+FROM tails
+ORDER BY user_id
 """,
     }
