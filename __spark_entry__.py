@@ -2648,7 +2648,10 @@ def q140_last_n_features(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
-    tail = F.slice(packed, -5, 5)
+    # Clamped start: Spark's negative-start slice does NOT clamp —
+    # slice(arr, -5, 5) is EMPTY when size(arr) < 5 — while the oracle's
+    # arr[-5:] clamps.  greatest(size-4, 1) keeps short histories whole.
+    tail = F.slice(packed, F.greatest(F.size(packed) - F.lit(4), F.lit(1)), 5)
     vals = F.transform(tail, lambda s: F.round(s["v"], 6))
     return (
         ev.groupBy("user_id")
@@ -4492,8 +4495,11 @@ FROM applied GROUP BY o_orderstatus
         "q126_streaming_sessions": """
 WITH b AS (
   SELECT user_id, event_id, ts,
+         -- >= (not >): Spark's session_window merges only strictly-
+         -- overlapping [ts, ts+gap) windows, so an event EXACTLY gap
+         -- after its predecessor starts a NEW session.
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS boundary
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS boundary
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), s AS (

@@ -276,12 +276,34 @@ def ingest_corpus_incrementally(
             merged = upd
         tmp = f"{store}_tmp_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(store):
-            shutil.rmtree(store)
-        os.rename(tmp, store)
+        _swap_store(store, tmp)
 
     foreach_batch_merge(stream, checkpoint=ckpt, merge_fn=merge)
     return spark.read.parquet(store)
+
+
+def _swap_store(store: str, tmp: str) -> None:
+    """Crash-safe store swap: rename the live store ASIDE before
+    renaming the staged copy in, then delete the old copy.  A plain
+    rmtree-then-rename has a window where a crash deletes the only
+    copy while the stream checkpoint has already committed the folded
+    batch_ids (they are never redelivered) — the data would be
+    silently, permanently lost.  With rename-aside, a crash at any
+    point leaves at least one complete copy on disk (``store`` or
+    ``store + '_old'``), so the failure is recoverable-by-operator
+    rather than silent.  Single-writer discipline (same caveat as
+    Warehouse) makes the fixed ``_old`` name collision-free."""
+    import os
+    import shutil
+
+    old = store + "_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a prior completed swap
+    if os.path.exists(store):
+        os.rename(store, old)
+    os.rename(tmp, store)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def rollup_merge_fn(store: str) -> Callable[[DataFrame, int], None]:
@@ -300,7 +322,9 @@ def rollup_merge_fn(store: str) -> Callable[[DataFrame, int], None]:
     unbounded ``collect()``) over an unbounded stream lifetime.
     Out-of-order replay (test harnesses) leaves stragglers, which fold
     in as soon as the gap closes. The ledger rides inside the store's
-    atomic rename-swap, so a crash cannot split data from ledger.
+    rename-aside swap (``_swap_store``), so a crash cannot split data
+    from ledger, and at least one complete (data, ledger) copy always
+    survives on disk.
 
     The merge shuffle is sized to the OUTPUT domain: the rollup is
     bounded by (hour, event_type) — metadata-sized by design — and the
@@ -358,9 +382,7 @@ def rollup_merge_fn(store: str) -> Callable[[DataFrame, int], None]:
             merged.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
             with open(os.path.join(tmp, "ledger.json"), "w") as f:
                 json.dump({"watermark": wm, "stragglers": sorted(ids)}, f)
-            if os.path.exists(store):
-                shutil.rmtree(store)
-            os.rename(tmp, store)
+            _swap_store(store, tmp)
         finally:
             s.conf.set(conf_key, old_parts)
 

@@ -425,3 +425,56 @@ def test_table_diff_classification(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_q140_short_history_clamps(spark, tmp_path):
+    """Spark's negative-start slice does NOT clamp (slice(a,-5,5) is []
+    for len<5) — q140 must use the clamped-start form so users with
+    fewer than 5 events keep their whole history (DuckDB arr[-5:]
+    semantics)."""
+    import __spark_entry__ as entry
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for uid, n in [(1, 1), (2, 3), (3, 5), (4, 8)]:
+        for i in range(n):
+            rows.append((uid, uid * 100 + i, base + dt.timedelta(minutes=i), float(i + 1)))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.user_id: (r.n_events, list(r.last5_values), r.last5_sum)
+        for r in entry.q140_last_n_features(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (1, [1.0], 1.0)
+    assert got[2] == (3, [1.0, 2.0, 3.0], 6.0)
+    assert got[3] == (5, [1.0, 2.0, 3.0, 4.0, 5.0], 15.0)
+    assert got[4] == (8, [4.0, 5.0, 6.0, 7.0, 8.0], 30.0)
+
+
+def test_swap_store_always_leaves_a_complete_copy(spark, tmp_path):
+    """The store swap must never have a window where no complete copy
+    exists on disk: rename-aside, not rmtree-then-rename.  Simulated
+    crash after the aside-rename still leaves the old copy
+    recoverable at store_old."""
+    import json
+
+    store = str(tmp_path / "store")
+    merge = stream.rollup_merge_fn(store)
+    batch = spark.createDataFrame(
+        [(dt.datetime(2026, 1, 1, h), "click", 1.0) for h in range(3)],
+        "ts timestamp, event_type string, value double",
+    )
+    merge(batch, 0)
+    first = _rows_set(spark.read.parquet(os.path.join(store, "data")))
+
+    # crash simulation: the aside-rename happened but the swap-in didn't
+    os.rename(store, store + "_old")
+    assert _rows_set(spark.read.parquet(os.path.join(store + "_old", "data"))) == first
+
+    # recovery (operator moves the old copy back), then a normal merge
+    # completes and cleans up any leftover _old dir
+    os.rename(store + "_old", store)
+    merge(batch, 1)
+    assert not os.path.exists(store + "_old")
+    with open(os.path.join(store, "ledger.json")) as f:
+        assert json.load(f)["watermark"] == 1
