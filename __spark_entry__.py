@@ -2672,23 +2672,42 @@ def q140_last_n_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Driver-slot rotation (round 3): the correctness driver hard-checks the
-# FIRST 50 registry entries only.  Rounds 1-2 proved q01-q50 twice over,
-# so this round rotates the never-driver-checked queries into the 50
-# slots: all of q75-q118 (LLM-data pipeline, TPC-H shapes, streaming,
-# scale rewrites) plus the oracle-siblings of the rows-only queries
-# (q51/q55/q56/q67/q68/q74).  The 18 still-unrotated queries
-# (q52-q54, q57-q66, q69-q73) hold positions 51-68 and take the slots
-# next round; q01-q50 (double-confirmed) close the registry.  Every
-# query stays registered and oracle-checked locally regardless of
-# position (tools/check_oracle.py runs all of them).
-_DRIVER_SLOTS_R03 = [  # plus every q75-q118, added by number in _driver_order
+# Driver-slot rotation (round 4, FINAL): the correctness driver
+# hard-checks the FIRST 50 registry entries only.  Rounds 1-3 proved
+# q01-q50 (twice) and q51/q55/q56/q67/q68/q74 + q75-q118 (round 3).
+# This round's 50 slots close the loop on every remaining query:
+#   - the 18 never-driver-checked round-3 leftovers
+#     (q52-q54, q57-q66, q69-q73),
+#   - the 22 round-3 additions q119-q140 (including q140, whose slice
+#     clamp was fixed this round — the ADVICE item),
+#   - 10 re-confirmation slots for queries REWRITTEN since (or flagged
+#     after) their last driver-green row: q13/q36 (bench outliers,
+#     re-measured this round), q17 (probe-guarded), q89/q100 (round-3
+#     plan rewrites), q92/q105/q108 (scale rewrites), q109 (cost
+#     reconciliation), q114 (store swap made crash-safe this round).
+# After this round every one of the 140 registered queries has had at
+# least one driver-green CORRECTNESS row.  Every query stays
+# registered and oracle-checked locally regardless of position
+# (tools/check_oracle.py runs all of them).
+_DRIVER_SLOTS_R03 = [  # round-3 head (kept for the rotation test's history)
     "q51_embedding_dupes_lsh",
     "q55_minhash_native",
     "q56_simhash_stable",
     "q67_pysource_weather",
     "q68_grouped_regression",
     "q74_salted_agg",
+]
+_DRIVER_RECONFIRM_R04 = [
+    "q13_exact_dedup",
+    "q17_ngram_jaccard_dedup",
+    "q36_sessionization",
+    "q89_volume_shipping",
+    "q92_merge_prune_partitioned",
+    "q100_revenue_share_threshold",
+    "q105_ivf_ann",
+    "q108_stream_attribution",
+    "q109_pagerank",
+    "q114_incremental_rollup",
 ]
 
 
@@ -2699,17 +2718,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    """First-50 = round-3 rotation targets; then the 18 deferred to
-    round 4; then the double-confirmed q01-q50."""
+    """First-50 = round-4 rotation targets (18 leftovers + q119-q140 +
+    10 re-confirmations); the rest, already driver-proven, follow in
+    number order."""
 
     def num(n: str) -> int:
         return int(n[1:].split("_", 1)[0])
 
-    head = [n for n in names if n in set(_DRIVER_SLOTS_R03) or num(n) >= 75]
-    deferred = [n for n in names if 51 <= num(n) <= 74 and n not in head]
-    tail = [n for n in names if num(n) <= 50]
-    out = sorted(head, key=num) + sorted(deferred, key=num) + sorted(tail, key=num)
+    r03_head = set(_DRIVER_SLOTS_R03)
+    never = [
+        n
+        for n in names
+        if (51 <= num(n) <= 74 and n not in r03_head) or num(n) >= 119
+    ]
+    head = never + [n for n in names if n in set(_DRIVER_RECONFIRM_R04)]
+    tail = [n for n in names if n not in set(head)]
+    out = sorted(head, key=num) + sorted(tail, key=num)
     assert len(out) == len(names) and set(out) == set(names)
+    assert len(head) == 50, f"driver head must fill exactly 50 slots, got {len(head)}"
     return out
 
 

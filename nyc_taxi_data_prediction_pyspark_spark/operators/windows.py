@@ -422,10 +422,10 @@ def throttle_last(
     identical fold, so pure integer-µs arithmetic hash-matches).
 
     Scale posture: q113's class — one shuffle, per-group state bounded
-    by events-per-entity; hot entities (10^8 rows/key) would use a
-    q119-style segmented compose, whose composition operator for
-    throttling is (first_kept, last_kept, count) per chunk — not
-    implemented, the fold form is the contract.
+    by events-per-entity; hot entities (10^8 rows/key) use
+    ``throttle_last_segmented`` below — per-time-chunk keep-chain
+    tables composed across chunk boundaries, state bounded by chunk
+    size, EXACTLY equal to this fold (integer arithmetic).
     """
     order_cols = [F.unix_micros(F.col(ts)).alias("__ts_us")] + [
         F.col(c).cast("bigint").alias(f"__tb{i}") for i, c in enumerate(order_tiebreak)
@@ -446,4 +446,149 @@ def throttle_last(
         F.aggregate(kept, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
             "kept_ts_sum"
         ),
+    )
+
+def throttle_last_segmented(
+    df: DataFrame,
+    *,
+    partition: Sequence[str],
+    ts: str,
+    min_gap_micros: int,
+    chunk_micros: int = 86_400_000_000,
+) -> DataFrame:
+    """``throttle_last`` for HOT entities — the segmented-scan variant
+    the fold's docstring promises: per-task state is bounded by one
+    TIME CHUNK of an entity's events, not its whole history.
+
+    Unlike EWMA (affine in the carried state), the throttle's carried
+    state is the last-KEPT timestamp and a chunk's contribution is a
+    PIECEWISE-CONSTANT function of it: the incoming state ``s`` picks
+    the chunk's first kept event (first t ≥ s + gap) and everything
+    after that is internally determined.  So the per-chunk summary is
+    a small KEEP-CHAIN TABLE, not a single triple:
+
+      1. chunk = floor(event-time µs / chunk_micros) — deterministic
+         from row content alone (same contract as
+         ``ewma_last_segmented``);
+      2. per (group, chunk), an ``applyInPandas`` stage computes, for
+         every CANDIDATE first-kept index i, the chain aggregate
+         (t_i, kept-count, kept-ts-sum, last-kept) of the keep chain
+         starting at i.  Chains for all indices are computed by
+         pointer-doubling over the successor function
+         succ(i) = first j with T[j] ≥ T[i] + gap (numpy searchsorted
+         + O(log n) gather passes — no per-row Python).  Candidates
+         are i=0 plus every i whose PREDECESSOR falls in the chunk's
+         first gap window (T[i-1] < chunk_start + gap): an incoming
+         state always satisfies s < chunk_start, so s + gap can land
+         on no later entry point — the table is bounded by
+         rate × gap events, not chunk size;
+      3. one aggregate per group folds the chunk tables in chunk
+         order: the first chunk contributes its self-chain (candidate
+         i=0 — the first event is always kept); each later chunk
+         selects the first table entry with t ≥ acc.last + gap (an
+         empty selection means the whole chunk is suppressed and the
+         state passes through, which happens only when gap exceeds
+         the chunk's span).
+
+    Pure integer-µs arithmetic, so the result is EXACTLY equal to the
+    ``throttle_last`` fold — not merely ulp-close like the EWMA pair —
+    for any ``chunk_micros`` (property-tested across chunk widths,
+    including widths smaller than the gap).
+
+    Why applyInPandas here: the chain table needs a binary search per
+    backward step (or pointer doubling), which Spark's higher-order
+    array functions cannot express below O(n²) per chunk; this is the
+    documented "built-ins genuinely can't express it" escape hatch.
+    The stage is Arrow-batched and state-bounded by chunk.
+
+    Decisions depend on timestamps only, so no tiebreak argument:
+    equal-timestamp events collapse to the same keep decision either
+    way (gap > 0 suppresses the duplicate), and (n_kept, kept_ts_sum)
+    are tiebreak-invariant.
+    """
+    import numpy as np
+    import pandas as pd
+
+    gap = int(min_gap_micros)
+    w_us = int(chunk_micros)
+    gcols = list(partition)
+
+    pre = df.select(
+        *gcols,
+        F.unix_micros(F.col(ts)).alias("__ts_us"),
+        F.expr(
+            f"(unix_micros({ts}) - pmod(unix_micros({ts}), {w_us}L)) div {w_us}L"
+        ).alias("__chunk"),
+    )
+
+    entry_t = "array<struct<t: bigint, cnt: bigint, s: bigint, last: bigint>>"
+    out_schema = (
+        ", ".join(f"{c} {t}" for c, t in pre.dtypes if c != "__ts_us")
+        + f", __n bigint, __entries {entry_t}"
+    )
+
+    def chunk_table(key, pdf):
+        T = np.sort(pdf["__ts_us"].to_numpy(np.int64))
+        n = len(T)
+        # chain aggregates for every start index, by pointer doubling:
+        # nxt[i] = first index ≥ T[i]+gap; sentinel n = chain ends
+        nxt = np.searchsorted(T, T + gap, side="left")
+        cnt = np.ones(n, np.int64)
+        ssum = T.copy()
+        last = T.copy()
+        while (nxt < n).any():
+            alive = nxt < n
+            j = nxt[alive]
+            cnt[alive] += cnt[j]
+            ssum[alive] += ssum[j]
+            last[alive] = last[j]
+            nxt2 = np.full(n, n, np.int64)
+            nxt2[alive] = nxt[j]
+            nxt = nxt2
+        chunk_id = int(pdf["__chunk"].iloc[0])
+        chunk_start = chunk_id * w_us
+        cand = np.zeros(n, bool)
+        cand[0] = True
+        if n > 1:
+            cand[1:] = T[:-1] < chunk_start + gap
+        idx = np.flatnonzero(cand)
+        entries = [
+            {"t": int(T[i]), "cnt": int(cnt[i]), "s": int(ssum[i]), "last": int(last[i])}
+            for i in idx
+        ]
+        row = {c: [v] for c, v in zip(gcols, key[: len(gcols)])}
+        row["__chunk"] = [chunk_id]
+        row["__n"] = [n]
+        row["__entries"] = [entries]
+        return pd.DataFrame(row)
+
+    per_chunk = pre.groupBy(*gcols, "__chunk").applyInPandas(chunk_table, out_schema)
+
+    summaries = F.sort_array(
+        F.collect_list(F.struct("__chunk", "__n", "__entries"))
+    )
+    first = F.element_at(F.element_at(summaries, 1)["__entries"], 1)
+    init = F.struct(
+        first["cnt"].alias("k"), first["s"].alias("s"), first["last"].alias("last")
+    )
+
+    def step(acc, c):
+        sel = F.filter(c["__entries"], lambda e: e["t"] >= acc["last"] + F.lit(gap))
+        h = F.element_at(sel, 1)
+        return F.when(
+            F.size(sel) > 0,
+            F.struct(
+                (acc["k"] + h["cnt"]).alias("k"),
+                (acc["s"] + h["s"]).alias("s"),
+                h["last"].alias("last"),
+            ),
+        ).otherwise(acc)
+
+    fold = F.aggregate(
+        F.slice(summaries, 2, F.greatest(F.size(summaries) - 1, F.lit(0))), init, step
+    )
+    return per_chunk.groupBy(*gcols).agg(
+        F.sum("__n").cast("bigint").alias("n_events"),
+        fold["k"].cast("int").alias("n_kept"),
+        fold["s"].alias("kept_ts_sum"),
     )
