@@ -2672,6 +2672,25 @@ def q140_last_n_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q141_throttle_segmented(spark: SparkSession, sf: str) -> DataFrame:
+    """q128's throttle through the SEGMENTED-SCAN path
+    (operators/windows.throttle_last_segmented): per-day keep-chain
+    tables composed across chunk boundaries instead of one whole-
+    history fold — the hot-entity form whose per-task state is bounded
+    by a time chunk, not the entity's lifetime.  Pure integer-µs
+    arithmetic makes it EXACTLY equal to the fold (property-tested
+    across chunk widths), so it shares q128's recursive-CTE oracle —
+    the two paths being value-hash-identical IS the contract."""
+    ev = load(spark, sf, "events")
+    return windows.throttle_last_segmented(
+        ev,
+        partition=["user_id"],
+        ts="ts",
+        min_gap_micros=6 * 3_600_000_000,
+        chunk_micros=86_400_000_000,
+    ).orderBy("user_id")
+
+
 # Driver-slot rotation (round 4, FINAL): the correctness driver
 # hard-checks the FIRST 50 registry entries only.  Rounds 1-3 proved
 # q01-q50 (twice) and q51/q55/q56/q67/q68/q74 + q75-q118 (round 3).
@@ -2697,9 +2716,11 @@ _DRIVER_SLOTS_R03 = [  # round-3 head (kept for the rotation test's history)
     "q68_grouped_regression",
     "q74_salted_agg",
 ]
+# q17 ceded its re-confirm slot to q141 (new this round, never
+# checked): q17 is unchanged since its r1+r2 green rows and is
+# probe-covered in docs/SCALING.md.
 _DRIVER_RECONFIRM_R04 = [
     "q13_exact_dedup",
-    "q17_ngram_jaccard_dedup",
     "q36_sessionization",
     "q89_volume_shipping",
     "q92_merge_prune_partitioned",
@@ -2881,6 +2902,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_winsorized_mean": q138_winsorized_mean,
         "q139_grouped_mode": q139_grouped_mode,
         "q140_last_n_features": q140_last_n_features,
+        "q141_throttle_segmented": q141_throttle_segmented,
     }
 
 
@@ -3187,7 +3209,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr' "
         "ELSE 'de' END"
     )
-    return {
+    oracles = {
         "q01_pricing_summary": PRICING_SUMMARY_ORACLE,
         "q02_count_orders": "SELECT COUNT(*) AS cnt FROM orders",
         "q03_order_date_range": (
@@ -4781,3 +4803,7 @@ FROM tails
 ORDER BY user_id
 """,
     }
+    # q141 is q128 through the segmented path — exact equality with the
+    # fold is the operator's contract, so it shares q128's oracle.
+    oracles["q141_throttle_segmented"] = oracles["q128_event_throttle"]
+    return oracles

@@ -478,3 +478,83 @@ def test_swap_store_always_leaves_a_complete_copy(spark, tmp_path):
     assert not os.path.exists(store + "_old")
     with open(os.path.join(store, "ledger.json")) as f:
         assert json.load(f)["watermark"] == 1
+
+
+def _throttle_pair(spark, rows, gap_us, chunk_us):
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    fold = {
+        r.user_id: (r.n_events, r.n_kept, r.kept_ts_sum)
+        for r in windows.throttle_last(
+            df, partition=["user_id"], ts="ts",
+            min_gap_micros=gap_us, order_tiebreak=["event_id"],
+        ).collect()
+    }
+    seg = {
+        r.user_id: (r.n_events, r.n_kept, r.kept_ts_sum)
+        for r in windows.throttle_last_segmented(
+            df, partition=["user_id"], ts="ts",
+            min_gap_micros=gap_us, chunk_micros=chunk_us,
+        ).collect()
+    }
+    return fold, seg
+
+
+def test_throttle_segmented_matches_fold(spark):
+    """The segmented compose must be EXACTLY equal to the sequential
+    fold (integer µs arithmetic — no float tolerance), across chunk
+    widths spanning smaller-than-gap to much-larger-than-gap, with
+    keep chains crossing chunk boundaries."""
+    rng = random.Random(41)
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (rng.randrange(5), i, base + dt.timedelta(minutes=rng.randrange(20_000)))
+        for i in range(800)
+    ]
+    gap_us = 6 * 3_600_000_000
+    for chunk_us in (3_600_000_000, 6 * 3_600_000_000, 86_400_000_000, 7 * 86_400_000_000):
+        fold, seg = _throttle_pair(spark, rows, gap_us, chunk_us)
+        assert seg == fold, f"chunk_us={chunk_us}"
+    # non-vacuous: multiple chunks in play at the day width
+    assert any(n_kept < n for n, n_kept, _ in fold.values())
+
+
+def test_throttle_segmented_chunk_boundary_shift(spark):
+    """Chains whose alignment is decided by cross-chunk state: events
+    every gap/2 — the self-chain of a later chunk differs from the
+    chain the incoming state selects, so a (first,last,count)-only
+    summary would get this wrong.  Exercises the candidate-table
+    selection path."""
+    base = dt.datetime(2026, 1, 1)
+    gap_us = 3_600_000_000  # 1h
+    # user 1: events every 30 min for 50 h -> fold keeps every other one
+    rows = [
+        (1, i, base + dt.timedelta(minutes=30 * i)) for i in range(100)
+    ]
+    # user 2: a burst then silence crossing several chunk widths
+    rows += [(2, 200 + i, base + dt.timedelta(seconds=10 * i)) for i in range(20)]
+    rows += [(2, 300, base + dt.timedelta(hours=30))]
+    for chunk_us in (1_800_000_000, 3_600_000_000, 4 * 3_600_000_000, 86_400_000_000):
+        fold, seg = _throttle_pair(spark, rows, gap_us, chunk_us)
+        assert seg == fold, f"chunk_us={chunk_us}"
+    assert fold[1] == (100, 50, sum(
+        int((base + dt.timedelta(minutes=60 * i)).timestamp() * 1_000_000)
+        for i in range(50)
+    ))
+
+
+def test_throttle_segmented_partition_invariant(spark):
+    """Chunking depends on row content only — the result is identical
+    under any Spark partitioning (hash-checkability contract)."""
+    rng = random.Random(43)
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (rng.randrange(3), i, base + dt.timedelta(minutes=rng.randrange(5_000)))
+        for i in range(400)
+    ]
+    df7 = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp").repartition(7)
+    df13 = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp").repartition(13)
+    kw = dict(partition=["user_id"], ts="ts", min_gap_micros=3_600_000_000,
+              chunk_micros=6 * 3_600_000_000)
+    a = {tuple(r) for r in windows.throttle_last_segmented(df7, **kw).collect()}
+    b = {tuple(r) for r in windows.throttle_last_segmented(df13, **kw).collect()}
+    assert a == b
