@@ -78,7 +78,102 @@ HEADLINE = [
     "q128_event_throttle",
     "q129_listagg_top_customers",
     "q130_streaming_dedup",
+    "q131_data_quality",
+    "q132_twap",
+    "q133_ohlc_bars",
+    "q134_rolling_wau",
+    "q135_bucketed_join",
+    "q136_key_skew_profile",
+    "q137_order_reconciliation",
+    "q138_winsorized_mean",
+    "q139_grouped_mode",
+    "q140_last_n_features",
+    "q141_throttle_segmented",
 ]
+
+
+def run_canary(spark) -> dict:
+    """Pinned micro-canary (round-3 verdict ask): two fixed workloads
+    whose cost depends ONLY on the host + Spark build, never on the
+    testdata — so a uniform round-over-round shift in query timings can
+    be attributed to environment drift (canary moved too) vs plan
+    regressions (canary flat).
+
+    - ``range_agg``: CPU/codegen-bound — sum over a fixed-size range
+      with a modulo, zero I/O.
+    - ``parquet_scan``: I/O + decode-bound — scan-agg over a parquet
+      file GENERATED HERE with fixed content (same rows every round;
+      byte size recorded so even an encoder change is visible).
+
+    min-of-3 each, same estimator as the query timings.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out: dict = {}
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).select(F.sum(F.col("id") % 97)).collect()
+        dt = round(time.perf_counter() - t0, 3)
+        out["range_agg"] = min(out.get("range_agg", dt), dt)
+
+    tmp = tempfile.mkdtemp(prefix="bench_canary_")
+    try:
+        path = os.path.join(tmp, "canary.parquet")
+        (
+            spark.range(2_000_000)
+            .select(
+                "id",
+                (F.col("id") % 1000).alias("k"),
+                (F.col("id") * 2654435761 % 2**31).cast("double").alias("v"),
+                F.concat(F.lit("row_"), F.col("id")).alias("s"),
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        out["parquet_bytes"] = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.read.parquet(path).groupBy("k").agg(
+                F.sum("v"), F.max("s")
+            ).count()
+            dt = round(time.perf_counter() - t0, 3)
+            out["parquet_scan"] = min(out.get("parquet_scan", dt), dt)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def sf_table_stats(spark, sf_dir: str) -> dict:
+    """Per-table (rows, bytes) of the bench SF dir — recorded in every
+    BENCH file so a driver-side testdata regeneration between rounds
+    (it has happened: ns->us timestamps) is measurable, not guessed.
+    Row counts come from parquet footers (metadata-only scan)."""
+    stats = {}
+    for name in sorted(os.listdir(sf_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(sf_dir, name)
+        if os.path.isdir(p):
+            nbytes = sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith(("_", "."))
+            )
+        else:
+            nbytes = os.path.getsize(p)
+        stats[name.removesuffix(".parquet")] = {
+            "bytes": nbytes,
+            "rows": spark.read.parquet(p).count(),
+        }
+    return stats
 
 
 def main() -> None:
@@ -89,6 +184,11 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = entry.queries()
+
+    # pinned environment canary FIRST (cold-ish host state is part of
+    # what it measures round-over-round; queries get their own warm-up)
+    canary = run_canary(spark)
+    tables = sf_table_stats(spark, sf_dir)
 
     # warm-up: run every headline query once at the smallest SF so the
     # timed runs measure steady-state execution (codegen + interpreted
@@ -143,6 +243,9 @@ def main() -> None:
                 "passes": n_passes,
                 "stat": "min_of_passes",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "canary": canary,
+                "sf_tables": tables,
+                "cpus": os.cpu_count(),
             }
         )
     )

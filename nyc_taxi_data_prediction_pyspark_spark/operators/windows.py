@@ -455,6 +455,7 @@ def throttle_last_segmented(
     ts: str,
     min_gap_micros: int,
     chunk_micros: int = 86_400_000_000,
+    method: str = "expr",
 ) -> DataFrame:
     """``throttle_last`` for HOT entities — the segmented-scan variant
     the fold's docstring promises: per-task state is bounded by one
@@ -470,14 +471,10 @@ def throttle_last_segmented(
       1. chunk = floor(event-time µs / chunk_micros) — deterministic
          from row content alone (same contract as
          ``ewma_last_segmented``);
-      2. per (group, chunk), an ``applyInPandas`` stage computes, for
-         every CANDIDATE first-kept index i, the chain aggregate
-         (t_i, kept-count, kept-ts-sum, last-kept) of the keep chain
-         starting at i.  Chains for all indices are computed by
-         pointer-doubling over the successor function
-         succ(i) = first j with T[j] ≥ T[i] + gap (numpy searchsorted
-         + O(log n) gather passes — no per-row Python).  Candidates
-         are i=0 plus every i whose PREDECESSOR falls in the chunk's
+      2. per (group, chunk), compute for every CANDIDATE first-kept
+         index i the chain aggregate (t_i, kept-count, kept-ts-sum,
+         last-kept) of the keep chain starting at i.  Candidates are
+         i=0 plus every i whose PREDECESSOR falls in the chunk's
          first gap window (T[i-1] < chunk_start + gap): an incoming
          state always satisfies s < chunk_start, so s + gap can land
          on no later entry point — the table is bounded by
@@ -495,20 +492,29 @@ def throttle_last_segmented(
     for any ``chunk_micros`` (property-tested across chunk widths,
     including widths smaller than the gap).
 
-    Why applyInPandas here: the chain table needs a binary search per
-    backward step (or pointer doubling), which Spark's higher-order
-    array functions cannot express below O(n²) per chunk; this is the
-    documented "built-ins genuinely can't express it" escape hatch.
-    The stage is Arrow-batched and state-bounded by chunk.
+    Two chunk-table backends, same answer (both property-tested):
+
+    - ``method="expr"`` (default): the chain per candidate is a scalar
+      F.aggregate fold over the chunk's sorted array — pure JVM
+      higher-order expressions, zero Python.  Per-chunk cost
+      O(candidates × chunk events); the right choice whenever the gap
+      window holds few events (any human-scale feed).  MEASURED: the
+      per-group Arrow round-trip of an applyInPandas stage costs
+      ~2-3 ms per (group, chunk) regardless of size — 4k chunks made
+      the pandas path ~10 s where this path is sub-second.
+    - ``method="pandas"``: numpy pointer-doubling over the successor
+      function succ(i) = first j with T[j] ≥ T[i] + gap —
+      O(n log n) per chunk INDEPENDENT of candidate count; the scale
+      path for genuinely dense chunks (rate × gap ≫ 10³, e.g. kHz
+      telemetry throttled at multi-hour gaps) where expr's
+      candidates × n product explodes.  Arrow-batched
+      ``applyInPandas``, state still bounded by chunk.
 
     Decisions depend on timestamps only, so no tiebreak argument:
     equal-timestamp events collapse to the same keep decision either
     way (gap > 0 suppresses the duplicate), and (n_kept, kept_ts_sum)
     are tiebreak-invariant.
     """
-    import numpy as np
-    import pandas as pd
-
     gap = int(min_gap_micros)
     w_us = int(chunk_micros)
     gcols = list(partition)
@@ -521,48 +527,100 @@ def throttle_last_segmented(
         ).alias("__chunk"),
     )
 
-    entry_t = "array<struct<t: bigint, cnt: bigint, s: bigint, last: bigint>>"
-    out_schema = (
-        ", ".join(f"{c} {t}" for c, t in pre.dtypes if c != "__ts_us")
-        + f", __n bigint, __entries {entry_t}"
-    )
+    if method == "expr":
+        arr = F.sort_array(F.collect_list(F.col("__ts_us")))
 
-    def chunk_table(key, pdf):
-        T = np.sort(pdf["__ts_us"].to_numpy(np.int64))
-        n = len(T)
-        # chain aggregates for every start index, by pointer doubling:
-        # nxt[i] = first index ≥ T[i]+gap; sentinel n = chain ends
-        nxt = np.searchsorted(T, T + gap, side="left")
-        cnt = np.ones(n, np.int64)
-        ssum = T.copy()
-        last = T.copy()
-        while (nxt < n).any():
-            alive = nxt < n
-            j = nxt[alive]
-            cnt[alive] += cnt[j]
-            ssum[alive] += ssum[j]
-            last[alive] = last[j]
-            nxt2 = np.full(n, n, np.int64)
-            nxt2[alive] = nxt[j]
-            nxt = nxt2
-        chunk_id = int(pdf["__chunk"].iloc[0])
-        chunk_start = chunk_id * w_us
-        cand = np.zeros(n, bool)
-        cand[0] = True
-        if n > 1:
-            cand[1:] = T[:-1] < chunk_start + gap
-        idx = np.flatnonzero(cand)
-        entries = [
-            {"t": int(T[i]), "cnt": int(cnt[i]), "s": int(ssum[i]), "last": int(last[i])}
-            for i in idx
-        ]
-        row = {c: [v] for c, v in zip(gcols, key[: len(gcols)])}
-        row["__chunk"] = [chunk_id]
-        row["__n"] = [n]
-        row["__entries"] = [entries]
-        return pd.DataFrame(row)
+        def chain_entries(tss):
+            n = F.size(tss)
+            cs_gap = (F.col("__chunk") * F.lit(w_us) + F.lit(gap)).cast("bigint")
+            cand = F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: (i == 1) | (F.element_at(tss, i - 1) < cs_gap),
+            )
+            t0 = lambda i: F.element_at(tss, i)  # noqa: E731
+            return F.transform(
+                cand,
+                lambda i: F.aggregate(
+                    F.slice(tss, i + 1, n - i),
+                    F.struct(
+                        t0(i).alias("t"),
+                        F.lit(1).cast("bigint").alias("cnt"),
+                        t0(i).alias("s"),
+                        t0(i).alias("last"),
+                    ),
+                    lambda acc, t: F.when(
+                        t >= acc["last"] + F.lit(gap),
+                        F.struct(
+                            acc["t"].alias("t"),
+                            (acc["cnt"] + F.lit(1)).alias("cnt"),
+                            (acc["s"] + t).alias("s"),
+                            t.alias("last"),
+                        ),
+                    ).otherwise(acc),
+                ),
+            )
 
-    per_chunk = pre.groupBy(*gcols, "__chunk").applyInPandas(chunk_table, out_schema)
+        per_chunk = (
+            pre.groupBy(*gcols, "__chunk")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__n"), arr.alias("__tss"))
+            .withColumn("__entries", chain_entries(F.col("__tss")))
+            .drop("__tss")
+        )
+    elif method == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        entry_t = "array<struct<t: bigint, cnt: bigint, s: bigint, last: bigint>>"
+        out_schema = (
+            ", ".join(f"{c} {t}" for c, t in pre.dtypes if c != "__ts_us")
+            + f", __n bigint, __entries {entry_t}"
+        )
+
+        def chunk_table(key, pdf):
+            T = np.sort(pdf["__ts_us"].to_numpy(np.int64))
+            n = len(T)
+            # chain aggregates for every start index, by pointer
+            # doubling: nxt[i] = first index ≥ T[i]+gap; sentinel n
+            nxt = np.searchsorted(T, T + gap, side="left")
+            cnt = np.ones(n, np.int64)
+            ssum = T.copy()
+            last = T.copy()
+            while (nxt < n).any():
+                alive = nxt < n
+                j = nxt[alive]
+                cnt[alive] += cnt[j]
+                ssum[alive] += ssum[j]
+                last[alive] = last[j]
+                nxt2 = np.full(n, n, np.int64)
+                nxt2[alive] = nxt[j]
+                nxt = nxt2
+            chunk_id = int(pdf["__chunk"].iloc[0])
+            chunk_start = chunk_id * w_us
+            cand = np.zeros(n, bool)
+            cand[0] = True
+            if n > 1:
+                cand[1:] = T[:-1] < chunk_start + gap
+            idx = np.flatnonzero(cand)
+            entries = [
+                {
+                    "t": int(T[i]),
+                    "cnt": int(cnt[i]),
+                    "s": int(ssum[i]),
+                    "last": int(last[i]),
+                }
+                for i in idx
+            ]
+            row = {c: [v] for c, v in zip(gcols, key[: len(gcols)])}
+            row["__chunk"] = [chunk_id]
+            row["__n"] = [n]
+            row["__entries"] = [entries]
+            return pd.DataFrame(row)
+
+        per_chunk = pre.groupBy(*gcols, "__chunk").applyInPandas(
+            chunk_table, out_schema
+        )
+    else:
+        raise ValueError(f"method must be 'expr' or 'pandas', got {method!r}")
 
     summaries = F.sort_array(
         F.collect_list(F.struct("__chunk", "__n", "__entries"))

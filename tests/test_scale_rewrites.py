@@ -480,7 +480,7 @@ def test_swap_store_always_leaves_a_complete_copy(spark, tmp_path):
         assert json.load(f)["watermark"] == 1
 
 
-def _throttle_pair(spark, rows, gap_us, chunk_us):
+def _throttle_pair(spark, rows, gap_us, chunk_us, method="expr"):
     df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
     fold = {
         r.user_id: (r.n_events, r.n_kept, r.kept_ts_sum)
@@ -493,17 +493,19 @@ def _throttle_pair(spark, rows, gap_us, chunk_us):
         r.user_id: (r.n_events, r.n_kept, r.kept_ts_sum)
         for r in windows.throttle_last_segmented(
             df, partition=["user_id"], ts="ts",
-            min_gap_micros=gap_us, chunk_micros=chunk_us,
+            min_gap_micros=gap_us, chunk_micros=chunk_us, method=method,
         ).collect()
     }
     return fold, seg
 
 
-def test_throttle_segmented_matches_fold(spark):
+@pytest.mark.parametrize("method", ["expr", "pandas"])
+def test_throttle_segmented_matches_fold(spark, method):
     """The segmented compose must be EXACTLY equal to the sequential
     fold (integer µs arithmetic — no float tolerance), across chunk
     widths spanning smaller-than-gap to much-larger-than-gap, with
-    keep chains crossing chunk boundaries."""
+    keep chains crossing chunk boundaries — through BOTH chunk-table
+    backends (JVM expression and numpy pointer-doubling)."""
     rng = random.Random(41)
     base = dt.datetime(2026, 1, 1)
     rows = [
@@ -512,13 +514,14 @@ def test_throttle_segmented_matches_fold(spark):
     ]
     gap_us = 6 * 3_600_000_000
     for chunk_us in (3_600_000_000, 6 * 3_600_000_000, 86_400_000_000, 7 * 86_400_000_000):
-        fold, seg = _throttle_pair(spark, rows, gap_us, chunk_us)
+        fold, seg = _throttle_pair(spark, rows, gap_us, chunk_us, method)
         assert seg == fold, f"chunk_us={chunk_us}"
     # non-vacuous: multiple chunks in play at the day width
     assert any(n_kept < n for n, n_kept, _ in fold.values())
 
 
-def test_throttle_segmented_chunk_boundary_shift(spark):
+@pytest.mark.parametrize("method", ["expr", "pandas"])
+def test_throttle_segmented_chunk_boundary_shift(spark, method):
     """Chains whose alignment is decided by cross-chunk state: events
     every gap/2 — the self-chain of a later chunk differs from the
     chain the incoming state selects, so a (first,last,count)-only
@@ -534,7 +537,7 @@ def test_throttle_segmented_chunk_boundary_shift(spark):
     rows += [(2, 200 + i, base + dt.timedelta(seconds=10 * i)) for i in range(20)]
     rows += [(2, 300, base + dt.timedelta(hours=30))]
     for chunk_us in (1_800_000_000, 3_600_000_000, 4 * 3_600_000_000, 86_400_000_000):
-        fold, seg = _throttle_pair(spark, rows, gap_us, chunk_us)
+        fold, seg = _throttle_pair(spark, rows, gap_us, chunk_us, method)
         assert seg == fold, f"chunk_us={chunk_us}"
     assert fold[1] == (100, 50, sum(
         int((base + dt.timedelta(minutes=60 * i)).timestamp() * 1_000_000)
