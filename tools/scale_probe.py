@@ -39,12 +39,20 @@ REPLICAS = 10
 
 DEFAULT_QUERIES = [
     "q01_pricing_summary",
+    "q13_exact_dedup",
     "q17_ngram_jaccard_dedup",
     "q25_order_revenue_topk",
+    "q36_sessionization",
     "q76_pretrain_packing",
+    "q108_stream_attribution",
+    "q109_pagerank",
     "q111_grouped_topk",
+    "q114_incremental_rollup",
     "q120_heavy_hitters",
     "q121_table_checksum",
+    "q122_triangle_count",
+    "q127_point_in_time_join",
+    "q141_throttle_segmented",
 ]
 
 KEY_OFFSET = 100_000_000
