@@ -18,8 +18,10 @@ Scale posture (100 TB / 10^9-node graphs):
 - each iteration is therefore one |V| shuffle + one aggregation keyed
   on dst — O(|E|) scan work off the cache, no driver data motion;
 - rank state is one row per node (|V|, not |E|);
-- ``localCheckpoint`` per iteration truncates lineage so the plan
-  stays O(1) in the iteration count (the connected-components idiom);
+- ``localCheckpoint`` every ``checkpoint_every`` iterations truncates
+  lineage so the plan stays O(K) however long the fixed-point runs
+  (the connected-components idiom), without paying per-iteration
+  block-storage materialization on short runs;
 - the single ``nodes.count()`` is quantizer-class metadata (one
   scalar), used only to size the teleport constant.
 
@@ -43,6 +45,7 @@ def pagerank_fixedpoint(
     iters: int = 3,
     damping_pct: int = 85,
     checkpoint: bool = True,
+    checkpoint_every: int = 4,
     assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank: pr_{k+1}(v) = teleport + (d·Σ_{u→v} pr_k(u) div deg(u)) div 100
@@ -51,7 +54,18 @@ def pagerank_fixedpoint(
 
     ``assume_distinct=True`` skips the defensive edge dedup (one full
     |E| shuffle) when the caller guarantees edge uniqueness — e.g. it
-    built the edge set from a ``.distinct()`` pair frame, as q109 does."""
+    built the edge set from a ``.distinct()`` pair frame, as q109 does.
+
+    ``checkpoint_every``: lineage is truncated every K iterations, not
+    every iteration. Measured on the q109 trade graph (sf0.1, min-of-3):
+    per-iteration localCheckpoint costs 12.1 s wall vs 4.0 s without —
+    each checkpoint materializes the |V| frame to block storage, and on
+    a 3-iteration run that storage traffic IS the query. A depth-K
+    lineage (K·2 joins + K aggs) is well inside Catalyst's comfort
+    zone, so checkpoint only when the plan would otherwise grow
+    unbounded (long fixed-point runs), and always force+release at the
+    end. The 100 TB posture is unchanged: plan size is O(K), executor
+    storage holds at most one checkpointed |V| frame per K iterations."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
@@ -80,7 +94,7 @@ def pagerank_fixedpoint(
     teleport = ((100 - damping_pct) * base) // 100
 
     pr = nodes.withColumn("pr", F.lit(base).cast("bigint"))
-    for _ in range(iters):
+    for k in range(iters):
         contrib = (
             fanout.join(pr, fanout["src"] == pr["node"])
             .select(F.col("dst"), F.expr("pr div deg").alias("c"))
@@ -94,11 +108,10 @@ def pagerank_fixedpoint(
                 + F.expr(f"({damping_pct} * coalesce(recv, 0L)) div 100")
             ).cast("bigint").alias("pr"),
         )
-        if checkpoint:
+        if checkpoint and checkpoint_every and (k + 1) % checkpoint_every == 0 and (k + 1) < iters:
             pr = pr.localCheckpoint(eager=False)
     if checkpoint:
-        # pr is (or derives from) a checkpoint that no longer needs the
-        # cached frames; force it, then release executor storage so
+        # force the final frame once, then release executor storage so
         # repeated calls in a long-lived session (bench loops, notebook
         # reuse) don't accumulate cached blocks.
         pr = pr.localCheckpoint(eager=True)

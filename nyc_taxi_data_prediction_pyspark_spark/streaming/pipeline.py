@@ -57,10 +57,14 @@ def events_ts_unit(path: str, glob: str = "*.parquet") -> str:
     import pyarrow.parquet as pq
 
     f = path
-    if not os.path.isfile(f):
-        matches = sorted(g.glob(os.path.join(path, glob)))
+    while not os.path.isfile(f):
+        # a match may itself be a parquet DIRECTORY (Spark-written
+        # multi-part dataset) — descend until we hold a real file
+        matches = sorted(g.glob(os.path.join(f, glob))) or sorted(
+            g.glob(os.path.join(f, "part-*.parquet"))
+        )
         if not matches:
-            raise FileNotFoundError(f"no parquet matching {glob!r} under {path}")
+            raise FileNotFoundError(f"no parquet matching {glob!r} under {f}")
         f = matches[0]
     return "ns" if "[ns" in str(pq.ParquetFile(f).schema_arrow.field("ts").type) else "us"
 
@@ -69,7 +73,15 @@ def read_event_stream(spark: SparkSession, base_dir: str, glob: str = "events.pa
     """File-source stream over the events parquet (schema pinned —
     streaming sources cannot infer; base path must be a directory, the
     file is selected with pathGlobFilter). Always yields TimestampType
-    ``ts`` (µs) regardless of the file's physical unit."""
+    ``ts`` (µs) regardless of the file's physical unit. The events
+    "file" may itself be a Spark-written parquet DIRECTORY (the scale
+    probe's 10x replica is one) — then stream that directory's part
+    files instead."""
+    import os
+
+    sub = os.path.join(base_dir, glob)
+    if os.path.isdir(sub):
+        base_dir, glob = sub, "*.parquet"
     unit = events_ts_unit(base_dir, glob)
     if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
