@@ -66,7 +66,16 @@ def events_ts_unit(path: str, glob: str = "*.parquet") -> str:
         if not matches:
             raise FileNotFoundError(f"no parquet matching {glob!r} under {f}")
         f = matches[0]
-    return "ns" if "[ns" in str(pq.ParquetFile(f).schema_arrow.field("ts").type) else "us"
+    meta = pq.ParquetFile(f)
+    sch = meta.schema
+    for i in range(len(sch.names)):
+        col = sch.column(i)
+        if col.name == "ts" and col.physical_type == "INT96":
+            # legacy INT96 (Spark's default parquet writer output): read
+            # natively as TimestampType — the nanosAsLong escape hatch is
+            # only for INT64 TIMESTAMP(NANOS), and would fail on INT96
+            return "us"
+    return "ns" if "[ns" in str(meta.schema_arrow.field("ts").type) else "us"
 
 
 def read_event_stream(spark: SparkSession, base_dir: str, glob: str = "events.parquet") -> DataFrame:

@@ -66,6 +66,10 @@ def build_scaled(spark) -> None:
     if os.path.exists(os.path.join(SCALE_DIR, "_DONE")):
         return
     os.makedirs(SCALE_DIR, exist_ok=True)
+    # write timestamps as µs int64, matching the base testdata's physical
+    # type (Spark's default INT96 would flip the events reader's unit
+    # detection to a different code path than the one bench exercises)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     for name in TABLES:
         df = load(spark, BASE, name)
         out = os.path.join(SCALE_DIR, f"{name}.parquet")
