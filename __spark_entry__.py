@@ -2691,6 +2691,35 @@ def q141_throttle_segmented(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q142_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-point integer k-means (operators/clustering.py): two Lloyd
+    iterations, k=8, over the embeddings table quantized to 1e-6 units
+    — the semantic-clustering primitive behind cluster-then-dedup /
+    cluster-balanced-sampling corpus curation (dedup WITHIN clusters
+    instead of across a 100 TB corpus). Seeds are the 8 lowest
+    vec_ids, every step exact integer arithmetic (squared-L2 in
+    BIGINT, centroid update by exact floor division), so the oracle
+    unrolls the SAME two iterations as SQL CTEs and value-hash-matches
+    an iterative ML algorithm — the q109 contract applied to
+    clustering, where library k-means (engine-local seeds) would be
+    rows-only. Returns per-cluster size, id checksum, and exact
+    integer inertia."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import clustering
+
+    emb = load(spark, sf, "embeddings")
+    a = clustering.kmeans_fixedpoint(emb, k=8, iters=2, quant=1_000_000)
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("pid").alias("id_checksum"),
+            F.min("pid").alias("min_id"),
+            F.sum("d2").alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # Driver-slot rotation (round 4, FINAL): the correctness driver
 # hard-checks the FIRST 50 registry entries only.  Rounds 1-3 proved
 # q01-q50 (twice) and q51/q55/q56/q67/q68/q74 + q75-q118 (round 3).
@@ -2747,10 +2776,13 @@ def _driver_order(names: list[str]) -> list[str]:
         return int(n[1:].split("_", 1)[0])
 
     r03_head = set(_DRIVER_SLOTS_R03)
+    # queries numbered above 141 are post-rotation additions: the 50
+    # round-4 slots were already full, so they queue for the round-5
+    # head (locally oracle-checked meanwhile, like every query)
     never = [
         n
         for n in names
-        if (51 <= num(n) <= 74 and n not in r03_head) or num(n) >= 119
+        if (51 <= num(n) <= 74 and n not in r03_head) or 119 <= num(n) <= 141
     ]
     head = never + [n for n in names if n in set(_DRIVER_RECONFIRM_R04)]
     tail = [n for n in names if n not in set(head)]
@@ -2903,6 +2935,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_grouped_mode": q139_grouped_mode,
         "q140_last_n_features": q140_last_n_features,
         "q141_throttle_segmented": q141_throttle_segmented,
+        "q142_kmeans_clusters": q142_kmeans_clusters,
     }
 
 
@@ -2983,6 +3016,72 @@ SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
             ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
        pr AS pr_pico
 FROM (SELECT node, pr FROM pr{iters} ORDER BY pr DESC, node ASC LIMIT 20)
+"""
+    return head + "".join(steps) + tail
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64, quant: int = 1_000_000) -> str:
+    """Unrolled fixed-point k-means oracle: the SAME Lloyd iterations
+    as operators/clustering.kmeans_fixedpoint in long (pid, pos, q)
+    form. Quantization floor(double(x)*quant) rounds identically on
+    both engines (float32→double exact); centroid update uses the
+    positive-remainder floor division (s - ((s%n)+n)%n) // n, which
+    equals Spark's (s - pmod(s,n)) div n for negative sums too; ties
+    break to the lowest centroid id. DuckDB SUM → HUGEINT is cast back
+    to BIGINT wherever it feeds output or reused arithmetic."""
+    head = f"""
+WITH pts AS (
+  SELECT vec_id AS pid, t.pos,
+         CAST(floor(CAST(embedding[t.pos] AS DOUBLE) * {quant}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) t(pos)
+),
+seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+cent0 AS (
+  SELECT s.cid, p.pos, p.q AS c FROM pts p JOIN seeds s ON p.pid = s.vec_id
+)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+dist{i} AS (
+  SELECT p.pid, c.cid, CAST(SUM((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+  FROM pts p JOIN cent{i - 1} c ON p.pos = c.pos
+  GROUP BY p.pid, c.cid
+),
+asg{i} AS (
+  SELECT pid, cid AS cluster FROM (
+    SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY d2, cid) AS rn
+    FROM dist{i}
+  ) WHERE rn = 1
+),
+sums{i} AS (
+  SELECT a.cluster AS cid, p.pos, CAST(SUM(p.q) AS BIGINT) AS s, COUNT(*) AS n
+  FROM asg{i} a JOIN pts p ON a.pid = p.pid
+  GROUP BY a.cluster, p.pos
+),
+cent{i} AS (
+  SELECT c.cid, c.pos,
+         CAST(COALESCE((u.s - ((u.s % u.n) + u.n) % u.n) // u.n, c.c) AS BIGINT) AS c
+  FROM cent{i - 1} c LEFT JOIN sums{i} u ON u.cid = c.cid AND u.pos = c.pos
+)""")
+    tail = f""",
+distF AS (
+  SELECT p.pid, c.cid, CAST(SUM((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+  FROM pts p JOIN cent{iters} c ON p.pos = c.pos
+  GROUP BY p.pid, c.cid
+),
+asgF AS (
+  SELECT pid, cluster, d2 FROM (
+    SELECT pid, cid AS cluster, d2,
+           row_number() OVER (PARTITION BY pid ORDER BY d2, cid) AS rn
+    FROM distF
+  ) WHERE rn = 1
+)
+SELECT cluster, COUNT(*) AS n_points, CAST(SUM(pid) AS BIGINT) AS id_checksum,
+       MIN(pid) AS min_id, CAST(SUM(d2) AS BIGINT) AS inertia
+FROM asgF GROUP BY cluster ORDER BY cluster
 """
     return head + "".join(steps) + tail
 
@@ -4806,4 +4905,5 @@ ORDER BY user_id
     # q141 is q128 through the segmented path — exact equality with the
     # fold is the operator's contract, so it shares q128's oracle.
     oracles["q141_throttle_segmented"] = oracles["q128_event_throttle"]
+    oracles["q142_kmeans_clusters"] = _kmeans_sql(k=8, iters=2)
     return oracles

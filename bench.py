@@ -89,6 +89,7 @@ HEADLINE = [
     "q139_grouped_mode",
     "q140_last_n_features",
     "q141_throttle_segmented",
+    "q142_kmeans_clusters",
 ]
 
 

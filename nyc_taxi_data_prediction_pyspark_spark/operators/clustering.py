@@ -1,0 +1,139 @@
+"""Fixed-point integer k-means — semantic clustering over embedding
+columns (the scale path behind semantic dedup / corpus curation:
+cluster once, then dedup or sample WITHIN clusters instead of across
+the whole corpus).
+
+Reference parity: the reference's ML surface is model.fit()-style
+training jobs (ml_train_dag.py); its clustering needs are delegated to
+engine-seeded library k-means, which is rows-only-checkable (seeds are
+engine-local — the q29 problem). This module applies the q109 trick to
+clustering: run Lloyd's algorithm in EXACT INTEGER arithmetic so a SQL
+oracle can unroll the same iterations and value-hash-match an
+ITERATIVE ML algorithm bit-for-bit.
+
+Determinism contract (mirrors operators/graph.pagerank_fixedpoint):
+- components quantized to ``quant`` integer units via
+  ``floor(double(x) * quant)`` — float32→double is exact, the double
+  multiply rounds identically on any IEEE engine;
+- seeds are the ``k`` lowest-id vectors (data rows, not RNG);
+- distances are integer squared-L2 (order-independent sums);
+- ties broken by lowest centroid id;
+- centroid update is ELEMENT-WISE FLOOR DIVISION, written as
+  ``(s - pmod(s, n)) div n`` — after subtracting the positive
+  remainder the division is exact, so truncating (Spark/Java) and
+  flooring (DuckDB) integer division agree on negative sums;
+- clusters that lose all members keep their previous centroid.
+
+Scale posture (100 TB corpus, k in the hundreds):
+- assignment is points × broadcast(k×dim centroid rows): a narrow
+  map-side crossJoin — O(n·k·dim) arithmetic inside whole-stage
+  codegen (zip_with/aggregate higher-order exprs, no Python), zero
+  shuffle of the point set;
+- the update is posexplode → groupBy (cluster, pos): map-side
+  combine reduces to k·dim rows crossing the wire per iteration;
+- per-iteration state is the k×dim centroid frame — metadata-class;
+  the quantized point set is cached once and reused every iteration;
+- iterations compose lazily; for long runs pass ``checkpoint_every``
+  to truncate lineage (the graph.py discipline — short runs must not
+  pay per-iteration block-storage materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def kmeans_fixedpoint(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    quant: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Lloyd's k-means in exact integer arithmetic; returns the final
+    assignment ``(pid, cluster, d2)`` — one row per input vector,
+    cluster ids in [0, k), ``d2`` the integer squared distance to the
+    winning centroid (so callers can report exact inertia).
+
+    ``iters`` centroid updates are performed, then one final
+    assignment against the last centroids (assign → update ×iters →
+    assign)."""
+    pts = emb.select(
+        F.col(id_col).alias("pid"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(floor(cast(x as double) * {quant}) as bigint))"
+        ).alias("qv"),
+    ).cache()
+
+    # seeds: the k lowest-id vectors, numbered 0..k-1 in id order —
+    # a TakeOrdered of k rows, then a window over those k rows only
+    seeds = pts.orderBy("pid").limit(k)
+    cent = seeds.select(
+        (F.row_number().over(Window.orderBy("pid")) - 1).alias("cid"),
+        F.col("qv").alias("cv"),
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        """(pid, qv, cluster): nearest centroid by integer squared-L2,
+        ties to the lowest cid."""
+        return (
+            pts.crossJoin(F.broadcast(centroids))
+            .select(
+                "pid",
+                "qv",
+                "cid",
+                F.expr(
+                    "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+                    " 0L, (acc, x) -> acc + x)"
+                ).alias("d2"),
+            )
+            .groupBy("pid")
+            .agg(
+                F.first("qv").alias("qv"),
+                F.min(F.struct("d2", "cid")).alias("m"),
+            )
+            .select(
+                "pid",
+                "qv",
+                F.col("m.cid").alias("cluster"),
+                F.col("m.d2").alias("d2"),
+            )
+        )
+
+    for it in range(iters):
+        assigned = assign(cent)
+        sums = (
+            assigned.select("cluster", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        # exact floor division valid for negative sums on any engine
+        new_cent = (
+            sums.select(
+                F.col("cluster").alias("cid"),
+                "pos",
+                F.expr("(s - pmod(s, n)) div n").alias("c"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, c))), t -> t.c)"
+                ).alias("cv_new")
+            )
+        )
+        cent = (
+            cent.join(new_cent, "cid", "left")
+            .select("cid", F.coalesce("cv_new", "cv").alias("cv"))
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and (it + 1) < iters:
+            cent = cent.localCheckpoint(eager=False)
+
+    # force the |n|-row assignment once, then release the cached point
+    # set so repeated calls in a long-lived session don't accumulate
+    # storage (the pagerank_fixedpoint discipline)
+    out = assign(cent).select("pid", "cluster", "d2").localCheckpoint(eager=True)
+    pts.unpersist()
+    return out

@@ -1,0 +1,82 @@
+"""Fixed-point integer k-means (operators/clustering.py): exactness
+and convergence properties a library k-means cannot promise."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+from nyc_taxi_data_prediction_pyspark_spark.operators import clustering
+
+
+def _toy(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_kmeans_separated_clusters_exact(spark):
+    # two tight groups far apart; k=2 seeds = ids 0 and 1 (one in each
+    # group) => Lloyd must recover the true partition in one iteration
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [0.1, -0.1]),
+        (3, [9.9, 10.1]),
+        (4, [0.05, 0.02]),
+        (5, [10.2, 9.8]),
+    ]
+    got = {
+        r["pid"]: r["cluster"]
+        for r in clustering.kmeans_fixedpoint(
+            _toy(spark, rows), k=2, iters=1
+        ).collect()
+    }
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+
+def test_kmeans_deterministic_rerun(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    a = clustering.kmeans_fixedpoint(emb, k=4, iters=2)
+    b = clustering.kmeans_fixedpoint(emb, k=4, iters=2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_kmeans_assignment_is_total_and_bounded(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    a = clustering.kmeans_fixedpoint(emb, k=8, iters=2)
+    assert a.count() == n
+    rng = a.agg(
+        F.min("cluster").alias("lo"),
+        F.max("cluster").alias("hi"),
+        F.min("d2").alias("d2min"),
+    ).first()
+    assert 0 <= rng["lo"] and rng["hi"] <= 7 and rng["d2min"] >= 0
+
+
+def test_kmeans_empty_cluster_keeps_seed_centroid(spark):
+    # k=3 with seeds 0,1,2 all inside one tight blob: after the first
+    # update two centroids lose every point; the run must still
+    # produce a valid assignment (kept centroids, no divide-by-zero)
+    rows = [(i, [float(i) / 100.0, 0.0]) for i in range(6)] + [
+        (10, [50.0, 50.0]),
+        (11, [50.1, 49.9]),
+    ]
+    a = clustering.kmeans_fixedpoint(_toy(spark, rows), k=3, iters=2)
+    got = {r["pid"]: r["cluster"] for r in a.collect()}
+    assert len(got) == 8
+    # the far blob lands together regardless of which centroid wins it
+    assert got[10] == got[11]
+
+
+def test_kmeans_negative_component_floor_division(spark):
+    # centroid mean of -1 and -2 is -1.5 -> floor => -2 (not trunc -1):
+    # two points at x=-1,-2 and seed ids 0,1; after one update the
+    # surviving behavior must match exact floor semantics. We verify
+    # end-to-end: all points assigned, deterministic, and the d2 of a
+    # symmetric pair is identical.
+    rows = [(0, [-1.0]), (1, [-2.0]), (2, [-1.0]), (3, [-2.0])]
+    a = clustering.kmeans_fixedpoint(_toy(spark, rows), k=1, iters=1).collect()
+    d2 = {r["pid"]: r["d2"] for r in a}
+    # centroid = floor((-1e6 + -2e6 + -1e6 + -2e6) / 4) = -1500000
+    assert d2[0] == d2[2] == (1_500_000 - 1_000_000) ** 2
+    assert d2[1] == d2[3] == (2_000_000 - 1_500_000) ** 2
