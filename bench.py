@@ -90,6 +90,7 @@ HEADLINE = [
     "q140_last_n_features",
     "q141_throttle_segmented",
     "q142_kmeans_clusters",
+    "q143_incremental_view_maintenance",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Incremental view maintenance (operators/ivm.py): delta application
+must equal recompute, exactly, through every change class."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_prediction_pyspark_spark.operators import ivm
+
+KEYS = ["g"]
+MEAS = ["v"]
+
+
+def _mv(spark, rows):
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    return df, ivm.materialize_agg(df, keys=KEYS, measures=MEAS)
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, g string, v double, g__old string, v__old double"
+    )
+
+
+def _as_map(df):
+    return {
+        r["g"]: (r["n_rows"], float(r["sum_v"]))
+        for r in df.collect()
+    }
+
+
+def test_insert_delete_update(spark):
+    base, mv0 = _mv(
+        spark, [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)]
+    )
+    feed = _feed(
+        spark,
+        [
+            ("I", "b", 7.0, None, None),       # new row in b
+            ("D", None, None, "a", 10.0),      # remove id 1
+            ("U", "a", 25.0, "a", 20.0),       # reprice id 2
+        ],
+    )
+    got = _as_map(ivm.apply_agg_deltas(mv0, feed, keys=KEYS, measures=MEAS))
+    assert got == {"a": (1, 25.0), "b": (2, 12.0)}
+
+
+def test_group_moving_update(spark):
+    _, mv0 = _mv(spark, [(1, "a", 10.0), (2, "b", 5.0)])
+    feed = _feed(spark, [("U", "b", 10.0, "a", 10.0)])
+    got = _as_map(ivm.apply_agg_deltas(mv0, feed, keys=KEYS, measures=MEAS))
+    # 'a' reached count 0 and is dropped; both rows now in 'b'
+    assert got == {"b": (2, 15.0)}
+
+
+def test_full_retraction_drops_group_and_new_group_appears(spark):
+    _, mv0 = _mv(spark, [(1, "a", 3.0)])
+    feed = _feed(
+        spark, [("D", None, None, "a", 3.0), ("I", "zz", 1.5, None, None)]
+    )
+    got = _as_map(ivm.apply_agg_deltas(mv0, feed, keys=KEYS, measures=MEAS))
+    assert got == {"zz": (1, 1.5)}
+
+
+def test_two_batches_equal_recompute(spark):
+    base, mv0 = _mv(
+        spark,
+        [(i, "g%d" % (i % 3), float(i) + 0.25) for i in range(30)],
+    )
+    b1 = _feed(
+        spark,
+        [("D", None, None, "g0", 0.25), ("U", "g1", 99.5, "g1", 1.25)],
+    )
+    b2 = _feed(
+        spark,
+        [("I", "g3", 4.75, None, None), ("U", "g0", 3.25, "g2", 2.25)],
+    )
+    mv = ivm.apply_agg_deltas(mv0, b1, keys=KEYS, measures=MEAS)
+    mv = ivm.apply_agg_deltas(mv, b2, keys=KEYS, measures=MEAS)
+    # recompute: apply the same logical changes row-wise to the base
+    rows = [(i, "g%d" % (i % 3), float(i) + 0.25) for i in range(30)]
+    rows.remove((0, "g0", 0.25))
+    rows.remove((1, "g1", 1.25))
+    rows.append((100, "g1", 99.5))
+    rows.remove((2, "g2", 2.25))
+    rows.append((101, "g0", 3.25))
+    rows.append((102, "g3", 4.75))
+    want = _as_map(
+        ivm.materialize_agg(
+            spark.createDataFrame(rows, ["id", "g", "v"]),
+            keys=KEYS,
+            measures=MEAS,
+        )
+    )
+    assert _as_map(mv) == want
