@@ -2783,6 +2783,48 @@ def q143_incremental_view_maintenance(spark: SparkSession, sf: str) -> DataFrame
     ).orderBy("o_orderpriority")
 
 
+def q144_asof_directions(spark: SparkSession, sf: str) -> DataFrame:
+    """Directional as-of joins (operators/joins.asof_join): for every
+    purchase, (a) the NEXT view within 1 hour (direction='forward'
+    with tolerance — the attribution-window lookup) and (b) the
+    NEAREST view either side, ties to backward (the polars
+    convention). Both are the tagged-union + window formulation — one
+    (user, ts) sort-shuffle serves backward AND forward passes, never
+    a range join. Oracle: DuckDB's native ASOF JOIN in each direction
+    + a delta CASE for nearest/tolerance — the engine's composition
+    of built-ins is checked against an engine where ASOF is a
+    first-class operator."""
+    ev = load(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views_f = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("value").alias("next_view_value")
+    )
+    views_n = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("nts"), F.col("value").alias("near_view_value")
+    )
+    r1 = joins.asof_join(
+        purchases,
+        views_f,
+        on=["user_id"],
+        probe_ts="ts",
+        build_ts="vts",
+        value_cols=["next_view_value"],
+        direction="forward",
+        tolerance_micros=3_600_000_000,
+    )
+    return joins.asof_join(
+        r1,
+        views_n,
+        on=["user_id"],
+        probe_ts="ts",
+        build_ts="nts",
+        value_cols=["near_view_value"],
+        direction="nearest",
+    ).orderBy("event_id")
+
+
 # Driver-slot rotation (round 4, FINAL): the correctness driver
 # hard-checks the FIRST 50 registry entries only.  Rounds 1-3 proved
 # q01-q50 (twice) and q51/q55/q56/q67/q68/q74 + q75-q118 (round 3).
@@ -3000,6 +3042,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_throttle_segmented": q141_throttle_segmented,
         "q142_kmeans_clusters": q142_kmeans_clusters,
         "q143_incremental_view_maintenance": q143_incremental_view_maintenance,
+        "q144_asof_directions": q144_asof_directions,
     }
 
 
@@ -4993,5 +5036,35 @@ SELECT o_orderpriority,
 FROM after
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+"""
+    # q144: engine = tagged-union + window composition; oracle = the
+    # native ASOF JOIN operator, once per direction, nearest by delta
+    # CASE (ties to backward). 2^62 stands in for +infinity.
+    oracles["q144_asof_directions"] = """
+WITH p AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts AS vts, value AS vval FROM events WHERE event_type = 'view'
+),
+bk AS (
+  SELECT p.event_id, b.vts AS bts, b.vval AS bval
+  FROM p ASOF LEFT JOIN v b ON p.user_id = b.user_id AND p.ts >= b.vts
+),
+fw AS (
+  SELECT p.event_id, b.vts AS fts, b.vval AS fval
+  FROM p ASOF LEFT JOIN v b ON p.user_id = b.user_id AND p.ts <= b.vts
+)
+SELECT p.user_id, p.event_id, p.ts, p.value,
+       CASE WHEN fw.fts IS NOT NULL
+                 AND epoch_us(fw.fts) - epoch_us(p.ts) <= 3600000000
+            THEN fw.fval END AS next_view_value,
+       CASE WHEN bk.bts IS NOT NULL
+                 AND COALESCE(epoch_us(p.ts) - epoch_us(bk.bts), 4611686018427387904)
+                     <= COALESCE(epoch_us(fw.fts) - epoch_us(p.ts), 4611686018427387904)
+            THEN bk.bval
+            WHEN fw.fts IS NOT NULL THEN fw.fval END AS near_view_value
+FROM p LEFT JOIN bk USING (event_id) LEFT JOIN fw USING (event_id)
+ORDER BY p.event_id
 """
     return oracles

@@ -91,6 +91,7 @@ HEADLINE = [
     "q141_throttle_segmented",
     "q142_kmeans_clusters",
     "q143_incremental_view_maintenance",
+    "q144_asof_directions",
 ]
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 
 def broadcast_enrich(
@@ -103,18 +103,36 @@ def asof_join(
     probe_ts: str,
     build_ts: str,
     value_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance_micros: int | None = None,
 ) -> DataFrame:
-    """Most-recent-at-or-before join (ASOF) via tagged union + one
-    window pass.
+    """ASOF join via tagged union + window pass(es) — never a range or
+    nested-loop join.
 
-    For each probe row, attach ``value_cols`` from the build row with
-    the greatest ``build_ts`` <= ``probe_ts`` within the same ``on``
-    group. At equal timestamps the build row matches (it sorts before
-    the probe row). Output schema: probe columns + value_cols.
+    ``direction``:
+    - ``backward`` (default): build row with the greatest
+      ``build_ts`` <= ``probe_ts`` (equal timestamps match);
+    - ``forward``: build row with the smallest ``build_ts`` >=
+      ``probe_ts`` (equal timestamps match) — the polars/kdb
+      forward-fill sibling;
+    - ``nearest``: whichever of the two is closer in time, ties to
+      backward (the polars convention).
+
+    ``tolerance_micros``: when set, a match farther than this from the
+    probe timestamp yields NULLs instead (applied to the winning side
+    under ``nearest``).
+
+    Cost: one (keys, ts)-sort shuffle of the union; ``forward`` orders
+    the same partitioning descending-by-side so backward+forward
+    together still plan as two window passes over ONE exchanged
+    dataset (no extra shuffle, one extra in-partition sort) — the
+    same class as any windowed time-series op at 100 TB. Output
+    schema: probe columns + value_cols.
     """
     on = list(on)
     value_cols = list(value_cols)
     probe_payload = [c for c in probe.columns if c not in on]
+    ts_type = build.schema[build_ts].dataType
 
     p = probe.select(
         *on,
@@ -122,6 +140,7 @@ def asof_join(
         F.lit(1).alias("__side"),
         *[F.col(c).alias(f"__p_{c}") for c in probe_payload],
         *[F.lit(None).cast(build.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(ts_type).alias("__bt"),
     )
     b = build.select(
         *on,
@@ -129,21 +148,71 @@ def asof_join(
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(probe.schema[c].dataType).alias(f"__p_{c}") for c in probe_payload],
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.col(build_ts).alias("__bt"),
     )
     u = p.unionByName(b)
 
-    w = (
-        W.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    for c in value_cols:
-        u = u.withColumn(f"__v_{c}", F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w))
+    want_back = direction in ("backward", "nearest")
+    want_fwd = direction in ("forward", "nearest")
+    if not (want_back or want_fwd):
+        raise ValueError(f"unknown asof direction: {direction!r}")
+
+    if want_back:
+        # build (side 0) sorts before a same-ts probe -> inclusive match
+        wb = (
+            W.partitionBy(*on)
+            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        for c in value_cols:
+            u = u.withColumn(f"__b_{c}", F.last(f"__v_{c}", ignorenulls=True).over(wb))
+        u = u.withColumn("__b_t", F.last("__bt", ignorenulls=True).over(wb))
+    if want_fwd:
+        # probe first at equal ts (side desc) -> same-ts build is ahead
+        wf = (
+            W.partitionBy(*on)
+            .orderBy(F.col("__t").asc(), F.col("__side").desc())
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        for c in value_cols:
+            u = u.withColumn(f"__f_{c}", F.first(f"__v_{c}", ignorenulls=True).over(wf))
+        u = u.withColumn("__f_t", F.first("__bt", ignorenulls=True).over(wf))
 
     out = u.filter(F.col("__side") == 1)
+
+    def us(col: str):
+        # micros for either timestamp flavor (a constant NTZ->TZ offset
+        # cancels in the deltas), raw bigint otherwise
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(F.col(col).cast("timestamp"))
+        return F.col(col).cast("bigint")
+
+    far = F.lit(2**62)
+    if direction == "nearest":
+        db = F.when(F.col("__b_t").isNotNull(), us("__t") - us("__b_t")).otherwise(far)
+        df_ = F.when(F.col("__f_t").isNotNull(), us("__f_t") - us("__t")).otherwise(far)
+        use_back = db <= df_
+        out = out.withColumn("__m_t", F.when(use_back, F.col("__b_t")).otherwise(F.col("__f_t")))
+        for c in value_cols:
+            out = out.withColumn(
+                f"__m_{c}", F.when(use_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
+            )
+    else:
+        side = "b" if direction == "backward" else "f"
+        out = out.withColumn("__m_t", F.col(f"__{side}_t"))
+        for c in value_cols:
+            out = out.withColumn(f"__m_{c}", F.col(f"__{side}_{c}"))
+
+    if tolerance_micros is not None:
+        within = F.col("__m_t").isNotNull() & (
+            F.abs(us("__m_t") - us("__t")) <= F.lit(int(tolerance_micros))
+        )
+        for c in value_cols:
+            out = out.withColumn(f"__m_{c}", F.when(within, F.col(f"__m_{c}")))
+
     sel = [F.col(k) for k in on]
     sel += [F.col(f"__p_{c}").alias(c) for c in probe_payload]
-    sel += [F.col(f"__v_{c}").alias(c) for c in value_cols]
+    sel += [F.col(f"__m_{c}").alias(c) for c in value_cols]
     return out.select(*sel)
 
 

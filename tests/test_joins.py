@@ -65,3 +65,61 @@ def test_asof_join_no_cross_join_in_plan(spark):
         probe, build, on=["user_id"], probe_ts="pts", build_ts="bts", value_cols=["obs"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_asof_forward_inclusive_and_tolerance(spark):
+    probe = spark.createDataFrame(
+        [(1, 100, ts(10, 0)), (1, 101, ts(10, 30)), (1, 102, ts(12, 0))],
+        "user_id long, event_id long, pts timestamp",
+    )
+    build = spark.createDataFrame(
+        [(1, ts(10, 30), 20.0), (1, ts(13, 30), 30.0)],
+        "user_id long, bts timestamp, obs double",
+    )
+    out = asof_join(
+        probe, build, on=["user_id"], probe_ts="pts", build_ts="bts",
+        value_cols=["obs"], direction="forward",
+        tolerance_micros=3_600_000_000,  # 1 hour
+    )
+    got = {r["event_id"]: r["obs"] for r in out.collect()}
+    # 100 @10:00 → 10:30 within 1h; 101 @10:30 → equal ts matches;
+    # 102 @12:00 → next build 13:30 is 1.5h away → tolerance nulls it
+    assert got == {100: 20.0, 101: 20.0, 102: None}
+
+
+def test_asof_nearest_ties_backward(spark):
+    probe = spark.createDataFrame(
+        [(1, 100, ts(10, 30)), (1, 101, ts(10, 40)), (1, 102, ts(9, 0))],
+        "user_id long, event_id long, pts timestamp",
+    )
+    build = spark.createDataFrame(
+        [(1, ts(10, 0), 1.0), (1, ts(11, 0), 2.0)],
+        "user_id long, bts timestamp, obs double",
+    )
+    out = asof_join(
+        probe, build, on=["user_id"], probe_ts="pts", build_ts="bts",
+        value_cols=["obs"], direction="nearest",
+    )
+    got = {r["event_id"]: r["obs"] for r in out.collect()}
+    # 100: exactly midway (30 min each) → tie → backward (1.0);
+    # 101: 40 min back vs 20 min forward → forward (2.0);
+    # 102: before everything → forward only (1.0)
+    assert got == {100: 1.0, 101: 2.0, 102: 1.0}
+
+
+def test_asof_directions_share_one_exchange(spark):
+    probe = spark.createDataFrame(
+        [(1, 100, ts(10))], "user_id long, event_id long, pts timestamp"
+    )
+    build = spark.createDataFrame(
+        [(1, ts(9), 1.0)], "user_id long, bts timestamp, obs double"
+    )
+    plan = asof_join(
+        probe, build, on=["user_id"], probe_ts="pts", build_ts="bts",
+        value_cols=["obs"], direction="nearest",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # backward + forward passes must reuse ONE shuffle of the union
+    # (two in-partition sorts, two Window execs, one Exchange)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
