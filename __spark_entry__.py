@@ -2825,6 +2825,46 @@ def q144_asof_directions(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q145_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive schema evolution (Warehouse.read(merge_schema=True)):
+    generation-1 files carry (orderkey, priority, totalprice);
+    generation-2 appends add o_discount_amt. mergeSchema reconciles
+    the footers — old files surface NULL for the new column, NO data
+    rewrite (the 100 TB posture for additive change: a metadata-only
+    read option, never a table rewrite). The aggregate separates
+    evolved from legacy rows per priority; the oracle reconstructs
+    the same two-generation union directly from orders. The reference
+    hard-fails on drift instead (FAILFAST COPY,
+    etl_spark_historical.py:281-298) — evolution-tolerant reads are
+    the capability it delegates to the warehouse."""
+    from nyc_taxi_data_prediction_pyspark_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix=f"evo_{uuid.uuid4().hex[:8]}_"))
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    gen1 = o.where(F.col("o_orderkey") % 2 == 0)
+    gen2 = o.where(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_discount_amt", F.col("o_totalprice") * F.lit(0.05)
+    )
+    wh.append("orders_evo", gen1, load_ts=False)
+    wh.append("orders_evo", gen2, load_ts=False)
+    evo = wh.read("orders_evo", merge_schema=True)
+    zero = F.lit(0.0)
+    return (
+        evo.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_discount_amt").alias("n_evolved"),
+            agg.dsum("o_totalprice", 6).alias("sum_total"),
+            agg.dsum(F.coalesce(F.col("o_discount_amt"), zero), 6).alias(
+                "sum_discount"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # Driver-slot rotation (round 4, FINAL): the correctness driver
 # hard-checks the FIRST 50 registry entries only.  Rounds 1-3 proved
 # q01-q50 (twice) and q51/q55/q56/q67/q68/q74 + q75-q118 (round 3).
@@ -3043,6 +3083,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_kmeans_clusters": q142_kmeans_clusters,
         "q143_incremental_view_maintenance": q143_incremental_view_maintenance,
         "q144_asof_directions": q144_asof_directions,
+        "q145_schema_evolution": q145_schema_evolution,
     }
 
 
@@ -5066,5 +5107,20 @@ SELECT p.user_id, p.event_id, p.ts, p.value,
             WHEN fw.fts IS NOT NULL THEN fw.fval END AS near_view_value
 FROM p LEFT JOIN bk USING (event_id) LEFT JOIN fw USING (event_id)
 ORDER BY p.event_id
+"""
+    # q145: the oracle reconstructs the two-generation union directly —
+    # evolved rows (odd keys) carry the derived column, legacy rows
+    # contribute NULL/zero, matching what mergeSchema surfaces.
+    oracles["q145_schema_evolution"] = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_evolved,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                     THEN CAST(o_totalprice * 0.05 AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_discount
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
 """
     return oracles

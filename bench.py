@@ -92,6 +92,7 @@ HEADLINE = [
     "q142_kmeans_clusters",
     "q143_incremental_view_maintenance",
     "q144_asof_directions",
+    "q145_schema_evolution",
 ]
 
 

@@ -50,8 +50,20 @@ class Warehouse:
     def exists(self, table: str) -> bool:
         return os.path.exists(self.path(table))
 
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+    def read(self, table: str, *, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` reconciles files written under
+        EVOLVED schemas (columns added over the table's lifetime):
+        Spark unions the parquet footers' schemas and fills absent
+        columns with NULL per file — a metadata-only operation, no
+        data rewrite. The 100 TB posture for additive schema change:
+        old files are never touched; readers see the superset schema;
+        the cost is one footer read per file (amortized by the usual
+        footer caching), not a table rewrite. Default stays off
+        because single-schema tables shouldn't pay the footer merge."""
+        r = self.spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(self.path(table))
 
     # S11: CREATE OR REPLACE STAGE — staging dir lifecycle.
     def stage_dir(self, name: str, *, replace: bool = True) -> str:

@@ -97,3 +97,28 @@ def test_weather_observation_missing_name_falls_back(spark):
     payload = {k: v for k, v in CANNED.items() if k != "name"}
     row = rest.weather_observation(spark, fetch=lambda: payload, default_city="Gotham").first()
     assert row["city"] == "Gotham"
+
+
+def test_read_merge_schema_reconciles_evolved_files(spark, tmp_path):
+    from nyc_taxi_data_prediction_pyspark_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    gen1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    gen2 = spark.createDataFrame(
+        [(3, 30.0, "x"), (4, 40.0, "y")], "id long, v double, tag string"
+    )
+    wh.append("evo", gen1, load_ts=False)
+    files_before = {
+        f for f in os.listdir(wh.path("evo")) if f.endswith(".parquet")
+    }
+    wh.append("evo", gen2, load_ts=False)
+    merged = wh.read("evo", merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "tag"}
+    got = {r["id"]: r["tag"] for r in merged.collect()}
+    # legacy files surface NULL for the evolved column...
+    assert got == {1: None, 2: None, 3: "x", 4: "y"}
+    # ...and were NOT rewritten (additive evolution is metadata-only)
+    files_after = {
+        f for f in os.listdir(wh.path("evo")) if f.endswith(".parquet")
+    }
+    assert files_before <= files_after
