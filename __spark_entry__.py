@@ -2865,6 +2865,62 @@ def q145_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q146_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution (operators/linkage.link_records): a dirty
+    registry is derived by deterministic single-edit corruption of
+    customer names — digit deletion (key%4=1), substitution (%4=2),
+    append (%4=3), untouched (%4=0) — then linked back to the clean
+    registry by nationkey blocking + length prefilter + Levenshtein
+    <= 2, winner per dirty record by (distance, custkey).
+    Deterministic corruption + deterministic tie-break => the oracle
+    replays the whole pipeline (DuckDB shares Spark's levenshtein
+    semantics). Output: per-nation linkage audit — matched count,
+    self-matches (matched_id == original key), total edit distance.
+    The reference's MERGE requires EXACT 6-column key equality
+    (etl_spark_historical.py:304-313); this is the fuzzy fallback
+    that rescues the rows exact matching orphans."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import linkage
+
+    cust = load(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    name = F.col("c_name")
+    head = F.expr("substring(c_name, 1, cast(c_custkey % 9 + 10 as int) - 1)")
+    tail_ = F.expr("substring(c_name, cast(c_custkey % 9 + 10 as int) + 1)")
+    corrupted = (
+        F.when(F.col("c_custkey") % 4 == 1, F.concat(head, tail_))
+        .when(F.col("c_custkey") % 4 == 2, F.concat(head, F.lit("X"), tail_))
+        .when(F.col("c_custkey") % 4 == 3, F.concat(name, F.lit("Z")))
+        .otherwise(name)
+    )
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_key"),
+        corrupted.alias("d_name"),
+        "c_nationkey",
+    )
+    linked = linkage.link_records(
+        dirty,
+        cust,
+        block_keys=["c_nationkey"],
+        dirty_id="d_key",
+        clean_id="c_custkey",
+        dirty_text="d_name",
+        clean_text="c_name",
+        max_distance=2,
+    )
+    return (
+        linked.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_linked"),
+            F.sum(
+                F.when(F.col("matched_id") == F.col("d_key"), 1).otherwise(0)
+            ).alias("n_self"),
+            F.sum("dist").alias("total_dist"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 # Driver-slot rotation (round 4, FINAL): the correctness driver
 # hard-checks the FIRST 50 registry entries only.  Rounds 1-3 proved
 # q01-q50 (twice) and q51/q55/q56/q67/q68/q74 + q75-q118 (round 3).
@@ -3084,6 +3140,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_incremental_view_maintenance": q143_incremental_view_maintenance,
         "q144_asof_directions": q144_asof_directions,
         "q145_schema_evolution": q145_schema_evolution,
+        "q146_record_linkage": q146_record_linkage,
     }
 
 
@@ -5122,5 +5179,39 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+"""
+    # q146: the oracle replays corruption + blocking + levenshtein +
+    # (dist, id) tie-break; both engines share unit-cost edit distance.
+    oracles["q146_record_linkage"] = """
+WITH dirty AS (
+  SELECT c_custkey AS d_key,
+         CASE WHEN c_custkey % 4 = 1
+              THEN substr(c_name, 1, CAST(c_custkey % 9 + 10 AS INT) - 1)
+                   || substr(c_name, CAST(c_custkey % 9 + 10 AS INT) + 1)
+              WHEN c_custkey % 4 = 2
+              THEN substr(c_name, 1, CAST(c_custkey % 9 + 10 AS INT) - 1)
+                   || 'X' || substr(c_name, CAST(c_custkey % 9 + 10 AS INT) + 1)
+              WHEN c_custkey % 4 = 3 THEN c_name || 'Z'
+              ELSE c_name END AS d_name,
+         c_nationkey
+  FROM customer
+),
+cand AS (
+  SELECT d.c_nationkey, d.d_key, c.c_custkey AS cid,
+         levenshtein(d.d_name, c.c_name) AS dist
+  FROM dirty d JOIN customer c ON d.c_nationkey = c.c_nationkey
+  WHERE abs(length(d.d_name) - length(c.c_name)) <= 2
+    AND levenshtein(d.d_name, c.c_name) <= 2
+),
+best AS (
+  SELECT c_nationkey, d_key, cid, dist FROM (
+    SELECT cand.*, row_number() OVER (PARTITION BY d_key ORDER BY dist, cid) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT c_nationkey, COUNT(*) AS n_linked,
+       CAST(SUM(CASE WHEN cid = d_key THEN 1 ELSE 0 END) AS BIGINT) AS n_self,
+       CAST(SUM(dist) AS BIGINT) AS total_dist
+FROM best GROUP BY c_nationkey ORDER BY c_nationkey
 """
     return oracles

@@ -93,6 +93,7 @@ HEADLINE = [
     "q143_incremental_view_maintenance",
     "q144_asof_directions",
     "q145_schema_evolution",
+    "q146_record_linkage",
 ]
 
 

@@ -1,0 +1,82 @@
+"""Record linkage / entity resolution: blocked fuzzy matching of a
+dirty record set against a clean registry — the string-similarity
+sibling of the dedup family (operators/dedup.py handles content/
+embedding near-dups; this handles ENTITY near-dups, the master-data
+problem every warehouse ingest has).
+
+Reference parity: the reference's MERGE matches on exact equality of
+a 6-column key (etl_spark_historical.py:304-313) — a single corrupted
+character orphans the row. Linkage closes that gap: candidate
+generation by BLOCKING (equi-join on coarse keys), a cheap length
+prefilter, exact Levenshtein on the survivors, best match per dirty
+record by (distance, id) — fully deterministic, so a SQL oracle can
+replay it.
+
+Scale posture (10^9-row registry):
+- candidates come from an EQUI join on the block keys — never an
+  all-pairs comparison; block key choice bounds the candidate count
+  (#dirty_in_block × #clean_in_block per block);
+- the |len(a) - len(b)| <= max_distance prefilter is a codegen-stage
+  residual that drops size-incompatible pairs BEFORE the O(len²)
+  Levenshtein evaluates — the same prune q17 applies to shingle sets;
+- best-match selection is min(struct(dist, id)) per dirty id — one
+  map-side-combinable aggregation, no window sort;
+- skewed blocks (one nation = half the registry) go through the same
+  remedies as any hot equi-join: composite block keys, salting
+  (operators/skew.py), or AQE skew splitting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def link_records(
+    dirty: DataFrame,
+    clean: DataFrame,
+    *,
+    block_keys: Sequence[str],
+    dirty_id: str,
+    clean_id: str,
+    dirty_text: str,
+    clean_text: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Best fuzzy match per dirty record: equi-join on ``block_keys``,
+    length prefilter, ``levenshtein <= max_distance``, winner by
+    (distance, clean id). Returns one row per MATCHED dirty record:
+    (block_keys…, dirty_id, matched_id, dist). Unmatched dirty rows
+    are absent (left-join semantics belong to the caller, who knows
+    what an orphan means for their pipeline)."""
+    keys = list(block_keys)
+    d = dirty.select(
+        *keys,
+        F.col(dirty_id).alias("__did"),
+        F.col(dirty_text).alias("__dtxt"),
+    )
+    c = clean.select(
+        *keys,
+        F.col(clean_id).alias("__cid"),
+        F.col(clean_text).alias("__ctxt"),
+    )
+    cand = (
+        d.join(c, keys)
+        .where(
+            F.abs(F.length("__dtxt") - F.length("__ctxt")) <= F.lit(max_distance)
+        )
+        .withColumn("__dist", F.levenshtein("__dtxt", "__ctxt"))
+        .where(F.col("__dist") <= F.lit(max_distance))
+    )
+    best = (
+        cand.groupBy(*keys, "__did")
+        .agg(F.min(F.struct("__dist", "__cid")).alias("__m"))
+        .select(
+            *keys,
+            F.col("__did").alias(dirty_id),
+            F.col("__m.__cid").alias("matched_id"),
+            F.col("__m.__dist").alias("dist"),
+        )
+    )
+    return best

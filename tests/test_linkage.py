@@ -1,0 +1,67 @@
+"""Record linkage (operators/linkage.py): blocking, distance cap,
+deterministic tie-break."""
+
+from __future__ import annotations
+
+from nyc_taxi_data_prediction_pyspark_spark.operators import linkage
+
+
+def _frames(spark):
+    clean = spark.createDataFrame(
+        [
+            (1, "alice smith", "us"),
+            (2, "alicia smith", "us"),
+            (3, "bob jones", "us"),
+            (4, "alice smith", "uk"),
+        ],
+        "cid long, cname string, region string",
+    )
+    dirty = spark.createDataFrame(
+        [
+            (100, "alice smyth", "us"),   # 1 edit from cid 1, 2 from cid 2
+            (101, "bobb jones", "us"),    # 1 edit from cid 3
+            (102, "zzzzzz", "us"),        # no match within 2
+            (103, "alice smith", "uk"),   # exact, but only within its block
+        ],
+        "did long, dname string, region string",
+    )
+    return dirty, clean
+
+
+def test_link_records_best_match_and_cap(spark):
+    dirty, clean = _frames(spark)
+    out = linkage.link_records(
+        dirty, clean,
+        block_keys=["region"], dirty_id="did", clean_id="cid",
+        dirty_text="dname", clean_text="cname", max_distance=2,
+    )
+    got = {r["did"]: (r["matched_id"], r["dist"]) for r in out.collect()}
+    # 102 has no candidate within distance 2 -> absent entirely
+    assert got == {100: (1, 1), 101: (3, 1), 103: (4, 0)}
+
+
+def test_link_records_blocking_is_a_hard_wall(spark):
+    dirty, clean = _frames(spark)
+    # the uk dirty row matches the us "alice smith" at distance 0 —
+    # but blocking must prevent it from ever seeing that candidate
+    out = linkage.link_records(
+        dirty.where("did = 103"), clean.where("region = 'us'"),
+        block_keys=["region"], dirty_id="did", clean_id="cid",
+        dirty_text="dname", clean_text="cname", max_distance=2,
+    )
+    assert out.count() == 0
+
+
+def test_link_records_tie_breaks_to_lowest_id(spark):
+    clean = spark.createDataFrame(
+        [(7, "aaab", "g"), (5, "aaac", "g")], "cid long, cname string, region string"
+    )
+    dirty = spark.createDataFrame(
+        [(1, "aaad", "g")], "did long, dname string, region string"
+    )
+    out = linkage.link_records(
+        dirty, clean,
+        block_keys=["region"], dirty_id="did", clean_id="cid",
+        dirty_text="dname", clean_text="cname", max_distance=2,
+    ).collect()
+    assert out[0]["matched_id"] == 5 and out[0]["dist"] == 1
