@@ -2783,6 +2783,26 @@ def q143_incremental_view_maintenance(spark: SparkSession, sf: str) -> DataFrame
     ).orderBy("o_orderpriority")
 
 
+def q147_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-user sketch per event type
+    (operators/aggregates.hll_distinct) beside the exact
+    COUNT(DISTINCT) — engine-stable md5 hashing, integer ranks via
+    length(bin(rest)) (no libm log2), and an INTEGER-SCALED harmonic
+    denominator so the estimate is one deterministic double division.
+    Spark's own approx_count_distinct is HLL++ over xxhash — engine-
+    local, rows-only-checkable forever; this sketch value-hash-matches
+    a second engine register-for-register (the q55/q109 verifiability
+    discipline applied to cardinality sketching). MAX-mergeable
+    registers are the 100 TB property: shards/days combine by
+    register-wise max."""
+    ev = load(spark, sf, "events")
+    sk = agg.hll_distinct(ev, group_keys=["event_type"], value_col="user_id", p=9)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    return sk.join(exact, "event_type").orderBy("event_type")
+
+
 def q144_asof_directions(spark: SparkSession, sf: str) -> DataFrame:
     """Directional as-of joins (operators/joins.asof_join): for every
     purchase, (a) the NEXT view within 1 hour (direction='forward'
@@ -3141,6 +3161,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_asof_directions": q144_asof_directions,
         "q145_schema_evolution": q145_schema_evolution,
         "q146_record_linkage": q146_record_linkage,
+        "q147_hll_distinct": q147_hll_distinct,
     }
 
 
@@ -3289,6 +3310,47 @@ SELECT cluster, COUNT(*) AS n_points, CAST(SUM(pid) AS BIGINT) AS id_checksum,
 FROM asgF GROUP BY cluster ORDER BY cluster
 """
     return head + "".join(steps) + tail
+
+
+def _hll_sql(p: int = 9) -> str:
+    """DuckDB side of operators/aggregates.hll_distinct over
+    events.user_id grouped by event_type: same md5-60bit hash
+    (_MD5_INT60), same integer rank via length(bin(rest)), same
+    integer-scaled denominator, and the SAME numerator constant
+    (computed once here, embedded as a literal in both engines)."""
+    m = 1 << p
+    s_ = 60 - p + 1
+    num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << s_)
+    h = _MD5_INT60.format(col="CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hv AS (
+  SELECT event_type, {h} AS h FROM events
+),
+rb AS (
+  SELECT event_type, h % {m} AS bkt, h // {m} AS rest FROM hv
+),
+regs AS (
+  SELECT event_type, bkt,
+         MAX(CASE WHEN rest = 0 THEN {s_} ELSE {s_} - length(bin(rest)) END) AS r
+  FROM rb GROUP BY event_type, bkt
+),
+summ AS (
+  SELECT event_type, COUNT(*) AS n_used,
+         CAST(SUM(1::BIGINT << ({s_} - r)) AS BIGINT) AS sumpow
+  FROM regs GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS true_distinct
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type, s.n_used,
+       ({m} - s.n_used) * (1::BIGINT << {s_}) + s.sumpow AS d_scaled,
+       {num!r} / CAST(({m} - s.n_used) * (1::BIGINT << {s_}) + s.sumpow AS DOUBLE)
+         AS hll_estimate,
+       e.true_distinct
+FROM summ s JOIN ex e USING (event_type)
+ORDER BY s.event_type
+"""
 
 
 def _zorder_sql() -> str:
@@ -5214,4 +5276,5 @@ SELECT c_nationkey, COUNT(*) AS n_linked,
        CAST(SUM(dist) AS BIGINT) AS total_dist
 FROM best GROUP BY c_nationkey ORDER BY c_nationkey
 """
+    oracles["q147_hll_distinct"] = _hll_sql(p=9)
     return oracles

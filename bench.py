@@ -94,6 +94,7 @@ HEADLINE = [
     "q144_asof_directions",
     "q145_schema_evolution",
     "q146_record_linkage",
+    "q147_hll_distinct",
 ]
 
 

@@ -211,3 +211,82 @@ FROM events
 GROUP BY 1, 2
 """
 
+
+
+def hll_distinct(
+    df: DataFrame,
+    *,
+    group_keys: list[str],
+    value_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """Mergeable HyperLogLog distinct-count sketch with ENGINE-STABLE
+    hashing — the oracle-checkable sibling of
+    ``approx_count_distinct`` (whose HLL++ registers hash with
+    engine-local xxhash, so a second engine can never reproduce them;
+    the q55-native-minhash argument applied to cardinality).
+
+    Construction, all exact integer arithmetic:
+    - 60-bit md5 hash (functions/hashing.md5_int60) of the value's
+      string form; low ``p`` bits pick one of m=2^p buckets, the
+      remaining w=60-p bits feed the rank;
+    - rank = leading-zero count + 1 = (w+1) - length(bin(rest)) —
+      ``bin()`` renders identically on any engine, no float log2
+      (whose libm rounding at 2^k-1 boundaries genuinely diverges);
+    - registers = MAX(rank) per (group, bucket) — MAX is what makes
+      sketches MERGEABLE: shards/partitions/days combine by register-
+      wise max, the property a 100 TB rollup needs;
+    - the harmonic denominator is kept INTEGER-SCALED:
+      d_scaled = (m - used)·2^(w+1) + Σ 2^(w+1-rank)  (fits BIGINT for
+      p>=9), so the final estimate is one double division of exact
+      integers — deterministic IEEE, no order-dependent float sum.
+
+    Returns per group: n_used buckets, d_scaled, and hll_estimate
+    (raw HLL estimator; small/large-range corrections intentionally
+    omitted — they need ln(), which is engine-libm-dependent, and the
+    oracle checks bit-equality, not accuracy tuning).
+
+    Scale: one narrow map + two map-side-combinable groupBys; the
+    sketch state is m rows per group, independent of input size.
+    """
+    from ..functions.hashing import md5_int60
+
+    m = 1 << p
+    w = 60 - p
+    s_ = w + 1
+    # the full numerator constant, computed ONCE here and embedded as a
+    # literal in both engines: alpha_m * m^2 * 2^(w+1)
+    num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << s_)
+
+    h = md5_int60(F.col(value_col).cast("string"))
+    rb = (
+        df.select(*group_keys, h.alias("__h"))
+        .select(
+            *group_keys,
+            (F.col("__h") % F.lit(m)).alias("__bkt"),
+            # exact BIGINT division (h is non-negative 60-bit; a double
+            # division here would lose bits above 2^53)
+            F.expr(f"__h div {m}L").alias("__rest"),
+        )
+    )
+    rank = F.when(F.col("__rest") == 0, F.lit(s_)).otherwise(
+        F.lit(s_) - F.length(F.bin(F.col("__rest")))
+    )
+    regs = (
+        rb.withColumn("__r", rank)
+        .groupBy(*group_keys, "__bkt")
+        .agg(F.max("__r").alias("__r"))
+    )
+    out = regs.groupBy(*group_keys).agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.expr(f"shiftleft(1L, {s_} - __r)")).alias("__sumpow"),
+    )
+    d_scaled = (
+        (F.lit(m) - F.col("n_used")) * F.lit(1 << s_) + F.col("__sumpow")
+    ).cast("bigint")
+    return out.select(
+        *group_keys,
+        "n_used",
+        d_scaled.alias("d_scaled"),
+        (F.lit(num) / d_scaled.cast("double")).alias("hll_estimate"),
+    )

@@ -80,3 +80,30 @@ def test_kmeans_negative_component_floor_division(spark):
     # centroid = floor((-1e6 + -2e6 + -1e6 + -2e6) / 4) = -1500000
     assert d2[0] == d2[2] == (1_500_000 - 1_000_000) ** 2
     assert d2[1] == d2[3] == (2_000_000 - 1_500_000) ** 2
+
+
+# ---- HLL distinct sketch (operators/aggregates.hll_distinct) ----
+
+
+def test_hll_estimate_accuracy(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators import aggregates as agg
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    row = agg.hll_distinct(df, group_keys=["g"], value_col="v", p=9).first()
+    # standard error for m=512 is ~1.04/sqrt(512) = 4.6%; allow 3 sigma
+    assert abs(row["hll_estimate"] - n) / n < 0.14
+
+
+def test_hll_registers_merge_by_max(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators import aggregates as agg
+
+    a = spark.range(0, 5000).select(F.lit("g").alias("g"), F.col("id").cast("string").alias("v"))
+    b = spark.range(2500, 8000).select(F.lit("g").alias("g"), F.col("id").cast("string").alias("v"))
+    # sketch of the union must equal the sketch of concatenated inputs
+    # (register-wise max is associative/commutative/idempotent)
+    u1 = agg.hll_distinct(a.union(b), group_keys=["g"], value_col="v", p=9).first()
+    u2 = agg.hll_distinct(b.union(a).union(a), group_keys=["g"], value_col="v", p=9).first()
+    assert u1["d_scaled"] == u2["d_scaled"] and u1["n_used"] == u2["n_used"]
