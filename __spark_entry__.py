@@ -35,6 +35,7 @@ from nyc_taxi_data_prediction_pyspark_spark.operators import (
     windows,
     multimodal,
 )
+from nyc_taxi_data_prediction_pyspark_spark.functions import hashing
 from nyc_taxi_data_prediction_pyspark_spark.functions.json import json_get, parse_typed
 from nyc_taxi_data_prediction_pyspark_spark.streaming import pipeline as stream
 from nyc_taxi_data_prediction_pyspark_spark.ml import forecast
@@ -2803,6 +2804,77 @@ def q147_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return sk.join(exact, "event_type").orderBy("event_type")
 
 
+def q148_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-proof train/val/test split: near-duplicate documents
+    (q17's jaccard pairs → q38's connected components) must land in
+    the SAME split, so the split hash is taken over the CLUSTER id,
+    not the doc id — the benchmark-decontamination discipline (q93)
+    applied to the split itself. Output per split: doc/cluster counts
+    plus two leak audits over the duplicate pairs: grouped_cross_pairs
+    (cluster-hash split — provably 0) vs naive_cross_pairs (doc-hash
+    split — the leak a per-doc split silently ships into eval).
+    Engine-stable md5 split hashing; the oracle replays shingles →
+    pairs → transitive closure → both splits."""
+    docs = load(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=3, threshold=0.3
+    ).localCheckpoint(eager=False)
+    comps = dedup.connected_components(pairs)
+    assign = docs.select("doc_id").join(
+        comps.select(F.col("node").alias("doc_id"), "cluster_id"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+
+    def split_of(col):
+        b = hashing.md5_int60(F.col(col).cast("string")) % 100
+        return (
+            F.when(b < 80, F.lit("train"))
+            .when(b < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    splits = assign.select(
+        "doc_id",
+        "cluster_id",
+        split_of("cluster_id").alias("split"),
+        split_of("doc_id").alias("naive_split"),
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("split").alias("split_a"),
+        F.col("naive_split").alias("naive_a"),
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("split").alias("split_b"),
+        F.col("naive_split").alias("naive_b"),
+    )
+    leaks = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("bigint").alias("grouped_cross_pairs"),
+            F.coalesce(
+                F.sum(F.when(F.col("naive_a") != F.col("naive_b"), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("bigint").alias("naive_cross_pairs"),
+        )
+    )
+    per_split = splits.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    # 1-row leak audit broadcast onto the 3 split rows (scalar class)
+    return per_split.crossJoin(F.broadcast(leaks)).orderBy("split")
+
+
 def q144_asof_directions(spark: SparkSession, sf: str) -> DataFrame:
     """Directional as-of joins (operators/joins.asof_join): for every
     purchase, (a) the NEXT view within 1 hour (direction='forward'
@@ -3162,6 +3234,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_schema_evolution": q145_schema_evolution,
         "q146_record_linkage": q146_record_linkage,
         "q147_hll_distinct": q147_hll_distinct,
+        "q148_leakage_safe_split": q148_leakage_safe_split,
     }
 
 
@@ -5277,4 +5350,54 @@ SELECT c_nationkey, COUNT(*) AS n_linked,
 FROM best GROUP BY c_nationkey ORDER BY c_nationkey
 """
     oracles["q147_hll_distinct"] = _hll_sql(p=9)
+    # q148: q38's shingle→pair→transitive-closure replay + md5 split
+    # hashing over cluster ids (grouped) and doc ids (naive audit).
+    _split = (
+        "CASE WHEN ({h} % 100) < 80 THEN 'train' "
+        "WHEN ({h} % 100) < 90 THEN 'val' ELSE 'test' END"
+    )
+    oracles["q148_leakage_safe_split"] = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+ok_sh AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10000),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle) JOIN ok_sh USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) >= 0.3
+),
+edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s WHERE e.t <> r.s
+),
+comp AS (SELECT s AS node, LEAST(s, MIN(t)) AS cluster_id FROM reach GROUP BY s),
+assign AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+splits AS (
+  SELECT doc_id, cluster_id,
+         {_split.format(h=_MD5_INT60.format(col="CAST(cluster_id AS VARCHAR)"))} AS split,
+         {_split.format(h=_MD5_INT60.format(col="CAST(doc_id AS VARCHAR)"))} AS naive_split
+  FROM assign
+),
+leaks AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS grouped_cross_pairs,
+         CAST(COALESCE(SUM(CASE WHEN sa.naive_split <> sb.naive_split THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_cross_pairs
+  FROM pairs p
+  JOIN splits sa ON sa.doc_id = p.id_a
+  JOIN splits sb ON sb.doc_id = p.id_b
+)
+SELECT s.split, COUNT(*) AS n_docs, COUNT(DISTINCT s.cluster_id) AS n_clusters,
+       l.grouped_cross_pairs, l.naive_cross_pairs
+FROM splits s CROSS JOIN leaks l
+GROUP BY s.split, l.grouped_cross_pairs, l.naive_cross_pairs
+ORDER BY s.split
+"""
     return oracles

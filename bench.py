@@ -95,6 +95,7 @@ HEADLINE = [
     "q145_schema_evolution",
     "q146_record_linkage",
     "q147_hll_distinct",
+    "q148_leakage_safe_split",
 ]
 
 
