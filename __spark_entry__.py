@@ -2875,6 +2875,57 @@ def q148_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     return per_split.crossJoin(F.broadcast(leaks)).orderBy("split")
 
 
+def q149_quality_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (q17 pairs
+    → q38 components) keep their HIGHEST-QUALITY member (stopword
+    ratio, ties to lowest doc_id) instead of q38's lowest-id member —
+    the curation policy real pipelines use (keep the cleanest copy,
+    drop the rest). Winner chosen by one max(struct(ratio, -id))
+    aggregation per cluster — map-side combinable, no window sort.
+    Output: corpus-level audit — docs/kept/dropped, how often the
+    quality pick OVERRODE the naive min-id pick, kept token mass, and
+    the winner-id checksum the oracle value-matches after replaying
+    shingles → closure → argmax."""
+    docs = load(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=3, threshold=0.3
+    )
+    comps = dedup.connected_components(pairs)
+    q = textops.quality_features(docs).select(
+        "doc_id", "q_stopword_ratio", "q_tokens"
+    )
+    assign = q.join(
+        comps.select(F.col("node").alias("doc_id"), "cluster_id"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "q_stopword_ratio",
+        "q_tokens",
+    )
+    best = assign.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("q_stopword_ratio").alias("r"),
+                (-F.col("doc_id")).alias("neg_id"),
+                F.col("q_tokens").alias("toks"),
+            )
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return best.agg(
+        F.sum("n_members").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        (F.sum("n_members") - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
+        F.sum(
+            F.when(-F.col("m.neg_id") != F.col("cluster_id"), 1).otherwise(0)
+        ).cast("bigint").alias("n_quality_overrides"),
+        F.sum("m.toks").cast("bigint").alias("kept_tokens"),
+        F.sum(-F.col("m.neg_id")).cast("bigint").alias("winner_checksum"),
+    )
+
+
 def q144_asof_directions(spark: SparkSession, sf: str) -> DataFrame:
     """Directional as-of joins (operators/joins.asof_join): for every
     purchase, (a) the NEXT view within 1 hour (direction='forward'
@@ -3235,6 +3286,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_record_linkage": q146_record_linkage,
         "q147_hll_distinct": q147_hll_distinct,
         "q148_leakage_safe_split": q148_leakage_safe_split,
+        "q149_quality_canonical_dedup": q149_quality_canonical_dedup,
     }
 
 
@@ -5399,5 +5451,54 @@ SELECT s.split, COUNT(*) AS n_docs, COUNT(DISTINCT s.cluster_id) AS n_clusters,
 FROM splits s CROSS JOIN leaks l
 GROUP BY s.split, l.grouped_cross_pairs, l.naive_cross_pairs
 ORDER BY s.split
+"""
+    # q149: q38's closure replay + per-cluster argmax(quality, -id).
+    oracles["q149_quality_canonical_dedup"] = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+ok_sh AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10000),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle) JOIN ok_sh USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) >= 0.3
+),
+edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s WHERE e.t <> r.s
+),
+comp AS (SELECT s AS node, LEAST(s, MIN(t)) AS cluster_id FROM reach GROUP BY s),
+feat AS (
+  SELECT doc_id,
+         len({_TOKENS}) AS q_tokens,
+         ROUND({_HITS['en']} * 1.0 / greatest(len({_TOKENS}), 1), 6) AS q_stopword_ratio
+  FROM documents
+),
+assign AS (
+  SELECT f.doc_id, COALESCE(c.cluster_id, f.doc_id) AS cluster_id,
+         f.q_stopword_ratio, f.q_tokens
+  FROM feat f LEFT JOIN comp c ON c.node = f.doc_id
+),
+best AS (
+  SELECT cluster_id, doc_id AS winner, q_tokens, n_members FROM (
+    SELECT a.*, COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY q_stopword_ratio DESC, doc_id ASC) AS rn
+    FROM assign a
+  ) WHERE rn = 1
+)
+SELECT CAST(SUM(n_members) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n_members) - COUNT(*) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN winner <> cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_overrides,
+       CAST(SUM(q_tokens) AS BIGINT) AS kept_tokens,
+       CAST(SUM(winner) AS BIGINT) AS winner_checksum
+FROM best
 """
     return oracles

@@ -96,6 +96,7 @@ HEADLINE = [
     "q146_record_linkage",
     "q147_hll_distinct",
     "q148_leakage_safe_split",
+    "q149_quality_canonical_dedup",
 ]
 
 
