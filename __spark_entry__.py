@@ -3009,19 +3009,21 @@ def q145_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q146_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
-    """Entity resolution (operators/linkage.link_records): a dirty
-    registry is derived by deterministic single-edit corruption of
-    customer names — digit deletion (key%4=1), substitution (%4=2),
-    append (%4=3), untouched (%4=0) — then linked back to the clean
-    registry by nationkey blocking + length prefilter + Levenshtein
-    <= 2, winner per dirty record by (distance, custkey).
-    Deterministic corruption + deterministic tie-break => the oracle
-    replays the whole pipeline (DuckDB shares Spark's levenshtein
-    semantics). Output: per-nation linkage audit — matched count,
-    self-matches (matched_id == original key), total edit distance.
-    The reference's MERGE requires EXACT 6-column key equality
-    (etl_spark_historical.py:304-313); this is the fuzzy fallback
-    that rescues the rows exact matching orphans."""
+    """Entity resolution (operators/linkage.link_records): an INGEST
+    BATCH (20% of customers, c_custkey%20 in 1..4) arrives with
+    single-edit corrupted names — digit deletion (%20=1),
+    substitution (%20=2), append (%20=3), exact dup (%20=4) — and is
+    linked against the clean registry by nationkey blocking + length
+    prefilter + banded Levenshtein <= 2, winner per batch record by
+    (distance, custkey). Batch-vs-registry is the production shape:
+    candidate volume is |batch_block|×|registry_block|, never
+    registry². Deterministic corruption + deterministic tie-break =>
+    the oracle replays the whole pipeline (DuckDB shares Spark's
+    levenshtein semantics). Output: per-nation linkage audit —
+    matched count, self-matches (matched_id == original key), total
+    edit distance. The reference's MERGE requires EXACT 6-column key
+    equality (etl_spark_historical.py:304-313); this is the fuzzy
+    fallback that rescues the rows exact matching orphans."""
     from nyc_taxi_data_prediction_pyspark_spark.operators import linkage
 
     cust = load(spark, sf, "customer").select(
@@ -3030,13 +3032,14 @@ def q146_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     name = F.col("c_name")
     head = F.expr("substring(c_name, 1, cast(c_custkey % 9 + 10 as int) - 1)")
     tail_ = F.expr("substring(c_name, cast(c_custkey % 9 + 10 as int) + 1)")
+    cls = F.col("c_custkey") % 20
     corrupted = (
-        F.when(F.col("c_custkey") % 4 == 1, F.concat(head, tail_))
-        .when(F.col("c_custkey") % 4 == 2, F.concat(head, F.lit("X"), tail_))
-        .when(F.col("c_custkey") % 4 == 3, F.concat(name, F.lit("Z")))
+        F.when(cls == 1, F.concat(head, tail_))
+        .when(cls == 2, F.concat(head, F.lit("X"), tail_))
+        .when(cls == 3, F.concat(name, F.lit("Z")))
         .otherwise(name)
     )
-    dirty = cust.select(
+    dirty = cust.where(cls.isin(1, 2, 3, 4)).select(
         F.col("c_custkey").alias("d_key"),
         corrupted.alias("d_name"),
         "c_nationkey",
@@ -5372,16 +5375,17 @@ ORDER BY o_orderpriority
     oracles["q146_record_linkage"] = """
 WITH dirty AS (
   SELECT c_custkey AS d_key,
-         CASE WHEN c_custkey % 4 = 1
+         CASE WHEN c_custkey % 20 = 1
               THEN substr(c_name, 1, CAST(c_custkey % 9 + 10 AS INT) - 1)
                    || substr(c_name, CAST(c_custkey % 9 + 10 AS INT) + 1)
-              WHEN c_custkey % 4 = 2
+              WHEN c_custkey % 20 = 2
               THEN substr(c_name, 1, CAST(c_custkey % 9 + 10 AS INT) - 1)
                    || 'X' || substr(c_name, CAST(c_custkey % 9 + 10 AS INT) + 1)
-              WHEN c_custkey % 4 = 3 THEN c_name || 'Z'
+              WHEN c_custkey % 20 = 3 THEN c_name || 'Z'
               ELSE c_name END AS d_name,
          c_nationkey
   FROM customer
+  WHERE c_custkey % 20 IN (1, 2, 3, 4)
 ),
 cand AS (
   SELECT d.c_nationkey, d.d_key, c.c_custkey AS cid,

@@ -322,6 +322,12 @@ def connected_components(
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("t")))
         .distinct()
+        # the caller's pair plan is usually EXPENSIVE (shingle explode +
+        # posting-list self-join); without truncation every propagation
+        # round AND the label init re-run it from source — measured 16 s
+        # -> 4 s on q149's corpus graph. One materialization, reused by
+        # all O(diameter) rounds.
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "cluster_id", F.col("node")

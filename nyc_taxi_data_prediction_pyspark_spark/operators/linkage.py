@@ -66,8 +66,12 @@ def link_records(
         .where(
             F.abs(F.length("__dtxt") - F.length("__ctxt")) <= F.lit(max_distance)
         )
-        .withColumn("__dist", F.levenshtein("__dtxt", "__ctxt"))
-        .where(F.col("__dist") <= F.lit(max_distance))
+        # 3-arg BANDED levenshtein: O(len·k) with early exit instead of
+        # the O(len²) full DP — returns -1 past the threshold, which the
+        # filter drops. Same survivors as the unbounded form; the per-
+        # pair constant is what the block-sized candidate volume pays.
+        .withColumn("__dist", F.levenshtein("__dtxt", "__ctxt", max_distance))
+        .where((F.col("__dist") >= 0) & (F.col("__dist") <= F.lit(max_distance)))
     )
     best = (
         cand.groupBy(*keys, "__did")
