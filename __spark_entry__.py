@@ -2721,27 +2721,10 @@ def q142_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q143_incremental_view_maintenance(spark: SparkSession, sf: str) -> DataFrame:
-    """Incremental view maintenance with retractions (operators/ivm.py):
-    a per-priority (count, exact decimal revenue) aggregate is
-    materialized once, then a deterministic CDC batch — deletes
-    (orderkey%13=0), repricing updates (%13=1, +10.00), GROUP-MOVING
-    updates (%13=2, priority → '0-MOVED'), and inserts (%13=3 cloned
-    to new keys) — is folded in as signed delta rows: +new/-old pairs,
-    never rescanning the base table. The oracle RECOMPUTES the
-    aggregate from the post-change state; equality of maintain-vs-
-    recompute (exact, via decimal sums) IS the correctness statement —
-    the reference re-aggregates after every MERGE
-    (etl_spark_historical.py:302-313), which at 100 TB is a full fact
-    scan per batch; this is the delta form that replaces it."""
-    from nyc_taxi_data_prediction_pyspark_spark.operators import ivm
-
-    o = load(spark, sf, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
-    )
-    mv0 = ivm.materialize_agg(
-        o, keys=["o_orderpriority"], measures=["o_totalprice"]
-    )
+def _cdc_feed(o: DataFrame) -> DataFrame:
+    """The deterministic CDC batch shared by q143 and q150: deletes
+    (orderkey%13=0), +10.00 repricing updates (%13=1), group-moving
+    updates to '0-MOVED' (%13=2), and inserted clones (%13=3)."""
     k = F.col("o_orderkey") % 13
     snull = F.lit(None).cast("string")
     dnull = F.lit(None).cast("double")
@@ -2773,9 +2756,32 @@ def q143_incremental_view_maintenance(spark: SparkSession, sf: str) -> DataFrame
         snull.alias("o_orderpriority__old"),
         dnull.alias("o_totalprice__old"),
     )
-    feed = deletes.unionByName(reprice).unionByName(move).unionByName(inserts)
+    return deletes.unionByName(reprice).unionByName(move).unionByName(inserts)
+
+
+def q143_incremental_view_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance with retractions (operators/ivm.py):
+    a per-priority (count, exact decimal revenue) aggregate is
+    materialized once, then a deterministic CDC batch — deletes
+    (orderkey%13=0), repricing updates (%13=1, +10.00), GROUP-MOVING
+    updates (%13=2, priority → '0-MOVED'), and inserts (%13=3 cloned
+    to new keys) — is folded in as signed delta rows: +new/-old pairs,
+    never rescanning the base table. The oracle RECOMPUTES the
+    aggregate from the post-change state; equality of maintain-vs-
+    recompute (exact, via decimal sums) IS the correctness statement —
+    the reference re-aggregates after every MERGE
+    (etl_spark_historical.py:302-313), which at 100 TB is a full fact
+    scan per batch; this is the delta form that replaces it."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import ivm
+
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    mv0 = ivm.materialize_agg(
+        o, keys=["o_orderpriority"], measures=["o_totalprice"]
+    )
     mv1 = ivm.apply_agg_deltas(
-        mv0, feed, keys=["o_orderpriority"], measures=["o_totalprice"]
+        mv0, _cdc_feed(o), keys=["o_orderpriority"], measures=["o_totalprice"]
     )
     return mv1.select(
         "o_orderpriority",
@@ -2923,6 +2929,62 @@ def q149_quality_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("bigint").alias("n_quality_overrides"),
         F.sum("m.toks").cast("bigint").alias("kept_tokens"),
         F.sum(-F.col("m.neg_id")).cast("bigint").alias("winner_checksum"),
+    )
+
+
+def q150_snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot versioning + time travel (Warehouse.snapshot_write /
+    read_snapshot): the per-priority rollup is written as version 1,
+    the q143 CDC batch is delta-applied (operators/ivm.py) and written
+    as version 2 — each write an immutable directory plus an atomic
+    pointer flip (os.replace), the Delta/Iceberg commit pattern where
+    commit cost is O(pointer), readers of v1 keep a consistent view,
+    and history stays queryable until vacuumed. The query time-travels
+    to v1 and diffs it against the current pointer; the oracle
+    recomputes both states from orders directly. Decimal sums inside
+    the MV make the version diff exact."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import ivm
+    from nyc_taxi_data_prediction_pyspark_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix=f"snap_{uuid.uuid4().hex[:8]}_"))
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    mv0 = ivm.materialize_agg(o, keys=["o_orderpriority"], measures=["o_totalprice"])
+    v1 = wh.snapshot_write("prio_rollup", mv0)
+    mv1 = ivm.apply_agg_deltas(
+        wh.read_snapshot("prio_rollup"),
+        _cdc_feed(o),
+        keys=["o_orderpriority"],
+        measures=["o_totalprice"],
+    )
+    wh.snapshot_write("prio_rollup", mv1)
+    old = wh.read_snapshot("prio_rollup", v1)  # time travel
+    new = wh.read_snapshot("prio_rollup")  # current pointer
+    a, b = old.alias("a"), new.alias("b")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        a.join(
+            b,
+            F.col("a.o_orderpriority") == F.col("b.o_orderpriority"),
+            "full",
+        )
+        .select(
+            F.coalesce(
+                F.col("a.o_orderpriority"), F.col("b.o_orderpriority")
+            ).alias("o_orderpriority"),
+            F.coalesce(F.col("a.n_rows"), F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce(F.col("b.n_rows"), F.lit(0)).cast("bigint").alias("n_new"),
+            (
+                F.coalesce(F.col("b.n_rows"), F.lit(0))
+                - F.coalesce(F.col("a.n_rows"), F.lit(0))
+            ).cast("bigint").alias("delta_n"),
+            (
+                F.coalesce(F.col("b.sum_o_totalprice"), zero)
+                - F.coalesce(F.col("a.sum_o_totalprice"), zero)
+            ).cast("double").alias("delta_sum"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 
@@ -3290,6 +3352,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_hll_distinct": q147_hll_distinct,
         "q148_leakage_safe_split": q148_leakage_safe_split,
         "q149_quality_canonical_dedup": q149_quality_canonical_dedup,
+        "q150_snapshot_time_travel": q150_snapshot_time_travel,
     }
 
 
@@ -5504,5 +5567,37 @@ SELECT CAST(SUM(n_members) AS BIGINT) AS n_docs,
        CAST(SUM(q_tokens) AS BIGINT) AS kept_tokens,
        CAST(SUM(winner) AS BIGINT) AS winner_checksum
 FROM best
+"""
+    # q150: the oracle recomputes BOTH versioned states from orders and
+    # diffs them — equality proves snapshot_write/read_snapshot round-
+    # tripped v1 exactly and the delta-applied v2 equals a recompute.
+    oracles["q150_snapshot_time_travel"] = """
+WITH v1 AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+  FROM orders GROUP BY 1
+),
+after AS (
+  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 13 NOT IN (0, 1, 2)
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice + 10.0 FROM orders WHERE o_orderkey % 13 = 1
+  UNION ALL
+  SELECT '0-MOVED', o_totalprice FROM orders WHERE o_orderkey % 13 = 2
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 13 = 3
+),
+v2 AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+  FROM after GROUP BY 1
+)
+SELECT COALESCE(a.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_old,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(b.n, 0) - COALESCE(a.n, 0) AS BIGINT) AS delta_n,
+       CAST(COALESCE(b.s, CAST(0 AS DECIMAL(18,6)))
+            - COALESCE(a.s, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS delta_sum
+FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderpriority = b.o_orderpriority
+ORDER BY o_orderpriority
 """
     return oracles

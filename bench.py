@@ -97,6 +97,7 @@ HEADLINE = [
     "q147_hll_distinct",
     "q148_leakage_safe_split",
     "q149_quality_canonical_dedup",
+    "q150_snapshot_time_travel",
 ]
 
 

@@ -122,3 +122,26 @@ def test_read_merge_schema_reconciles_evolved_files(spark, tmp_path):
         f for f in os.listdir(wh.path("evo")) if f.endswith(".parquet")
     }
     assert files_before <= files_after
+
+
+def test_snapshot_versioning_time_travel_and_vacuum(spark, tmp_path):
+    from nyc_taxi_data_prediction_pyspark_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df1 = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    df2 = spark.createDataFrame([(1, 11.0), (2, 20.0)], "id long, v double")
+    v1 = wh.snapshot_write("t", df1)
+    v2 = wh.snapshot_write("t", df2)
+    assert (v1, v2) == (1, 2)
+    assert wh.snapshot_versions("t") == [1, 2]
+    # current pointer -> v2; explicit version -> time travel to v1
+    assert wh.read_snapshot("t").count() == 2
+    assert {r["v"] for r in wh.read_snapshot("t", v1).collect()} == {10.0}
+    # a third write never disturbs v1/v2 readers (immutable dirs)
+    wh.snapshot_write("t", df1.unionAll(df2))
+    assert wh.read_snapshot("t", v1).count() == 1
+    # vacuum keeps the newest and the pointer target
+    dropped = wh.vacuum_snapshots("t", keep_last=1)
+    assert dropped == [1, 2]
+    assert wh.snapshot_versions("t") == [3]
+    assert wh.read_snapshot("t").count() == 3

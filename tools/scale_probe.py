@@ -53,6 +53,9 @@ DEFAULT_QUERIES = [
     "q122_triangle_count",
     "q127_point_in_time_join",
     "q141_throttle_segmented",
+    "q142_kmeans_clusters",
+    "q148_leakage_safe_split",
+    "q149_quality_canonical_dedup",
 ]
 
 KEY_OFFSET = 100_000_000
