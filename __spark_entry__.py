@@ -2988,6 +2988,45 @@ def q150_snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q151_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled mixture weights (the mT5/XLM-R multilingual
+    sampling rebalance): per-language token mass t_i is flattened to
+    w_i ∝ t_i^α with α=0.5 — and α=0.5 is chosen deliberately:
+    sqrt is IEEE-CORRECTLY-ROUNDED (pow(x, 0.3)'s libm rounding is
+    engine-specific, so a general-α form could never value-hash).
+    Each sqrt is rounded to 6dp DECIMAL before the denominator sum, so
+    the normalizer is exact and order-independent; weights and the
+    10M-token epoch allocation are then identical double pipelines on
+    both engines. Complements q96 (deterministic mixture sampling
+    DRAW) with the WEIGHT DERIVATION step that precedes it."""
+    docs = load(spark, sf, "documents")
+    toks = textops.quality_features(docs).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("q_tokens").cast("bigint").alias("tokens"),
+    )
+    sq = toks.withColumn(
+        "sqrt_dec", F.sqrt(F.col("tokens").cast("double")).cast("decimal(18,6)")
+    )
+    denom = sq.agg(F.sum("sqrt_dec").cast("decimal(38,6)").alias("denom"))
+    budget = 10_000_000
+    return (
+        sq.crossJoin(F.broadcast(denom))
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            (F.col("sqrt_dec").cast("double") / F.col("denom").cast("double")).alias(
+                "weight"
+            ),
+            F.floor(
+                F.lit(budget)
+                * (F.col("sqrt_dec").cast("double") / F.col("denom").cast("double"))
+            ).cast("bigint").alias("alloc_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q144_asof_directions(spark: SparkSession, sf: str) -> DataFrame:
     """Directional as-of joins (operators/joins.asof_join): for every
     purchase, (a) the NEXT view within 1 hour (direction='forward'
@@ -3353,6 +3392,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_leakage_safe_split": q148_leakage_safe_split,
         "q149_quality_canonical_dedup": q149_quality_canonical_dedup,
         "q150_snapshot_time_travel": q150_snapshot_time_travel,
+        "q151_temperature_mixture": q151_temperature_mixture,
     }
 
 
@@ -5599,5 +5639,27 @@ SELECT COALESCE(a.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
             - COALESCE(a.s, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS delta_sum
 FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderpriority = b.o_orderpriority
 ORDER BY o_orderpriority
+"""
+    # q151: sqrt is correctly-rounded IEEE (unlike pow), each sqrt is
+    # 6dp-decimal-rounded before the exact denominator sum, and the
+    # weight/alloc pipeline is the same double expression on both sides.
+    oracles["q151_temperature_mixture"] = f"""
+WITH toks AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len({_TOKENS})) AS BIGINT) AS tokens
+  FROM documents GROUP BY lang
+),
+sq AS (
+  SELECT lang, n_docs, tokens,
+         CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sqrt_dec
+  FROM toks
+),
+d AS (SELECT CAST(SUM(sqrt_dec) AS DECIMAL(38,6)) AS denom FROM sq)
+SELECT lang, n_docs, tokens,
+       CAST(sqrt_dec AS DOUBLE) / CAST(denom AS DOUBLE) AS weight,
+       CAST(FLOOR(10000000 * (CAST(sqrt_dec AS DOUBLE) / CAST(denom AS DOUBLE))) AS BIGINT)
+         AS alloc_tokens
+FROM sq CROSS JOIN d
+ORDER BY lang
 """
     return oracles

@@ -98,6 +98,7 @@ HEADLINE = [
     "q148_leakage_safe_split",
     "q149_quality_canonical_dedup",
     "q150_snapshot_time_travel",
+    "q151_temperature_mixture",
 ]
 
 
