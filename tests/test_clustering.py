@@ -107,3 +107,82 @@ def test_hll_registers_merge_by_max(spark):
     u1 = agg.hll_distinct(a.union(b), group_keys=["g"], value_col="v", p=9).first()
     u2 = agg.hll_distinct(b.union(a).union(a), group_keys=["g"], value_col="v", p=9).first()
     assert u1["d_scaled"] == u2["d_scaled"] and u1["n_used"] == u2["n_used"]
+
+
+def test_kmeans_matches_pure_python_reference(spark):
+    # independent exact replica of the fixed-point recurrence in plain
+    # Python ints — catches any engine-side drift the SQL oracle and
+    # the Spark path could share
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [round(rng.uniform(-0.6, 0.6), 4) for _ in range(8)])
+        for i in range(40)
+    ]
+    k, iters, quant = 3, 2, 1_000_000
+
+    def q(x):
+        return math.floor(float(x) * quant)
+
+    pts = {pid: [q(x) for x in vec] for pid, vec in rows}
+    cent = {c: pts[pid] for c, pid in enumerate(sorted(pts)[:k])}
+
+    def assign(cent):
+        out = {}
+        for pid, v in pts.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(v, cv)), cid)
+                for cid, cv in cent.items()
+            )
+            out[pid] = best[1]
+        return out
+
+    for _ in range(iters):
+        a = assign(cent)
+        new = {}
+        for cid in cent:
+            members = [pts[p] for p, c in a.items() if c == cid]
+            if not members:
+                new[cid] = cent[cid]
+                continue
+            n = len(members)
+            new[cid] = [
+                (sum(col) - (sum(col) % n + n) % n) // n
+                for col in zip(*members)
+            ]
+        cent = new
+    want = assign(cent)
+
+    got = {
+        r["pid"]: r["cluster"]
+        for r in clustering.kmeans_fixedpoint(
+            _toy(spark, rows), k=k, iters=iters, quant=quant
+        ).collect()
+    }
+    assert got == want
+
+
+def test_hll_matches_pure_python_reference(spark):
+    import hashlib
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators import aggregates as agg
+
+    vals = [str(i * 37) for i in range(3000)]
+    p = 9
+    m, w = 1 << p, 60 - p
+    regs = {}
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        bkt, rest = h % m, h // m
+        rank = (w + 1) if rest == 0 else (w + 1) - rest.bit_length()
+        regs[bkt] = max(regs.get(bkt, 0), rank)
+    want_used = len(regs)
+    want_d = (m - want_used) * (1 << (w + 1)) + sum(
+        1 << (w + 1 - r) for r in regs.values()
+    )
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v string")
+    row = agg.hll_distinct(df, group_keys=["g"], value_col="v", p=p).first()
+    assert (row["n_used"], row["d_scaled"]) == (want_used, want_d)
