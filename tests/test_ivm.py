@@ -93,3 +93,58 @@ def test_two_batches_equal_recompute(spark):
         )
     )
     assert _as_map(mv) == want
+
+
+def test_random_cdc_sequences_equal_recompute(spark):
+    """Property: ANY valid I/U/D sequence, split into ANY batching,
+    delta-maintains to exactly the recompute of the final state."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        state = {}  # id -> (g, v)
+        base_rows = []
+        for i in range(20):
+            g, v = f"g{rng.randrange(4)}", round(rng.uniform(-50, 50), 2)
+            state[i] = (g, v)
+            base_rows.append((i, g, v))
+        base = spark.createDataFrame(base_rows, ["id", "g", "v"])
+        mv = ivm.materialize_agg(base, keys=KEYS, measures=MEAS)
+
+        next_id = 100
+        for _batch in range(3):
+            ops = []
+            for _ in range(rng.randrange(1, 6)):
+                choice = rng.random()
+                if choice < 0.3 and state:  # delete
+                    i = rng.choice(list(state))
+                    g, v = state.pop(i)
+                    ops.append(("D", None, None, g, v))
+                elif choice < 0.6 and state:  # update (maybe group move)
+                    i = rng.choice(list(state))
+                    og, ov = state[i]
+                    ng = f"g{rng.randrange(4)}"
+                    nv = round(rng.uniform(-50, 50), 2)
+                    state[i] = (ng, nv)
+                    ops.append(("U", ng, nv, og, ov))
+                else:  # insert
+                    g, v = f"g{rng.randrange(4)}", round(rng.uniform(-50, 50), 2)
+                    state[next_id] = (g, v)
+                    next_id += 1
+                    ops.append(("I", g, v, None, None))
+            if not ops:
+                continue
+            feed = spark.createDataFrame(
+                ops, "op string, g string, v double, g__old string, v__old double"
+            )
+            mv = ivm.apply_agg_deltas(mv, feed, keys=KEYS, measures=MEAS)
+
+        final_rows = [(i, g, v) for i, (g, v) in state.items()]
+        want = _as_map(
+            ivm.materialize_agg(
+                spark.createDataFrame(final_rows, ["id", "g", "v"]),
+                keys=KEYS,
+                measures=MEAS,
+            )
+        )
+        assert _as_map(mv) == want, f"seed {seed}"
