@@ -3027,6 +3027,36 @@ def q151_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q152_grouped_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped EXACT interpolated percentiles (type-7 / PERCENTILE_CONT
+    semantics): one `percentile(col, array(...))` aggregate per return
+    flag — the multi-quantile sibling of q34's exact median, verified
+    bit-for-bit against DuckDB's quantile_cont (both engines compute
+    the same (1-g)·lower + g·higher interpolation). Unlike q58's
+    approx_percentile (estimator-defined, rows-only forever) this is
+    value-defined: exact order statistics need one sort-shuffle per
+    group partition, which is the honest cost — the approx sketch is
+    the 100 TB fallback when that sort is too dear."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
+            ).alias("q"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+            "n_rows",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q144_asof_directions(spark: SparkSession, sf: str) -> DataFrame:
     """Directional as-of joins (operators/joins.asof_join): for every
     purchase, (a) the NEXT view within 1 hour (direction='forward'
@@ -3393,6 +3423,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_quality_canonical_dedup": q149_quality_canonical_dedup,
         "q150_snapshot_time_travel": q150_snapshot_time_travel,
         "q151_temperature_mixture": q151_temperature_mixture,
+        "q152_grouped_percentiles": q152_grouped_percentiles,
     }
 
 
@@ -5661,5 +5692,17 @@ SELECT lang, n_docs, tokens,
          AS alloc_tokens
 FROM sq CROSS JOIN d
 ORDER BY lang
+"""
+    # q152: Spark `percentile` and DuckDB `quantile_cont` share type-7
+    # interpolation — verified bit-equal on this data.
+    oracles["q152_grouped_percentiles"] = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.50) AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
 """
     return oracles

@@ -99,6 +99,7 @@ HEADLINE = [
     "q149_quality_canonical_dedup",
     "q150_snapshot_time_travel",
     "q151_temperature_mixture",
+    "q152_grouped_percentiles",
 ]
 
 
