@@ -1,0 +1,55 @@
+"""Global plan lint: NO registered query may plan a CartesianProduct,
+and BroadcastNestedLoopJoin is allowed only where a side is a scalar
+(1-row) broadcast or a deliberately tiny band dimension — the two
+shapes that stay O(n) at 100 TB. Every new query automatically comes
+under this guard; an unexpected nested loop is a plan regression the
+per-query tests might not be watching for."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+SF = "/root/testdata/sf0.001"
+
+# BroadcastNestedLoopJoin allowlist — every entry must name the tiny
+# side that keeps the loop O(n·k) with k O(1):
+BNL_ALLOWED = {
+    "q59_range_band_join": "broadcast band dimension (handful of rows) — the documented design",
+    "q61_rich_inactive_customers": "1-row scalar-subquery threshold broadcast",
+    "q100_revenue_share_threshold": "1-row global-total broadcast (Q11 shape)",
+    "q124_binned_quantiles": "1-row bin-bounds broadcast",
+    "q134_rolling_wau": "1-row date-bounds broadcast for the day spine",
+    "q148_leakage_safe_split": "1-row leak-audit broadcast onto 3 split rows",
+    "q151_temperature_mixture": "1-row mixture-normalizer broadcast",
+}
+
+
+def test_no_unexpected_cross_or_nested_loop_joins(spark):
+    import __spark_entry__ as entry
+
+    flagged = {}
+    for name, fn in entry.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+        if "BroadcastNestedLoop" in plan and name not in BNL_ALLOWED:
+            flagged[name] = "unexpected BroadcastNestedLoopJoin"
+    assert not flagged, flagged
+
+
+def test_bnl_allowlist_is_not_stale(spark):
+    """Every allowlisted query must still actually plan a BNL — a
+    stale entry means the plan changed and the justification with it."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    stale = [
+        name
+        for name in BNL_ALLOWED
+        if "BroadcastNestedLoop"
+        not in qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    ]
+    assert not stale, f"allowlist entries no longer planning BNL: {stale}"
