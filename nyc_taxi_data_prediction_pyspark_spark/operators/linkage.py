@@ -84,3 +84,56 @@ def link_records(
         )
     )
     return best
+
+
+def link_records_multiblock(
+    dirty: DataFrame,
+    clean: DataFrame,
+    *,
+    block_key_sets: Sequence[Sequence[str]],
+    dirty_id: str,
+    clean_id: str,
+    dirty_text: str,
+    clean_text: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Multi-pass blocking — the standard ER recall fix: a single
+    blocking key misses every true match whose corrupted field IS the
+    blocking key, so candidates are generated under SEVERAL
+    independent blockings and unioned before best-match selection.
+
+    Each pass is the same equi-join + banded-levenshtein pipeline as
+    :func:`link_records`; the union is deduplicated by
+    (dirty_id, clean_id) via the min-distance aggregate that picks the
+    winner anyway, so no extra distinct shuffle. Recall grows with
+    each pass while cost stays Σ per-pass candidate volumes —
+    at 100 TB you budget passes exactly like secondary indexes.
+
+    Returns one row per matched dirty record:
+    (dirty_id, matched_id, dist) — block keys are pass-specific and
+    therefore not part of the output contract."""
+    per_pass = []
+    for keys in block_key_sets:
+        p = link_records(
+            dirty,
+            clean,
+            block_keys=list(keys),
+            dirty_id=dirty_id,
+            clean_id=clean_id,
+            dirty_text=dirty_text,
+            clean_text=clean_text,
+            max_distance=max_distance,
+        ).select(dirty_id, "matched_id", "dist")
+        per_pass.append(p)
+    allc = per_pass[0]
+    for p in per_pass[1:]:
+        allc = allc.unionByName(p)
+    return (
+        allc.groupBy(dirty_id)
+        .agg(F.min(F.struct("dist", "matched_id")).alias("__m"))
+        .select(
+            dirty_id,
+            F.col("__m.matched_id").alias("matched_id"),
+            F.col("__m.dist").alias("dist"),
+        )
+    )
