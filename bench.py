@@ -2,9 +2,14 @@
 
 Runs the headline queries from ``__spark_entry__.queries()`` at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``.  Stdout ends with ONE compact JSON line
+(the driver-parsed record):
     {"metric": ..., "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ...}
+     "queries": {qNN: sec, ...}, "sf": ...}
+preceded by a ``BENCH_DETAIL {...}`` line carrying the full query
+names plus per-table data stats (kept off the final line so it stays
+inside the driver's tail-capture window — see BENCH_r04's
+``parsed: null``).
 
 Each query is executed to completion (count() action — results are
 small aggregates or bounded top-k frames; the count forces the full
@@ -244,20 +249,38 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full record (long query names, per-table data stats) as its OWN
+    # stdout line: round 4's single-line record outgrew the driver's
+    # tail-capture window and BENCH_r04 recorded `parsed: null`.
+    print(
+        "BENCH_DETAIL "
+        + json.dumps(
+            {
+                "queries": timings,
+                "stat": "min_of_passes",
+                "passes": n_passes,
+                "sf_tables": tables,
+                "canary": canary,
+            }
+        )
+    )
+    # Driver contract: the LAST stdout line is ONE compact JSON object,
+    # sized well under the tail-capture window (short qNN keys, no
+    # per-table stats — those live in the detail line above).
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {n.split("_", 1)[0]: v for n, v in timings.items()},
                 "passes": n_passes,
-                "stat": "min_of_passes",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "canary": canary,
-                "sf_tables": tables,
                 "cpus": os.cpu_count(),
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

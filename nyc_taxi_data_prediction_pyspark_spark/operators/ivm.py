@@ -89,6 +89,18 @@ def apply_agg_deltas(
         F.when(op == "I", F.array(new_struct))
         .when(op == "D", F.array(old_struct))
         .when(op == "U", F.array(new_struct, old_struct))
+        # exactness contract: a malformed op must FAIL the batch, not
+        # silently drop the row (a dangling when-chain yields NULL,
+        # which explode would discard and the view would drift)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"apply_agg_deltas: invalid {op_col}="),
+                    F.coalesce(op.cast("string"), F.lit("NULL")),
+                    F.lit(" (expected I/U/D)"),
+                )
+            )
+        )
     )
     signed = feed.select(F.explode(arr).alias("r")).select("r.*")
     deltas = signed.groupBy(*keys).agg(

@@ -112,6 +112,8 @@ def link_records_multiblock(
     Returns one row per matched dirty record:
     (dirty_id, matched_id, dist) — block keys are pass-specific and
     therefore not part of the output contract."""
+    if not block_key_sets:
+        raise ValueError("block_key_sets must be non-empty")
     per_pass = []
     for keys in block_key_sets:
         p = link_records(

@@ -62,10 +62,12 @@ def test_every_oracle_query_exists():
 
 def test_driver_slot_rotation_covers_unproven_queries():
     """The correctness driver hard-checks only the first 50 registry
-    entries.  Round 4 is the FINAL rotation: the first 50 must be
-    exactly (every query with no driver-green row in r01-r03) plus the
-    10 declared re-confirmation slots — after this round all 140
-    registered queries have been driver-checked at least once."""
+    entries.  Round-5 invariant: the first 50 must contain (a) every
+    query with no driver-green row in r01-r04 — that is q142+ (the
+    post-freeze additions and anything new this round) — (b) the two
+    round-4 red rows q58/q140, re-checked after their array-column
+    fix, and (c) only declared-or-oldest-evidence re-confirmations in
+    the remaining slots."""
     import json
 
     import __spark_entry__ as entry
@@ -74,7 +76,12 @@ def test_driver_slot_rotation_covers_unproven_queries():
     assert len(names) == len(set(names))
 
     proven = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+    for f in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
+    ):
         d = json.loads((ROOT / f).read_text())
         # hash-green, or the weaker rows-only check for queries with no
         # oracle (q20/q21/q29/q39 — their maximum attainable evidence)
@@ -83,20 +90,21 @@ def test_driver_slot_rotation_covers_unproven_queries():
             for k, v in d.items()
             if v.get("hash_match") or v.get("spark_rows") is not None
         }
+
     def num(n: str) -> int:
         return int(n[1:].split("_", 1)[0])
 
     never_checked = set(names) - proven
-    # queries numbered above 141 landed AFTER the round-4 rotation was
-    # frozen at 50 slots; they queue for the round-5 head and are
-    # locally oracle-checked meanwhile (tools/check_oracle.py)
-    r5_queue = {n for n in never_checked if num(n) > 141}
-    never_checked -= r5_queue
     first50 = set(names[:50])
+    # (a) every never-driver-checked query is in the head
     assert never_checked <= first50, sorted(never_checked - first50)
-    assert not (r5_queue & first50)
-    assert first50 - never_checked == set(entry._DRIVER_RECONFIRM_R04)
-    assert "q140_last_n_features" in first50  # the ADVICE slot check
+    # (b) the round-4 reds are re-checked this round
+    assert {"q58_approx_stats", "q140_last_n_features"} <= first50
+    assert set(entry._DRIVER_RECONFIRM_R05) <= first50
+    # (c) every fill slot is a re-confirmation from the oldest-evidence
+    # pool (the round-3 head, single green row each) or a declared slot
+    fills = first50 - never_checked - set(entry._DRIVER_RECONFIRM_R05)
+    assert all(75 <= num(n) <= 118 for n in fills), sorted(fills)
     # oracle_sql iterates in the same rotated order (driver zips them)
     o = list(entry.oracle_sql())
     assert o == [n for n in names if n in set(o)]

@@ -53,6 +53,20 @@ def test_group_moving_update(spark):
     assert got == {"b": (2, 15.0)}
 
 
+def test_malformed_op_fails_the_batch(spark):
+    """Exactness contract: an op outside I/U/D must raise, not be
+    silently dropped (a dangling when-chain would yield NULL and the
+    maintained view would drift without any error)."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    _, mv0 = _mv(spark, [(1, "a", 10.0)])
+    for bad in ["X", None]:
+        feed = _feed(spark, [("I", "b", 7.0, None, None), (bad, "a", 1.0, "a", 1.0)])
+        with pytest.raises(PySparkException, match="invalid op"):
+            ivm.apply_agg_deltas(mv0, feed, keys=KEYS, measures=MEAS).collect()
+
+
 def test_full_retraction_drops_group_and_new_group_appears(spark):
     _, mv0 = _mv(spark, [(1, "a", 3.0)])
     feed = _feed(

@@ -78,8 +78,7 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
         ex = exact[flag]
         assert abs(a["approx_parts"] - ex["n_parts"]) / ex["n_parts"] < 0.06
         assert abs(a["approx_median_price"] - ex["median_price"]) / ex["median_price"] < 0.05
-        lo, hi = a["approx_iqr"]
-        assert lo <= a["approx_median_price"] <= hi
+        assert a["approx_p25"] <= a["approx_median_price"] <= a["approx_p75"]
 
 
 def test_merge_upsert_is_join_not_loop(spark, sf_dir):

@@ -442,13 +442,18 @@ def test_q140_short_history_clamps(spark, tmp_path):
     df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
     df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     got = {
-        r.user_id: (r.n_events, list(r.last5_values), r.last5_sum)
+        r.user_id: (r.n_events, [float(x) for x in r.last5_values.split(",")], r.last5_sum)
         for r in entry.q140_last_n_features(spark, str(tmp_path)).collect()
     }
     assert got[1] == (1, [1.0], 1.0)
     assert got[2] == (3, [1.0, 2.0, 3.0], 6.0)
     assert got[3] == (5, [1.0, 2.0, 3.0, 4.0, 5.0], 15.0)
     assert got[4] == (8, [4.0, 5.0, 6.0, 7.0, 8.0], 30.0)
+    # serialized form: fixed-scale decimal rendering, identical on both
+    # engines (the round-4 driver red was the raw array column)
+    row = {r.user_id: r.last5_values for r in entry.q140_last_n_features(spark, str(tmp_path)).collect()}
+    assert row[1] == "1.000000"
+    assert row[2] == "1.000000,2.000000,3.000000"
 
 
 def test_swap_store_always_leaves_a_complete_copy(spark, tmp_path):
