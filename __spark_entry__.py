@@ -28,6 +28,7 @@ from nyc_taxi_data_prediction_pyspark_spark.operators import (
     dedup,
     joins,
     merge,
+    mining,
     setops,
     similarity,
     text as textops,
@@ -3208,6 +3209,82 @@ def q146_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q153_prefix_filter_simjoin(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-filtering set-similarity self-join (AllPairs/PPJoin
+    candidate generation): the PROVABLY-COMPLETE scale path for exact
+    Jaccard near-dup pairs — posting lists are bounded by prefix
+    membership (rare-token-first global order) instead of q17's df-cap
+    heuristic, so the output is the full all-pairs answer and the
+    oracle computes exactly that, uncapped. Same regime as q17
+    (3-gram shingles, t=0.3): the two pipelines agreeing at this SF is
+    itself evidence q17's cap never binds here."""
+    return dedup.prefix_filter_pairs(
+        load(spark, sf, "documents"), text_col="text", id_col="doc_id", n=3, threshold=0.3
+    )
+
+
+def q154_frequent_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket frequent item pairs (A-priori pass 2) over order
+    baskets: which part pairs ship together in >= 3 orders. The
+    downward-closure prune drops infrequent items before any pair is
+    generated — the property that keeps pair counting non-quadratic on
+    a 100 TB order history."""
+    li = load(spark, sf, "lineitem")
+    return mining.frequent_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_support=3
+    )
+
+
+def q155_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto frontier (skyline) of lineitem offers: minimize
+    l_extendedprice, maximize l_quantity — "the cheapest offer at every
+    quantity level". Two-phase distributed prefix max (pack_documents'
+    prefix-sum machinery applied to dominance), no global
+    single-partition window; oracle is the equivalent DuckDB window
+    formulation of the NOT EXISTS dominance definition."""
+    li = load(spark, sf, "lineitem")
+    return mining.skyline_2d(
+        li, minimize="l_extendedprice", maximize="l_quantity"
+    ).orderBy("l_extendedprice")
+
+
+def q156_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact quantity-weighted median unit price per return flag — the
+    lower weighted median over the (value-domain-preaggregated)
+    distribution, decimal cumulative weights so the half-total
+    comparison is engine-exact."""
+    li = load(spark, sf, "lineitem")
+    return agg.grouped_weighted_median(
+        li,
+        group_keys=["l_returnflag"],
+        value_col="l_extendedprice",
+        weight_col="l_quantity",
+    ).orderBy("l_returnflag")
+
+
+def q157_pps_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sample of the
+    document corpus, weighted by n_chars: k=100 grid points on the
+    cumulative weight line in content-derived (md5) order — exactly
+    reproducible on any engine/cluster, pure BIGINT arithmetic, heavy
+    docs legitimately drawing multiple hits (epoch multiplicity)."""
+    docs = load(spark, sf, "documents")
+    return textops.pps_systematic_sample(
+        docs, id_col="doc_id", weight_col="n_chars", k=100
+    ).orderBy("doc_id")
+
+
+def q158_entropy_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type Shannon entropy + Gini impurity of the user
+    distribution — the concentration profile a drift monitor tracks.
+    c*ln(c) terms quantized to DECIMAL(28,12) before the distributed
+    sum, so the float total is order-independent."""
+    ev = load(spark, sf, "events")
+    return agg.grouped_entropy(
+        ev, group_keys=["event_type"], value_col="user_id"
+    ).orderBy("event_type")
+
+
 # Driver-slot rotation (round 5): the correctness driver hard-checks
 # the FIRST 50 registry entries only.  Rounds 1-4 gave every query
 # numbered <= q141 at least one driver-green row EXCEPT q58/q140,
@@ -3441,6 +3518,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_snapshot_time_travel": q150_snapshot_time_travel,
         "q151_temperature_mixture": q151_temperature_mixture,
         "q152_grouped_percentiles": q152_grouped_percentiles,
+        "q153_prefix_filter_simjoin": q153_prefix_filter_simjoin,
+        "q154_frequent_pairs": q154_frequent_pairs,
+        "q155_skyline": q155_skyline,
+        "q156_weighted_median": q156_weighted_median,
+        "q157_pps_sample": q157_pps_sample,
+        "q158_entropy_profile": q158_entropy_profile,
     }
 
 
@@ -5736,5 +5819,116 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
+"""
+    # q153: the oracle is the UNCAPPED all-pairs answer (q17's CTE
+    # chain without the df-cap) — prefix filtering must be complete,
+    # not approximately complete.
+    oracles["q153_prefix_filter_simjoin"] = """
+WITH
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) >= 0.3
+"""
+    oracles["q154_frequent_pairs"] = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+sup AS (SELECT i FROM bi GROUP BY i HAVING COUNT(*) >= 3),
+fb AS (SELECT b, i FROM bi JOIN sup USING (i)),
+pairs AS (SELECT a.i AS item_a, b.i AS item_b FROM fb a JOIN fb b USING (b) WHERE a.i < b.i)
+SELECT item_a, item_b, COUNT(*) AS support
+FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 3
+"""
+    # q155: window formulation of the NOT EXISTS dominance definition
+    # (prefix max over price-asc/qty-desc order) — identical tie
+    # semantics to the two-phase Spark prefix max.
+    oracles["q155_skyline"] = """
+WITH pts AS (SELECT DISTINCT l_extendedprice, l_quantity FROM lineitem),
+m AS (
+  SELECT l_extendedprice, l_quantity,
+         MAX(l_quantity) OVER (
+           ORDER BY l_extendedprice ASC, l_quantity DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+  FROM pts
+)
+SELECT l_extendedprice, l_quantity FROM m
+WHERE prev IS NULL OR l_quantity > prev
+ORDER BY l_extendedprice
+"""
+    oracles["q156_weighted_median"] = """
+WITH pv AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, v,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM pv
+)
+SELECT l_returnflag, MIN(v) AS weighted_median
+FROM c WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1
+"""
+    # q157: same Madow grid in one window cumsum; numerators are
+    # non-negative so plain integer division IS floor division on both
+    # engines (the Spark side's pmod correction is a no-op here).
+    oracles["q157_pps_sample"] = """
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR) AS skey
+  FROM documents WHERE n_chars > 0
+),
+s AS (
+  SELECT doc_id, w,
+         CAST(COALESCE(SUM(w) OVER (ORDER BY skey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS wstart
+  FROM base
+),
+t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM base),
+calc AS (
+  SELECT doc_id, w,
+         CAST((200 * wstart + tot - 1) // (2 * tot) AS BIGINT) AS jlo,
+         CAST((200 * (wstart + w) + tot - 1) // (2 * tot) AS BIGINT) AS jhi
+  FROM s CROSS JOIN t
+)
+SELECT doc_id, w AS weight,
+       CAST(GREATEST(LEAST(jhi, 100) - GREATEST(jlo, 0), 0) AS BIGINT) AS n_hits
+FROM calc
+WHERE GREATEST(LEAST(jhi, 100) - GREATEST(jlo, 0), 0) > 0
+ORDER BY doc_id
+"""
+    # q158: c*ln(c) quantized to DECIMAL(28,12) BEFORE the sum on both
+    # engines — the aggregates-module order-independence rule applied
+    # to a float expression.
+    oracles["q158_entropy_profile"] = """
+WITH c AS (SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2),
+a AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS n,
+         COUNT(*) AS n_distinct,
+         SUM(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,12))) AS clnc,
+         CAST(SUM(c * c) AS BIGINT) AS c2
+  FROM c GROUP BY 1
+)
+SELECT event_type, n_distinct,
+       ROUND(ln(CAST(n AS DOUBLE)) - CAST(clnc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS entropy,
+       ROUND(1.0 - CAST(c2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS gini
+FROM a ORDER BY event_type
 """
     return oracles

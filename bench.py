@@ -105,6 +105,12 @@ HEADLINE = [
     "q150_snapshot_time_travel",
     "q151_temperature_mixture",
     "q152_grouped_percentiles",
+    "q153_prefix_filter_simjoin",
+    "q154_frequent_pairs",
+    "q155_skyline",
+    "q156_weighted_median",
+    "q157_pps_sample",
+    "q158_entropy_profile",
 ]
 
 

@@ -290,3 +290,87 @@ def hll_distinct(
         d_scaled.alias("d_scaled"),
         (F.lit(num) / d_scaled.cast("double")).alias("hll_estimate"),
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    *,
+    group_keys: list[str],
+    value_col: str,
+    weight_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """Exact WEIGHTED median per group: the smallest value v whose
+    cumulative weight reaches half the group's total (the lower
+    weighted median — the estimator robust statistics and
+    cost-weighted SLA reporting use; reduces to the ordinary lower
+    median at unit weights).
+
+    Shape: (group, value) pre-aggregation first — the value domain is
+    what gets windowed, not the raw rows, so a group with 10^9 rows
+    over 10^4 distinct values windows 10^4 rows — then one cumulative
+    decimal sum ordered by value (window PARTITIONED by group,
+    partition-parallel) and a min(struct) selection of the first
+    qualifying value. Weights sum as DECIMAL: exact, associative,
+    order-independent — double cumsums would make the >= comparison
+    engine-dependent at the boundary.
+    """
+    from pyspark.sql import Window as W
+
+    dec = f"decimal(18,{scale})"
+    per_val = df.groupBy(*group_keys, value_col).agg(
+        F.sum(F.col(weight_col).cast(dec)).alias("__w")
+    )
+    w_cum = (
+        W.partitionBy(*group_keys)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_tot = W.partitionBy(*group_keys)
+    cum = per_val.select(
+        *group_keys,
+        F.col(value_col),
+        F.sum("__w").over(w_cum).alias("__cum"),
+        F.sum("__w").over(w_tot).alias("__tot"),
+    )
+    return (
+        cum.where(F.col("__cum") * 2 >= F.col("__tot"))
+        .groupBy(*group_keys)
+        .agg(F.min(F.col(value_col)).alias("weighted_median"))
+    )
+
+
+def grouped_entropy(
+    df: DataFrame,
+    *,
+    group_keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group Shannon entropy and Gini impurity of a categorical
+    column — the data-profiling pair behind split-quality scoring and
+    drift monitors.
+
+    Determinism: entropy = ln(n) - (Σ c·ln c)/n. The per-category
+    terms c·ln(c) are IEEE doubles, but their distributed SUM would be
+    order-dependent — so each term is rounded to DECIMAL(28,12) first
+    and summed exactly (the aggregates-module rule applied to a float
+    expression: quantize-then-sum). Gini needs only Σc² — exact
+    integers all the way. Output rounded to 6dp.
+
+    Two map-side-combinable shuffles: (group, value) counts, then the
+    per-group fold; state per group = #distinct values."""
+    counts = df.groupBy(*group_keys, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    term = (F.col("__c") * F.log(F.col("__c").cast("double"))).cast("decimal(28,12)")
+    agg = counts.groupBy(*group_keys).agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(term).alias("__clnc"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__c2"),
+    )
+    n = F.col("__n").cast("double")
+    return agg.select(
+        *group_keys,
+        "n_distinct",
+        F.round(F.log(n) - F.col("__clnc").cast("double") / n, 6).alias("entropy"),
+        F.round(F.lit(1.0) - F.col("__c2").cast("double") / (n * n), 6).alias("gini"),
+    )

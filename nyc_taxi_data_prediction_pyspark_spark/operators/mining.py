@@ -1,0 +1,133 @@
+"""Pattern-mining / multi-objective analytics operators.
+
+Beyond the reference's aggregate surface (readme.md:139-190 runs
+count/min-max verification queries): these are the mining primitives a
+warehouse team reaches for next — market-basket affinity and pareto
+frontiers — implemented in the shapes that survive 100 TB:
+candidate-pruned pair generation (never all-pairs) and two-phase
+distributed prefix aggregates (never a data-sized unpartitioned
+window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def frequent_pairs(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+) -> DataFrame:
+    """Frequent item PAIRS (A-priori second pass, Agrawal & Srikant
+    VLDB'94): which item pairs co-occur in >= ``min_support`` baskets.
+
+    Scale shape — the A-priori downward-closure prune is what keeps
+    this non-quadratic:
+      1. item support = distinct-basket count per item (map-side
+         combined); items below ``min_support`` CANNOT belong to a
+         frequent pair, so they are dropped before any pair exists;
+      2. the surviving (basket, item) rows group per basket into a
+         sorted item array — per-task state bounded by basket size;
+      3. pairs are generated IN-ROW (higher-order fns, i < j), so the
+         pair shuffle carries only per-basket-quadratic output where
+         baskets are small by nature (order line counts), never a
+         corpus-level cross join;
+      4. one aggregation counts pair support; the same threshold
+         filters the output.
+    The frequent-item frame is a plain inner join (AQE broadcasts it
+    when small); at extreme scale it stays a shuffle join — correct
+    either way.
+
+    Returns (item_a, item_b, support), item_a < item_b."""
+    pairs_src = df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i")).distinct()
+    support = pairs_src.groupBy("i").agg(F.count(F.lit(1)).alias("item_support"))
+    frequent = support.where(F.col("item_support") >= min_support).select("i")
+    baskets = (
+        pairs_src.join(frequent, "i")
+        .groupBy("b")
+        .agg(F.array_sort(F.collect_list("i")).alias("items"))
+        .where(F.size("items") > 1)
+    )
+    pair_list = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("items"),
+                lambda x: F.transform(
+                    F.col("items"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
+    return (
+        baskets.select(F.explode(pair_list).alias("p"))
+        .groupBy(F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    *,
+    minimize: str,
+    maximize: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pareto frontier (SKYLINE) over two objectives: the rows for
+    which no other row is <= on ``minimize`` AND >= on ``maximize``
+    with at least one strict — Borzsony et al.'s skyline operator
+    (ICDE'01), the "best price for a given quality" query.
+
+    2D skylines reduce to a PREFIX MAX: sort by (minimize asc,
+    maximize desc); a row survives iff its ``maximize`` strictly
+    exceeds every earlier row's (an earlier row with equal ``maximize``
+    has strictly smaller ``minimize`` after dedup, hence dominates).
+    A naive window over that order is a single-partition global sort —
+    the scale-killer — so the prefix max is computed the same
+    TWO-PHASE way as text.pack_documents' prefix sum:
+
+      1. dedup (minimize, maximize) pairs, range-partition on the sort
+         key (localCheckpoint pins the nondeterministic row->pid map
+         for both consumers, see pack_documents);
+      2. per-partition running max — Window PARTITIONED BY pid,
+         partition-parallel;
+      3. per-partition max subtotals (one row per partition) →
+         exclusive prefix max over the metadata-sized pid frame;
+      4. broadcast offsets back; a row survives iff
+         value > greatest(local prefix max, earlier-partition max).
+
+    Exactly the dominance semantics of the NOT EXISTS definition
+    (oracle-checked against a DuckDB window formulation in q155), in
+    three bounded shuffles and zero Python."""
+    lo, hi = minimize, maximize
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    pts = (
+        df.select(F.col(lo), F.col(hi))
+        .distinct()
+        .repartitionByRange(n_parts, F.col(lo).asc(), F.col(hi).desc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local_w = (
+        W.partitionBy("__pid")
+        .orderBy(F.col(lo).asc(), F.col(hi).desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    subtotals = pts.groupBy("__pid").agg(F.max(F.col(hi)).alias("__sub"))
+    off_w = W.orderBy(F.col("__pid").asc()).rowsBetween(W.unboundedPreceding, -1)
+    offsets = subtotals.select("__pid", F.max("__sub").over(off_w).alias("__off"))
+    # greatest() skips NULLs (returns NULL only when both are), so the
+    # first row of the first partition gets __prev NULL -> kept
+    prev_max = F.greatest(F.max(F.col(hi)).over(local_w), F.col("__off"))
+    return (
+        pts.join(F.broadcast(offsets), "__pid")
+        .withColumn("__prev", prev_max)
+        .where(F.col("__prev").isNull() | (F.col(hi) > F.col("__prev")))
+        .select(lo, hi)
+    )

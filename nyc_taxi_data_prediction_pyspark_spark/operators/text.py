@@ -387,3 +387,70 @@ def _pack_start(
         .withColumn("__start", F.col("__off") + F.col("__local"))
         .drop("__pid", "__local", "__off")
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    k: int = 100,
+    two_phase: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic SYSTEMATIC PPS sampling (probability proportional
+    to size): draw exactly ``k`` sample points with inclusion
+    probability proportional to ``weight_col`` — the epoch-weighting /
+    mixture-draw primitive a training pipeline uses when "sample 1M
+    documents proportional to token count" must be reproducible
+    run-to-run and engine-to-engine.
+
+    Construction (Madow's systematic selection, all exact integers):
+    rows are laid on a weight line in content-derived order
+    (md5(id) — no RNG state), a centered grid of k points
+    s_j = (j + 1/2)·T/k is dropped on it, and a row is selected once
+    per grid point inside its weight interval [W, W+w). Heavy rows
+    (w > T/k) legitimately draw multiple hits = epoch multiplicity.
+    The global prefix sum W reuses the pack_documents two-phase
+    machinery — no single task scans the corpus.
+
+    Exactness: the hit count per row is computed with pure BIGINT
+    arithmetic — j ranges over ceil((2kW - T)/2T) <= j <
+    ceil((2k(W+w) - T)/2T) — using pmod-floor division (truncating
+    `div` corrected to true floor), so Spark and DuckDB agree
+    bit-for-bit. Bound: 2·k·T must fit in int64 (k·T < 4.6e18; at
+    larger scale widen to DECIMAL(38,0) — same formula).
+
+    Returns (id, weight, n_hits >= 1), Σ n_hits·1 = k exactly."""
+    ordkey = F.concat(F.md5(F.col(id_col).cast("string")), F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("bigint").alias("__w"),
+        ordkey.alias("__skey"),
+    ).where(F.col("__w") > 0)
+    start = _pack_start(base, "__skey", "__w", two_phase, num_partitions)
+    tot = start.agg(F.sum("__w").alias("t")).select("t")
+    with_t = (
+        start.join(F.broadcast(tot), how="cross")  # 1-row total frame
+        .withColumn("__2t", F.col("t") * 2)
+        # ceil(a/b) = floor((a + b - 1)/b) for b>0; floor division of
+        # BIGINTs must stay integral — `x div b` after a pmod
+        # correction, never `/` (double division loses bits past 2^53)
+        .withColumn("__xlo", F.lit(2 * k) * F.col("__start") - F.col("t") + F.col("__2t") - 1)
+        .withColumn(
+            "__xhi",
+            F.lit(2 * k) * (F.col("__start") + F.col("__w")) - F.col("t") + F.col("__2t") - 1,
+        )
+        .withColumn("__jlo", F.expr("(__xlo - pmod(__xlo, __2t)) div __2t"))
+        .withColumn("__jhi", F.expr("(__xhi - pmod(__xhi, __2t)) div __2t"))
+    )
+    n_hits = F.greatest(
+        F.least(F.col("__jhi"), F.lit(k).cast("bigint"))
+        - F.greatest(F.col("__jlo"), F.lit(0).cast("bigint")),
+        F.lit(0).cast("bigint"),
+    )
+    return (
+        with_t.withColumn("n_hits", n_hits)
+        .where(F.col("n_hits") > 0)
+        .select(F.col(id_col), F.col("__w").alias("weight"), "n_hits")
+    )

@@ -1,0 +1,174 @@
+"""Mining + sampling operators (round-5 additions): prefix-filter
+similarity join, frequent pairs, skyline, weighted median, PPS
+sampling, entropy profile."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_prediction_pyspark_spark.operators import dedup, mining
+from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+    grouped_entropy,
+    grouped_weighted_median,
+)
+from nyc_taxi_data_prediction_pyspark_spark.operators.text import pps_systematic_sample
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b): r.jaccard for r in df.collect()}
+
+
+def test_prefix_filter_equals_uncapped_posting_join(spark):
+    """Prefix filtering must be COMPLETE: same answer as the inverted-
+    index join with no df-cap, across thresholds."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(40):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randint(5, 30))]
+        docs.append((i, " ".join(words)))
+        if i % 4 == 0:  # planted near-dup: small mutation
+            mut = list(words)
+            mut[rng.randrange(len(mut))] = vocab[rng.randrange(len(vocab))]
+            docs.append((1000 + i, " ".join(mut)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.2, 0.5, 0.8):
+        want = _pairs(
+            dedup.ngram_jaccard_pairs(
+                df, text_col="text", id_col="doc_id", n=3, threshold=t, max_posting=None
+            )
+        )
+        got = _pairs(
+            dedup.prefix_filter_pairs(df, text_col="text", id_col="doc_id", n=3, threshold=t)
+        )
+        assert got == want, f"t={t}: prefix filter missed or invented pairs"
+    assert want, "fixture produced no pairs at t=0.8 — test is vacuous"
+
+
+def test_frequent_pairs_hand_case(spark):
+    baskets = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "d"),
+        (4, "c"), (4, "d"),
+        (5, "a"), (5, "a"),  # duplicate item in one basket counts once
+    ]
+    df = spark.createDataFrame(baskets, "b long, i string")
+    got = {
+        (r.item_a, r.item_b): r.support
+        for r in mining.frequent_pairs(
+            df, basket_col="b", item_col="i", min_support=2
+        ).collect()
+    }
+    # supports: a=4, b=3, c=2, d=2 -> all frequent; pairs >= 2: (a,b)=3
+    assert got == {("a", "b"): 3}
+
+
+def test_frequent_pairs_prunes_infrequent_items(spark):
+    # item 'x' appears once: any pair containing it must not survive
+    # even though ('x','y') would co-occur once
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "y"), (2, "z"), (3, "y"), (3, "z")], "b long, i string"
+    )
+    got = {
+        (r.item_a, r.item_b)
+        for r in mining.frequent_pairs(
+            df, basket_col="b", item_col="i", min_support=2
+        ).collect()
+    }
+    assert got == {("y", "z")}
+
+
+def _brute_skyline(pts):
+    out = []
+    for p in set(pts):
+        dominated = any(
+            q[0] <= p[0] and q[1] >= p[1] and q != p for q in set(pts)
+        )
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+def test_skyline_matches_brute_force(spark):
+    rng = random.Random(11)
+    pts = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(300)]
+    pts += pts[:20]  # duplicates must collapse, not dominate each other
+    df = spark.createDataFrame(pts, "cost long, quality long")
+    for n_parts in (1, 3, 16):
+        got = sorted(
+            (r.cost, r.quality)
+            for r in mining.skyline_2d(
+                df, minimize="cost", maximize="quality", num_partitions=n_parts
+            ).collect()
+        )
+        assert got == _brute_skyline(pts), f"n_parts={n_parts}"
+
+
+def test_weighted_median_hand_case_and_unit_weight_reduction(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 8.0)], "k string, v double, w double"
+    )
+    r = grouped_weighted_median(
+        df, group_keys=["k"], value_col="v", weight_col="w"
+    ).collect()
+    assert r[0].weighted_median == 3.0  # weight mass sits on 3.0
+    # unit weights -> ordinary lower median
+    df2 = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in (5, 1, 3, 2, 4)], "k string, v double, w double"
+    )
+    r2 = grouped_weighted_median(
+        df2, group_keys=["k"], value_col="v", weight_col="w"
+    ).collect()
+    assert r2[0].weighted_median == 3.0
+    # even count: lower median (first value reaching half the mass)
+    df3 = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in (1, 2, 3, 4)], "k string, v double, w double"
+    )
+    assert (
+        grouped_weighted_median(df3, group_keys=["k"], value_col="v", weight_col="w")
+        .collect()[0]
+        .weighted_median
+        == 2.0
+    )
+
+
+def test_pps_sample_hits_sum_to_k_and_paths_agree(spark):
+    rng = random.Random(3)
+    rows = [(i, rng.randint(1, 500)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    for k in (1, 7, 100, 1000):
+        one = pps_systematic_sample(
+            df, id_col="doc_id", weight_col="n_tokens", k=k, two_phase=False
+        )
+        two = pps_systematic_sample(
+            df, id_col="doc_id", weight_col="n_tokens", k=k, two_phase=True, num_partitions=8
+        )
+        got1 = sorted(map(tuple, one.collect()))
+        got2 = sorted(map(tuple, two.collect()))
+        assert got1 == got2, f"k={k}: two-phase diverged from single window"
+        assert sum(h for _, _, h in got1) == k, f"k={k}: hits don't sum to k"
+
+
+def test_pps_sample_heavy_row_draws_multiple_hits(spark):
+    df = spark.createDataFrame(
+        [(1, 1000), (2, 1), (3, 1)], "doc_id long, n_tokens long"
+    )
+    got = {r.doc_id: r.n_hits for r in pps_systematic_sample(
+        df, id_col="doc_id", weight_col="n_tokens", k=10
+    ).collect()}
+    assert got[1] >= 9  # ~1000/1002 of the mass
+
+
+def test_entropy_profile_known_distributions(spark):
+    rows = [("u", v) for v in range(8)]  # uniform over 8 values
+    rows += [("c", 1)] * 10  # constant
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {r.k: r for r in grouped_entropy(df, group_keys=["k"], value_col="v").collect()}
+    assert got["c"].entropy == 0.0 and got["c"].gini == 0.0
+    assert abs(got["u"].entropy - math.log(8)) < 1e-6
+    assert abs(got["u"].gini - (1 - 1 / 8)) < 1e-6
+    assert got["u"].n_distinct == 8

@@ -25,6 +25,7 @@ BNL_ALLOWED = {
     "q134_rolling_wau": "1-row date-bounds broadcast for the day spine",
     "q148_leakage_safe_split": "1-row leak-audit broadcast onto 3 split rows",
     "q151_temperature_mixture": "1-row mixture-normalizer broadcast",
+    "q157_pps_sample": "1-row total-weight broadcast onto the grid arithmetic",
 }
 
 
