@@ -3285,6 +3285,105 @@ def q158_entropy_profile(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q159_hll_daily_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL MERGEABILITY end-to-end: per-(event_type, day) registers
+    merged by register-wise MAX back to event_type — the daily-rollup
+    pattern a 100 TB pipeline uses so distinct counts never rescan
+    history. The estimate is IDENTICAL to the direct q147 computation
+    (max is associative over any partitioning of the rows); the oracle
+    computes the direct form, so a value-hash match IS the
+    mergeability proof."""
+    ev = load(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    regs = agg.hll_registers(
+        ev, group_keys=["event_type", "day"], value_col="user_id", p=9
+    )
+    merged = agg.hll_merge_registers(regs, group_keys=["event_type"])
+    est = agg.hll_from_registers(merged, group_keys=["event_type"], p=9)
+    days = ev.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_days")
+    )
+    return (
+        est.join(days, "event_type")
+        .select("event_type", "n_days", "n_used", "d_scaled", "hll_estimate")
+        .orderBy("event_type")
+    )
+
+
+def q160_count_min_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch with engine-stable md5 hashing: a 4×256
+    counter grid over events.user_id, probed for the top-10 users by
+    exact count. cms_count >= exact_count always (collisions only
+    add); both columns value-hash check because the hash grid is
+    content-defined, not engine-defined — the q55/q147 argument
+    applied to frequency sketching. Sketch state is fixed-size and
+    merges by cellwise addition across shards/days."""
+    ev = load(spark, sf, "events")
+    sk = agg.count_min_sketch(ev, value_col="user_id", depth=4, width=256)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "user_id")
+        .limit(10)
+    )
+    est = agg.cms_estimate(
+        sk, top.select("user_id"), value_col="user_id", depth=4, width=256
+    )
+    return (
+        top.join(est, "user_id")
+        .select("user_id", "exact_count", "cms_count")
+        .orderBy(F.desc("exact_count"), "user_id")
+    )
+
+
+def q161_hourly_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of the hourly event-count series per
+    event_type — the persistence/seasonality diagnostic behind demand
+    forecasting. Products quantized to decimal before the distributed
+    sum (grouped_entropy's rule), windows partitioned by group."""
+    ev = load(spark, sf, "events")
+    hours = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return agg.grouped_autocorr(
+        hours, group_keys=["event_type"], order_col="h", value_col="c", lags=(1, 2, 3)
+    ).orderBy("event_type")
+
+
+def q162_bfs_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-depth BFS (graph.bfs_levels) from the lowest-keyed
+    customer over the q109 trade graph: per-hop reach profile
+    (n_nodes, min, checksum) to depth 3 — the blast-radius query.
+    Level-synchronous frontier expansion in integer node ids, so the
+    oracle unrolls the same three rounds as CTEs and value-hash
+    matches another iterative algorithm (q109/q142 contract)."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import graph
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seed = pairs.agg(F.min("c").alias("node"))  # 1-row frame, no collect
+    lv = graph.bfs_levels(edges, sources=seed, max_hops=3, assume_distinct=True)
+    return (
+        lv.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.sum("node").cast("bigint").alias("node_sum"),
+        )
+        .orderBy("hop")
+    )
+
+
 # Driver-slot rotation (round 5): the correctness driver hard-checks
 # the FIRST 50 registry entries only.  Rounds 1-4 gave every query
 # numbered <= q141 at least one driver-green row EXCEPT q58/q140,
@@ -3524,6 +3623,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_weighted_median": q156_weighted_median,
         "q157_pps_sample": q157_pps_sample,
         "q158_entropy_profile": q158_entropy_profile,
+        "q159_hll_daily_rollup": q159_hll_daily_rollup,
+        "q160_count_min_sketch": q160_count_min_sketch,
+        "q161_hourly_autocorr": q161_hourly_autocorr,
+        "q162_bfs_reach": q162_bfs_reach,
     }
 
 
@@ -5930,5 +6033,108 @@ SELECT event_type, n_distinct,
        ROUND(ln(CAST(n AS DOUBLE)) - CAST(clnc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS entropy,
        ROUND(1.0 - CAST(c2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS gini
 FROM a ORDER BY event_type
+"""
+    # q159: the oracle computes the DIRECT (un-rolled-up) HLL — the
+    # engine merges per-day registers by max; equality IS the
+    # mergeability statement.
+    oracles["q159_hll_daily_rollup"] = f"""
+WITH hll AS ({_hll_sql(p=9)}),
+days AS (
+  SELECT event_type, COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+  FROM events GROUP BY 1
+)
+SELECT h.event_type, d.n_days, h.n_used, h.d_scaled, h.hll_estimate
+FROM hll h JOIN days d USING (event_type)
+ORDER BY h.event_type
+"""
+    _cms_h = [
+        _MD5_INT60.format(col=f"'{i}:' || CAST(user_id AS VARCHAR)") for i in range(4)
+    ]
+    _cms_cells = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS row_idx, ({h}) % 256 AS bucket FROM events"
+        for i, h in enumerate(_cms_h)
+    )
+    oracles["q160_count_min_sketch"] = f"""
+WITH cells AS ({_cms_cells}),
+sk AS (SELECT row_idx, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+top AS (
+  SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1
+  ORDER BY exact_count DESC, user_id LIMIT 10
+),
+probe AS (
+  SELECT DISTINCT t.user_id, c.row_idx, c.bucket
+  FROM top t JOIN cells c ON c.user_id = t.user_id
+),
+est AS (
+  SELECT p.user_id, MIN(s.cnt) AS cms_count
+  FROM probe p JOIN sk s ON s.row_idx = p.row_idx AND s.bucket = p.bucket
+  GROUP BY 1
+)
+SELECT t.user_id, t.exact_count, e.cms_count
+FROM top t JOIN est e USING (user_id)
+ORDER BY t.exact_count DESC, t.user_id
+"""
+    oracles["q161_hourly_autocorr"] = """
+WITH s AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, h, CAST(c AS DOUBLE) AS x,
+         CAST(SUM(CAST(c AS DECIMAL(18,4))) OVER (PARTITION BY event_type) AS DOUBLE)
+           / COUNT(c) OVER (PARTITION BY event_type) AS m,
+         LEAD(CAST(c AS DOUBLE), 1) OVER (PARTITION BY event_type ORDER BY h) AS x1,
+         LEAD(CAST(c AS DOUBLE), 2) OVER (PARTITION BY event_type ORDER BY h) AS x2,
+         LEAD(CAST(c AS DOUBLE), 3) OVER (PARTITION BY event_type ORDER BY h) AS x3
+  FROM s
+),
+a AS (
+  SELECT event_type, COUNT(*) AS n_obs,
+         SUM(CAST((x - m) * (x - m) AS DECIMAL(28,10))) AS den,
+         SUM(CAST((x - m) * (x1 - m) AS DECIMAL(28,10))) AS num1,
+         SUM(CAST((x - m) * (x2 - m) AS DECIMAL(28,10))) AS num2,
+         SUM(CAST((x - m) * (x3 - m) AS DECIMAL(28,10))) AS num3
+  FROM b GROUP BY 1
+)
+SELECT event_type, n_obs,
+       ROUND(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r1,
+       ROUND(CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r2,
+       ROUND(CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r3
+FROM a ORDER BY event_type
+"""
+    # q162: three BFS rounds unrolled — hop = the FIRST round reaching
+    # a node, identical to the level-synchronous frontier semantics.
+    oracles["q162_bfs_reach"] = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s, c FROM pairs
+),
+h0 AS (SELECT MIN(c) AS node FROM pairs),
+h1 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN h0 ON e.src = h0.node
+  WHERE e.dst NOT IN (SELECT node FROM h0)
+),
+h2 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN h1 ON e.src = h1.node
+  WHERE e.dst NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM h1)
+),
+h3 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN h2 ON e.src = h2.node
+  WHERE e.dst NOT IN (
+    SELECT node FROM h0 UNION ALL SELECT node FROM h1 UNION ALL SELECT node FROM h2)
+),
+lvl AS (
+  SELECT node, 0 AS hop FROM h0
+  UNION ALL SELECT node, 1 FROM h1
+  UNION ALL SELECT node, 2 FROM h2
+  UNION ALL SELECT node, 3 FROM h3
+)
+SELECT hop, COUNT(*) AS n_nodes, MIN(node) AS min_node,
+       CAST(SUM(node) AS BIGINT) AS node_sum
+FROM lvl GROUP BY hop ORDER BY hop
 """
     return oracles

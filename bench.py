@@ -111,6 +111,10 @@ HEADLINE = [
     "q156_weighted_median",
     "q157_pps_sample",
     "q158_entropy_profile",
+    "q159_hll_daily_rollup",
+    "q160_count_min_sketch",
+    "q161_hourly_autocorr",
+    "q162_bfs_reach",
 ]
 
 

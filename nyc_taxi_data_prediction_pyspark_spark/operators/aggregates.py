@@ -258,6 +258,27 @@ def hll_distinct(
     # literal in both engines: alpha_m * m^2 * 2^(w+1)
     num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << s_)
 
+    regs = hll_registers(df, group_keys=group_keys, value_col=value_col, p=p)
+    return hll_from_registers(regs, group_keys=group_keys, p=p)
+
+
+def hll_registers(
+    df: DataFrame,
+    *,
+    group_keys: list[str],
+    value_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """The MERGEABLE half of ``hll_distinct``: per-group registers
+    (group_keys..., __bkt, __r). Registers from any partitioning of
+    the data — per day, per shard, per replica — combine by
+    register-wise MAX over the same (group, bucket) grid and yield the
+    IDENTICAL estimate the direct computation gives; that algebraic
+    property is what a 100 TB daily-rollup pipeline relies on."""
+    from ..functions.hashing import md5_int60
+
+    m = 1 << p
+    s_ = 60 - p + 1
     h = md5_int60(F.col(value_col).cast("string"))
     rb = (
         df.select(*group_keys, h.alias("__h"))
@@ -272,11 +293,30 @@ def hll_distinct(
     rank = F.when(F.col("__rest") == 0, F.lit(s_)).otherwise(
         F.lit(s_) - F.length(F.bin(F.col("__rest")))
     )
-    regs = (
+    return (
         rb.withColumn("__r", rank)
         .groupBy(*group_keys, "__bkt")
         .agg(F.max("__r").alias("__r"))
     )
+
+
+def hll_merge_registers(regs: DataFrame, *, group_keys: list[str]) -> DataFrame:
+    """Merge register sets that share bucket columns by register-wise
+    MAX — e.g. collapse (event_type, day) registers to event_type."""
+    return regs.groupBy(*group_keys, "__bkt").agg(F.max("__r").alias("__r"))
+
+
+def hll_from_registers(
+    regs: DataFrame,
+    *,
+    group_keys: list[str],
+    p: int = 9,
+) -> DataFrame:
+    """Estimate from registers (see ``hll_distinct`` for the exact
+    integer-scaled construction)."""
+    m = 1 << p
+    s_ = 60 - p + 1
+    num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << s_)
     out = regs.groupBy(*group_keys).agg(
         F.count(F.lit(1)).alias("n_used"),
         F.sum(F.expr(f"shiftleft(1L, {s_} - __r)")).alias("__sumpow"),
@@ -373,4 +413,139 @@ def grouped_entropy(
         "n_distinct",
         F.round(F.log(n) - F.col("__clnc").cast("double") / n, 6).alias("entropy"),
         F.round(F.lit(1.0) - F.col("__c2").cast("double") / (n * n), 6).alias("gini"),
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    *,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) with
+    ENGINE-STABLE hashing: fixed depth×width counter grid, row i
+    hashing v with md5_int60(i || ':' || v) % width. Like
+    ``hll_registers``, determinism is the point — the sketch a second
+    engine (or a second day's shard) builds is bit-identical, so
+    sketches MERGE by cellwise addition and estimates oracle-check
+    exactly.
+
+    Shape: one narrow map exploding each row into ``depth`` (row,
+    bucket) cells in-row, then one map-side-combinable groupBy —
+    state is depth×width counters regardless of input size.
+    Returns (row_idx, bucket, cnt)."""
+    from ..functions.hashing import md5_int60
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_idx"),
+                (
+                    md5_int60(
+                        F.concat(F.lit(f"{i}:"), F.col(value_col).cast("string"))
+                    )
+                    % F.lit(width)
+                ).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row_idx").alias("row_idx"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    *,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a ``count_min_sketch``:
+    est(v) = min_i sketch[i][h_i(v)] — an upper bound on the true
+    count (collisions only ADD), within εn with probability 1−δ for
+    width=e/ε, depth=ln(1/δ). The query side recomputes the same
+    md5 cells and probes the sketch with one equi-join; the sketch is
+    depth×width rows — broadcastable at any corpus size."""
+    from ..functions.hashing import md5_int60
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_idx"),
+                (
+                    md5_int60(
+                        F.concat(F.lit(f"{i}:"), F.col(value_col).cast("string"))
+                    )
+                    % F.lit(width)
+                ).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probes = queries.select(F.col(value_col), F.explode(cells).alias("c")).select(
+        value_col, F.col("c.row_idx").alias("row_idx"), F.col("c.bucket").alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
+    )
+
+
+def grouped_autocorr(
+    df: DataFrame,
+    *,
+    group_keys: list[str],
+    order_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Per-group autocorrelation r_k at the given lags over a series
+    ordered by ``order_col`` — the seasonality/persistence diagnostic
+    of demand analysis.
+
+    r_k = Σ (x_t − x̄)(x_{t+k} − x̄) / Σ (x_t − x̄)², with x̄ from an
+    exact decimal sum and every float PRODUCT quantized to
+    DECIMAL(28,10) before its distributed sum (the grouped_entropy
+    rule) so results are partition-order-independent. Lags come from
+    one window pass per lag, all PARTITIONED by group —
+    partition-parallel, never a global sort."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_keys).orderBy(F.col(order_col).asc())
+    g = W.partitionBy(*group_keys)
+    x = F.col(value_col).cast("double")
+    mean = (
+        F.sum(F.col(value_col).cast("decimal(18,4)")).over(g).cast("double")
+        / F.count(value_col).over(g)
+    )
+    base = df.select(
+        *group_keys,
+        order_col,
+        x.alias("__x"),
+        mean.alias("__m"),
+        *[F.lead(x, k).over(w).alias(f"__x{k}") for k in lags],
+    )
+    dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+    d = F.col("__x") - F.col("__m")
+    aggs = [F.sum(dec(d * d)).alias("__den")]
+    for k in lags:
+        dk = F.col(f"__x{k}") - F.col("__m")
+        aggs.append(F.sum(dec(d * dk)).alias(f"__num{k}"))
+    out = base.groupBy(*group_keys).agg(F.count(F.lit(1)).alias("n_obs"), *aggs)
+    return out.select(
+        *group_keys,
+        "n_obs",
+        *[
+            F.round(
+                F.col(f"__num{k}").cast("double") / F.col("__den").cast("double"), 6
+            ).alias(f"r{k}")
+            for k in lags
+        ],
     )

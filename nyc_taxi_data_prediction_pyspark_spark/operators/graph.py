@@ -191,3 +191,51 @@ def triangle_count(
     cl = e.alias("cl")
     tri = wedges.join(cl, (F.col("x") == F.col("cl.a")) & (F.col("y") == F.col("cl.b")))
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    *,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Bounded-depth BFS: minimum hop distance (<= ``max_hops``) from
+    the ``sources`` node set — the reachability/blast-radius primitive
+    (supply-chain exposure, fraud-ring neighborhoods).
+
+    Frontier expansion with level-synchronous semantics: each round
+    joins the CURRENT frontier (not the visited set) against the edge
+    list and anti-joins the visited set, so a node's hop is the FIRST
+    round that reaches it — exactly the min-hop definition, and the
+    per-round join cost is |frontier|·avg-degree, never |visited|.
+    The frontier is localCheckpointed each round (it feeds both the
+    next expansion and the visited union — same double-consumer rule
+    as pack_documents); the visited set is checkpointed at the end.
+    All arithmetic is integer, so the oracle can unroll the same
+    rounds as CTEs and value-hash-match (the q109/q142 contract).
+
+    Returns (node, hop), hop in [0, max_hops]."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.repartition("src").cache()
+
+    frontier = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+    frontier = frontier.localCheckpoint(eager=False)
+    visited = frontier.withColumn("hop", F.lit(0).cast("int"))
+    for k in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.union(nxt.withColumn("hop", F.lit(k).cast("int")))
+        frontier = nxt
+    out = visited.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

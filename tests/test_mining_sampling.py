@@ -172,3 +172,103 @@ def test_entropy_profile_known_distributions(spark):
     assert abs(got["u"].entropy - math.log(8)) < 1e-6
     assert abs(got["u"].gini - (1 - 1 / 8)) < 1e-6
     assert got["u"].n_distinct == 8
+
+
+# ---- round-5 second batch: CMS, HLL rollup, ACF, BFS ----
+
+
+def test_cms_estimate_upper_bounds_exact_and_merges(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    rng = random.Random(13)
+    vals = [rng.randrange(50) for _ in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = count_min_sketch(df, value_col="v", depth=4, width=64)
+    qdf = spark.createDataFrame([(v,) for v in set(vals)], "v long")
+    est = {r.v: r.cms_count for r in cms_estimate(sk, qdf, value_col="v", depth=4, width=64).collect()}
+    exact = {}
+    for v in vals:
+        exact[v] = exact.get(v, 0) + 1
+    for v, c in exact.items():
+        assert est[v] >= c, f"CMS under-counted {v}"
+    # mergeability: sketch(A)+sketch(B) cellwise == sketch(A union B)
+    half = len(vals) // 2
+    a = spark.createDataFrame([(v,) for v in vals[:half]], "v long")
+    b = spark.createDataFrame([(v,) for v in vals[half:]], "v long")
+    merged = (
+        count_min_sketch(a, value_col="v", depth=4, width=64)
+        .unionByName(count_min_sketch(b, value_col="v", depth=4, width=64))
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = count_min_sketch(df, value_col="v", depth=4, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_daily_rollup_equals_direct(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        hll_distinct,
+        hll_from_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    rng = random.Random(17)
+    rows = [("g", rng.randrange(5), rng.randrange(2000)) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "g string, day long, v long")
+    direct = hll_distinct(df, group_keys=["g"], value_col="v", p=7).collect()
+    rolled = hll_from_registers(
+        hll_merge_registers(
+            hll_registers(df, group_keys=["g", "day"], value_col="v", p=7),
+            group_keys=["g"],
+        ),
+        group_keys=["g"],
+        p=7,
+    ).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, rolled))
+
+
+def test_autocorr_known_series(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        grouped_autocorr,
+    )
+
+    # strict alternation has r1 ~ -1 at even n; a constant-increment
+    # ramp has r1 close to +1
+    alt = [("alt", t, float(1 if t % 2 else -1)) for t in range(40)]
+    ramp = [("ramp", t, float(t)) for t in range(40)]
+    df = spark.createDataFrame(alt + ramp, "g string, t long, x double")
+    got = {r.g: r for r in grouped_autocorr(
+        df, group_keys=["g"], order_col="t", value_col="x", lags=(1, 2)
+    ).collect()}
+    assert got["alt"].r1 < -0.9 and got["alt"].r2 > 0.9
+    assert got["ramp"].r1 > 0.9
+    assert got["alt"].n_obs == 40
+
+
+def test_bfs_levels_matches_brute_force(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.graph import bfs_levels
+
+    rng = random.Random(19)
+    n = 60
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(150)}
+    edf = spark.createDataFrame(sorted(edges), "src long, dst long")
+    seed = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.hop for r in bfs_levels(edf, sources=seed, max_hops=4).collect()}
+    # brute-force min-hop by repeated relaxation
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    want, frontier = {0: 0}, [0]
+    for hop in range(1, 5):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in want:
+                    want[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    assert got == want

@@ -211,6 +211,47 @@ def test_ngram_jaccard_posting_cap_bounds_hostile_input(spark):
     assert len(uncapped) > 0
 
 
+def test_posting_cap_sensitivity_only_ever_lowers_jaccard(spark):
+    """Cap-sensitivity property (round-4 verdict ask): across cap
+    values on a mixed corpus, (a) capped output pairs are a SUBSET of
+    uncapped pairs, (b) every surviving pair's jaccard is <= its
+    uncapped value (dropped shingles shrink the intersection, never
+    the set sizes), and (c) once the cap exceeds the hottest posting
+    list it is exactly invisible."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(30):
+        # every doc shares a hot 3-gram ("alpha beta gamma"), plus
+        # random filler — posting list lengths range 2..30
+        filler = " ".join(f"w{rng.randrange(40)}" for _ in range(12))
+        rows.append((i, f"alpha beta gamma {filler}"))
+        if i % 3 == 0:  # planted near-dups
+            rows.append((100 + i, f"alpha beta gamma {filler} extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(cap):
+        return {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                docs, text_col="text", id_col="doc_id", threshold=0.2, max_posting=cap
+            ).collect()
+        }
+
+    full = pairs(None)
+    assert full, "fixture produced no uncapped pairs — test is vacuous"
+    prev_n = -1
+    for cap in (2, 5, 15, 100):
+        got = pairs(cap)
+        assert set(got) <= set(full), f"cap={cap} invented a pair"
+        for k, j in got.items():
+            assert j <= full[k] + 1e-12, f"cap={cap} RAISED jaccard for {k}"
+        assert len(got) >= prev_n, "tightening the cap should be monotone"
+        prev_n = len(got)
+    assert pairs(100) == full  # cap above the hottest list: invisible
+
+
 def test_ngram_jaccard_identical_docs_all_pair_under_default_cap(spark):
     """Default cap must be invisible on benign corpora: 30 identical
     docs yield all C(30,2) pairs at jaccard 1.0."""
