@@ -3384,6 +3384,48 @@ def q162_bfs_reach(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q163_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Audience OVERLAP via coordinated KMV (theta) sketches — the set
+    operation HLL cannot do. The two lexicographically-first event
+    types' user cohorts are sketched (k=256 smallest md5 hashes of the
+    distinct users, per-group grouped-top-k), the union sketch is
+    rebuilt from the two (valid because k-min of a union = k-min of
+    the merged k-mins), and |A∩B| is estimated as jaccard_est ×
+    union_est. The exact intersection rides along for calibration.
+    All integer set algebra until two final divisions — value-hash
+    checkable like q147/q160."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    # tiny domain (#event types) — metadata-sized window
+    ranked = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("__rn", F.row_number().over(W.orderBy("event_type")))
+        .where(F.col("__rn") <= 2)
+    )
+    sk = agg.kmv_sketch(ev, group_keys=["event_type"], value_col="user_id", k=256)
+    ska = sk.join(ranked.where(F.col("__rn") == 1), "event_type").select("__h")
+    skb = sk.join(ranked.where(F.col("__rn") == 2), "event_type").select("__h")
+    ov = agg.kmv_overlap(ska, skb, k=256)
+    ua = ev.join(ranked.where(F.col("__rn") == 1), "event_type").select("user_id").distinct()
+    ub = ev.join(ranked.where(F.col("__rn") == 2), "event_type").select("user_id").distinct()
+    exact = ua.join(ub, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_intersection")
+    )
+    return ov.join(F.broadcast(exact), how="cross")  # two 1-row frames
+
+
+def q164_chi_square(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence test: event_type × day-of-week
+    contingency — is event mix stable across weekdays (the
+    categorical-drift monitor)? Exact integer observed counts,
+    decimal-quantized (O−E)²/E terms (q158's rule), explicit d*d
+    squares (libm pow rounds engine-specifically)."""
+    ev = load(spark, sf, "events").withColumn("dow", F.dayofweek("ts"))
+    return agg.chi_square_crosstab(ev, row_col="event_type", col_col="dow")
+
+
 # Driver-slot rotation (round 5): the correctness driver hard-checks
 # the FIRST 50 registry entries only.  Rounds 1-4 gave every query
 # numbered <= q141 at least one driver-green row EXCEPT q58/q140,
@@ -3627,6 +3669,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_count_min_sketch": q160_count_min_sketch,
         "q161_hourly_autocorr": q161_hourly_autocorr,
         "q162_bfs_reach": q162_bfs_reach,
+        "q163_kmv_overlap": q163_kmv_overlap,
+        "q164_chi_square": q164_chi_square,
     }
 
 
@@ -6136,5 +6180,77 @@ lvl AS (
 SELECT hop, COUNT(*) AS n_nodes, MIN(node) AS min_node,
        CAST(SUM(node) AS BIGINT) AS node_sum
 FROM lvl GROUP BY hop ORDER BY hop
+"""
+    # q163: the (k-1)*2^60 estimator constant is embedded as the SAME
+    # double literal both engines use; the unrounded CASE feeds the
+    # intersection product exactly as the Spark column does.
+    _kmv_c = repr(float(255) * float(1 << 60))
+    _kmv_h = _MD5_INT60.format(col="CAST(user_id AS VARCHAR)")
+    oracles["q163_kmv_overlap"] = f"""
+WITH ranked AS (
+  SELECT event_type, row_number() OVER (ORDER BY event_type) AS rn
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+hv AS (SELECT DISTINCT event_type, {_kmv_h} AS h FROM events),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn2
+    FROM hv
+  ) WHERE rn2 <= 256
+),
+ska AS (SELECT h, 1 AS ina FROM sk JOIN ranked USING (event_type) WHERE rn = 1),
+skb AS (SELECT h, 1 AS inb FROM sk JOIN ranked USING (event_type) WHERE rn = 2),
+pres AS (
+  SELECT COALESCE(a.h, b.h) AS h, COALESCE(ina, 0) AS ina, COALESCE(inb, 0) AS inb
+  FROM ska a FULL OUTER JOIN skb b ON a.h = b.h
+),
+uni AS (
+  SELECT h, ina, inb FROM (
+    SELECT h, ina, inb, row_number() OVER (ORDER BY h) AS rn3 FROM pres
+  ) WHERE rn3 <= 256
+),
+m AS (
+  SELECT COUNT(*) AS n_union_sketch, MAX(h) AS hk,
+         CAST(SUM(ina * inb) AS BIGINT) AS n_both
+  FROM uni
+),
+ua AS (SELECT DISTINCT user_id FROM events JOIN ranked USING (event_type) WHERE rn = 1),
+ub AS (SELECT DISTINCT user_id FROM events JOIN ranked USING (event_type) WHERE rn = 2),
+ex AS (SELECT COUNT(*) AS exact_intersection FROM ua JOIN ub USING (user_id))
+SELECT n_union_sketch,
+       ROUND(CASE WHEN n_union_sketch < 256 THEN CAST(n_union_sketch AS DOUBLE)
+                  ELSE {_kmv_c} / CAST(hk AS DOUBLE) END, 4) AS union_estimate,
+       ROUND(CAST(n_both AS DOUBLE) / n_union_sketch, 6) AS jaccard_est,
+       ROUND(CASE WHEN n_union_sketch < 256 THEN CAST(n_union_sketch AS DOUBLE)
+                  ELSE {_kmv_c} / CAST(hk AS DOUBLE) END * n_both / n_union_sketch, 4)
+         AS intersection_est,
+       exact_intersection
+FROM m CROSS JOIN ex
+"""
+    oracles["q164_chi_square"] = """
+WITH cells AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+rowm AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+colm AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+-- full margin grid: zero cells contribute (0-E)^2/E = E
+e AS (
+  SELECT COALESCE(c.o, 0) AS o, r.rt * cm.ct / t.n AS ev
+  FROM rowm r CROSS JOIN colm cm
+  LEFT JOIN cells c ON c.event_type = r.event_type AND c.dow = cm.dow
+  CROSS JOIN tot t
+),
+terms AS (
+  SELECT o, ev, CAST((o - ev) * (o - ev) / ev AS DECIMAL(28,10)) AS term FROM e
+)
+SELECT (SELECT n FROM tot) AS n,
+       (SELECT COUNT(*) FROM rowm) AS n_rows,
+       (SELECT COUNT(*) FROM colm) AS n_cols,
+       ((SELECT COUNT(*) FROM rowm) - 1) * ((SELECT COUNT(*) FROM colm) - 1) AS dof,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+FROM terms
 """
     return oracles

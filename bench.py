@@ -115,6 +115,8 @@ HEADLINE = [
     "q160_count_min_sketch",
     "q161_hourly_autocorr",
     "q162_bfs_reach",
+    "q163_kmv_overlap",
+    "q164_chi_square",
 ]
 
 

@@ -549,3 +549,154 @@ def grouped_autocorr(
             for k in lags
         ],
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    *,
+    group_keys: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """K-minimum-values (theta) sketch per group: the k smallest
+    md5-60bit hashes of the distinct values (Bar-Yossef et al. '02 /
+    the DataSketches theta family). Unlike HLL (union-only), KMV
+    sketches support set INTERSECTION estimates — audience overlap —
+    because the k smallest hashes are a uniform coordinated sample of
+    the value universe, identical across engines/tables for the same
+    values (md5 is content-defined).
+
+    Shape: distinct (group, hash) rows, then one grouped sort-window
+    keeping rank <= k — the q111 grouped-top-k class: per-group state
+    is the sort (spillable), output is k rows/group. Two sketches over
+    the same hash function are COORDINATED: equal values hash equal,
+    which is what makes cross-sketch membership tests meaningful.
+    Returns (group_keys..., __h) rows."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import md5_int60
+
+    hv = (
+        df.select(*group_keys, md5_int60(F.col(value_col).cast("string")).alias("__h"))
+        .distinct()
+    )
+    w = W.partitionBy(*group_keys).orderBy(F.col("__h").asc())
+    return (
+        hv.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, *, group_keys: list[str], k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: exact when the group
+    holds fewer than k distinct values (the sketch IS the value set),
+    else (k-1) * 2^60 / h_(k) — one double division of exact integers,
+    engine-deterministic."""
+    out = sketch.groupBy(*group_keys).agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("__h").alias("__hk"),
+    )
+    return out.select(
+        *group_keys,
+        "n_sketch",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+        .otherwise(
+            F.lit(float((k - 1)) * float(1 << 60)) / F.col("__hk").cast("double")
+        )
+        .alias("kmv_estimate"),
+    )
+
+
+def kmv_overlap(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Set-overlap estimate from two coordinated KMV sketches (no
+    group keys — one sketch per side): take the k smallest hashes of
+    the UNION of the two sketches (itself a valid KMV sketch of
+    A ∪ B), estimate |A ∪ B| from its kth value, measure the fraction
+    of those union-sample hashes present in BOTH sketches (an unbiased
+    Jaccard estimate — the union sketch is a uniform sample of A ∪ B),
+    and multiply: |A ∩ B| ≈ jaccard_est · union_est.
+
+    Everything is exact integer set algebra on <= 2k rows until the
+    two final divisions. Returns one row:
+    (n_union_sketch, union_estimate, jaccard_est, intersection_est)."""
+    from pyspark.sql import Window as W
+
+    a = sketch_a.select(F.col("__h")).withColumn("__in_a", F.lit(1))
+    b = sketch_b.select(F.col("__h")).withColumn("__in_b", F.lit(1))
+    both = a.join(b, "__h", "full").select(
+        "__h",
+        F.coalesce("__in_a", F.lit(0)).alias("__in_a"),
+        F.coalesce("__in_b", F.lit(0)).alias("__in_b"),
+    )
+    w = W.orderBy(F.col("__h").asc())  # <= 2k rows: metadata-sized window
+    uni = both.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+    agg = uni.agg(
+        F.count(F.lit(1)).alias("n_union_sketch"),
+        F.max("__h").alias("__hk"),
+        F.sum((F.col("__in_a") * F.col("__in_b"))).alias("__n_both"),
+    )
+    union_est = F.when(
+        F.col("n_union_sketch") < k, F.col("n_union_sketch").cast("double")
+    ).otherwise(F.lit(float(k - 1) * float(1 << 60)) / F.col("__hk").cast("double"))
+    return agg.select(
+        "n_union_sketch",
+        F.round(union_est, 4).alias("union_estimate"),
+        F.round(F.col("__n_both") / F.col("n_union_sketch"), 6).alias("jaccard_est"),
+        F.round(union_est * F.col("__n_both") / F.col("n_union_sketch"), 4).alias(
+            "intersection_est"
+        ),
+    )
+
+
+def chi_square_crosstab(
+    df: DataFrame,
+    *,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Chi-square independence statistic over the row_col × col_col
+    contingency table — the categorical-drift / feature-independence
+    test of data profiling. Observed counts are exact integers;
+    expected counts E = row_total·col_total/n are IEEE doubles from
+    exact integers; the (O−E)²/E terms are quantized to
+    DECIMAL(28,10) before the distributed sum (the q158 rule).
+
+    Two map-side-combinable aggregations over the CELL domain (#rows ×
+    #cols rows, metadata-sized for categorical data) plus tiny margin
+    frames. Returns one row: (n, n_rows, n_cols, dof, chi2)."""
+    cells = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("__o"))
+    rowm = cells.groupBy(row_col).agg(F.sum("__o").alias("__rt"))
+    colm = cells.groupBy(col_col).agg(F.sum("__o").alias("__ct"))
+    tot = cells.agg(F.sum("__o").alias("__n"))
+    # The FULL row x col grid, not just observed cells: a zero cell
+    # contributes (0-E)^2/E = E, and dropping it understates chi2
+    # (caught by the perfect-dependence test: diagonal 2x2 must give
+    # chi2 = n). Margins join on a constant key — an equi hash join,
+    # metadata-sized, never a CartesianProduct.
+    grid = rowm.withColumn("__k", F.lit(1)).join(
+        colm.withColumn("__k", F.lit(1)), "__k"
+    )
+    e = (
+        grid.join(cells, [row_col, col_col], "left")
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
+        .join(F.broadcast(tot), how="cross")
+        .withColumn("__e", F.col("__rt") * F.col("__ct") / F.col("__n"))
+    )
+    # (o-e)*(o-e), never pow(x, 2): libm pow rounding is engine-specific
+    d = F.col("__o") - F.col("__e")
+    term = (d * d / F.col("__e")).cast("decimal(28,10)")
+    return e.agg(
+        F.max("__n").alias("n"),
+        F.countDistinct(row_col).alias("n_rows"),
+        F.countDistinct(col_col).alias("n_cols"),
+        (
+            (F.countDistinct(row_col) - 1) * (F.countDistinct(col_col) - 1)
+        ).alias("dof"),
+        F.round(F.sum(term).cast("double"), 6).alias("chi2"),
+    )

@@ -272,3 +272,54 @@ def test_bfs_levels_matches_brute_force(spark):
                     nxt.append(v)
         frontier = nxt
     assert got == want
+
+
+def test_kmv_estimate_exact_below_k_and_close_above(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    rows = [("small", v) for v in range(50)] + [("big", v) for v in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = kmv_sketch(df, group_keys=["g"], value_col="v", k=256)
+    est = {r.g: r for r in kmv_estimate(sk, group_keys=["g"], k=256).collect()}
+    assert est["small"].kmv_estimate == 50.0  # below k: exact
+    assert abs(est["big"].kmv_estimate - 5000) / 5000 < 0.20  # ~1/sqrt(k)
+
+
+def test_kmv_overlap_calibrates_on_known_sets(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    # |A|=3000, |B|=3000, |A∩B|=1000 (values 2000..2999 shared)
+    rows = [("a", v) for v in range(3000)] + [("b", v) for v in range(2000, 5000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = kmv_sketch(df, group_keys=["g"], value_col="v", k=256)
+    a = sk.where(F.col("g") == "a").select("__h")
+    b = sk.where(F.col("g") == "b").select("__h")
+    r = kmv_overlap(a, b, k=256).collect()[0]
+    assert abs(r.union_estimate - 5000) / 5000 < 0.20
+    assert abs(r.jaccard_est - 0.2) < 0.08
+    assert abs(r.intersection_est - 1000) / 1000 < 0.40
+
+
+def test_chi_square_independent_and_dependent(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        chi_square_crosstab,
+    )
+
+    # perfectly independent 2x2 with equal margins -> chi2 == 0
+    ind = [("r1", "c1")] * 10 + [("r1", "c2")] * 10 + [("r2", "c1")] * 10 + [("r2", "c2")] * 10
+    r = chi_square_crosstab(
+        spark.createDataFrame(ind, "r string, c string"), row_col="r", col_col="c"
+    ).collect()[0]
+    assert r.chi2 == 0.0 and r.dof == 1 and r.n == 40
+    # perfect dependence (diagonal) -> chi2 == n
+    dep = [("r1", "c1")] * 20 + [("r2", "c2")] * 20
+    r2 = chi_square_crosstab(
+        spark.createDataFrame(dep, "r string, c string"), row_col="r", col_col="c"
+    ).collect()[0]
+    assert r2.chi2 == 40.0

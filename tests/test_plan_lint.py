@@ -26,6 +26,8 @@ BNL_ALLOWED = {
     "q148_leakage_safe_split": "1-row leak-audit broadcast onto 3 split rows",
     "q151_temperature_mixture": "1-row mixture-normalizer broadcast",
     "q157_pps_sample": "1-row total-weight broadcast onto the grid arithmetic",
+    "q163_kmv_overlap": "two 1-row frames (overlap stats x exact intersection) crossed",
+    "q164_chi_square": "1-row grand-total broadcast onto the cell frame",
 }
 
 
