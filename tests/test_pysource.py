@@ -89,3 +89,79 @@ def test_batch_feed_rebase_epoch(spark):
     stamps = [r["observed_at"] for r in df.collect()]
     assert stamps[0] == dt.datetime(2026, 1, 1)   # default epoch
     assert stamps[1] == dt.datetime(2024, 1, 1)   # re-based epoch
+
+
+# ---- staged_json sink (Python Data Source WRITER, S7/S8 protocol) ----
+
+
+def _feed_df(spark, n):
+    from nyc_taxi_data_prediction_pyspark_spark.sources import pysource
+
+    pysource.register(spark)
+    return spark.read.format("weather_feed").option("rows", n).load()
+
+
+def test_staged_sink_commit_manifest_and_append(spark, tmp_path):
+    from nyc_taxi_data_prediction_pyspark_spark.sources import pysource
+
+    pysource.register_sink(spark)
+    d = str(tmp_path / "t1")
+    _feed_df(spark, 10).write.format("staged_json").option("path", d).mode("append").save()
+    m = pysource.read_manifest(d)
+    assert m["total_rows"] == 10
+    # append accumulates into the manifest
+    _feed_df(spark, 5).write.format("staged_json").option("path", d).mode("append").save()
+    m2 = pysource.read_manifest(d)
+    assert m2["total_rows"] == 15
+    # data round-trip through the committed files only
+    import json as _json
+    import os
+
+    rows = []
+    for e in m2["files"]:
+        with open(os.path.join(d, e["file"])) as f:
+            rows += [_json.loads(line) for line in f]
+    assert len(rows) == 15
+    assert {r["city"] for r in rows} <= {"NYC", "BOS", "CHI", "LAX"}
+
+
+def test_staged_sink_overwrite_replaces(spark, tmp_path):
+    from nyc_taxi_data_prediction_pyspark_spark.sources import pysource
+
+    pysource.register_sink(spark)
+    d = str(tmp_path / "t2")
+    _feed_df(spark, 10).write.format("staged_json").option("path", d).mode("append").save()
+    _feed_df(spark, 3).write.format("staged_json").option("path", d).mode("overwrite").save()
+    assert pysource.read_manifest(d)["total_rows"] == 3
+
+
+def test_staged_sink_failed_task_aborts_statement(spark, tmp_path):
+    """ON_ERROR='ABORT_STATEMENT' semantics: a mid-write task failure
+    must leave the previously committed state fully intact — no
+    partial files visible, manifest unchanged."""
+    import os
+
+    import pytest
+
+    from nyc_taxi_data_prediction_pyspark_spark.sources import pysource
+
+    pysource.register_sink(spark)
+    d = str(tmp_path / "t3")
+    _feed_df(spark, 10).write.format("staged_json").option("path", d).mode("append").save()
+    before = pysource.read_manifest(d)
+    with pytest.raises(Exception, match="injected failure"):
+        (
+            _feed_df(spark, 50)
+            .write.format("staged_json")
+            .option("path", d)
+            .option("fail_on", "25")
+            .mode("append")
+            .save()
+        )
+    after = pysource.read_manifest(d)
+    assert after == before
+    # nothing but committed files + manifest (+ swept staging) visible
+    visible = {n for n in os.listdir(d) if n != "_staging"}
+    assert visible == {e["file"] for e in before["files"]} | {"_MANIFEST.json"}
+    staged = os.path.join(d, "_staging")
+    assert not os.path.exists(staged) or os.listdir(staged) == []
