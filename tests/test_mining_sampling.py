@@ -323,3 +323,33 @@ def test_chi_square_independent_and_dependent(spark):
         spark.createDataFrame(dep, "r string, c string"), row_col="r", col_col="c"
     ).collect()[0]
     assert r2.chi2 == 40.0
+
+
+def test_skyline_and_pps_have_no_global_data_window(spark):
+    """Scale gate (the q76 rule applied to the round-5 two-phase ops):
+    every window over DATA rows must be partitioned by __pid; the only
+    unpartitioned windows allowed are the metadata-sized ones over
+    per-partition subtotals (ordered by __pid)."""
+    from nyc_taxi_data_prediction_pyspark_spark.plans import explain
+
+    pts = spark.createDataFrame(
+        [(i % 37, i % 11) for i in range(200)], "cost long, quality long"
+    )
+    specs = explain.window_specs(
+        mining.skyline_2d(pts, minimize="cost", maximize="quality", num_partitions=8)
+    )
+    data_specs = [s for s in specs if "quality" in s or "cost" in s]
+    assert data_specs, "expected a window over the sort key"
+    assert all("__pid" in s for s in data_specs), data_specs
+
+    docs = spark.createDataFrame(
+        [(i, 10 + i % 5) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    specs = explain.window_specs(
+        pps_systematic_sample(
+            docs, id_col="doc_id", weight_col="n_tokens", k=10, num_partitions=8
+        )
+    )
+    data_specs = [s for s in specs if "__skey" in s]
+    assert data_specs, "expected a window over the md5 sort key"
+    assert all("__pid" in s for s in data_specs), data_specs

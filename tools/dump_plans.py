@@ -70,6 +70,18 @@ NOTES = {
     "q137_order_reconciliation": "lineitem aggregated to order grain once; one left join; exact decimal diffs",
     "q138_winsorized_mean": "two windows share one (group, value, id) sort; bounds broadcast back at #groups rows",
     "q139_grouped_mode": "count to the (group, bucket) domain, rank-1 window over the tiny count frame — deterministic ties",
+    "q142_kmeans_clusters": "assignment = broadcast k×dim centroid struct inside codegen exprs; per-iteration wire traffic is k·dim rows, the point set never re-shuffles",
+    "q143_incremental_view_maintenance": "signed-delta explode over the FEED only + one keyed agg + full-outer fold into the MV — the base is never rescanned",
+    "q146_record_linkage": "multi-pass blocking equi-joins with length prefilter; candidates are batch×registry blocks, dedup rides the min-struct winner agg",
+    "q153_prefix_filter_simjoin": "df-count join orders tokens rare-first with NO global rank; only prefix tokens enter postings; candidate pairs verify via array_intersect join-back",
+    "q155_skyline": "two-phase prefix max: range exchange, pid-partitioned windows, metadata-sized offsets broadcast — no single-partition data window",
+    "q156_weighted_median": "value-domain pre-aggregation first; the cumulative window runs over distinct values per group, not raw rows",
+    "q157_pps_sample": "two-phase prefix sum (pack machinery) + 1-row total broadcast; hit counts are BIGINT ceil-division grid arithmetic",
+    "q159_hll_daily_rollup": "per-(group, day) registers merged by register-wise MAX — distinct-count rollup with no rescan of raw history",
+    "q160_count_min_sketch": "in-row cell explode (depth entries) + one counter agg; point estimates probe via broadcast of the depth×width sketch",
+    "q162_bfs_reach": "per round: frontier⋈src-partitioned edges + anti-join against visited; frontier checkpointed, hop = first-reaching round",
+    "q163_kmv_overlap": "grouped top-k sketch (k rows/group); union/intersection algebra over ≤2k rows; estimates are single divisions of exact integers",
+    "q164_chi_square": "margins rejoin the cell domain via a constant-key equi join (full grid incl. zero cells); 1-row grand total broadcast",
 }
 
 
