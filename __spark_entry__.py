@@ -3426,6 +3426,50 @@ def q164_chi_square(spark: SparkSession, sf: str) -> DataFrame:
     return agg.chi_square_crosstab(ev, row_col="event_type", col_col="dow")
 
 
+def q165_stream_outer_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join (q108's attribution with
+    the unmatched side kept): views with NO purchase within the hour
+    surface as NULL-valued rows once the watermark passes their join
+    window — the conversion-funnel denominator a streaming attribution
+    pipeline needs. Outer emission is watermark-driven state eviction;
+    the availableNow closing no-data micro-batch flushes the tail.
+    Oracle = the equivalent batch LEFT JOIN."""
+    ev = stream.read_event_stream(spark, sf, glob="events.parquet")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    joined = stream.stream_stream_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        within="1 hour",
+        watermark="2 hours",
+        how="leftOuter",
+    )
+    pairs = joined.select(
+        F.col("l.user_id").alias("user_id"), F.col("r.value").alias("value")
+    )
+    sink = f"stream_oattr_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    stream.run_available_now(
+        pairs, checkpoint=ckpt, sink_table=sink, output_mode="append", state_partitions=8
+    )
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_matched"),
+            F.sum(F.col("value").isNull().cast("bigint")).alias("unconverted_views"),
+            agg.dsum("value").alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # Driver-slot rotation (round 5): the correctness driver hard-checks
 # the FIRST 50 registry entries only.  Rounds 1-4 gave every query
 # numbered <= q141 at least one driver-green row EXCEPT q58/q140,
@@ -3671,6 +3715,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_bfs_reach": q162_bfs_reach,
         "q163_kmv_overlap": q163_kmv_overlap,
         "q164_chi_square": q164_chi_square,
+        "q165_stream_outer_attribution": q165_stream_outer_attribution,
     }
 
 
@@ -6252,5 +6297,30 @@ SELECT (SELECT n FROM tot) AS n,
        ((SELECT COUNT(*) FROM rowm) - 1) * ((SELECT COUNT(*) FROM colm) - 1) AS dof,
        ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2
 FROM terms
+"""
+    # q165: the oracle MODELS WATERMARK EVICTION exactly — an
+    # unmatched view emits only once the join watermark (min of the
+    # two sides' max-event-time minus the 2 h delay) passes its join
+    # window, so tail views whose window never closes are withheld on
+    # both engines; matched pairs always emit. attributed_value sums
+    # only matched rows (SQL SUM skips NULLs).
+    oracles["q165_stream_outer_attribution"] = """
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT LEAST((SELECT MAX(ts) FROM v), (SELECT MAX(pts) FROM p))
+         - INTERVAL 2 HOUR AS w
+)
+SELECT v.user_id,
+       COUNT(*) AS n_rows,
+       COUNT(p.value) AS n_matched,
+       CAST(SUM(CASE WHEN p.value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unconverted_views,
+       CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+FROM v LEFT JOIN p
+  ON p.user_id = v.user_id AND p.pts >= v.ts AND p.pts <= v.ts + INTERVAL 1 HOUR
+CROSS JOIN wm
+WHERE p.value IS NOT NULL OR v.ts + INTERVAL 1 HOUR < wm.w
+GROUP BY v.user_id
+ORDER BY v.user_id
 """
     return oracles

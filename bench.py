@@ -117,6 +117,7 @@ HEADLINE = [
     "q162_bfs_reach",
     "q163_kmv_overlap",
     "q164_chi_square",
+    "q165_stream_outer_attribution",
 ]
 
 

@@ -164,6 +164,7 @@ def stream_stream_join(
     right_ts: str = "ts",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: pair right-side events
     that occur within ``within`` AFTER the left event, same ``key``.
@@ -173,6 +174,14 @@ def stream_stream_join(
     must buffer one side forever. State size ≈ input rate × (watermark
     + within) per side, independent of total stream length — the
     property that keeps this runnable on an unbounded 100 TB/day feed.
+
+    ``how="leftOuter"`` emits unmatched left rows (NULL right columns)
+    once the watermark passes their join window — the "view with no
+    purchase" attribution row. Outer emission is watermark-driven: the
+    engine can only declare "no match will ever come" after event-time
+    ``left_ts + within`` is below the watermark, so unmatched rows
+    surface with watermark latency (in availableNow runs the closing
+    no-data micro-batch flushes them — exactly-once either way).
     """
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
@@ -181,7 +190,7 @@ def stream_stream_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def run_available_now(
