@@ -3470,6 +3470,18 @@ def q165_stream_outer_attribution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q166_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM perplexity-proxy quality score (text.unigram_nll):
+    each document's average negative log-likelihood under the corpus's
+    own unigram model — the deterministic core of the CCNet/KenLM
+    quality filter. logp terms decimal-quantized before the
+    distributed per-doc sum (the q158/q161 rule)."""
+    docs = load(spark, sf, "documents")
+    return textops.unigram_nll(docs, text_col="text", id_col="doc_id").orderBy(
+        "doc_id"
+    )
+
+
 # Driver-slot rotation (round 5): the correctness driver hard-checks
 # the FIRST 50 registry entries only.  Rounds 1-4 gave every query
 # numbered <= q141 at least one driver-green row EXCEPT q58/q140,
@@ -3716,6 +3728,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_kmv_overlap": q163_kmv_overlap,
         "q164_chi_square": q164_chi_square,
         "q165_stream_outer_attribution": q165_stream_outer_attribution,
+        "q166_lm_quality": q166_lm_quality,
     }
 
 
@@ -6322,5 +6335,22 @@ CROSS JOIN wm
 WHERE p.value IS NOT NULL OR v.ts + INTERVAL 1 HOUR < wm.w
 GROUP BY v.user_id
 ORDER BY v.user_id
+"""
+    oracles["q166_lm_quality"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+model AS (SELECT tok, COUNT(*) AS c FROM toks2 GROUP BY 1),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM model),
+scored AS (
+  SELECT t2.doc_id, CAST(-ln(CAST(m.c AS DOUBLE) / t.t) AS DECIMAL(28,12)) AS nll
+  FROM toks2 t2 JOIN model m USING (tok) CROSS JOIN total t
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+FROM scored GROUP BY doc_id ORDER BY doc_id
 """
     return oracles

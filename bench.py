@@ -118,6 +118,7 @@ HEADLINE = [
     "q163_kmv_overlap",
     "q164_chi_square",
     "q165_stream_outer_attribution",
+    "q166_lm_quality",
 ]
 
 

@@ -454,3 +454,54 @@ def pps_systematic_sample(
         .where(F.col("n_hits") > 0)
         .select(F.col(id_col), F.col("__w").alias("weight"), "n_hits")
     )
+
+
+def unigram_nll(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    OWN unigram language model — the deterministic core of the
+    CCNet/KenLM-style "perplexity filter" (docs that score far from
+    the corpus model are boilerplate or noise; the real pipeline swaps
+    in a pretrained LM, same plumbing).
+
+    Model and scoring in one pass over the exploded token stream:
+    token counts (map-side combined) give p(tok) = count/T; each
+    token's logp is an IEEE double quantized to DECIMAL(28,12) BEFORE
+    the per-document sum (grouped_entropy's rule — last-ulp libm
+    differences vanish at the quantization grid, and the distributed
+    sum is order-independent). The token↔model join is a plain equi
+    join; AQE broadcasts the model when the vocabulary is small and
+    shuffles when it is not, both correct.
+
+    Returns (id, n_tokens, avg_nll), avg_nll rounded to 6dp."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__tok"),
+    ).where(F.col("__tok") != "")
+    model = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = model.agg(F.sum("__c").alias("__t"))
+    scored = (
+        toks.join(model, "__tok")
+        .join(F.broadcast(total), how="cross")  # 1-row total frame
+        .withColumn(
+            "__nll",
+            (-F.log(F.col("__c").cast("double") / F.col("__t"))).cast(
+                "decimal(28,12)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # cast the exact decimal sum to double BEFORE dividing:
+            # decimal-division scale rules differ between engines
+            F.round(
+                F.sum("__nll").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_nll"),
+        )
+    )

@@ -28,6 +28,7 @@ BNL_ALLOWED = {
     "q157_pps_sample": "1-row total-weight broadcast onto the grid arithmetic",
     "q163_kmv_overlap": "two 1-row frames (overlap stats x exact intersection) crossed",
     "q164_chi_square": "1-row grand-total broadcast onto the cell frame",
+    "q166_lm_quality": "1-row token-total broadcast onto the scored stream",
 }
 
 
