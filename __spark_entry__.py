@@ -3482,6 +3482,69 @@ def q166_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q167_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded k-core peeling (graph.kcore_peel): 3 synchronous
+    "drop degree < 25" rounds over the q109 trade graph, with a
+    converged flag reporting whether the fixed point was reached —
+    the graph-density filter behind community mining. Integer node
+    algebra ⇒ the oracle unrolls the same rounds (q162's contract)."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import graph
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return graph.kcore_peel(edges, k=25, rounds=3, assume_distinct=True)
+
+
+def q168_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier profile per return flag: exact median, exact MAD
+    (median absolute deviation), and the count of prices beyond
+    3×MAD — the robust sibling of q50's z-score (mean/std break under
+    the very outliers being hunted). Both medians are type-7
+    PERCENTILE_CONT (bit-equal to quantile_cont, the q152 evidence);
+    the group-key join-backs are broadcast-sized."""
+    li = load(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "dev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum((F.col("dev") > 3 * F.col("mad")).cast("bigint")).alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q169_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson correlation of the four lineitem measures in
+    ONE scan (aggregates.correlation_matrix): exact decimal moment
+    sums, then a handful of IEEE ops per pair — a correlation matrix
+    that value-hash checks, no quantization compromise needed."""
+    li = load(spark, sf, "lineitem")
+    return agg.correlation_matrix(
+        li, measures=["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).orderBy("var_x", "var_y")
+
+
 # Driver-slot rotation (round 5): the correctness driver hard-checks
 # the FIRST 50 registry entries only.  Rounds 1-4 gave every query
 # numbered <= q141 at least one driver-green row EXCEPT q58/q140,
@@ -3729,6 +3792,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_chi_square": q164_chi_square,
         "q165_stream_outer_attribution": q165_stream_outer_attribution,
         "q166_lm_quality": q166_lm_quality,
+        "q167_kcore": q167_kcore,
+        "q168_mad_outliers": q168_mad_outliers,
+        "q169_correlation_matrix": q169_correlation_matrix,
     }
 
 
@@ -4133,6 +4199,43 @@ cand AS (
 SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
+
+
+def _corr_matrix_sql(measures: list[str], scale: int = 4) -> str:
+    """DuckDB mirror of aggregates.correlation_matrix: identical
+    decimal moment sums, identical double-op ORDER in the r formula
+    (operand order matters for bit-equality of IEEE arithmetic)."""
+    dec = f"DECIMAL(18,{scale})"
+    # DuckDB requires width_a + width_b <= 38 for decimal multiply (no
+    # auto-widening like Spark's (18,4)x(18,4)->(37,8)): cast product
+    # operands to DECIMAL(19,scale) — same exact values, legal width
+    pdec = f"DECIMAL(19,{scale})"
+    sums = ["COUNT(*) AS n"]
+    for m in measures:
+        sums.append(f"SUM(CAST({m} AS {dec})) AS s_{m}")
+        sums.append(f"SUM(CAST({m} AS {pdec}) * CAST({m} AS {pdec})) AS ss_{m}")
+    for i, a in enumerate(measures):
+        for b in measures[i + 1 :]:
+            sums.append(f"SUM(CAST({a} AS {pdec}) * CAST({b} AS {pdec})) AS p_{a}_{b}")
+    rows = []
+    for i, a in enumerate(measures):
+        for b in measures[i + 1 :]:
+            expr = (
+                f"ROUND((CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE)) / "
+                f"(sqrt(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)) * "
+                f"sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)"
+            )
+            rows.append(f"SELECT '{a}' AS var_x, '{b}' AS var_y, {expr} AS corr FROM m")
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(sums)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(rows)
+        + " ORDER BY var_x, var_y"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6353,4 +6456,50 @@ SELECT doc_id, COUNT(*) AS n_tokens,
        ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
+    # q167: three peel rounds unrolled; inner joins against the
+    # (distinct) keep sets are the semi-joins.
+    oracles["q167_kcore"] = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e0 AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+d1 AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY 1),
+k1 AS (SELECT src AS node FROM d1 WHERE deg >= 25),
+e1 AS (SELECT e.src, e.dst FROM e0 e JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node),
+d2 AS (SELECT src, COUNT(*) AS deg FROM e1 GROUP BY 1),
+k2 AS (SELECT src AS node FROM d2 WHERE deg >= 25),
+e2 AS (SELECT e.src, e.dst FROM e1 e JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node),
+d3 AS (SELECT src, COUNT(*) AS deg FROM e2 GROUP BY 1),
+k3 AS (SELECT src AS node FROM d3 WHERE deg >= 25),
+e3 AS (SELECT e.src, e.dst FROM e2 e JOIN k3 a ON e.src = a.node JOIN k3 b ON e.dst = b.node),
+d4 AS (SELECT src, COUNT(*) AS deg FROM e3 GROUP BY 1)
+SELECT COUNT(*) AS n_nodes, MIN(src) AS min_node,
+       CAST(SUM(src) AS BIGINT) AS node_checksum,
+       CAST(SUM(CASE WHEN deg < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_k,
+       CAST(SUM(CASE WHEN deg < 25 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS converged
+FROM d4
+"""
+    oracles["q168_mad_outliers"] = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY 1
+),
+dev AS (
+  SELECT l.l_returnflag, ABS(l.l_extendedprice - m.med) AS dev, m.med
+  FROM lineitem l JOIN med m USING (l_returnflag)
+),
+mad AS (SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.l_returnflag,
+       COUNT(*) AS n_rows,
+       MIN(d.med) AS med,
+       MIN(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (l_returnflag)
+GROUP BY d.l_returnflag
+ORDER BY d.l_returnflag
+"""
+    oracles["q169_correlation_matrix"] = _corr_matrix_sql(
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
     return oracles

@@ -119,6 +119,9 @@ HEADLINE = [
     "q164_chi_square",
     "q165_stream_outer_attribution",
     "q166_lm_quality",
+    "q167_kcore",
+    "q168_mad_outliers",
+    "q169_correlation_matrix",
 ]
 
 

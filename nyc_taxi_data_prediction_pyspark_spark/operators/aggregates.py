@@ -700,3 +700,54 @@ def chi_square_crosstab(
         ).alias("dof"),
         F.round(F.sum(term).cast("double"), 6).alias("chi2"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    *,
+    measures: list[str],
+    scale: int = 4,
+) -> DataFrame:
+    """Pearson correlation for every measure pair in ONE scan: all
+    moment sums (Σx, Σx², Σxy) are EXACT decimal aggregates — one
+    map-side-combinable pass over the fact table, (2m + m(m-1)/2 + 1)
+    counters of state — and each r is then a few IEEE ops on exact
+    integers-as-doubles (sqrt is correctly rounded; no pow, no
+    order-dependent float sums anywhere), so the whole matrix
+    value-hash checks. The profiling sibling of q161's ACF.
+
+    Returns (var_x, var_y, corr) for the m(m-1)/2 unordered pairs."""
+    dec = f"decimal(18,{scale})"
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for m in measures:
+        c = F.col(m).cast(dec)
+        aggs.append(F.sum(c).alias(f"__s_{m}"))
+        aggs.append(F.sum(c * c).alias(f"__ss_{m}"))
+    for i, a in enumerate(measures):
+        for b in measures[i + 1 :]:
+            aggs.append(
+                F.sum(F.col(a).cast(dec) * F.col(b).cast(dec)).alias(f"__p_{a}_{b}")
+            )
+    one = df.agg(*aggs)
+    n = F.col("__n").cast("double")
+
+    def corr(a: str, b: str):
+        sx = F.col(f"__s_{a}").cast("double")
+        sy = F.col(f"__s_{b}").cast("double")
+        sxx = F.col(f"__ss_{a}").cast("double")
+        syy = F.col(f"__ss_{b}").cast("double")
+        sxy = F.col(f"__p_{a}_{b}").cast("double")
+        return F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        )
+
+    rows = [
+        F.struct(
+            F.lit(a).alias("var_x"), F.lit(b).alias("var_y"), corr(a, b).alias("corr")
+        )
+        for i, a in enumerate(measures)
+        for b in measures[i + 1 :]
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

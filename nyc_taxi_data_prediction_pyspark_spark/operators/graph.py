@@ -239,3 +239,52 @@ def bfs_levels(
     out = visited.localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def kcore_peel(
+    edges: DataFrame,
+    *,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` synchronous rounds of
+    "remove every node with degree < k" over an undirected edge set
+    (pass both directions, q109-style) — the density filter behind
+    community mining and spam-graph pruning. The true k-core is the
+    fixed point; bounding the rounds keeps the operator's cost and its
+    ORACLE well-defined (the same rounds unroll as CTEs, q162's
+    contract), and the ``converged`` flag reports whether the fixed
+    point was already reached — at 100 TB you run rounds until it
+    flips, checkpointing per round exactly as here.
+
+    Per round: one degree aggregation + two semi-joins restricting
+    edges to surviving endpoints; edge frame localCheckpointed so the
+    next round's plan starts from materialized state, not a growing
+    lineage (no driver action inside the loop). Returns one row:
+    (n_nodes, min_node, node_checksum, n_below_k, converged) —
+    ``n_below_k`` counts survivors another round would remove, so
+    ``converged`` means the bounded peel already reached the true
+    k-core.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select(F.col("src").alias("node"))
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
+            .localCheckpoint(eager=False)
+        )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("src").alias("min_node"),
+        F.sum("src").cast("bigint").alias("node_checksum"),
+        F.sum((F.col("deg") < k).cast("bigint")).alias("n_below_k"),
+    ).withColumn("converged", F.col("n_below_k") == 0)

@@ -353,3 +353,47 @@ def test_skyline_and_pps_have_no_global_data_window(spark):
     data_specs = [s for s in specs if "__skey" in s]
     assert data_specs, "expected a window over the md5 sort key"
     assert all("__pid" in s for s in data_specs), data_specs
+
+
+def test_kcore_matches_brute_force_fixed_point(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.graph import kcore_peel
+
+    rng = random.Random(23)
+    n = 40
+    und = {tuple(sorted((rng.randrange(n), rng.randrange(n)))) for _ in range(120)}
+    und = {(a, b) for a, b in und if a != b}
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    # brute-force peel to the true fixed point
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    K = 4
+    alive = set(adj)
+    while True:
+        drop = {u for u in alive if len(adj[u] & alive) < K}
+        if not drop:
+            break
+        alive -= drop
+    # enough rounds to converge -> exact k-core
+    r = kcore_peel(edf, k=K, rounds=10, assume_distinct=True).collect()[0]
+    assert r.converged
+    assert r.n_nodes == len(alive)
+    assert r.node_checksum == (sum(alive) if alive else None)
+
+
+def test_correlation_matrix_perfect_and_anti(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        correlation_matrix,
+    )
+
+    rows = [(float(i), 2.0 * i + 1, -3.0 * i, float(i * i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    got = {
+        (r.var_x, r.var_y): r.corr
+        for r in correlation_matrix(df, measures=["a", "b", "c", "d"]).collect()
+    }
+    assert got[("a", "b")] == 1.0  # exact linear
+    assert got[("a", "c")] == -1.0
+    assert 0.9 < got[("a", "d")] < 1.0  # quadratic: strong but < 1
