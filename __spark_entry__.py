@@ -3545,6 +3545,116 @@ def q169_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("var_x", "var_y")
 
 
+def q170_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition estimates over each user's
+    event-type stream: P(next | prev) from lag pairs — the behavioral
+    model a recommender/anomaly system fits from clickstreams. One
+    (user-partitioned) lag window + two counts; probabilities are
+    single divisions of exact integers, rounded 6dp."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        counts.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("row_total"), 6).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def q171_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit audit of l_extendedprice: observed leading-
+    digit frequencies vs the Benford expectation log10(1+1/d) — the
+    classic forensic-accounting screen. The leading digit comes from
+    the DECIMAL string rendering (identical text on both engines —
+    double→string is not), and the expectation is ln(1+1/d)/ln(10)
+    (no log10 libm call; ln parity is the q158 precedent)."""
+    li = load(spark, sf, "lineitem").where(F.col("l_extendedprice") > 0)
+    digit = F.substring(
+        F.regexp_replace(
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+            "[^1-9]",
+            "",
+        ),
+        1,
+        1,
+    ).cast("int")
+    counts = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        counts.join(F.broadcast(tot), how="cross")
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("actual_freq"),
+            F.round(expected, 6).alias("benford_freq"),
+            F.round(F.col("n") / F.col("total") - expected, 6).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+def q172_top_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 session OPENING PATHS (first three event types per
+    30-minute session) — the clickstream path-analysis rollup.
+    Sessionization is the q36 gap-island window; the path is an
+    in-row sorted slice; ties break on the path string."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_sess = (gap.isNull() | (gap > 30 * 60 * 1_000_000)).cast("bigint")
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.unix_micros("ts").alias("t"),
+                                    F.col("event_id").alias("e"),
+                                    F.col("event_type").alias("y"),
+                                )
+                            )
+                        ),
+                        1,
+                        3,
+                    ),
+                    lambda s: s["y"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
 # Driver-slot rotation (round 5): the correctness driver hard-checks
 # the FIRST 50 registry entries only.  Rounds 1-4 gave every query
 # numbered <= q141 at least one driver-green row EXCEPT q58/q140,
@@ -3795,6 +3905,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_kcore": q167_kcore,
         "q168_mad_outliers": q168_mad_outliers,
         "q169_correlation_matrix": q169_correlation_matrix,
+        "q170_markov_transitions": q170_markov_transitions,
+        "q171_benford_audit": q171_benford_audit,
+        "q172_top_session_paths": q172_top_session_paths,
     }
 
 
@@ -6502,4 +6615,58 @@ ORDER BY d.l_returnflag
     oracles["q169_correlation_matrix"] = _corr_matrix_sql(
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+    oracles["q170_markov_transitions"] = """
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+  WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total FROM counts GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n, ROUND(c.n / t.row_total, 6) AS prob
+FROM counts c JOIN totals t USING (from_type)
+ORDER BY c.from_type, c.to_type
+"""
+    oracles["q171_benford_audit"] = """
+WITH d AS (
+  SELECT CAST(substr(regexp_replace(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), '[^1-9]', '', 'g'), 1, 1) AS INTEGER) AS digit
+  FROM lineitem WHERE l_extendedprice > 0
+),
+counts AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT digit, n,
+       ROUND(n / t.total, 6) AS actual_freq,
+       ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_freq,
+       ROUND(n / t.total - ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS deviation
+FROM counts CROSS JOIN tot t
+ORDER BY digit
+"""
+    oracles["q172_top_session_paths"] = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(CASE WHEN gap IS NULL OR gap > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+),
+paths AS (
+  SELECT user_id, session_id,
+         array_to_string(list_transform(
+           list_sort(list(struct_pack(t := epoch_us(ts), e := event_id, y := event_type)))[1:3],
+           x -> x.y), '>') AS path
+  FROM s GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
     return oracles

@@ -122,6 +122,9 @@ HEADLINE = [
     "q167_kcore",
     "q168_mad_outliers",
     "q169_correlation_matrix",
+    "q170_markov_transitions",
+    "q171_benford_audit",
+    "q172_top_session_paths",
 ]
 
 

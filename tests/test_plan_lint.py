@@ -29,6 +29,7 @@ BNL_ALLOWED = {
     "q163_kmv_overlap": "two 1-row frames (overlap stats x exact intersection) crossed",
     "q164_chi_square": "1-row grand-total broadcast onto the cell frame",
     "q166_lm_quality": "1-row token-total broadcast onto the scored stream",
+    "q171_benford_audit": "1-row digit-total broadcast onto the 9-digit frame",
 }
 
 
