@@ -3655,6 +3655,34 @@ def q172_top_session_paths(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q173_credit_ledger(spark: SparkSession, sf: str) -> DataFrame:
+    """Clamped running balance (windows.clamped_running_balance): each
+    user's prepaid-credit ledger where purchases/signups credit and
+    clicks/errors/views debit, balance floored at zero with the
+    shortfall forfeited — the third sequential-fold semantics (after
+    throttle q128 and EWMA q113): non-affine in the carried state, so
+    no window form exists; BIGINT cent units make the oracle a
+    row-at-a-time recursive-CTE replay of the same fold."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.windows import (
+        clamped_running_balance,
+    )
+
+    ev = load(spark, sf, "events").withColumn(
+        "delta",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), F.col("value")
+        ).otherwise(-F.col("value")),
+    )
+    return clamped_running_balance(
+        ev,
+        partition=["user_id"],
+        ts="ts",
+        delta_col="delta",
+        order_tiebreak=["event_id"],
+        scale=2,
+    ).orderBy("user_id")
+
+
 # Driver-slot rotation (round 5): the correctness driver hard-checks
 # the FIRST 50 registry entries only.  Rounds 1-4 gave every query
 # numbered <= q141 at least one driver-green row EXCEPT q58/q140,
@@ -3908,6 +3936,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_markov_transitions": q170_markov_transitions,
         "q171_benford_audit": q171_benford_audit,
         "q172_top_session_paths": q172_top_session_paths,
+        "q173_credit_ledger": q173_credit_ledger,
     }
 
 
@@ -6668,5 +6697,35 @@ SELECT path, COUNT(*) AS n_sessions
 FROM paths GROUP BY path
 ORDER BY n_sessions DESC, path ASC
 LIMIT 20
+"""
+    # q173: the q128 recursive-replay pattern — scalar accumulator
+    # carried across one recursion level per event rank.
+    oracles["q173_credit_ledger"] = """
+WITH RECURSIVE e AS (
+  SELECT user_id,
+         CAST(ROUND((CASE WHEN event_type IN ('purchase', 'signup')
+                          THEN value ELSE -value END) * 100) AS BIGINT) AS d,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+),
+fold(user_id, rn, n_events, bal, maxb, clamps) AS (
+  SELECT user_id, rn, n_events,
+         GREATEST(d, 0), GREATEST(d, 0),
+         CASE WHEN d < 0 THEN 1::BIGINT ELSE 0::BIGINT END
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT f.user_id, e.rn, f.n_events,
+         GREATEST(f.bal + e.d, 0),
+         GREATEST(f.maxb, GREATEST(f.bal + e.d, 0)),
+         f.clamps + CASE WHEN f.bal + e.d < 0 THEN 1 ELSE 0 END
+  FROM fold f JOIN e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(bal AS BIGINT) AS final_bal,
+       CAST(maxb AS BIGINT) AS max_bal,
+       CAST(clamps AS BIGINT) AS n_clamps
+FROM fold WHERE rn = n_events
+ORDER BY user_id
 """
     return oracles

@@ -125,6 +125,7 @@ HEADLINE = [
     "q170_markov_transitions",
     "q171_benford_audit",
     "q172_top_session_paths",
+    "q173_credit_ledger",
 ]
 
 

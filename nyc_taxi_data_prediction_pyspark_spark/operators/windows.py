@@ -650,3 +650,70 @@ def throttle_last_segmented(
         fold["k"].cast("int").alias("n_kept"),
         fold["s"].alias("kept_ts_sum"),
     )
+
+
+def clamped_running_balance(
+    df: DataFrame,
+    *,
+    partition: Sequence[str],
+    ts: str,
+    delta_col: str,
+    order_tiebreak: Sequence[str] = (),
+    scale: int = 2,
+) -> DataFrame:
+    """Stock-ledger fold: walking each group in event-time order,
+    ``bal_t = max(0, bal_{t-1} + delta_t)`` — the inventory /
+    prepaid-credit semantics where a balance can never go negative and
+    the shortfall is FORFEITED, not carried. Like the throttle (q128)
+    and unlike EWMA, the recurrence is non-affine (the clamp makes
+    each step a piecewise function of the carried state), so no
+    lag/window form exists; it is the third member of the
+    sequential-fold family, expressed the same way: collect →
+    sort_array → F.aggregate with a scalar struct accumulator
+    (bal, max_bal, n_clamps).
+
+    Deltas are quantized to 10^-scale integer units with half-away
+    ROUND (the one rounding mode Spark doubles and DuckDB share), so
+    the fold is pure BIGINT arithmetic and the oracle can replay it
+    row-at-a-time as a recursive CTE (the q128 pattern — DuckDB
+    list_reduce struct accumulators are untrustworthy).
+
+    Returns per group: (n_events, final_bal, max_bal, n_clamps), all
+    in integer units. Scale posture: q113/q128's class — one shuffle,
+    per-group state bounded by events-per-entity; a hot entity
+    escalates to a keep-chain segmented variant exactly like
+    ``throttle_last_segmented`` (the entry state is the incoming
+    balance; per-chunk tables are piecewise-linear in it)."""
+    unit = 10**scale
+    order_cols = [F.unix_micros(F.col(ts)).alias("__t")] + [
+        F.col(c).cast("bigint").alias(f"__tb{i}") for i, c in enumerate(order_tiebreak)
+    ] + [F.round(F.col(delta_col) * unit, 0).cast("bigint").alias("__d")]
+    arr = F.sort_array(F.collect_list(F.struct(*order_cols)))
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        zero.alias("bal"), zero.alias("maxb"), zero.alias("clamps")
+    )
+
+    def step(acc, x):
+        nb = acc["bal"] + x["__d"]
+        clamped = nb < 0
+        bal = F.when(clamped, zero).otherwise(nb)
+        return F.struct(
+            bal.alias("bal"),
+            F.greatest(acc["maxb"], bal).alias("maxb"),
+            (acc["clamps"] + clamped.cast("bigint")).alias("clamps"),
+        )
+
+    # fold aggregated ONCE (three field-extractions of one agg column,
+    # not three independent collect+fold expressions)
+    folded = F.aggregate(arr, init, step)
+    out = df.groupBy(*partition).agg(
+        F.count(F.lit(1)).alias("n_events"), folded.alias("__f")
+    )
+    return out.select(
+        *partition,
+        "n_events",
+        F.col("__f.bal").alias("final_bal"),
+        F.col("__f.maxb").alias("max_bal"),
+        F.col("__f.clamps").alias("n_clamps"),
+    )

@@ -397,3 +397,45 @@ def test_correlation_matrix_perfect_and_anti(spark):
     assert got[("a", "b")] == 1.0  # exact linear
     assert got[("a", "c")] == -1.0
     assert 0.9 < got[("a", "d")] < 1.0  # quadratic: strong but < 1
+
+
+def test_clamped_running_balance_matches_python_fold(spark):
+    import datetime as dt
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators.windows import (
+        clamped_running_balance,
+    )
+
+    rng = random.Random(29)
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for uid in range(6):
+        for i in range(rng.randint(1, 40)):
+            rows.append(
+                (uid, i, base + dt.timedelta(minutes=rng.randint(0, 500)),
+                 round(rng.uniform(-50, 50), 2))
+            )
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, delta double")
+    got = {
+        r.user_id: (r.n_events, r.final_bal, r.max_bal, r.n_clamps)
+        for r in clamped_running_balance(
+            df, partition=["user_id"], ts="ts", delta_col="delta",
+            order_tiebreak=["event_id"], scale=2,
+        ).collect()
+    }
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for uid, eid, ts, d in rows:
+        per[uid].append((ts, eid, round(d * 100)))
+    for uid, evs in per.items():
+        bal = maxb = clamps = 0
+        for _, _, d in sorted(evs):
+            nb = bal + d
+            if nb < 0:
+                bal = 0
+                clamps += 1
+            else:
+                bal = nb
+            maxb = max(maxb, bal)
+        assert got[uid] == (len(evs), bal, maxb, clamps), uid
