@@ -126,6 +126,7 @@ HEADLINE = [
     "q171_benford_audit",
     "q172_top_session_paths",
     "q173_credit_ledger",
+    "q174_naive_bayes",
 ]
 
 

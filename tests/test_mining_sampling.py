@@ -439,3 +439,24 @@ def test_clamped_running_balance_matches_python_fold(spark):
                 bal = nb
             maxb = max(maxb, bal)
         assert got[uid] == (len(evs), bal, maxb, clamps), uid
+
+
+def test_naive_bayes_learns_separable_classes(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.ml import naive_bayes as nb
+
+    rng = random.Random(31)
+    vocab = {"pos": ["great", "good", "love", "nice"], "neg": ["bad", "awful", "hate", "poor"]}
+    rows = []
+    for i in range(200):
+        lab = "pos" if i % 2 == 0 else "neg"
+        words = [vocab[lab][rng.randrange(4)] for _ in range(8)]
+        words += [f"neutral{rng.randrange(20)}" for _ in range(4)]
+        rows.append((i, " ".join(words), lab))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = df.where(F.col("doc_id") % 5 != 0)
+    test = df.where(F.col("doc_id") % 5 == 0)
+    like, priors = nb.nb_train(train, label_col="lang")
+    pred = nb.nb_predict(test, like, priors, label_col="lang")
+    joined = test.select("doc_id", "lang").join(pred, "doc_id").collect()
+    acc = sum(1 for r in joined if r.lang == r.pred) / len(joined)
+    assert acc == 1.0  # fully separable vocabularies
