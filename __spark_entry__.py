@@ -3706,6 +3706,21 @@ def q174_naive_bayes(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q175_containment_excerpts(spark: SparkSession, sf: str) -> DataFrame:
+    """Excerpt/quote detection (dedup.containment_pairs): ordered
+    pairs where containment(a in b) = |A∩B|/|A| >= 0.6 — the
+    asymmetric near-dup predicate Jaccard misses (a short quote inside
+    a long article), verified complete against the all-pairs oracle.
+    The contamination-audit primitive for quote tracing."""
+    return dedup.containment_pairs(
+        load(spark, sf, "documents"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=0.6,
+    )
+
+
 # Driver-slot rotation (round 5): the correctness driver hard-checks
 # the FIRST 50 registry entries only.  Rounds 1-4 gave every query
 # numbered <= q141 at least one driver-green row EXCEPT q58/q140,
@@ -3961,6 +3976,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_top_session_paths": q172_top_session_paths,
         "q173_credit_ledger": q173_credit_ledger,
         "q174_naive_bayes": q174_naive_bayes,
+        "q175_containment_excerpts": q175_containment_excerpts,
     }
 
 
@@ -6803,5 +6819,29 @@ pred AS (
 SELECT t.lang AS true_label, p.pred, COUNT(*) AS n
 FROM test t JOIN pred p USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    # q175: UNCAPPED all-pairs containment — prefix filtering must be
+    # complete for the asymmetric predicate too.
+    oracles["q175_containment_excerpts"] = """
+WITH
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_inter * 1.0 / sa.n, 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+WHERE ROUND(n_inter * 1.0 / sa.n, 6) >= 0.6
 """
     return oracles

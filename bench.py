@@ -127,6 +127,7 @@ HEADLINE = [
     "q172_top_session_paths",
     "q173_credit_ledger",
     "q174_naive_bayes",
+    "q175_containment_excerpts",
 ]
 
 

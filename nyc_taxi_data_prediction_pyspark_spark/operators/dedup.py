@@ -766,3 +766,78 @@ def embedding_dupes(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXCERPT / QUOTE detection: exact CONTAINMENT self-join —
+    ordered pairs (a, b) where containment(a ⊆ b) = |A∩B|/|A| >= t,
+    the asymmetric cousin of Jaccard (a short quote inside a long
+    article scores high containment but low Jaccard, so near-dup
+    pipelines miss it; contamination audits and quote-tracing need
+    it).
+
+    Prefix-filtering still applies, asymmetrically: if |A∩B| >= t|A|
+    then |A\\B| <= |A|(1-t), so A's rare-first prefix of length
+    |A| - ceil(t|A|) + 1 MUST intersect B — indexing the CONTAINED
+    side's prefixes against the FULL token index of candidates is
+    complete. The full-side index does materialize hot-token posting
+    rows, but the hash probe carries only prefix tokens (rare-first by
+    construction), so hot postings never match and no quadratic pair
+    set exists; there is NO length filter on b (a container may be
+    arbitrarily long — that asymmetry is the point).
+
+    Verified-exact output: (id_a contained, id_b container,
+    containment), a != b, against the all-pairs oracle (q175)."""
+    thr = F.lit(float(threshold))
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(n_part)
+        .select(F.col(id_col), shingle_array(text_col, n, hashed=True).alias("shs"))
+        .where(F.size("shs") > 0)
+    )
+    toks = base.select(
+        F.col(id_col), F.size("shs").alias("n_sh"), F.explode("shs").alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        toks.join(dfreq, "tok")
+        .groupBy(id_col, "n_sh")
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("df"), F.col("tok")))).alias("sorted"))
+        .select(
+            F.col(id_col),
+            F.col("n_sh"),
+            F.transform("sorted", lambda s: s["tok"]).alias("toks"),
+        )
+    )
+    p = F.col("n_sh") - F.ceil(thr * F.col("n_sh")).cast("int") + F.lit(1)
+    prefix = ordered.select(
+        F.col(id_col).alias("id_a"), F.explode(F.slice("toks", 1, p)).alias("tok")
+    )
+    full = toks.select(F.col(id_col).alias("id_b"), "tok")
+    cand = (
+        prefix.join(full, "tok")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = ordered.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"), F.col("n_sh").alias("n_a"))
+    b = ordered.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("toks_a", "toks_b")) / F.col("n_a"), 6
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

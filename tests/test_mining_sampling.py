@@ -460,3 +460,40 @@ def test_naive_bayes_learns_separable_classes(spark):
     joined = test.select("doc_id", "lang").join(pred, "doc_id").collect()
     acc = sum(1 for r in joined if r.lang == r.pred) / len(joined)
     assert acc == 1.0  # fully separable vocabularies
+
+
+def test_containment_pairs_complete_vs_brute_force(spark):
+    """Asymmetric prefix filtering must be complete: quotes planted
+    inside long articles are found in the contained->container
+    direction even when Jaccard would be far below threshold."""
+    rng = random.Random(37)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(15):
+        art = [vocab[rng.randrange(60)] for _ in range(80)]
+        docs.append((i, " ".join(art)))
+        if i % 3 == 0:  # a quote: a 10-token span of the article
+            s = rng.randrange(0, 60)
+            docs.append((500 + i, " ".join(art[s : s + 10])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(
+            df, text_col="text", id_col="doc_id", n=3, threshold=0.6
+        ).collect()
+    }
+    # brute force over 3-gram shingle sets
+    def shingles(text):
+        ws = text.split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {d: shingles(t) for d, t in docs if len(t.split()) >= 3}
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and sa:
+                c = round(len(sa & sb) / len(sa), 6)
+                if c >= 0.6:
+                    want[(a, b)] = c
+    assert got == want
+    assert any(k[0] >= 500 for k in want), "fixture planted no quotes"
