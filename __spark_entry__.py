@@ -3721,6 +3721,104 @@ def q175_containment_excerpts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q176_interpolated_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-interpolation gap fill: the purchase-count hourly series
+    per event_type with MISSING hours reconstructed as the linear
+    blend of the nearest observed neighbors — the time-series-cleaning
+    sibling of q62's zero-fill (zeros bias rates; interpolation is
+    what forecasting pipelines feed). last/first IGNORE NULLS windows
+    over the hour spine (metadata-sized per group), integer hour
+    arithmetic, edges left NULL."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    hours = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    grid = spine.join(hours, ["event_type", "h"], "left").withColumn(
+        "hidx", F.expr("unix_micros(h) div 3600000000")
+    )
+    w_prev = (
+        W.partitionBy("event_type").orderBy("hidx").rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("event_type").orderBy("hidx").rowsBetween(0, W.unboundedFollowing)
+    )
+    pv = F.last("c", ignorenulls=True).over(w_prev)
+    ph = F.last(F.when(F.col("c").isNotNull(), F.col("hidx")), ignorenulls=True).over(w_prev)
+    nv = F.first("c", ignorenulls=True).over(w_next)
+    nh = F.first(F.when(F.col("c").isNotNull(), F.col("hidx")), ignorenulls=True).over(w_next)
+    interp = F.when(F.col("c").isNotNull(), F.col("c").cast("double")).otherwise(
+        pv + (nv - pv) * (F.col("hidx") - ph) / (nh - ph)
+    )
+    return (
+        grid.select(
+            "event_type",
+            "h",
+            F.col("c").isNull().alias("was_gap"),
+            F.round(interp, 6).alias("value"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+def q177_rolling_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 24-hour Pearson correlation between the hourly count
+    series of the two lexicographically-first event types — the
+    co-movement monitor of ops dashboards. Trailing RANGE window over
+    the hour INDEX (metadata-sized series domain, never data rows);
+    moment sums are exact integers, corr is the q169 formula per
+    window, rounded 6dp; windows with zero variance yield NULL."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    ranked = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("__rn", F.row_number().over(W.orderBy("event_type")))
+        .where(F.col("__rn") <= 2)
+    )
+    hours = (
+        ev.join(ranked, "event_type")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum((F.col("__rn") == 1).cast("bigint")).alias("x"),
+            F.sum((F.col("__rn") == 2).cast("bigint")).alias("y"),
+        )
+        .withColumn("hidx", F.expr("unix_micros(h) div 3600000000"))
+    )
+    w = W.orderBy("hidx").rangeBetween(-23, 0)
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("x").over(w).cast("double")
+    sy = F.sum("y").over(w).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).over(w).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).over(w).cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).over(w).cast("double")
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # zero-variance windows -> NULL (nullif guards the ANSI-mode
+    # divide-by-zero; identical NULLIF on the oracle side)
+    corr = (n * sxy - sx * sy) / F.nullif(den, F.lit(0.0))
+    return (
+        hours.select(
+            "h",
+            "x",
+            "y",
+            F.round(corr, 6).alias("rolling_corr_24h"),
+        )
+        .orderBy("h")
+    )
+
+
 # Driver-slot rotation (round 5): the correctness driver hard-checks
 # the FIRST 50 registry entries only.  Rounds 1-4 gave every query
 # numbered <= q141 at least one driver-green row EXCEPT q58/q140,
@@ -3977,6 +4075,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_credit_ledger": q173_credit_ledger,
         "q174_naive_bayes": q174_naive_bayes,
         "q175_containment_excerpts": q175_containment_excerpts,
+        "q176_interpolated_gaps": q176_interpolated_gaps,
+        "q177_rolling_correlation": q177_rolling_correlation,
     }
 
 
@@ -6843,5 +6943,71 @@ SELECT id_a, id_b,
        ROUND(n_inter * 1.0 / sa.n, 6) AS containment
 FROM inter JOIN sizes sa ON sa.doc_id = id_a
 WHERE ROUND(n_inter * 1.0 / sa.n, 6) >= 0.6
+"""
+    oracles["q176_interpolated_gaps"] = """
+WITH hours AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+),
+spine AS (
+  SELECT e.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM events) e
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 HOUR)) AS h) s
+),
+grid AS (
+  SELECT sp.event_type, sp.h, ho.c, epoch_us(sp.h) // 3600000000 AS hidx
+  FROM spine sp LEFT JOIN hours ho ON ho.event_type = sp.event_type AND ho.h = sp.h
+),
+w AS (
+  SELECT event_type, h, c, hidx,
+         LAST_VALUE(c IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hidx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN c IS NOT NULL THEN hidx END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hidx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         FIRST_VALUE(c IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hidx
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN c IS NOT NULL THEN hidx END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hidx
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM grid
+)
+SELECT event_type, h, c IS NULL AS was_gap,
+       ROUND(CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+                  ELSE pv + (nv - pv) * (hidx - ph) / (nh - ph) END, 6) AS value
+FROM w
+ORDER BY event_type, h
+"""
+    oracles["q177_rolling_correlation"] = """
+WITH ranked AS (
+  SELECT event_type, row_number() OVER (ORDER BY event_type) AS rn
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+hours AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events JOIN ranked USING (event_type)
+  WHERE rn <= 2 GROUP BY 1
+),
+g AS (SELECT h, x, y, epoch_us(h) // 3600000000 AS hidx FROM hours),
+w AS (
+  SELECT h, x, y,
+         CAST(COUNT(*) OVER win AS DOUBLE) AS n,
+         CAST(SUM(x) OVER win AS DOUBLE) AS sx,
+         CAST(SUM(y) OVER win AS DOUBLE) AS sy,
+         CAST(SUM(x * x) OVER win AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) OVER win AS DOUBLE) AS syy,
+         CAST(SUM(x * y) OVER win AS DOUBLE) AS sxy
+  FROM g
+  WINDOW win AS (ORDER BY hidx RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT h, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       ROUND((n * sxy - sx * sy) /
+             NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0), 6) AS rolling_corr_24h
+FROM w ORDER BY h
 """
     return oracles

@@ -128,6 +128,8 @@ HEADLINE = [
     "q173_credit_ledger",
     "q174_naive_bayes",
     "q175_containment_excerpts",
+    "q176_interpolated_gaps",
+    "q177_rolling_correlation",
 ]
 
 

@@ -31,6 +31,7 @@ BNL_ALLOWED = {
     "q166_lm_quality": "1-row token-total broadcast onto the scored stream",
     "q171_benford_audit": "1-row digit-total broadcast onto the 9-digit frame",
     "q174_naive_bayes": "#classes-row (tiny) prior frame crossed onto the token stream",
+    "q176_interpolated_gaps": "hour spine x #event-types frame (both metadata-sized) crossed",
 }
 
 
