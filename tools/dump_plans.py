@@ -82,6 +82,14 @@ NOTES = {
     "q162_bfs_reach": "per round: frontier⋈src-partitioned edges + anti-join against visited; frontier checkpointed, hop = first-reaching round",
     "q163_kmv_overlap": "grouped top-k sketch (k rows/group); union/intersection algebra over ≤2k rows; estimates are single divisions of exact integers",
     "q164_chi_square": "margins rejoin the cell domain via a constant-key equi join (full grid incl. zero cells); 1-row grand total broadcast",
+    "q165_stream_outer_attribution": "watermarked left-outer stream-stream join; unmatched state evicted (emitting NULLs) when the min-of-sides watermark passes the join window",
+    "q166_lm_quality": "model = token-domain counts; score join AQE-sized; 1-row total broadcast; per-doc quantized-logp sums order-independent",
+    "q167_kcore": "per round: degree agg + two semi-joins over the shrinking survivor edge set, checkpointed; no in-loop driver action",
+    "q173_credit_ledger": "one groupBy; the clamp fold is a per-group BIGINT array fold with a scalar struct accumulator — no window, no UDF",
+    "q174_naive_bayes": "model = (vocab x classes) count frame; scoring joins test tokens on token + crosses the #classes prior frame; min-struct argmax",
+    "q175_containment_excerpts": "contained-side rare-first prefixes probe the full token index; no container length filter; verify via array_intersect join-back",
+    "q176_interpolated_gaps": "hour-spine left join + IGNORE-NULLS neighbor windows per group — windows run over the series domain, never raw events",
+    "q177_rolling_correlation": "one trailing RANGE window over the hour index carrying six exact integer moment sums; corr per-row IEEE with NULLIF guard",
 }
 
 
