@@ -3819,6 +3819,84 @@ def q177_rolling_correlation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q178_pareto_abc(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto / ABC analysis of revenue by nation: share, cumulative
+    share in descending-revenue order, and the A/B/C class (a nation
+    is A while the cumulative share BEFORE it is < 80%, B before 95%,
+    else C) — the 80/20 concentration rollup every ops review runs.
+    Revenue is an exact decimal sum; the ranking window runs over the
+    nation domain (25 rows, metadata-sized); cumulative shares divide
+    exact decimal cumsums so class boundaries cannot flip with
+    partition order."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("__rev")
+        )
+    )
+    w = W.orderBy(F.col("__rev").desc(), F.col("n_name").asc())
+    tot = W.partitionBy()
+    cum = F.sum("__rev").over(w.rowsBetween(W.unboundedPreceding, 0))
+    total = F.sum("__rev").over(tot)
+    before = (cum - F.col("__rev")).cast("double") / total.cast("double")
+    return rev.select(
+        "n_name",
+        F.col("__rev").cast("double").alias("revenue"),
+        F.round(F.col("__rev").cast("double") / total.cast("double"), 6).alias("share"),
+        F.round(cum.cast("double") / total.cast("double"), 6).alias("cum_share"),
+        F.when(before < 0.80, "A").when(before < 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    ).orderBy(F.col("revenue").desc(), "n_name")
+
+
+def q179_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily growth accounting (new / retained / resurrected /
+    churned) over user activity — the Reforge-style DAU decomposition:
+    a user is NEW on their first active day, RETAINED when active
+    yesterday too, RESURRECTED after a gap; CHURNED(t) = yesterday's
+    actives minus today's retained, defined only when the previous
+    observed day is exactly yesterday (mirrored in the oracle). One
+    distinct + one user-partitioned lag window; the day-series window
+    is metadata-sized."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    tagged = act.withColumn("prev", F.lag("day").over(w)).withColumn(
+        "status",
+        F.when(F.col("prev").isNull(), "new")
+        .when(F.datediff("day", "prev") == 1, "retained")
+        .otherwise("resurrected"),
+    )
+    daily = tagged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum((F.col("status") == "new").cast("bigint")).alias("n_new"),
+        F.sum((F.col("status") == "retained").cast("bigint")).alias("n_retained"),
+        F.sum((F.col("status") == "resurrected").cast("bigint")).alias("n_resurrected"),
+    )
+    dw = W.orderBy("day")  # day-series domain: metadata-sized
+    churn = F.when(
+        F.datediff("day", F.lag("day").over(dw)) == 1,
+        F.lag("n_active").over(dw) - F.col("n_retained"),
+    )
+    return daily.withColumn("n_churned", churn.cast("bigint")).orderBy("day")
+
+
 # Driver-slot rotation (round 5): the correctness driver hard-checks
 # the FIRST 50 registry entries only.  Rounds 1-4 gave every query
 # numbered <= q141 at least one driver-green row EXCEPT q58/q140,
@@ -4077,6 +4155,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_containment_excerpts": q175_containment_excerpts,
         "q176_interpolated_gaps": q176_interpolated_gaps,
         "q177_rolling_correlation": q177_rolling_correlation,
+        "q178_pareto_abc": q178_pareto_abc,
+        "q179_growth_accounting": q179_growth_accounting,
     }
 
 
@@ -7009,5 +7089,59 @@ SELECT h, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
        ROUND((n * sxy - sx * sy) /
              NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0), 6) AS rolling_corr_24h
 FROM w ORDER BY h
+"""
+    oracles["q178_pareto_abc"] = """
+WITH rev AS (
+  SELECT n_name,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS r
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+),
+w AS (
+  SELECT n_name, r,
+         SUM(r) OVER (ORDER BY r DESC, n_name ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(r) OVER () AS total
+  FROM rev
+)
+SELECT n_name,
+       CAST(r AS DOUBLE) AS revenue,
+       ROUND(CAST(r AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+       CASE WHEN CAST(cum - r AS DOUBLE) / CAST(total AS DOUBLE) < 0.80 THEN 'A'
+            WHEN CAST(cum - r AS DOUBLE) / CAST(total AS DOUBLE) < 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM w ORDER BY revenue DESC, n_name
+"""
+    oracles["q179_growth_accounting"] = """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+tagged AS (
+  SELECT user_id, day,
+         LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+  FROM act
+),
+st AS (
+  SELECT day,
+         CASE WHEN prev IS NULL THEN 'new'
+              WHEN date_diff('day', prev, day) = 1 THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM tagged
+),
+daily AS (
+  SELECT day,
+         COUNT(*) AS n_active,
+         CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM st GROUP BY 1
+)
+SELECT day, n_active, n_new, n_retained, n_resurrected,
+       CAST(CASE WHEN date_diff('day', LAG(day) OVER (ORDER BY day), day) = 1
+                 THEN LAG(n_active) OVER (ORDER BY day) - n_retained END AS BIGINT)
+         AS n_churned
+FROM daily ORDER BY day
 """
     return oracles

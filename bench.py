@@ -130,6 +130,8 @@ HEADLINE = [
     "q175_containment_excerpts",
     "q176_interpolated_gaps",
     "q177_rolling_correlation",
+    "q178_pareto_abc",
+    "q179_growth_accounting",
 ]
 
 
