@@ -132,6 +132,8 @@ HEADLINE = [
     "q177_rolling_correlation",
     "q178_pareto_abc",
     "q179_growth_accounting",
+    "q180_kwic",
+    "q181_backtest_mape",
 ]
 
 

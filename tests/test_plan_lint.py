@@ -32,6 +32,8 @@ BNL_ALLOWED = {
     "q171_benford_audit": "1-row digit-total broadcast onto the 9-digit frame",
     "q174_naive_bayes": "#classes-row (tiny) prior frame crossed onto the token stream",
     "q176_interpolated_gaps": "hour spine x #event-types frame (both metadata-sized) crossed",
+    "q180_kwic": "1-row keyword frame crossed onto the token arrays",
+    "q181_backtest_mape": "hour spine x #event-types frame (both metadata-sized) crossed",
 }
 
 
