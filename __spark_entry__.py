@@ -3998,6 +3998,9 @@ def q181_backtest_mape(spark: SparkSession, sf: str) -> DataFrame:
 #   - q17/q38/q109: re-confirmations for the connected-components
 #     checkpoint rewrite (commit 107d276) and the PageRank
 #     checkpoint-every-K rewrite,
+#   - q20/q21: gained full md5-engine-stable oracles after their
+#     r1/r2 rows-only records — a head slot upgrades them to
+#     value-hash evidence,
 #   - remaining slots: oldest-evidence re-confirmations — the round-3
 #     head queries (q75-q118, single green row, untouched since r3),
 #     in number order.
