@@ -70,3 +70,37 @@ def test_compact_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
         .count()
     )
     assert disorder == 0
+
+
+def test_fold_query_survives_hostile_session(spark, sf_dir):
+    """q173's ledger fold rides µs timestamp arithmetic + the nanos
+    bridge: run it under a hostile session (wrong TZ, AQE off, nanos
+    bridge off) and it must still value-match DuckDB — load() pins the
+    session back, or every boundary comparison drifts."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as entry
+
+    pinned = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    try:
+        for k, v in HOSTILE.items():
+            spark.conf.set(k, v)
+        got = sorted(
+            map(tuple, entry.q173_credit_ledger(spark, sf_dir).collect())
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        want = sorted(map(tuple, con.execute(
+            entry.oracle_sql()["q173_credit_ledger"]
+        ).fetchall()))
+        assert got == want
+    finally:
+        for k, v in pinned.items():
+            spark.conf.set(k, v)

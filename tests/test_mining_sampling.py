@@ -497,3 +497,85 @@ def test_containment_pairs_complete_vs_brute_force(spark):
                     want[(a, b)] = c
     assert got == want
     assert any(k[0] >= 500 for k in want), "fixture planted no quotes"
+
+
+# ---------------------------------------------------------------- property
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@pytest.fixture(scope="session")
+def spark_h(spark):
+    return spark
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(1, 10_000), min_size=1, max_size=50),
+    st.sampled_from([1, 3, 17, 100, 555]),
+)
+def test_pps_property_hits_sum_to_k(spark_h, weights, k):
+    """For ARBITRARY positive weights and k: Σ n_hits == k exactly, no
+    hit count exceeds ceil(k·w/T)+1, and two-phase == single-window."""
+    df = spark_h.createDataFrame(
+        list(enumerate(weights)), "doc_id long, n_tokens long"
+    )
+    one = sorted(map(tuple, pps_systematic_sample(
+        df, id_col="doc_id", weight_col="n_tokens", k=k, two_phase=False
+    ).collect()))
+    two = sorted(map(tuple, pps_systematic_sample(
+        df, id_col="doc_id", weight_col="n_tokens", k=k, two_phase=True, num_partitions=4
+    ).collect()))
+    assert one == two
+    assert sum(h for _, _, h in one) == k
+    tot = sum(weights)
+    for _, w, h in one:
+        assert h <= -(-k * w // tot) + 1
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(-2_000, 2_000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_clamped_balance_property(spark_h, events):
+    """For ARBITRARY (offset-µs, delta-cent) ledgers: the distributed
+    fold equals the sequential Python fold, final/max balances are
+    non-negative, and max >= final."""
+    import datetime as dt
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators.windows import (
+        clamped_running_balance,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (0, i, base + dt.timedelta(microseconds=off), d / 100.0)
+        for i, (off, d) in enumerate(events)
+    ]
+    df = spark_h.createDataFrame(
+        rows, "g long, event_id long, ts timestamp, delta double"
+    )
+    r = clamped_running_balance(
+        df, partition=["g"], ts="ts", delta_col="delta",
+        order_tiebreak=["event_id"], scale=2,
+    ).collect()[0]
+    # exact ordering: (ts, event_id) like the operator
+    seq = sorted(((off, i, d) for i, (off, d) in enumerate(events)))
+    bal = maxb = clamps = 0
+    for _, _, d in seq:
+        nb = bal + d
+        if nb < 0:
+            bal = 0
+            clamps += 1
+        else:
+            bal = nb
+        maxb = max(maxb, bal)
+    assert (r.n_events, r.final_bal, r.max_bal, r.n_clamps) == (
+        len(events), bal, maxb, clamps
+    )
+    assert r.final_bal >= 0 and r.max_bal >= r.final_bal
