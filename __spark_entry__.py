@@ -7087,9 +7087,17 @@ pred AS (
     SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
     FROM percls
   ) WHERE rn = 1
+),
+-- zero-token test docs: every class score degenerates to ln_prior, so
+-- the prediction is the prior-only argmax (ties to smallest label) —
+-- mirrors nb_predict's left-join + coalesce fallback
+prior_pred AS (SELECT lang FROM priors ORDER BY ln_prior DESC, lang ASC LIMIT 1),
+pred_all AS (
+  SELECT t.doc_id, COALESCE(p.pred, (SELECT lang FROM prior_pred)) AS pred
+  FROM test t LEFT JOIN pred p USING (doc_id)
 )
 SELECT t.lang AS true_label, p.pred, COUNT(*) AS n
-FROM test t JOIN pred p USING (doc_id)
+FROM test t JOIN pred_all p USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
     # q175: UNCAPPED all-pairs containment — prefix filtering must be

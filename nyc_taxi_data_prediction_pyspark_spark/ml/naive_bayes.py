@@ -89,7 +89,11 @@ def nb_predict(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Score + argmax: returns (id, pred) — the predicted class per
-    test document."""
+    test document. A document that tokenizes to ZERO tokens (empty or
+    all-punctuation text) still gets a row: with no token terms every
+    class score reduces to ln_prior, so the prior-only argmax (the
+    same min-struct tie-break) is its prediction — computed once from
+    the tiny priors frame and broadcast-coalesced in."""
     toks = _tokens(test, id_col, text_col)
     # every (token occurrence) × (class): cross with the tiny class
     # frame, then left-join seen likelihoods; OOV/unseen -> 1/(T+V)
@@ -105,8 +109,21 @@ def nb_predict(
         (F.first("ln_prior") + F.sum("__lp")).alias("__score")
     )
     # argmax, ties to smallest label: min over (-score, label)
-    return (
+    preds = (
         per_class.groupBy(id_col)
         .agg(F.min(F.struct((-F.col("__score")).alias("ns"), F.col(label_col).alias("l"))).alias("__m"))
         .select(id_col, F.col("__m.l").alias("pred"))
+    )
+    # zero-token documents never enter `toks`: left-join the full test
+    # id set and fall back to the prior-only argmax (1-row frame)
+    prior_pred = priors.groupBy().agg(
+        F.min(
+            F.struct((-F.col("ln_prior")).alias("ns"), F.col(label_col).alias("l"))
+        )["l"].alias("__prior_pred")
+    )
+    return (
+        test.select(id_col)
+        .join(preds, id_col, "left")
+        .crossJoin(F.broadcast(prior_pred))
+        .select(id_col, F.coalesce("pred", "__prior_pred").alias("pred"))
     )

@@ -248,16 +248,10 @@ def hll_distinct(
 
     Scale: one narrow map + two map-side-combinable groupBys; the
     sketch state is m rows per group, independent of input size.
+    (All sketch constants — bucket count, rank width, the alpha_m
+    numerator — live in hll_registers/hll_from_registers, which this
+    wrapper merely composes.)
     """
-    from ..functions.hashing import md5_int60
-
-    m = 1 << p
-    w = 60 - p
-    s_ = w + 1
-    # the full numerator constant, computed ONCE here and embedded as a
-    # literal in both engines: alpha_m * m^2 * 2^(w+1)
-    num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << s_)
-
     regs = hll_registers(df, group_keys=group_keys, value_col=value_col, p=p)
     return hll_from_registers(regs, group_keys=group_keys, p=p)
 

@@ -685,9 +685,21 @@ def clamped_running_balance(
     ``throttle_last_segmented`` (the entry state is the incoming
     balance; per-chunk tables are piecewise-linear in it)."""
     unit = 10**scale
+    # a NULL delta would poison the fold (acc.bal + NULL nulls the
+    # carried state for the rest of the group, silently) — fail fast
+    # instead, like ivm.apply_agg_deltas does on malformed CDC ops
+    delta = F.when(
+        F.col(delta_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"clamped_running_balance: NULL {delta_col} at ts="),
+                F.col(ts).cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(F.col(delta_col))
     order_cols = [F.unix_micros(F.col(ts)).alias("__t")] + [
         F.col(c).cast("bigint").alias(f"__tb{i}") for i, c in enumerate(order_tiebreak)
-    ] + [F.round(F.col(delta_col) * unit, 0).cast("bigint").alias("__d")]
+    ] + [F.round(delta * unit, 0).cast("bigint").alias("__d")]
     arr = F.sort_array(F.collect_list(F.struct(*order_cols)))
     zero = F.lit(0).cast("bigint")
     init = F.struct(

@@ -441,6 +441,30 @@ def test_clamped_running_balance_matches_python_fold(spark):
         assert got[uid] == (len(evs), bal, maxb, clamps), uid
 
 
+def test_clamped_running_balance_null_delta_fails_fast(spark):
+    """A NULL delta must raise, not silently NULL the fold's carried
+    state for the rest of the group (ADVICE r5 — the ivm.apply_agg_deltas
+    malformed-input rule applied to the ledger fold)."""
+    import datetime as dt
+
+    import pytest
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators.windows import (
+        clamped_running_balance,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 0, base, 5.0), (1, 1, base + dt.timedelta(minutes=1), None)],
+        "user_id long, event_id long, ts timestamp, delta double",
+    )
+    with pytest.raises(Exception, match="NULL delta"):
+        clamped_running_balance(
+            df, partition=["user_id"], ts="ts", delta_col="delta",
+            order_tiebreak=["event_id"], scale=2,
+        ).collect()
+
+
 def test_naive_bayes_learns_separable_classes(spark):
     from nyc_taxi_data_prediction_pyspark_spark.ml import naive_bayes as nb
 
@@ -460,6 +484,32 @@ def test_naive_bayes_learns_separable_classes(spark):
     joined = test.select("doc_id", "lang").join(pred, "doc_id").collect()
     acc = sum(1 for r in joined if r.lang == r.pred) / len(joined)
     assert acc == 1.0  # fully separable vocabularies
+
+
+def test_naive_bayes_empty_document_gets_prior_prediction(spark):
+    """A test doc that tokenizes to zero tokens must still get a row
+    (ADVICE r5): its score is ln_prior for every class, so the
+    prediction is the prior argmax — here the majority class — with
+    ties broken to the smallest label."""
+    from nyc_taxi_data_prediction_pyspark_spark.ml import naive_bayes as nb
+
+    train = spark.createDataFrame(
+        [(i, "alpha beta", "b") for i in range(6)]
+        + [(10 + i, "gamma delta", "a") for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    test = spark.createDataFrame(
+        [(100, ""), (101, "   "), (102, "alpha beta")],
+        "doc_id long, text string",
+    )
+    like, priors = nb.nb_train(train, label_col="lang")
+    got = {
+        r.doc_id: r.pred
+        for r in nb.nb_predict(test, like, priors, label_col="lang").collect()
+    }
+    assert set(got) == {100, 101, 102}  # no dropped rows
+    assert got[100] == "b" and got[101] == "b"  # prior argmax (6 b vs 4 a)
+    assert got[102] == "b"
 
 
 def test_containment_pairs_complete_vs_brute_force(spark):

@@ -165,3 +165,86 @@ def test_staged_sink_failed_task_aborts_statement(spark, tmp_path):
     assert visible == {e["file"] for e in before["files"]} | {"_MANIFEST.json"}
     staged = os.path.join(d, "_staging")
     assert not os.path.exists(staged) or os.listdir(staged) == []
+
+
+def test_staged_sink_abort_spares_concurrent_staging(spark, tmp_path):
+    """abort() sweeps only THIS statement's uuid-namespaced staging dir
+    (ADVICE r5): another writer's in-flight staged files must survive a
+    concurrent statement's failure."""
+    import os
+
+    import pytest
+
+    from nyc_taxi_data_prediction_pyspark_spark.sources import pysource
+
+    pysource.register_sink(spark)
+    d = str(tmp_path / "t5")
+    _feed_df(spark, 4).write.format("staged_json").option("path", d).mode("append").save()
+    foreign = os.path.join(d, "_staging", "other-writer")
+    os.makedirs(foreign)
+    with open(os.path.join(foreign, "part-foreign.jsonl"), "w") as f:
+        f.write('{"obs_id": 999}\n')
+    with pytest.raises(Exception, match="injected failure"):
+        (
+            _feed_df(spark, 50)
+            .write.format("staged_json")
+            .option("path", d)
+            .option("fail_on", "25")
+            .mode("append")
+            .save()
+        )
+    # the concurrent writer's staged file is untouched
+    assert os.path.exists(os.path.join(foreign, "part-foreign.jsonl"))
+    # and the failed statement's own staging namespaces are gone
+    others = [n for n in os.listdir(os.path.join(d, "_staging")) if n != "other-writer"]
+    assert others == []
+
+
+def test_staged_sink_crash_before_manifest_rename_keeps_old_table(tmp_path, monkeypatch):
+    """The ADVICE-r5 medium: in overwrite mode the sweep of old data
+    files must happen AFTER the new manifest's atomic rename. Simulate
+    a crash exactly at the rename — the old manifest must still
+    reference files that all exist."""
+    import json as _json
+    import os
+
+    import pytest
+
+    from nyc_taxi_data_prediction_pyspark_spark.sources.pysource import (
+        _StagedJsonWriter,
+        read_manifest,
+    )
+
+    d = str(tmp_path / "t6")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-old.jsonl"), "w") as f:
+        f.write('{"obs_id": 1}\n')
+    with open(os.path.join(d, "_MANIFEST.json"), "w") as f:
+        _json.dump({"files": [{"file": "part-old.jsonl", "rows": 1}], "total_rows": 1}, f)
+
+    class _FakeRow:
+        def __init__(self, **kw):
+            self._kw = kw
+
+        def asDict(self):
+            return self._kw
+
+    w = _StagedJsonWriter({"path": d}, overwrite=True)
+    msg = w.write(iter([_FakeRow(obs_id=2)]))
+
+    real_replace = os.replace
+
+    def crash_at_manifest(src, dst):
+        if str(dst).endswith("_MANIFEST.json"):
+            raise RuntimeError("simulated crash at manifest rename")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_at_manifest)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        w.commit([msg])
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    m = read_manifest(d)
+    assert m["total_rows"] == 1
+    for e in m["files"]:  # every file the live manifest references exists
+        assert os.path.exists(os.path.join(d, e["file"])), e
