@@ -134,6 +134,9 @@ HEADLINE = [
     "q179_growth_accounting",
     "q180_kwic",
     "q181_backtest_mape",
+    "q182_personalized_pagerank",
+    "q183_frequent_triples",
+    "q184_sliding_hll_distinct",
 ]
 
 

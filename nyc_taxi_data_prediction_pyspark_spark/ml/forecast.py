@@ -60,6 +60,59 @@ def predict_demand(events: DataFrame, model: PipelineModel | None = None) -> Dat
     )
 
 
+def fit_quality_report(events: DataFrame) -> DataFrame:
+    """Deterministic ACCEPTANCE AUDIT for the MLlib demand fit (round-6
+    verdict ask: make the JVM-seeded q29 driver-checkable). The fitted
+    coefficients live inside the library and can never hash-match an
+    external engine — but the fit's CONTRACT can, with bit-stable
+    outputs:
+
+    - exact columns any engine reproduces: n_rows (training rows =
+      distinct hour×type cells), n_types, sum/min/max demand;
+    - ``preds_complete``: every training row got a finite prediction;
+    - ``fit_not_worse_than_constant``: training R² > -0.01. For ridge
+      with an unpenalized intercept this is a theorem (the solver's
+      objective at b=0, a=ȳ is SS_tot, so SS_res <= SS_tot => R² >= 0);
+      the -0.01 slack absorbs float summation only. A solver
+      regression (diverging/garbage fit) flips the boolean and fails
+      the oracle value-hash.
+
+    SS terms are plain double sums — order-dependent floats, but they
+    feed only a boolean with enormous margin, never the hash."""
+    frame = demand_training_frame(events)
+    scored = build_pipeline().fit(frame).transform(frame)
+    pred_ok = (
+        F.col("prediction").isNotNull()
+        & ~F.isnan("prediction")
+        & (F.abs("prediction") < F.lit(1e15))
+    )
+    r = scored.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum("demand").cast("bigint").alias("sum_demand"),
+        F.min("demand").cast("bigint").alias("min_demand"),
+        F.max("demand").cast("bigint").alias("max_demand"),
+        F.sum(pred_ok.cast("bigint")).alias("__n_pred_ok"),
+        F.sum(F.col("demand").cast("double")).alias("__sd"),
+        F.sum((F.col("demand") * F.col("demand")).cast("double")).alias("__sdd"),
+        F.sum(
+            (F.col("demand") - F.col("prediction")) * (F.col("demand") - F.col("prediction"))
+        ).alias("__ssres"),
+    )
+    sstot = F.col("__sdd") - F.col("__sd") * F.col("__sd") / F.col("n_rows")
+    return r.select(
+        "n_rows",
+        "n_types",
+        "sum_demand",
+        "min_demand",
+        "max_demand",
+        (F.col("__n_pred_ok") == F.col("n_rows")).alias("preds_complete"),
+        (F.lit(1.0) - F.col("__ssres") / sstot > F.lit(-0.01)).alias(
+            "fit_not_worse_than_constant"
+        ),
+    )
+
+
 def grouped_linear_fit(
     df: DataFrame, *, group: str, x: str, y: str
 ) -> DataFrame:

@@ -326,6 +326,50 @@ def hll_from_registers(
     )
 
 
+def hll_sliding_distinct(
+    df: DataFrame,
+    *,
+    day_col: str,
+    value_col: str,
+    window_days: int = 7,
+    p: int = 9,
+) -> DataFrame:
+    """Trailing-``window_days`` DISTINCT count per active day via
+    MERGEABLE HLL registers — the sketch form of q134's exact rolling
+    WAU. This is THE reason sketches earn their place in a 100 TB
+    pipeline: the raw-data pass happens ONCE (per-day registers, m
+    rows/day state); every window is then a register-wise MAX over
+    ``window_days`` register sets — daily history is never rescanned,
+    and backfilling a new window length touches only the register
+    store.
+
+    Shape: per-day registers (one map-side-combined groupBy) →
+    CONTRIBUTION EXPLODE (each day's m-row register set is exploded to
+    the ``window_days`` windows it serves — register volume, not data
+    volume) → max-merge per (window, bucket) → estimate. Output rows
+    only for windows ending on an OBSERVED day (equi semi-join — no
+    scalar broadcast needed).
+
+    Register math is ``hll_registers``'s engine-stable integer
+    construction, so the whole sliding computation value-hash-checks
+    (q184). Returns (win_end, n_used, d_scaled, hll_estimate)."""
+    regs = hll_registers(df, group_keys=[day_col], value_col=value_col, p=p)
+    contrib = regs.select(
+        F.explode(
+            F.sequence(F.col(day_col), F.date_add(F.col(day_col), window_days - 1))
+        ).alias("win_end"),
+        "__bkt",
+        "__r",
+    )
+    days = df.select(F.col(day_col).alias("win_end")).distinct()
+    merged = (
+        contrib.join(days, "win_end", "left_semi")
+        .groupBy("win_end", "__bkt")
+        .agg(F.max("__r").alias("__r"))
+    )
+    return hll_from_registers(merged, group_keys=["win_end"], p=p)
+
+
 def grouped_weighted_median(
     df: DataFrame,
     *,

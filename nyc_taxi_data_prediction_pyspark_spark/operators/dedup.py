@@ -241,13 +241,31 @@ def prefix_filter_pairs(
          itself, joined per token, so no data-sized unpartitioned
          window/zipWithIndex builds a dense global rank;
       3. prefix explode -> posting join on prefix token with the
-         length filter t*|a| <= |b| <= |a|/t applied in-row, DISTINCT
-         candidate pairs, then one verify join back to the full sorted
-         arrays: exact intersection via array_intersect.
+         length filter t*|a| <= |b| <= |a|/t AND the PPJoin positional
+         filter (below) applied in-row, DISTINCT candidate pairs, then
+         one verify join back to the full sorted arrays: exact
+         intersection via array_intersect.
     Posting lists here are bounded by construction — a token appears
     in a prefix only while fewer than ~|d|(1-t) rarer tokens exist in
     the doc, so stop-word-class tokens index (almost) nothing; that is
     the guarantee df-capping approximates.
+
+    Positional filter (Xiao WWW'08 §3.2): a posting match at 1-based
+    sorted positions (i, j) can contribute overlap at most
+    ``ub = 1 + min(|x|-i, |y|-j)`` (every OTHER shared token sorts
+    after it in both docs' rare-first order only if this is their
+    FIRST shared token — see completeness note). Jaccard >= t needs
+    overlap ``alpha = ceil(t/(1+t) * (|x|+|y|))``, so postings with
+    ub < alpha are pruned in-row. Completeness survives per-posting
+    pruning: for any truly-similar pair, its globally-FIRST shared
+    token c is provably inside both prefixes (if c missed x's prefix,
+    all p_x prefix tokens of x would be non-shared, capping overlap at
+    ceil(t|x|)-1 < alpha given the length filter — contradiction), and
+    at c all shared tokens sit at positions >= (i, j), so ub >= true
+    overlap >= alpha and that posting survives. The pair may lose its
+    LATER postings (where ub legitimately undercounts), never all of
+    them. alpha is relaxed by 1e-9 before ceil so IEEE rounding can
+    only under-prune.
 
     Verified-exact output: (id_a, id_b, jaccard >= t), identical to
     the all-pairs answer (oracle-checked against unfiltered DuckDB
@@ -276,14 +294,33 @@ def prefix_filter_pairs(
             F.transform("sorted", lambda s: s["tok"]).alias("toks"),
         )
     )
-    # prefix length p = |d| - ceil(t*|d|) + 1
+    # prefix length p = |d| - ceil(t*|d|) + 1; posexplode keeps each
+    # token's 1-based position in the doc's rare-first order — the
+    # positional filter's input
     p = F.col("n_sh") - F.ceil(thr * F.col("n_sh")).cast("int") + F.lit(1)
     prefix = ordered.select(
-        F.col(id_col), F.col("n_sh"), F.explode(F.slice("toks", 1, p)).alias("tok")
-    )
+        F.col(id_col),
+        F.col("n_sh"),
+        F.posexplode(F.slice("toks", 1, p)).alias("pos0", "tok"),
+    ).select(F.col(id_col), F.col("n_sh"), (F.col("pos0") + 1).alias("i"), "tok")
     posting = prefix.groupBy("tok").agg(
-        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n_sh").alias("n"))).alias("docs")
+        F.collect_list(
+            F.struct(F.col(id_col).alias("id"), F.col("n_sh").alias("n"), F.col("i"))
+        ).alias("docs")
     ).where(F.size("docs") > 1)
+
+    def _keep(pr):
+        nx, ny = pr["x"]["n"], pr["y"]["n"]
+        # required overlap for J >= t, relaxed a hair before ceil so
+        # double rounding can only keep an extra candidate
+        alpha = F.ceil(thr / (F.lit(1.0) + thr) * (nx + ny) - F.lit(1e-9))
+        ubound = F.lit(1) + F.least(nx - pr["x"]["i"], ny - pr["y"]["i"])
+        return (
+            (pr["x"]["id"] < pr["y"]["id"])
+            & (F.least(nx, ny) >= thr * F.greatest(nx, ny))
+            & (ubound >= alpha)
+        )
+
     pair_list = F.filter(
         F.flatten(
             F.transform(
@@ -293,8 +330,7 @@ def prefix_filter_pairs(
                 ),
             )
         ),
-        lambda pr: (pr["x"]["id"] < pr["y"]["id"])
-        & (F.least(pr["x"]["n"], pr["y"]["n"]) >= thr * F.greatest(pr["x"]["n"], pr["y"]["n"])),
+        _keep,
     )
     cand = (
         posting.select(F.explode(pair_list).alias("pr"))

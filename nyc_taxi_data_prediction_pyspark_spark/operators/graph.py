@@ -120,6 +120,86 @@ def pagerank_fixedpoint(
     return pr
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_pct: int = 85,
+    checkpoint: bool = True,
+    checkpoint_every: int = 4,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: identical fixed-point
+    BIGINT recurrence to ``pagerank_fixedpoint``, except ALL teleport
+    mass returns to the SOURCE set — the similarity-to-a-seed-set
+    ranking recommender / related-entity queries use (Haveliwala,
+    WWW'02). ``sources`` is a 1-column frame of seed node ids.
+
+        pr_0(v)    = (SCALE div |S|) · [v ∈ S]
+        pr_{k+1}(v) = [v ∈ S]·(((100-d)·(SCALE div |S|)) div 100)
+                      + (d·Σ_{u→v} pr_k(u) div deg(u)) div 100
+
+    All floor division ⇒ an unrolled SQL oracle value-hash-checks the
+    iterative run (the q109 argument). Scale shape matches the global
+    variant: the fanout frame is built/cached once, each iteration
+    shuffles only |V| rank rows, the source membership flag rides the
+    cached nodes frame (one hash join at build time, zero per
+    iteration). Isolated seeds (sources with no edges) keep their
+    teleport mass — they are unioned into the node set."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.cache()
+    s = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(s)
+        .distinct()
+        .join(s.withColumn("__is_src", F.lit(True)), "node", "left")
+        .select("node", F.coalesce("__is_src", F.lit(False)).alias("__is_src"))
+        .cache()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    fanout = e.join(outdeg, "src").repartition("src").cache()
+
+    n_src = s.count()  # scalar metadata action (sizes the constants)
+    fanout.count()
+    e.unpersist()
+    base = SCALE // n_src
+    teleport = ((100 - damping_pct) * base) // 100
+    tel_col = F.when(F.col("__is_src"), F.lit(teleport)).otherwise(F.lit(0))
+
+    pr = nodes.withColumn(
+        "pr", F.when(F.col("__is_src"), F.lit(base)).otherwise(F.lit(0)).cast("bigint")
+    ).select("node", "__is_src", "pr")
+    for k in range(iters):
+        contrib = (
+            fanout.join(pr, fanout["src"] == pr["node"])
+            .select(F.col("dst"), F.expr("pr div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("recv"))
+        )
+        pr = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            "__is_src",
+            (
+                tel_col + F.expr(f"({damping_pct} * coalesce(recv, 0L)) div 100")
+            ).cast("bigint").alias("pr"),
+        )
+        if checkpoint and checkpoint_every and (k + 1) % checkpoint_every == 0 and (k + 1) < iters:
+            pr = pr.localCheckpoint(eager=False)
+    pr = pr.select("node", "pr")
+    if checkpoint:
+        pr = pr.localCheckpoint(eager=True)
+        nodes.unpersist()
+        fanout.unpersist()
+    return pr
+
+
 def triangle_count(
     edges: DataFrame,
     *,

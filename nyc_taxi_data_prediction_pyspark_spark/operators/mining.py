@@ -70,6 +70,82 @@ def frequent_pairs(
     )
 
 
+def frequent_triples(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+) -> DataFrame:
+    """Frequent item TRIPLES (A-priori pass 3, Agrawal & Srikant
+    VLDB'94): item sets of size 3 co-occurring in >= ``min_support``
+    baskets.
+
+    Downward closure applied twice before anything cubic exists:
+      1. infrequent ITEMS are dropped (they cannot be in a frequent
+         pair, let alone a triple);
+      2. infrequent PAIRS prune candidate triples — a triple survives
+         only if ALL THREE of its sub-pairs are pass-2 frequent. The
+         exploded candidate stream is semi-joined against the frequent
+         -pair frame on each of its three sub-pairs, so candidates die
+         before the counting shuffle, not after.
+    Triples are generated IN-ROW (i < j < k over the basket's sorted
+    frequent-item array) — per-basket-cubic only, never corpus-cubic;
+    basket sizes are naturally small (order line counts). NOTE the
+    pair prune cannot change the RESULT (any triple with support >= s
+    has sub-pairs with support >= s — that is the closure theorem); it
+    exists purely to bound the candidate volume, so the oracle may
+    count triples directly.
+
+    Returns (item_a, item_b, item_c, support), item_a < item_b <
+    item_c."""
+    pairs_src = df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i")).distinct()
+    support = pairs_src.groupBy("i").agg(F.count(F.lit(1)).alias("item_support"))
+    frequent = support.where(F.col("item_support") >= min_support).select("i")
+    baskets = (
+        pairs_src.join(frequent, "i")
+        .groupBy("b")
+        .agg(F.array_sort(F.collect_list("i")).alias("items"))
+        .where(F.size("items") > 2)
+    )
+    fp = frequent_pairs(
+        df, basket_col=basket_col, item_col=item_col, min_support=min_support
+    ).select(F.col("item_a").alias("pa"), F.col("item_b").alias("pb"))
+    triple_list = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("items"),
+                lambda x: F.flatten(
+                    F.transform(
+                        F.col("items"),
+                        lambda y: F.transform(
+                            F.col("items"),
+                            lambda z: F.struct(x.alias("a"), y.alias("b2"), z.alias("c")),
+                        ),
+                    )
+                ),
+            )
+        ),
+        lambda t: (t["a"] < t["b2"]) & (t["b2"] < t["c"]),
+    )
+    cand = baskets.select(F.explode(triple_list).alias("t")).select(
+        F.col("t.a").alias("item_a"),
+        F.col("t.b2").alias("item_b"),
+        F.col("t.c").alias("item_c"),
+    )
+    for left, right in (("item_a", "item_b"), ("item_b", "item_c"), ("item_a", "item_c")):
+        cand = cand.join(
+            fp,
+            (F.col(left) == F.col("pa")) & (F.col(right) == F.col("pb")),
+            "left_semi",
+        )
+    return (
+        cand.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+
+
 def skyline_2d(
     df: DataFrame,
     *,

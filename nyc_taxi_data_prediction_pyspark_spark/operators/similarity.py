@@ -193,6 +193,80 @@ def brp_similarity_join(
     )
 
 
+def brp_recall_report(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    l2_threshold: float = 1.0,
+    min_recall: float = 0.8,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic ACCEPTANCE AUDIT for ``brp_similarity_join``
+    (round-6 verdict ask: make the MLlib-seeded q39 driver-checkable).
+    The LSH pair SET is seeded inside the JVM library, so no external
+    engine can reproduce it — but its CONTRACT is checkable with
+    bit-stable outputs:
+
+    - ``n_ref_pairs``: exact count of within-``block_col`` pairs at
+      L2 <= threshold — an equi-join (no all-pairs), exactly
+      computable by any engine;
+    - ``lsh_within_threshold``: every LSH-returned pair's true L2 is
+      inside the threshold (approxSimilarityJoin filters on the exact
+      distance — this asserts that library guarantee);
+    - ``recall_ok``: the LSH join recovers >= ``min_recall`` of the
+      reference pairs (multi-table OR amplification: measured ~0.99+
+      at num_hash_tables=4 on the fixtures; the bound is generous).
+
+    One row out; the three aggregates are 1-row frames cross-broadcast
+    together (the allowlisted scalar-BNL shape). A recall regression
+    or a distance-contract violation flips a boolean and fails the
+    oracle value-hash."""
+    from ..functions.vectors import as_double, l2_distance
+
+    e = emb.select(F.col(id_col), as_double(vec_col).alias("__v"), F.col(block_col))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), block_col)
+    b = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), block_col)
+    ref = (
+        a.join(b, block_col)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(l2_distance(F.col("__va"), F.col("__vb")) <= F.lit(float(l2_threshold)))
+        .select("id_a", "id_b")
+    )
+    lsh = brp_similarity_join(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        l2_threshold=l2_threshold,
+        bucket_length=bucket_length,
+        num_hash_tables=num_hash_tables,
+        seed=seed,
+    )
+    n_ref = ref.agg(F.count(F.lit(1)).alias("n_ref_pairs"))
+    n_hit = lsh.join(ref, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("__n_hit"))
+    lsh_stats = lsh.agg(
+        F.count(F.lit(1)).alias("__n_lsh"),
+        F.coalesce(F.max("l2_dist"), F.lit(0.0)).alias("__max_d"),
+    )
+    return (
+        n_ref.crossJoin(F.broadcast(n_hit))
+        .crossJoin(F.broadcast(lsh_stats))
+        .select(
+            "n_ref_pairs",
+            (F.col("__max_d") <= F.lit(float(l2_threshold)) + F.lit(1e-9)).alias(
+                "lsh_within_threshold"
+            ),
+            (
+                F.col("__n_hit")
+                >= F.ceil(F.lit(float(min_recall)) * F.col("n_ref_pairs") - F.lit(1e-9))
+            ).alias("recall_ok"),
+        )
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic seeded Gaussian hyperplanes (driver-side numpy)."""
     import numpy as np

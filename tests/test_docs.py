@@ -31,7 +31,7 @@ def test_readme_counts_match_entry_surface():
     assert int(m.group(1)) == n_q
     assert int(m.group(2)) == n_oracle
 
-    m = re.search(r"the (\d+)\s*\n?rows-only queries", text)
+    m = re.search(r"(\d+) rows-only entries", text)
     assert m, "README lost its rows-only count"
     assert int(m.group(1)) == n_rows_only
 
@@ -62,12 +62,13 @@ def test_every_oracle_query_exists():
 
 def test_driver_slot_rotation_covers_unproven_queries():
     """The correctness driver hard-checks only the first 50 registry
-    entries.  Round-5 invariant: the first 50 must contain (a) every
-    query with no driver-green row in r01-r04 — that is q142+ (the
-    post-freeze additions and anything new this round) — (b) the two
-    round-4 red rows q58/q140, re-checked after their array-column
-    fix, and (c) only declared-or-oldest-evidence re-confirmations in
-    the remaining slots."""
+    entries.  Round-6 invariant (rotate by EVIDENCE AGE — the round-5
+    verdict ask): the first 50 must contain (a) every query whose
+    newest hash-green driver row predates round 3 (the r2-era q01-q50
+    band), (b) the three newly-checkable queries q29/q39/q58 (first-
+    ever value-hash evidence) and the two operators rewritten this
+    round (q153 positional filter, q174 empty-doc fallback), and (c)
+    every query never driver-checked at all (the q182+ additions)."""
     import json
 
     import __spark_entry__ as entry
@@ -75,36 +76,39 @@ def test_driver_slot_rotation_covers_unproven_queries():
     names = list(entry.queries())
     assert len(names) == len(set(names))
 
-    proven = set()
-    for f in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-    ):
-        d = json.loads((ROOT / f).read_text())
-        # hash-green, or the weaker rows-only check for queries with no
-        # oracle (q20/q21/q29/q39 — their maximum attainable evidence)
-        proven |= {
-            k
-            for k, v in d.items()
-            if v.get("hash_match") or v.get("spark_rows") is not None
-        }
-
     def num(n: str) -> int:
         return int(n[1:].split("_", 1)[0])
 
-    never_checked = set(names) - proven
+    # newest hash-green round per query across the recorded history
+    newest_green: dict[str, int] = {}
+    for r in (1, 2, 3, 4, 5):
+        d = json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text())
+        for k, v in d.items():
+            if v.get("hash_match"):
+                newest_green[k] = r
+
     first50 = set(names[:50])
-    # (a) every never-driver-checked query is in the head
-    assert never_checked <= first50, sorted(never_checked - first50)
-    # (b) the round-4 reds are re-checked this round
-    assert {"q58_approx_stats", "q140_last_n_features"} <= first50
-    assert set(entry._DRIVER_RECONFIRM_R05) <= first50
-    # (c) every fill slot is a re-confirmation from the oldest-evidence
-    # pool (the round-3 head, single green row each) or a declared slot
-    fills = first50 - never_checked - set(entry._DRIVER_RECONFIRM_R05)
-    assert all(75 <= num(n) <= 118 for n in fills), sorted(fills)
+    assert len(first50) == 50
+    # (a) everything whose newest evidence is r2 or older is in the head
+    stale = {n for n in names if newest_green.get(n, 0) <= 2 and n in newest_green}
+    assert stale <= first50, sorted(stale - first50)
+    # (b) newly-checkable + rewritten-this-round slots
+    assert {num(n) for n in first50} >= (
+        entry._R6_NEWLY_CHECKABLE | entry._R6_REWRITTEN
+    )
+    # (c) never-driver-checked queries (no row in any recorded round)
+    recorded = set()
+    for r in (1, 2, 3, 4, 5):
+        recorded |= set(json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text()))
+    never = {n for n in names if n not in recorded}
+    assert never <= first50, sorted(never - first50)
+    # after this head lands, nothing in the tail holds pre-r3 evidence:
+    # the tail's oldest band is r3 (round 7's head) and it fits in 50
+    tail = [n for n in names[50:]]
+    assert all(newest_green.get(n, 9) >= 3 for n in tail), [
+        n for n in tail if newest_green.get(n, 9) < 3
+    ]
+    assert sum(1 for n in tail if newest_green.get(n) == 3) <= 50
     # oracle_sql iterates in the same rotated order (driver zips them)
     o = list(entry.oracle_sql())
     assert o == [n for n in names if n in set(o)]

@@ -60,6 +60,60 @@ def test_pagerank_symmetric_graph_conserves_mass(spark):
     assert total >= graph.SCALE - n * iters * steps_per_iter * 100
 
 
+def _ppr_reference(edges, sources, iters=3, damping_pct=85):
+    """Driver-side integer personalized-PageRank recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges} | set(sources))
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    s = set(sources)
+    base = graph.SCALE // len(s)
+    tel = ((100 - damping_pct) * base) // 100
+    pr = {v: (base if v in s else 0) for v in nodes}
+    for _ in range(iters):
+        recv = {v: 0 for v in nodes}
+        for u, v in edges:
+            recv[v] += pr[u] // out[u]
+        pr = {
+            v: (tel if v in s else 0) + (damping_pct * recv[v]) // 100 for v in nodes
+        }
+    return pr
+
+
+def test_personalized_pagerank_matches_integer_reference(spark):
+    edges = [
+        ("a", "b"), ("b", "a"),
+        ("a", "c"), ("c", "a"),
+        ("c", "d"), ("d", "c"),
+        ("b", "d"), ("d", "b"),
+        ("e", "a"), ("a", "e"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    srcs = spark.createDataFrame([("a",), ("e",)], ["node"])
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.personalized_pagerank(df, srcs, iters=3).collect()
+    }
+    assert got == _ppr_reference(edges, ["a", "e"], iters=3)
+
+
+def test_personalized_pagerank_isolated_seed_keeps_teleport_mass(spark):
+    """A seed with no edges still appears with exactly its teleport
+    share each round — the union-into-nodes contract."""
+    edges = [("a", "b"), ("b", "a")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    srcs = spark.createDataFrame([("z",)], ["node"])  # not in the graph
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.personalized_pagerank(df, srcs, iters=2).collect()
+    }
+    ref = _ppr_reference(edges, ["z"], iters=2)
+    assert got == ref
+    tel = ((100 - 85) * (graph.SCALE // 1)) // 100
+    assert got["z"] == tel  # teleport only: z receives no link mass
+    assert got["a"] == 0 and got["b"] == 0  # no mass ever reaches the graph
+
+
 def test_grouped_rank_two_phase_equals_single_window(spark, sf_dir):
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
     two = windows.grouped_rank_two_phase(

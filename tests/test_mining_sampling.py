@@ -48,6 +48,57 @@ def test_prefix_filter_equals_uncapped_posting_join(spark):
     assert want, "fixture produced no pairs at t=0.8 — test is vacuous"
 
 
+def test_prefix_filter_positional_boundary_exact_alpha(spark):
+    """The PPJoin positional filter prunes on ub < alpha; a pair whose
+    true overlap is EXACTLY alpha sits on the prune boundary and must
+    survive, while one token fewer must drop below threshold. n=1
+    shingles make the token sets the word sets, so overlap is
+    constructed exactly: |A|=|B|=10, t=0.5 -> alpha = ceil(20/3) = 7;
+    J(7)=7/13>=0.5 kept, J(6)=6/14<0.5 dropped."""
+    shared = [f"s{i}" for i in range(7)]
+    a = shared + ["ax1", "ax2", "ax3"]
+    b7 = shared + ["bx1", "bx2", "bx3"]
+    b6 = shared[:6] + ["cx1", "cx2", "cx3", "cx4"]
+    df = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b7)), (3, " ".join(b6))],
+        "doc_id long, text string",
+    )
+    got = _pairs(
+        dedup.prefix_filter_pairs(df, text_col="text", id_col="doc_id", n=1, threshold=0.5)
+    )
+    assert (1, 2) in got and abs(got[(1, 2)] - round(7 / 13, 6)) < 1e-9
+    assert (1, 3) not in got
+
+
+def test_prefix_filter_complete_under_hot_token(spark):
+    """Every doc shares one stop-word-class token (df = |corpus|): the
+    rare-first order pushes it out of almost every prefix and the
+    positional filter prunes the rest — completeness vs the uncapped
+    join must still hold on this, the adversarial df profile."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(30):
+        words = ["the"] * 3 + [vocab[rng.randrange(len(vocab))] for _ in range(rng.randint(4, 24))]
+        rng.shuffle(words)
+        docs.append((i, " ".join(words)))
+        if i % 3 == 0:
+            mut = list(words)
+            mut[rng.randrange(len(mut))] = vocab[rng.randrange(len(vocab))]
+            docs.append((1000 + i, " ".join(mut)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.3, 0.6, 0.9):
+        want = _pairs(
+            dedup.ngram_jaccard_pairs(
+                df, text_col="text", id_col="doc_id", n=2, threshold=t, max_posting=None
+            )
+        )
+        got = _pairs(
+            dedup.prefix_filter_pairs(df, text_col="text", id_col="doc_id", n=2, threshold=t)
+        )
+        assert got == want, f"t={t}: positional filter broke completeness"
+
+
 def test_frequent_pairs_hand_case(spark):
     baskets = [
         (1, "a"), (1, "b"), (1, "c"),
@@ -65,6 +116,53 @@ def test_frequent_pairs_hand_case(spark):
     }
     # supports: a=4, b=3, c=2, d=2 -> all frequent; pairs >= 2: (a,b)=3
     assert got == {("a", "b"): 3}
+
+
+def test_frequent_triples_matches_brute_force(spark):
+    """In-row triple generation + double downward closure must equal
+    the brute-force triple count over random baskets."""
+    from itertools import combinations
+
+    rng = random.Random(13)
+    items = [f"i{k}" for k in range(12)]
+    rows = []
+    baskets = {}
+    for b in range(60):
+        basket = sorted(rng.sample(items, rng.randint(2, 6)))
+        baskets[b] = set(basket)
+        rows += [(b, i) for i in basket]
+    df = spark.createDataFrame(rows, "b long, i string")
+    for s in (2, 3, 5):
+        want = {}
+        for bs in baskets.values():
+            for tri in combinations(sorted(bs), 3):
+                want[tri] = want.get(tri, 0) + 1
+        want = {t: c for t, c in want.items() if c >= s}
+        got = {
+            (r.item_a, r.item_b, r.item_c): r.support
+            for r in mining.frequent_triples(
+                df, basket_col="b", item_col="i", min_support=s
+            ).collect()
+        }
+        assert got == want, f"min_support={s}"
+
+
+def test_frequent_triples_hand_case(spark):
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"), (2, "c"), (2, "d"),
+        (3, "a"), (3, "b"), (3, "c"),
+        (4, "b"), (4, "c"), (4, "d"),
+        (5, "a"), (5, "a"),  # dup item counts once
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    got = {
+        (r.item_a, r.item_b, r.item_c): r.support
+        for r in mining.frequent_triples(
+            df, basket_col="b", item_col="i", min_support=3
+        ).collect()
+    }
+    assert got == {("a", "b", "c"): 3}
 
 
 def test_frequent_pairs_prunes_infrequent_items(spark):
@@ -229,6 +327,45 @@ def test_hll_daily_rollup_equals_direct(spark):
         p=7,
     ).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, rolled))
+
+
+def test_hll_sliding_distinct_equals_per_window_direct(spark):
+    """The sliding register merge must equal hll_distinct computed
+    directly on each window's raw rows (mergeability over the window
+    partitioning), for every window ending on an observed day — gap
+    days get no output row."""
+    import datetime as dt
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        hll_distinct,
+        hll_sliding_distinct,
+    )
+
+    rng = random.Random(19)
+    base = dt.date(2026, 3, 1)
+    # 20 active days with a 4-day gap in the middle
+    days = [d for d in range(28) if not (10 <= d < 14)]
+    rows = [
+        (base + dt.timedelta(days=d), rng.randrange(500))
+        for d in days
+        for _ in range(rng.randint(5, 80))
+    ]
+    df = spark.createDataFrame(rows, "day date, v long")
+    got = {
+        r.win_end: (r.n_used, r.d_scaled, r.hll_estimate)
+        for r in hll_sliding_distinct(
+            df, day_col="day", value_col="v", window_days=7, p=7
+        ).collect()
+    }
+    assert set(got) == {base + dt.timedelta(days=d) for d in days}
+    for d in days:
+        end = base + dt.timedelta(days=d)
+        lo = end - dt.timedelta(days=6)
+        wdf = df.where((F.col("day") >= F.lit(lo)) & (F.col("day") <= F.lit(end)))
+        direct = hll_distinct(
+            wdf.withColumn("g", F.lit(1)), group_keys=["g"], value_col="v", p=7
+        ).collect()[0]
+        assert got[end] == (direct.n_used, direct.d_scaled, direct.hll_estimate), end
 
 
 def test_autocorr_known_series(spark):
@@ -547,6 +684,37 @@ def test_containment_pairs_complete_vs_brute_force(spark):
                     want[(a, b)] = c
     assert got == want
     assert any(k[0] >= 500 for k in want), "fixture planted no quotes"
+
+
+def test_containment_pairs_hostile_universal_container(spark):
+    """Round-5 verdict probe: one document CONTAINS every other (the
+    worst-case container — its token set is the whole corpus). The
+    full-side index has no length filter by design; completeness and
+    exactness must survive, and every small doc must report the giant
+    as its container at containment 1.0. The candidate volume stays
+    |prefix|-bounded: only the CONTAINED side's rare-first prefixes
+    probe the index, and the giant's posting rows are probed once per
+    small-doc prefix token, not once per token occurrence."""
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(400)]
+    smalls = []
+    for i in range(40):
+        smalls.append((i, " ".join(rng.sample(vocab, 12))))
+    giant_text = " ".join(t for _, t in smalls)  # concatenation of all
+    docs = smalls + [(999, giant_text)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(
+            df, text_col="text", id_col="doc_id", n=3, threshold=0.99
+        ).collect()
+    }
+    # every small doc's INTERNAL shingles (not crossing concat seams)
+    # are in the giant -> containment(small in giant) == 1.0
+    for i, _ in smalls:
+        assert got.get((i, 999)) == 1.0, i
+    # and nothing claims to contain the giant (its set is the union)
+    assert not any(b != 999 and a == 999 for a, b in got)
 
 
 # ---------------------------------------------------------------- property

