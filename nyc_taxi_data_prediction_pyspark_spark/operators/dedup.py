@@ -293,6 +293,11 @@ def prefix_filter_pairs(
             F.col("n_sh"),
             F.transform("sorted", lambda s: s["tok"]).alias("toks"),
         )
+        # three consumers (prefix explode + both verify sides) would
+        # each recompute the shingle→df→sort pipeline — the most
+        # expensive stage — so truncate it once (the q148 pairs-frame
+        # idiom; measured ~2x on the sf0.1 wall)
+        .localCheckpoint(eager=False)
     )
     # prefix length p = |d| - ceil(t*|d|) + 1; posexplode keeps each
     # token's 1-based position in the doc's rare-first order — the
@@ -851,6 +856,9 @@ def containment_pairs(
             F.col("n_sh"),
             F.transform("sorted", lambda s: s["tok"]).alias("toks"),
         )
+        # three consumers (prefix + both verify sides) — truncate the
+        # shingle→df→sort pipeline once (the prefix_filter_pairs idiom)
+        .localCheckpoint(eager=False)
     )
     p = F.col("n_sh") - F.ceil(thr * F.col("n_sh")).cast("int") + F.lit(1)
     prefix = ordered.select(
