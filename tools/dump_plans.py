@@ -88,6 +88,9 @@ NOTES = {
     "q173_credit_ledger": "one groupBy; the clamp fold is a per-group BIGINT array fold with a scalar struct accumulator — no window, no UDF",
     "q174_naive_bayes": "model = (vocab x classes) count frame; scoring joins test tokens on token + crosses the #classes prior frame; min-struct argmax",
     "q175_containment_excerpts": "contained-side rare-first prefixes probe the full token index; no container length filter; verify via array_intersect join-back",
+    "q182_personalized_pagerank": "teleport-to-seed-set fixed point: cached src-partitioned fanout, per-iteration |V| rank shuffle only, seed flag rides the cached nodes frame",
+    "q183_frequent_triples": "double downward closure: item prune -> in-row triple gen -> three pair semi-joins kill candidates before the counting shuffle",
+    "q184_sliding_hll_distinct": "per-day registers once, contribution explode to 7 windows (register volume, not data), max-merge per (window,bucket) — history never rescanned",
     "q176_interpolated_gaps": "hour-spine left join + IGNORE-NULLS neighbor windows per group — windows run over the series domain, never raw events",
     "q177_rolling_correlation": "one trailing RANGE window over the hour index carrying six exact integer moment sums; corr per-row IEEE with NULLIF guard",
 }
