@@ -752,6 +752,39 @@ def test_pps_property_hits_sum_to_k(spark_h, weights, k):
         assert h <= -(-k * w // tot) + 1
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sets(st.integers(0, 7), min_size=1, max_size=3),
+)
+def test_personalized_pagerank_property(spark_h, raw_edges, seeds):
+    """For ARBITRARY small digraphs and seed sets: the distributed
+    personalized fixed point equals the sequential integer reference,
+    non-seed nodes with no in-path from a seed hold rank 0, and total
+    rank never exceeds SCALE (floor division only loses mass)."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import graph
+    from test_graph_rank import _ppr_reference  # tests dir is on sys.path (no __init__.py layout)
+
+    edges = sorted({(f"n{a}", f"n{b}") for a, b in raw_edges if a != b})
+    if not edges:
+        edges = [("n0", "n1")]
+    seed_names = sorted(f"n{s}" for s in seeds)
+    df = spark_h.createDataFrame(edges, ["src", "dst"])
+    sdf = spark_h.createDataFrame([(s,) for s in seed_names], ["node"])
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.personalized_pagerank(
+            df, sdf, iters=3, assume_distinct=True
+        ).collect()
+    }
+    assert got == _ppr_reference(edges, seed_names, iters=3)
+    assert sum(got.values()) <= graph.SCALE
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
