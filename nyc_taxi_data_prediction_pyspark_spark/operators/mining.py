@@ -102,15 +102,35 @@ def frequent_triples(
     pairs_src = df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i")).distinct()
     support = pairs_src.groupBy("i").agg(F.count(F.lit(1)).alias("item_support"))
     frequent = support.where(F.col("item_support") >= min_support).select("i")
+    # one basket-array build serves BOTH passes (pair counting and
+    # triple generation) — calling frequent_pairs() here would redo
+    # the distinct + support + collect_list pipeline from the raw rows
     baskets = (
         pairs_src.join(frequent, "i")
         .groupBy("b")
         .agg(F.array_sort(F.collect_list("i")).alias("items"))
-        .where(F.size("items") > 2)
+        .where(F.size("items") > 1)
+        .localCheckpoint(eager=False)
     )
-    fp = frequent_pairs(
-        df, basket_col=basket_col, item_col=item_col, min_support=min_support
-    ).select(F.col("item_a").alias("pa"), F.col("item_b").alias("pb"))
+    pair_list = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("items"),
+                lambda x: F.transform(
+                    F.col("items"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
+    fp = (
+        baskets.select(F.explode(pair_list).alias("p"))
+        .groupBy(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("ps"))
+        .where(F.col("ps") >= min_support)
+        .select("pa", "pb")
+    )
+    tri_baskets = baskets.where(F.size("items") > 2)
     triple_list = F.filter(
         F.flatten(
             F.transform(
@@ -128,7 +148,7 @@ def frequent_triples(
         ),
         lambda t: (t["a"] < t["b2"]) & (t["b2"] < t["c"]),
     )
-    cand = baskets.select(F.explode(triple_list).alias("t")).select(
+    cand = tri_baskets.select(F.explode(triple_list).alias("t")).select(
         F.col("t.a").alias("item_a"),
         F.col("t.b2").alias("item_b"),
         F.col("t.c").alias("item_c"),
