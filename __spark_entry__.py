@@ -4148,8 +4148,11 @@ def q184_sliding_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
 #     triples, sliding HLL distinct).
 # Oldest evidence after this round's head lands: r3 (the 40-query
 # q51-q118 remainder, 3 rounds old) — they are round 7's head, and
-# they fit (40 < 50). Every query stays registered and oracle-checked
-# locally regardless of position (tools/check_oracle.py runs all).
+# they fit (40 < 50, leaving ~10 slots for round-7 additions; the
+# pytest-only operators landed late this round — e.g.
+# text.deterministic_shuffle — take those q185+ slots). Every query
+# stays registered and oracle-checked locally regardless of position
+# (tools/check_oracle.py runs all).
 _DRIVER_RECONFIRM_R04 = [  # kept for the rotation test's history
     "q13_exact_dedup",
     "q36_sessionization",

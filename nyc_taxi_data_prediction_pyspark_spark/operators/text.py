@@ -389,6 +389,45 @@ def _pack_start(
     )
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    shards: int = 16,
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic GLOBAL training order + shard assignment — the
+    content-keyed shuffle a REPRODUCIBLE pretraining run needs.
+    ``orderBy(rand())`` is partitioning- and engine-dependent; here the
+    order key is md5(salt || id) (engine-stable, the q79/q96 idiom),
+    so re-running on the same corpus — under ANY physical partitioning
+    — yields the identical (shard, position) for every document, and a
+    different ``salt`` yields an independent epoch order.
+
+    shard = key mod ``shards`` (uniform by md5); position = dense
+    0-based rank within the shard under the key order, computed with
+    the two-phase prefix-sum rank (windows.grouped_rank_two_phase) —
+    no per-shard single-task sort, so a 100 TB corpus shuffles at full
+    parallelism and writers can stream each shard in position order.
+
+    Returns (id_col, shard, pos)."""
+    from ..functions.hashing import md5_int60
+    from .windows import grouped_rank_two_phase
+
+    key = md5_int60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    keyed = (
+        df.select(F.col(id_col))
+        .withColumn("__k", key)
+        .withColumn("shard", F.pmod(F.col("__k"), F.lit(shards)).cast("int"))
+    )
+    ranked = grouped_rank_two_phase(
+        keyed, ["shard"], ["__k", id_col], out_col="__r"
+    )
+    return ranked.select(
+        F.col(id_col), "shard", (F.col("__r") - 1).cast("bigint").alias("pos")
+    )
+
+
 def pps_systematic_sample(
     df: DataFrame,
     *,

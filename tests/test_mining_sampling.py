@@ -717,6 +717,35 @@ def test_containment_pairs_hostile_universal_container(spark):
     assert not any(b != 999 and a == 999 for a, b in got)
 
 
+def test_deterministic_shuffle_is_partitioning_invariant(spark):
+    """(shard, pos) must be a pure function of (salt, id): identical
+    under repartitioning and row-order permutation, dense 0..n_i-1 per
+    shard, different under a different salt."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.text import (
+        deterministic_shuffle,
+    )
+
+    ids = list(range(500))
+    df1 = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    df2 = spark.createDataFrame([(i,) for i in reversed(ids)], "doc_id long").repartition(13)
+    a = {r.doc_id: (r.shard, r.pos) for r in deterministic_shuffle(df1, shards=8).collect()}
+    b = {r.doc_id: (r.shard, r.pos) for r in deterministic_shuffle(df2, shards=8).collect()}
+    assert a == b
+    # dense positions per shard
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for s, p in a.values():
+        per[s].append(p)
+    assert set(per) <= set(range(8))
+    for s, ps in per.items():
+        assert sorted(ps) == list(range(len(ps))), s
+    # a different salt is an independent epoch order
+    c = {r.doc_id: (r.shard, r.pos) for r in deterministic_shuffle(df1, shards=8, salt="epoch-2").collect()}
+    assert c != a
+    assert sum(1 for i in ids if a[i] != c[i]) > 400  # nearly everything moves
+
+
 # ---------------------------------------------------------------- property
 
 import pytest
