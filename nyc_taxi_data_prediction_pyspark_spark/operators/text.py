@@ -389,6 +389,73 @@ def _pack_start(
     )
 
 
+def bigram_nll(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    OWN add-one-smoothed BIGRAM model — the order-sensitive upgrade of
+    ``unigram_nll`` (a bag-of-frequent-words document fools a unigram
+    filter; scrambled word ORDER only a conditional model catches):
+
+        p(w2 | w1) = (c(w1 w2) + 1) / (c(w1·) + V)
+
+    where c(w1·) counts w1 as a bigram PREFIX and V is the bigram-
+    prefix vocabulary — every term an exact integer, so both engines
+    compute identical doubles before the DECIMAL(28,12) quantization
+    that makes the per-document sum order-independent (the
+    unigram_nll/grouped_entropy rule).
+
+    Scale shape: one exploded bigram stream; two map-side-combinable
+    counts (bigram, prefix); one equi join back per level (AQE
+    broadcasts small models); one per-document aggregation. Documents
+    with < 2 tokens have no bigrams and are absent from the output —
+    callers left-join if they need them.
+
+    Returns (id, n_bigrams, avg_nll), avg_nll rounded to 6dp."""
+    toks = F.split(normalize_text(text_col), " ")
+    cnt = F.size(toks) - 1
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.when(
+                cnt > 0,
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(cnt, F.lit(1))),
+                    F.slice(toks, 2, F.greatest(cnt, F.lit(1))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")).alias("__bg"),
+        )
+        .select(F.col(id_col), F.explode("__bg").alias("g"))
+        .select(F.col(id_col), F.col("g.w1").alias("__w1"), F.col("g.w2").alias("__w2"))
+        .where((F.col("__w1") != "") & (F.col("__w2") != ""))
+    )
+    bg = grams.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__cbg"))
+    pre = bg.groupBy("__w1").agg(F.sum("__cbg").alias("__cpre"))
+    v = pre.agg(F.count(F.lit(1)).alias("__v"))
+    scored = (
+        grams.join(bg, ["__w1", "__w2"])
+        .join(pre, "__w1")
+        .join(F.broadcast(v), how="cross")  # 1-row vocab frame
+        .withColumn(
+            "__nll",
+            (
+                -F.log(
+                    (F.col("__cbg") + 1).cast("double")
+                    / (F.col("__cpre") + F.col("__v")).cast("double")
+                )
+            ).cast("decimal(28,12)"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("__nll").cast("double") / F.count(F.lit(1)), 6).alias("avg_nll"),
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     *,
@@ -425,6 +492,61 @@ def deterministic_shuffle(
     )
     return ranked.select(
         F.col(id_col), "shard", (F.col("__r") - 1).cast("bigint").alias("pos")
+    )
+
+
+def mixture_interleave(
+    df: DataFrame,
+    *,
+    source_col: str,
+    id_col: str = "doc_id",
+    weights: dict[str, float],
+    salt: str = "interleave-v1",
+) -> DataFrame:
+    """Deterministic WEIGHTED INTERLEAVING of corpus sources into one
+    global training order — the schedule a multi-source pretraining
+    mix consumes (web:books:code at fixed rates), with none of
+    ``rand()``'s partitioning dependence.
+
+    Weighted-fair-queueing schedule: each source's documents get a
+    deterministic within-source order r (the ``deterministic_shuffle``
+    md5 key), and a VIRTUAL FINISH TIME key = (r + 1) / weight — the
+    classic WFQ/round-robin generalization: a source with twice the
+    weight lands twice as densely in the merged order. The global
+    position is the dense rank of (key, source, id), computed with the
+    two-phase prefix-sum rank, so the long-run rate of source s in any
+    window converges to weights[s]/Σweights and the whole schedule is
+    a pure function of (salt, ids, weights).
+
+    Sources missing from ``weights`` are EXCLUDED (rate 0). Returns
+    (id_col, source_col, global_pos)."""
+    from ..functions.hashing import md5_int60
+    from .windows import grouped_rank_two_phase
+
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    keyed = (
+        df.select(F.col(id_col), F.col(source_col))
+        .withColumn("__w", wmap[F.col(source_col)])
+        .where(F.col("__w").isNotNull() & (F.col("__w") > 0))
+        .withColumn(
+            "__k", md5_int60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        )
+    )
+    per_source = grouped_rank_two_phase(
+        keyed, [source_col], ["__k", id_col], out_col="__r"
+    )
+    finish = per_source.withColumn(
+        "__ft", F.col("__r").cast("double") / F.col("__w")
+    ).withColumn("__grp", F.lit(1))
+    ranked = grouped_rank_two_phase(
+        finish, ["__grp"], ["__ft", source_col, id_col], out_col="__gp"
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col(source_col),
+        (F.col("__gp") - 1).cast("bigint").alias("global_pos"),
     )
 
 

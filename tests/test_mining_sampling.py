@@ -717,6 +717,50 @@ def test_containment_pairs_hostile_universal_container(spark):
     assert not any(b != 999 and a == 999 for a, b in got)
 
 
+def test_bigram_nll_matches_python_reference(spark):
+    """The add-one bigram model must equal a sequential Python refit
+    (counts, smoothing, quantization), scrambled word order must score
+    WORSE than natural order under the corpus model, and <2-token docs
+    are absent."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators.text import bigram_nll
+
+    rng = random.Random(43)
+    base = ["the cat sat on the mat", "the dog sat on the rug",
+            "the cat ran to the dog", "a bird flew over the mat"]
+    docs = [(i, base[i % 4]) for i in range(20)]
+    scrambled = base[0].split()
+    rng.shuffle(scrambled)
+    docs += [(100, " ".join(scrambled)), (101, "single"), (102, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.avg_nll) for r in bigram_nll(df).collect()}
+    assert 101 not in got and 102 not in got  # no bigrams -> no row
+
+    # python refit
+    grams = []
+    per_doc = {}
+    for d, t in docs:
+        ws = t.lower().split()
+        gs = list(zip(ws, ws[1:]))
+        per_doc[d] = gs
+        grams += gs
+    cbg = Counter(grams)
+    cpre = Counter(g[0] for g in grams)
+    v = len(cpre)
+    for d, gs in per_doc.items():
+        if not gs:
+            continue
+        q = [Decimal(repr(-math.log((cbg[g] + 1) / (cpre[g[0]] + v)))).quantize(Decimal("1e-12")) for g in gs]
+        want = round(float(sum(q)) / len(gs), 6)
+        assert got[d][0] == len(gs)
+        assert abs(got[d][1] - want) < 2e-6, d
+    # order sensitivity: the scrambled doc scores worse than its source
+    assert got[100][1] > got[0][1]
+
+
 def test_deterministic_shuffle_is_partitioning_invariant(spark):
     """(shard, pos) must be a pure function of (salt, id): identical
     under repartitioning and row-order permutation, dense 0..n_i-1 per
@@ -744,6 +788,50 @@ def test_deterministic_shuffle_is_partitioning_invariant(spark):
     c = {r.doc_id: (r.shard, r.pos) for r in deterministic_shuffle(df1, shards=8, salt="epoch-2").collect()}
     assert c != a
     assert sum(1 for i in ids if a[i] != c[i]) > 400  # nearly everything moves
+
+
+def test_mixture_interleave_matches_python_wfq(spark):
+    """The merged order must equal a sequential weighted-fair-queueing
+    replay (md5 within-source order, finish-time merge), rates in the
+    first half must track the weights, and unweighted sources are
+    excluded."""
+    import hashlib
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators.text import (
+        mixture_interleave,
+    )
+
+    rows = (
+        [(i, "web") for i in range(300)]
+        + [(1000 + i, "books") for i in range(150)]
+        + [(2000 + i, "junk") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string").repartition(7)
+    w = {"web": 2.0, "books": 1.0}
+    got = {
+        r.doc_id: (r.src, r.global_pos)
+        for r in mixture_interleave(
+            df, source_col="src", id_col="doc_id", weights=w, salt="s1"
+        ).collect()
+    }
+    assert not any(s == "junk" for s, _ in got.values())
+    assert sorted(p for _, p in got.values()) == list(range(450))
+
+    def key(i):
+        return int(hashlib.md5(f"s1{i}".encode()).hexdigest()[:15], 16)
+
+    sched = []
+    for src in ("web", "books"):
+        ids = sorted((i for i, s in rows if s == src), key=lambda i: (key(i), i))
+        for r, i in enumerate(ids, start=1):
+            sched.append((r / w[src], src, i))
+    sched.sort()
+    want = {i: (s, p) for p, (_, s, i) in enumerate(sched)}
+    assert got == want
+    # rate check: web ~ 2/3 of any large prefix
+    first = [s for s, p in sorted(got.values(), key=lambda t: t[1])[:225]]
+    frac_web = first.count("web") / len(first)
+    assert 0.6 < frac_web < 0.73
 
 
 # ---------------------------------------------------------------- property
