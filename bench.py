@@ -137,6 +137,13 @@ HEADLINE = [
     "q182_personalized_pagerank",
     "q183_frequent_triples",
     "q184_sliding_hll_distinct",
+    "q185_deterministic_shuffle",
+    "q186_bigram_nll",
+    "q187_mixture_interleave",
+    "q188_duplicate_spans",
+    "q189_dsir_importance",
+    "q190_hits",
+    "q191_label_propagation",
 ]
 
 

@@ -885,3 +885,93 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document EXACT-SUBSTRING duplication profile at n-token
+    granularity — the analysis phase of suffix-style training-data
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL'22): a span of n consecutive tokens is
+    DUPLICATED if the identical token window occurs anywhere else in
+    the corpus (another document OR another position of the same
+    document), and a document's dup_coverage is the fraction of its
+    tokens covered by at least one duplicated span — the quantity the
+    filter thresholds on.
+
+    Shape (every stage corpus-linear, no all-pairs anywhere):
+    positional spans via the slice+zip_with window (the shingle_array
+    idiom, positions kept with posexplode, NO array_distinct — within-
+    document repeats must count); each span reduced immediately to an
+    engine-stable md5-60bit key so the global span-frequency groupBy
+    shuffles constant-width bigints (map-side combinable); duplicated
+    spans (global count > 1) joined back; covered token positions via
+    a bounded sequence-explode (n rows per duplicated span) +
+    distinct. Documents shorter than n tokens have 0 spans and ride
+    through the left joins with zero-filled counters.
+
+    Returns (id, n_tokens, n_spans, n_dup_spans, covered_tokens,
+    dup_coverage) — dup_coverage one IEEE division, NULL-free."""
+    from ..functions.hashing import md5_int60
+    from .text import normalize_text
+
+    toks = F.split(normalize_text(text_col), " ")
+    base = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .withColumn("__nt", F.size("__t").cast("bigint"))
+    )
+    cnt = (F.col("__nt") - (n - 1)).cast("int")
+    sh = F.slice("__t", 1, F.greatest(cnt, F.lit(1)))
+    for j in range(1, n):
+        sh = F.zip_with(
+            sh, F.slice("__t", j + 1, F.greatest(cnt, F.lit(1))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    span_arr = F.when(cnt > 0, sh).otherwise(F.array().cast("array<string>"))
+    spans = base.select(
+        F.col(id_col), F.posexplode(span_arr).alias("__p", "__s")
+    ).select(F.col(id_col), "__p", md5_int60(F.col("__s")).alias("__h"))
+    dups = (
+        spans.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .select("__h")
+    )
+    dsp = spans.join(dups, "__h").select(F.col(id_col), "__p")
+    covered = (
+        dsp.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("__p"), F.col("__p") + (n - 1))).alias("__cp"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    ndup = dsp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    return (
+        base.select(
+            F.col(id_col),
+            F.col("__nt").alias("n_tokens"),
+            F.greatest(cnt, F.lit(0)).cast("bigint").alias("n_spans"),
+        )
+        .join(ndup, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias("covered_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("covered_tokens", F.lit(0)).cast("double") / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_coverage"),
+        )
+    )

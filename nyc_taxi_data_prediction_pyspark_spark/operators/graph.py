@@ -368,3 +368,141 @@ def kcore_peel(
         F.sum("src").cast("bigint").alias("node_checksum"),
         F.sum((F.col("deg") < k).cast("bigint")).alias("n_below_k"),
     ).withColumn("converged", F.col("n_below_k") == 0)
+
+
+def hits_quotient(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg JACM'99): hub/authority
+    scores on a DIRECTED graph, with the classic L2 normalization
+    replaced by QUOTIENT normalization — after each half-step the
+    scores are floor-divided by q = max(1, Σscores div SCALE), pulling
+    the total mass back to ≈SCALE with error < N. sqrt/L2 would drag
+    in engine-libm rounding; floor division keeps every value exact
+    BIGINT, so an unrolled SQL oracle value-checks the iteration (the
+    q109/q142 argument applied to HITS).
+
+        a_{k+1}(v) = (Σ_{u→v} h_k(u)) div q_a
+        h_{k+1}(u) = (Σ_{u→v} a_{k+1}(v)) div q_h
+
+    Overflow bound: raw sums ≤ SCALE·max_degree ≈ 1e12·deg — BIGINT-
+    safe to deg ~1e6; the quotient step renormalizes before the next
+    multiply-free round, so iterations never compound the bound.
+
+    Scale shape: the edge frame is deduped (unless ``assume_distinct``)
+    and localCheckpointed ONCE; each iteration is two equi-join +
+    aggregation passes keyed on dst then src, plus two 1-row total
+    frames broadcast for the quotient — no driver-side data motion.
+    Nodes missing a half-step's sum (no in- or no out-edges) carry 0
+    for that score, the standard bipartite-HITS behavior. Returns
+    (node, hub, auth) over all nodes, zero-filled."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()  # metadata scalar: sizes the initial mass only
+    h = nodes.select("node", F.lit(SCALE // max(n, 1)).alias("s"))
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("s").alias("raw"))
+        )
+        qa = a_raw.agg(
+            F.greatest(F.expr(f"sum(raw) div {SCALE}L"), F.lit(1)).alias("q")
+        )
+        a = (
+            a_raw.join(F.broadcast(qa), how="cross")  # 1-row quotient
+            .select(F.col("dst").alias("node"), F.expr("raw div q").alias("s"))
+        )
+        h_raw = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("s").alias("raw"))
+        )
+        qh = h_raw.agg(
+            F.greatest(F.expr(f"sum(raw) div {SCALE}L"), F.lit(1)).alias("q")
+        )
+        h = (
+            h_raw.join(F.broadcast(qh), how="cross")  # 1-row quotient
+            .select(F.col("src").alias("node"), F.expr("raw div q").alias("s"))
+        ).localCheckpoint(eager=False)
+    return (
+        nodes.join(h.withColumnRenamed("s", "hub"), "node", "left")
+        .join(a.withColumnRenamed("s", "auth"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub"),
+            F.coalesce("auth", F.lit(0)).cast("bigint").alias("auth"),
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al., Phys. Rev. E 2007), made DETERMINISTIC: every node starts as
+    its own label; each round every node adopts the most frequent
+    label among its neighbors, ties broken toward the SMALLEST label.
+    Synchronous updates + total tie order make the result a pure
+    function of the edge set — no RNG, no visit order — so 3 unrolled
+    rounds are SQL-checkable (the q109/q162/q167 iterative-oracle
+    pattern).
+
+    ``edges`` must be SYMMETRIZED by the caller (as q109 does) —
+    propagation follows src→dst rows as given. The argmax is one
+    struct MAX over (count, -label): no window, map-side combinable.
+    Per round: one |E| join keyed on dst + two aggregations; the label
+    frame (|V| rows) is localCheckpointed per round; isolated nodes
+    keep their own label via the left join. Returns (node, label)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lab = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        nb = (
+            e.join(
+                lab.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            nb.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("b"))
+            .select("node", (-F.col("b.nl")).alias("label"))
+        )
+        lab = (
+            nodes.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("label", F.col("node")).cast("bigint").alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return lab

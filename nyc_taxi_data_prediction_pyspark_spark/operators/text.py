@@ -666,3 +666,100 @@ def unigram_nll(
             ).alias("avg_nll"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col: str = "is_target",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    NeurIPS'23) scores, deterministically: rank raw-corpus documents
+    by how target-like they are under HASHED N-GRAM bag-of-words
+    models — the scalable stand-in for "select pretraining data that
+    looks like the high-quality target domain".
+
+    Features are unigrams AND bigrams hashed into ``buckets`` cells
+    (md5-60bit mod buckets — engine-stable, the q79/q96/q185 idiom).
+    Two add-one-smoothed multinomials are fit in ONE conditional
+    aggregation pass: p_t(b) = (c_t(b)+1)/(T_t+B) from rows where
+    ``target_col`` is true, p_r(b) likewise from the rest. A
+    document's importance is the mean log-ratio over its feature
+    occurrences:
+
+        avg_logratio = mean ln( p_t(b) / p_r(b) )
+
+    computed as ONE double expression per term —
+    ln(((c_t+1)·(T_r+B)) / ((c_r+1)·(T_t+B))) with each FACTOR cast
+    to double before the multiply (counts ≤ ~1e13 are double-exact;
+    the products would overflow BIGINT at corpus scale, and one IEEE
+    multiply rounds identically on both engines) — then quantized to
+    DECIMAL(28,12) before the distributed per-document sum (the
+    q158/q166 order-independence rule).
+
+    Scale: one exploded feature stream; one map-side-combinable
+    bucket aggregation (model state = ``buckets`` rows, broadcast);
+    one 1-row totals frame; one per-document aggregation. Documents
+    whose normalized text has no tokens are absent (no features) —
+    callers left-join if they need them.
+
+    Returns (id, is_target, n_feats, avg_logratio), rounded 6dp."""
+    from ..functions.hashing import md5_int60
+
+    toks = F.split(normalize_text(text_col), " ")
+    cnt = F.size(toks) - 1
+    uni = F.filter(toks, lambda t: t != "")
+    bi = F.when(
+        cnt > 0,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(cnt, F.lit(1))),
+            F.slice(toks, 2, F.greatest(cnt, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = (
+        df.select(
+            F.col(id_col),
+            F.col(target_col).cast("boolean").alias("__tgt"),
+            F.explode(F.concat(uni, bi)).alias("__g"),
+        )
+        .where(F.col("__g") != "")
+        .select(
+            F.col(id_col),
+            "__tgt",
+            F.pmod(md5_int60(F.col("__g")), F.lit(buckets)).alias("__b"),
+        )
+    )
+    model = feats.groupBy("__b").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__ct"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("__cr"),
+    )
+    totals = model.agg(
+        F.sum("__ct").alias("__tt"), F.sum("__cr").alias("__tr")
+    )
+    scored = (
+        feats.join(F.broadcast(model), "__b")
+        .join(F.broadcast(totals), how="cross")  # 1-row totals frame
+        .withColumn(
+            "__lr",
+            F.log(
+                (
+                    (F.col("__ct") + 1).cast("double")
+                    * (F.col("__tr") + buckets).cast("double")
+                )
+                / (
+                    (F.col("__cr") + 1).cast("double")
+                    * (F.col("__tt") + buckets).cast("double")
+                )
+            ).cast("decimal(28,12)"),
+        )
+    )
+    return scored.groupBy(id_col, F.col("__tgt").alias(target_col)).agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.round(F.sum("__lr").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_logratio"
+        ),
+    )

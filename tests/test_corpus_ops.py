@@ -211,3 +211,57 @@ def test_zorder_key_deinterleaves_property(spark_h, pairs):
         a = sum(((r["z"] >> (2 * b)) & 1) << b for b in range(16))
         b_ = sum(((r["z"] >> (2 * b + 1)) & 1) << b for b in range(16))
         assert (a, b_) == (r["a"], r["b"])
+
+
+def _dsir_reference(rows, buckets=4096):
+    """Plain-Python replay of text.dsir_importance (md5 buckets,
+    add-one smoothing, DECIMAL(28,12)-quantized log-ratio terms)."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def bkt(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % buckets
+
+    feats = []  # (doc_id, tgt, bucket)
+    for doc_id, text, tgt in rows:
+        toks = [t for t in text.lower().split() if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        feats.extend((doc_id, tgt, bkt(g)) for g in grams)
+    ct, cr = {}, {}
+    for _, tgt, b in feats:
+        (ct if tgt else cr)[b] = (ct if tgt else cr).get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    out = {}
+    for doc_id, tgt, b in feats:
+        lr = math.log(
+            ((ct.get(b, 0) + 1) * (tr + buckets))
+            / ((cr.get(b, 0) + 1) * (tt + buckets))
+        )
+        q = Decimal(repr(lr)).quantize(Decimal("1E-12"), rounding=ROUND_HALF_UP)
+        s, c = out.get(doc_id, (Decimal(0), 0))
+        out[doc_id] = (s + q, c + 1)
+    return {
+        d: (c, round(float(s) / c, 6)) for d, (s, c) in out.items()
+    }
+
+
+def test_dsir_importance_matches_reference_and_orders_domains(spark):
+    rows = [
+        (1, "spark shuffle join agg", True),
+        (2, "spark shuffle window agg", True),
+        (3, "weather rain humidity wind", False),
+        (4, "spark shuffle join window", False),   # target-like raw doc
+        (5, "rain wind rain wind", False),         # raw-like raw doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_target"])
+    got = {
+        r["doc_id"]: (r["n_feats"], r["avg_logratio"])
+        for r in textops.dsir_importance(
+            df, text_col="text", id_col="doc_id", target_col="is_target"
+        ).collect()
+    }
+    ref = _dsir_reference(rows)
+    assert got == ref
+    # the target-like raw doc must outscore the raw-like raw doc
+    assert got[4][1] > got[5][1]

@@ -97,18 +97,25 @@ def test_driver_slot_rotation_covers_unproven_queries():
         entry._R6_NEWLY_CHECKABLE | entry._R6_REWRITTEN
     )
     # (c) never-driver-checked queries (no row in any recorded round)
+    # must be in the head — except those registered after the head
+    # filled (_R6_DEFERRED_NEW), which defer to round 7's head
     recorded = set()
     for r in (1, 2, 3, 4, 5):
         recorded |= set(json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text()))
     never = {n for n in names if n not in recorded}
-    assert never <= first50, sorted(never - first50)
+    deferred = {n for n in names if num(n) in entry._R6_DEFERRED_NEW}
+    assert never <= first50 | deferred, sorted(never - first50 - deferred)
+    assert deferred.isdisjoint(first50)
     # after this head lands, nothing in the tail holds pre-r3 evidence:
-    # the tail's oldest band is r3 (round 7's head) and it fits in 50
+    # the tail's oldest band is r3 (round 7's head) and it — plus the
+    # deferred new queries, which also need round-7 slots — fits in 50
     tail = [n for n in names[50:]]
-    assert all(newest_green.get(n, 9) >= 3 for n in tail), [
-        n for n in tail if newest_green.get(n, 9) < 3
+    assert all(newest_green.get(n, 9) >= 3 for n in tail if n not in deferred), [
+        n for n in tail if newest_green.get(n, 9) < 3 and n not in deferred
     ]
-    assert sum(1 for n in tail if newest_green.get(n) == 3) <= 50
+    assert (
+        sum(1 for n in tail if newest_green.get(n) == 3) + len(deferred) <= 50
+    )
     # oracle_sql iterates in the same rotated order (driver zips them)
     o = list(entry.oracle_sql())
     assert o == [n for n in names if n in set(o)]

@@ -175,3 +175,98 @@ def test_ntile_from_rank_tiny_groups(spark):
         for r in df.withColumn("t", windows.ntile_from_rank("rk", "n", 3)).collect()
     }
     assert got == {("g1", 1): 1, ("g1", 2): 2, ("g2", 1): 1}
+
+
+def _hits_reference(edges, iters=2):
+    """Plain-Python replay of graph.hits_quotient's integer recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    h = {v: graph.SCALE // n for v in nodes}
+    a = {}
+    for _ in range(iters):
+        raw_a = {}
+        for u, v in edges:
+            raw_a[v] = raw_a.get(v, 0) + h.get(u, 0)
+        qa = max(sum(raw_a.values()) // graph.SCALE, 1)
+        a = {v: x // qa for v, x in raw_a.items()}
+        raw_h = {}
+        for u, v in edges:
+            raw_h[u] = raw_h.get(u, 0) + a.get(v, 0)
+        qh = max(sum(raw_h.values()) // graph.SCALE, 1)
+        h = {u: x // qh for u, x in raw_h.items()}
+    return {v: (h.get(v, 0), a.get(v, 0)) for v in nodes}
+
+
+def test_hits_quotient_matches_integer_reference(spark):
+    edges = [
+        (1, 10), (1, 11), (2, 10), (3, 10), (3, 11), (3, 12),
+        (4, 12), (10, 1),              # a back edge: 10 is also a hub
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in graph.hits_quotient(df, iters=2).collect()
+    }
+    assert got == _hits_reference(edges, iters=2)
+
+
+def test_hits_bipartite_authority_ordering(spark):
+    # supplier 10 is endorsed by every customer, 12 by one: auth(10) > auth(12)
+    edges = [(1, 10), (2, 10), (3, 10), (3, 12)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    res = {r["node"]: r for r in graph.hits_quotient(df, iters=2).collect()}
+    assert res[10]["auth"] > res[12]["auth"]
+    # pure-customer nodes have zero authority (no in-edges)
+    assert res[1]["auth"] == 0 and res[1]["hub"] > 0
+
+
+def _lpa_reference(edges, iters=3):
+    """Plain-Python synchronous LPA, ties -> smallest label."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    lab = {v: v for v in nodes}
+    for _ in range(iters):
+        new = {}
+        for v in nodes:
+            freq = {}
+            for s, d in edges:
+                if s == v:
+                    freq[lab[d]] = freq.get(lab[d], 0) + 1
+            if freq:
+                new[v] = min(freq, key=lambda L: (-freq[L], L))
+            else:
+                new[v] = lab[v]
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_reference(spark):
+    # two triangles joined by one bridge edge
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(7, 8), (8, 9), (7, 9)]
+    bridge = [(3, 7)]
+    und = tri1 + tri2 + bridge
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(df, iters=3).collect()
+    }
+    assert got == _lpa_reference(edges, iters=3)
+    # the two triangles must not merge through the single bridge
+    assert len({got[1], got[2], got[3]} & {got[7], got[8], got[9]}) == 0
+
+
+def test_label_propagation_isolated_node_keeps_own_label(spark):
+    edges = [(1, 2), (2, 1), (5, 5)]  # 5 self-loop: neighbor = itself
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(df, iters=2).collect()
+    }
+    assert got[5] == 5
+    # a lone symmetric pair OSCILLATES under synchronous updates (the
+    # documented sync-LPA behavior: each adopts the other's label every
+    # round); 2 rounds returns each to its own label — and the Python
+    # reference must agree, which is the determinism contract.
+    assert got == _lpa_reference(edges, iters=2)
+    assert got[1] == 1 and got[2] == 2

@@ -35,6 +35,9 @@ BNL_ALLOWED = {
     "q176_interpolated_gaps": "hour spine x #event-types frame (both metadata-sized) crossed",
     "q180_kwic": "1-row keyword frame crossed onto the token arrays",
     "q181_backtest_mape": "hour spine x #event-types frame (both metadata-sized) crossed",
+    "q186_bigram_nll": "1-row bigram-vocab broadcast onto the scored stream",
+    "q189_dsir_importance": "1-row model-totals broadcast onto the feature stream",
+    "q190_hits": "per-iteration 1-row quotient broadcasts (integer normalization)",
 }
 
 

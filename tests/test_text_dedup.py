@@ -304,3 +304,38 @@ def test_pack_documents_two_phase_has_no_global_data_window(spark):
     # and the legacy form is exactly the shape we forbid
     legacy = explain.window_specs(pack_documents(df, two_phase=False))
     assert any("doc_id" in s and "__pid" not in s for s in legacy)
+
+
+def test_duplicate_span_coverage_crafted_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # shares span "a b c" with doc 2
+            (2, "x y a b c"),
+            (3, "p q r s t"),        # fully unique
+            (4, "m n m n m n m"),    # WITHIN-doc repeats must count
+            (5, "zz"),               # shorter than n: 0 spans
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_span_coverage(
+            docs, text_col="text", id_col="doc_id", n=3
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc 1: spans "a b c","b c d","c d e"; only "a b c" is global-dup
+    # -> positions 0..2 covered
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"], out[1]["covered_tokens"]) == (3, 1, 3)
+    assert abs(out[1]["dup_coverage"] - 3 / 5) < 1e-12
+    # doc 2: "x y a","y a b","a b c" -> span at pos 2 covers tokens 2..4
+    assert (out[2]["n_dup_spans"], out[2]["covered_tokens"]) == (1, 3)
+    # doc 3: untouched
+    assert (out[3]["n_dup_spans"], out[3]["covered_tokens"]) == (0, 0)
+    assert out[3]["dup_coverage"] == 0.0
+    # doc 4: spans m n m / n m n / m n m / n m n / m n m — every span
+    # duplicated WITHIN the doc, all 7 tokens covered
+    assert (out[4]["n_spans"], out[4]["n_dup_spans"]) == (5, 5)
+    assert out[4]["covered_tokens"] == 7 and out[4]["dup_coverage"] == 1.0
+    # doc 5: no spans, zero-filled, coverage 0 (not NULL)
+    assert (out[5]["n_tokens"], out[5]["n_spans"], out[5]["dup_coverage"]) == (1, 0, 0.0)
