@@ -4270,6 +4270,29 @@ def q191_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q192_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup semantic dedup (dedup.semdedup, Abbas et al. 2023):
+    integer k-means over the embeddings (the q142 machinery), then
+    drop every vector with a lower-id same-cluster neighbor at cosine
+    ≥ 0.93 — pairwise work confined WITHIN clusters, the property that
+    makes semantic dedup affordable at corpus scale. The oracle
+    replays the identical unrolled Lloyd chain + the fold-identical
+    cosine + the same drop rule. Per-cluster rollup."""
+    emb = load(spark, sf, "embeddings")
+    res = dedup.semdedup(emb, k=8, iters=2, threshold=0.93)
+    return (
+        res.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("dropped").cast("bigint")).alias("n_dropped"),
+            F.sum(
+                F.when(~F.col("dropped"), F.col("pid")).otherwise(F.lit(0))
+            ).alias("kept_checksum"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -4297,8 +4320,9 @@ def q191_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
 # Oldest evidence after this round's head lands: r3 (the 40-query
 # q51-q118 remainder, 3 rounds old) — they are round 7's head, and
 # they fit (40 < 50, leaving ~10 slots for round-7 additions: q185-
-# q191 — deterministic shuffle, bigram NLL, mixture interleave,
-# duplicate-span coverage, DSIR, HITS, label propagation — registered
+# q192 — deterministic shuffle, bigram NLL, mixture interleave,
+# duplicate-span coverage, DSIR, HITS, label propagation, SemDeDup —
+# registered
 # with full oracles this round, first driver rows next).
 # Every query stays registered and oracle-checked locally regardless
 # of position (tools/check_oracle.py runs all).
@@ -4332,7 +4356,7 @@ _R6_FRESH_EVIDENCE_LE_Q50 = {13, 17, 20, 21, 36, 38}  # r4/r5 rows already
 # oracles and local check_oracle evidence this round, and take their
 # first driver rows in round 7's head, which must still fit —
 # asserted by the rotation test's capacity check.
-_R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191}
+_R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4557,6 +4581,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_dsir_importance": q189_dsir_importance,
         "q190_hits": q190_hits,
         "q191_label_propagation": q191_label_propagation,
+        "q192_semdedup": q192_semdedup,
     }
 
 
@@ -4759,7 +4784,7 @@ ORDER BY s.win_end
 """
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64, quant: int = 1_000_000) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64, quant: int = 1_000_000) -> str:
     """Unrolled fixed-point k-means oracle: the SAME Lloyd iterations
     as operators/clustering.kmeans_fixedpoint in long (pid, pos, q)
     form. Quantization floor(double(x)*quant) rounds identically on
@@ -4831,12 +4856,49 @@ asgF AS (
            row_number() OVER (PARTITION BY pid ORDER BY d2, cid) AS rn
     FROM distF
   ) WHERE rn = 1
-)
+)"""
+    return head + "".join(steps) + tail
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64, quant: int = 1_000_000) -> str:
+    """q142's oracle: the unrolled Lloyd chain + per-cluster rollup."""
+    return (
+        _kmeans_ctes(k=k, iters=iters, dim=dim, quant=quant)
+        + """
 SELECT cluster, COUNT(*) AS n_points, CAST(SUM(pid) AS BIGINT) AS id_checksum,
        MIN(pid) AS min_id, CAST(SUM(d2) AS BIGINT) AS inertia
 FROM asgF GROUP BY cluster ORDER BY cluster
 """
-    return head + "".join(steps) + tail
+    )
+
+
+def _semdedup_sql(
+    k: int = 8, iters: int = 2, dim: int = 64, quant: int = 1_000_000,
+    threshold: float = 0.93,
+) -> str:
+    """q192's oracle: the SAME unrolled Lloyd chain, then the
+    lower-id-neighbor drop rule — within-cluster pairs, the _COS
+    fold-identical cosine, DISTINCT dropped ids, per-cluster rollup."""
+    cos = _COS.format(a="e1.embedding", b="e2.embedding")
+    return (
+        _kmeans_ctes(k=k, iters=iters, dim=dim, quant=quant)
+        + f""",
+simpairs AS (
+  SELECT a1.pid AS id_a, a2.pid AS id_b
+  FROM asgF a1 JOIN asgF a2 ON a1.cluster = a2.cluster AND a1.pid < a2.pid
+  JOIN embeddings e1 ON e1.vec_id = a1.pid
+  JOIN embeddings e2 ON e2.vec_id = a2.pid
+  WHERE {cos} >= {threshold}
+),
+dropped AS (SELECT DISTINCT id_b FROM simpairs)
+SELECT a.cluster,
+       COUNT(*) AS n_points,
+       CAST(SUM(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN d.id_b IS NULL THEN a.pid ELSE 0 END) AS BIGINT) AS kept_checksum
+FROM asgF a LEFT JOIN dropped d ON a.pid = d.id_b
+GROUP BY 1 ORDER BY 1
+"""
+    )
 
 
 def _hll_sql(p: int = 9) -> str:
@@ -8000,4 +8062,6 @@ l0 AS (SELECT node, node AS label FROM nodes),
 SELECT label, COUNT(*) AS n_members, MIN(node) AS min_node
 FROM l3 GROUP BY 1 ORDER BY n_members DESC, label ASC LIMIT 25
 """
+    # q192: the q142 unrolled-Lloyd chain + the SemDeDup drop rule.
+    oracles["q192_semdedup"] = _semdedup_sql(k=8, iters=2, threshold=0.93)
     return oracles

@@ -144,6 +144,7 @@ HEADLINE = [
     "q189_dsir_importance",
     "q190_hits",
     "q191_label_propagation",
+    "q192_semdedup",
 ]
 
 

@@ -975,3 +975,65 @@ def duplicate_span_coverage(
             .alias("dup_coverage"),
         )
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.93,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): SEMANTIC
+    deduplication of an embedded corpus — k-means the embedding space
+    (the deterministic integer Lloyd of operators/clustering), then
+    drop every vector that has a LOWER-ID neighbor in the same cluster
+    with cosine ≥ ``threshold``. The lower-id rule is this engine's
+    deterministic stand-in for SemDeDup's keep-one-per-ε-ball: it is a
+    pure function of the input (no RNG, no visit order), SQL-checkable,
+    and keeps exactly the minimal id of every duplicate pair-chain's
+    head (a vector survives iff NO earlier same-cluster vector is
+    ε-close — the transitive-free variant, documented contract).
+
+    Scale shape: the clustering is the point — pairwise cosine runs
+    WITHIN clusters only (an equi-join on cluster, never a corpus
+    cross-join), so the candidate volume is Σ|cluster|² and ``k`` is
+    the knob that bounds it: at 100 TB raise k so clusters stay
+    ~10⁴-10⁵ vectors (SemDeDup's own regime), or feed cluster ids from
+    a coarser quantizer. Cosine is the fold-deterministic built-in
+    (functions.vectors — no UDF). Returns one row per vector:
+    (pid, cluster, dropped)."""
+    from ..functions.vectors import as_double, cosine
+    from .clustering import kmeans_fixedpoint
+
+    asg = kmeans_fixedpoint(
+        emb, k=k, iters=iters, quant=quant, id_col=id_col, vec_col=vec_col
+    ).select("pid", "cluster")
+    vecs = emb.select(F.col(id_col).alias("pid"), as_double(vec_col).alias("__v"))
+    pts = asg.join(vecs, "pid").cache()  # consumed by both pair sides + output
+    a = pts.select(
+        F.col("pid").alias("id_a"), "cluster", F.col("__v").alias("__va")
+    )
+    b = pts.select(
+        F.col("pid").alias("id_b"), "cluster", F.col("__v").alias("__vb")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("id_b").alias("pid"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        pts.select("pid", "cluster")
+        .join(dropped, "pid", "left")
+        .select(
+            "pid",
+            "cluster",
+            F.coalesce("__dropped", F.lit(False)).alias("dropped"),
+        )
+    )

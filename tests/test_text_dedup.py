@@ -339,3 +339,27 @@ def test_duplicate_span_coverage_crafted_corpus(spark):
     assert out[4]["covered_tokens"] == 7 and out[4]["dup_coverage"] == 1.0
     # doc 5: no spans, zero-filled, coverage 0 (not NULL)
     assert (out[5]["n_tokens"], out[5]["n_spans"], out[5]["dup_coverage"]) == (1, 0, 0.0)
+
+
+def test_semdedup_drops_higher_id_near_duplicates(spark):
+    # 1 and 2 are near-identical directions; 3 is orthogonal-ish.
+    # With k=2 the pair clusters together: 2 (higher id) must drop.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.98, 0.05, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["pid"]: r["dropped"]
+        for r in dedup.semdedup(df, k=2, iters=1, threshold=0.95).collect()
+    }
+    assert out[1] is False and out[2] is True
+    assert out[3] is False and out[4] is True
+    # determinism: a second run returns the identical assignment
+    again = {
+        r["pid"]: r["dropped"]
+        for r in dedup.semdedup(df, k=2, iters=1, threshold=0.95).collect()
+    }
+    assert again == out
