@@ -4293,6 +4293,38 @@ def q192_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q193_corpus_gates(spark: SparkSession, sf: str) -> DataFrame:
+    """The C4/Gopher curation stack composed end-to-end
+    (text.corpus_gate_report): language-ID + duplicate-bigram
+    repetition + token-length band + unigram-LM score, per-document
+    booleans rolled up per source — the keep/drop accounting a
+    pretraining data pipeline publishes per corpus slice. Every gate
+    reuses an independently oracle-checked primitive (q16/q94/q166),
+    and the oracle recomposes the same CTE logic, so the composition
+    itself is what this query proves."""
+    docs = load(spark, sf, "documents")
+    g = textops.corpus_gate_report(
+        docs,
+        keep_lang="en",
+        max_dup_gram_frac=0.10,
+        min_tokens=30,
+        max_tokens=80,
+        max_avg_nll=3.402,
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("pass_lang").cast("bigint")).alias("n_pass_lang"),
+            F.sum(F.col("pass_rep").cast("bigint")).alias("n_pass_rep"),
+            F.sum(F.col("pass_len").cast("bigint")).alias("n_pass_len"),
+            F.sum(F.col("pass_nll").cast("bigint")).alias("n_pass_nll"),
+            F.sum(F.col("pass_all").cast("bigint")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -4320,9 +4352,9 @@ def q192_semdedup(spark: SparkSession, sf: str) -> DataFrame:
 # Oldest evidence after this round's head lands: r3 (the 40-query
 # q51-q118 remainder, 3 rounds old) — they are round 7's head, and
 # they fit (40 < 50, leaving ~10 slots for round-7 additions: q185-
-# q192 — deterministic shuffle, bigram NLL, mixture interleave,
-# duplicate-span coverage, DSIR, HITS, label propagation, SemDeDup —
-# registered
+# q193 — deterministic shuffle, bigram NLL, mixture interleave,
+# duplicate-span coverage, DSIR, HITS, label propagation, SemDeDup,
+# C4/Gopher gate stack — registered
 # with full oracles this round, first driver rows next).
 # Every query stays registered and oracle-checked locally regardless
 # of position (tools/check_oracle.py runs all).
@@ -4356,7 +4388,7 @@ _R6_FRESH_EVIDENCE_LE_Q50 = {13, 17, 20, 21, 36, 38}  # r4/r5 rows already
 # oracles and local check_oracle evidence this round, and take their
 # first driver rows in round 7's head, which must still fit —
 # asserted by the rotation test's capacity check.
-_R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192}
+_R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4582,6 +4614,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_hits": q190_hits,
         "q191_label_propagation": q191_label_propagation,
         "q192_semdedup": q192_semdedup,
+        "q193_corpus_gates": q193_corpus_gates,
     }
 
 
@@ -8064,4 +8097,69 @@ FROM l3 GROUP BY 1 ORDER BY n_members DESC, label ASC LIMIT 25
 """
     # q192: the q142 unrolled-Lloyd chain + the SemDeDup drop rule.
     oracles["q192_semdedup"] = _semdedup_sql(k=8, iters=2, threshold=0.93)
+    # q193: the q16 lang CASE + q94 repetition CTE + q166 unigram-NLL
+    # CTE recomposed into the C4/Gopher gate stack; absent-signal
+    # semantics mirror the operator (no bigrams -> rep passes
+    # vacuously, no tokens -> nll fails).
+    oracles["q193_corpus_gates"] = f"""
+WITH h AS (
+  SELECT doc_id, source, {_HITS['en']} AS h_en, {_HITS['es']} AS h_es,
+         {_HITS['fr']} AS h_fr, {_HITS['de']} AS h_de
+  FROM documents
+),
+langp AS (SELECT doc_id, source, {lang_case} AS pred_lang FROM h),
+tokc AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+  FROM documents
+),
+ntoks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, ' ') AS w FROM documents
+),
+ridx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM ntoks WHERE len(w) >= 2
+),
+rgrams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram FROM ridx),
+rpg AS (SELECT doc_id, gram, COUNT(*) AS c FROM rgrams GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(c) AS DOUBLE) AS dupf
+  FROM rpg GROUP BY doc_id
+),
+utoks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array({_NORM_TEXT}, ' ')) AS tok
+  FROM documents
+),
+u2 AS (SELECT doc_id, tok FROM utoks WHERE tok <> ''),
+umodel AS (SELECT tok, COUNT(*) AS c FROM u2 GROUP BY 1),
+utotal AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM umodel),
+uscored AS (
+  SELECT u.doc_id, CAST(-ln(CAST(m.c AS DOUBLE) / t.t) AS DECIMAL(28,12)) AS nll
+  FROM u2 u JOIN umodel m USING (tok) CROSS JOIN utotal t
+),
+unll AS (
+  SELECT doc_id, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+  FROM uscored GROUP BY doc_id
+),
+g AS (
+  SELECT l.doc_id, l.source,
+         l.pred_lang = 'en' AS p_lang,
+         COALESCE(r.dupf <= 0.10, TRUE) AS p_rep,
+         t.nt BETWEEN 30 AND 80 AS p_len,
+         COALESCE(n.avg_nll <= 3.402, FALSE) AS p_nll
+  FROM langp l
+  JOIN tokc t USING (doc_id)
+  LEFT JOIN rep r USING (doc_id)
+  LEFT JOIN unll n USING (doc_id)
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN p_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_lang,
+       CAST(SUM(CASE WHEN p_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_rep,
+       CAST(SUM(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+       CAST(SUM(CASE WHEN p_nll THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_nll,
+       CAST(SUM(CASE WHEN p_lang AND p_rep AND p_len AND p_nll THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM g GROUP BY source ORDER BY source
+"""
     return oracles

@@ -145,6 +145,7 @@ HEADLINE = [
     "q190_hits",
     "q191_label_propagation",
     "q192_semdedup",
+    "q193_corpus_gates",
 ]
 
 

@@ -763,3 +763,61 @@ def dsir_importance(
             "avg_logratio"
         ),
     )
+
+
+def corpus_gate_report(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_lang: str = "en",
+    max_dup_gram_frac: float = 0.10,
+    min_tokens: int = 30,
+    max_tokens: int = 80,
+    max_avg_nll: float = 3.402,
+) -> DataFrame:
+    """The C4/Gopher curation stack as ONE composed gate: language-ID,
+    duplicate-bigram repetition, token-length band, and unigram-LM
+    perplexity proxy, each emitted as a per-document boolean plus the
+    conjunction — the keep/drop decision a pretraining corpus filter
+    applies before tokenization (C4: Raffel et al. JMLR'20 §2.2;
+    Gopher: Rae et al. 2021 §A.1.1) built entirely from this module's
+    oracle-checked primitives (lang_id, repetition_signals,
+    unigram_nll, token_count).
+
+    Gate semantics for absent signals (documented, deterministic):
+    a document with <2 tokens has NO bigrams — repetition passes
+    vacuously (no repetition evidence); a document with no tokens has
+    no LM score — the perplexity gate FAILS (nothing to keep). All
+    other comparisons are IEEE on the primitives' already-quantized
+    outputs, so the stack is exactly replayable in SQL.
+
+    Scale: the three signal frames are independent linear passes
+    (each already 100 TB-shaped); the composition is two left
+    equi-joins on the id. Returns every input column plus
+    (pred_lang, n_tokens, dup_gram_frac, avg_nll, pass_lang,
+    pass_rep, pass_len, pass_nll, pass_all)."""
+    base = lang_id(df, text_col=text_col).withColumn(
+        "n_tokens", token_count(text_col)
+    )
+    rep = repetition_signals(
+        df.select(F.col(id_col), F.col(text_col)), id_col=id_col, text_col=text_col, n=2
+    ).select(F.col(id_col), "dup_gram_frac")
+    nll = unigram_nll(
+        df.select(F.col(id_col), F.col(text_col)), text_col=text_col, id_col=id_col
+    ).select(F.col(id_col), "avg_nll")
+    out = base.join(rep, id_col, "left").join(nll, id_col, "left")
+    p_lang = F.col("pred_lang") == keep_lang
+    p_rep = F.col("dup_gram_frac").isNull() | (
+        F.col("dup_gram_frac") <= max_dup_gram_frac
+    )
+    p_len = (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
+    p_nll = F.col("avg_nll").isNotNull() & (F.col("avg_nll") <= max_avg_nll)
+    return out.select(
+        "*",
+        p_lang.alias("pass_lang"),
+        p_rep.alias("pass_rep"),
+        p_len.alias("pass_len"),
+        p_nll.alias("pass_nll"),
+        (p_lang & p_rep & p_len & p_nll).alias("pass_all"),
+    )

@@ -265,3 +265,28 @@ def test_dsir_importance_matches_reference_and_orders_domains(spark):
     assert got == ref
     # the target-like raw doc must outscore the raw-like raw doc
     assert got[4][1] > got[5][1]
+
+
+def test_corpus_gate_report_absent_signal_semantics(spark):
+    rows = [
+        # passes everything: English stopwords, 30+ distinct-ish tokens
+        (1, "the cat and the dog went to the park and it is nice " + " ".join(f"w{i}" for i in range(20))),
+        (2, "el la de que los " * 8),          # Spanish -> fails lang
+        (3, "the and of to is " * 8),          # heavy bigram repetition
+        (4, "x"),                               # 1 token: no bigrams (rep passes vacuously), fails length
+        (5, " "),                               # no tokens: nll gate must FAIL
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in textops.corpus_gate_report(
+            df, keep_lang="en", max_dup_gram_frac=0.3,
+            min_tokens=5, max_tokens=100, max_avg_nll=50.0,
+        ).collect()
+    }
+    assert out[1]["pass_lang"] and out[1]["pass_all"]
+    assert not out[2]["pass_lang"] and not out[2]["pass_all"]
+    assert not out[3]["pass_rep"]           # dup_gram_frac ~ 1
+    assert out[4]["pass_rep"]               # no bigrams -> vacuous pass
+    assert not out[4]["pass_len"]
+    assert not out[5]["pass_nll"] and not out[5]["pass_all"]

@@ -38,6 +38,7 @@ BNL_ALLOWED = {
     "q186_bigram_nll": "1-row bigram-vocab broadcast onto the scored stream",
     "q189_dsir_importance": "1-row model-totals broadcast onto the feature stream",
     "q190_hits": "per-iteration 1-row quotient broadcasts (integer normalization)",
+    "q193_corpus_gates": "1-row token-total broadcast inside the unigram-NLL gate (the q166 shape)",
 }
 
 

@@ -93,6 +93,15 @@ NOTES = {
     "q184_sliding_hll_distinct": "per-day registers once, contribution explode to 7 windows (register volume, not data), max-merge per (window,bucket) — history never rescanned",
     "q176_interpolated_gaps": "hour-spine left join + IGNORE-NULLS neighbor windows per group — windows run over the series domain, never raw events",
     "q177_rolling_correlation": "one trailing RANGE window over the hour index carrying six exact integer moment sums; corr per-row IEEE with NULLIF guard",
+    "q185_deterministic_shuffle": "md5 order key, pmod shard, two-phase prefix-sum rank — no per-shard single-task sort, no rand()",
+    "q186_bigram_nll": "one exploded bigram stream; two map-side-combinable model counts; AQE-sized joins back; 1-row vocab broadcast; decimal-quantized per-doc sum",
+    "q187_mixture_interleave": "per-source md5 ranks then one global WFQ-finish-time rank, both via the two-phase prefix-sum machinery — no global single-partition window",
+    "q188_duplicate_spans": "positional spans to constant-width md5 keys before the frequency shuffle; coverage explode bounded at n rows per duplicated span",
+    "q189_dsir_importance": "one conditional-agg pass fits BOTH multinomials; bucket-row model broadcast back onto the feature stream; 1-row totals cross",
+    "q190_hits": "edge frame checkpointed once; per half-step one equi-join + agg keyed on an endpoint plus a 1-row quotient broadcast — no driver data motion",
+    "q191_label_propagation": "per round one |E| join on dst + two map-side-combinable aggs; struct-max mode (no window); |V| label frame checkpointed per round",
+    "q192_semdedup": "k-row centroid broadcast for assignment; pairwise cosine confined WITHIN clusters by the equi-join on cluster id — never a corpus cross-join",
+    "q193_corpus_gates": "three independent linear signal passes (lang/repetition/LM) composed by two left equi-joins on the id — no gate rescans another's input",
 }
 
 
