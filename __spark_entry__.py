@@ -4325,6 +4325,39 @@ def q193_corpus_gates(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q194_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints (text.winnow_fingerprints, the MOSS
+    algorithm): per-document selected-hash profile — fingerprint
+    count, xor checksum, k-gram count, and selection density (expected
+    2/(w+1) ≈ 0.4 at w=4) — the sparse-but-complete local fingerprint
+    a substring-level dedup index stores instead of every shingle.
+    The oracle replays the identical window folds with list_reduce."""
+    docs = load(spark, sf, "documents")
+    fp = textops.winnow_fingerprints(docs, k=3, w=4)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")), " "
+    )
+    grams = docs.select(
+        F.col("doc_id"), F.greatest(F.size(toks) - 2, F.lit(0)).cast("bigint").alias("n_grams")
+    )
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.expr("bit_xor(fp_hash)").alias("fp_xor"),
+        )
+        .join(grams, "doc_id")
+        .select(
+            "doc_id",
+            "n_fps",
+            "fp_xor",
+            "n_grams",
+            (F.col("n_fps").cast("double") / F.col("n_grams")).alias("density"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -4352,9 +4385,9 @@ def q193_corpus_gates(spark: SparkSession, sf: str) -> DataFrame:
 # Oldest evidence after this round's head lands: r3 (the 40-query
 # q51-q118 remainder, 3 rounds old) — they are round 7's head, and
 # they fit (40 < 50, leaving ~10 slots for round-7 additions: q185-
-# q193 — deterministic shuffle, bigram NLL, mixture interleave,
+# q194 — deterministic shuffle, bigram NLL, mixture interleave,
 # duplicate-span coverage, DSIR, HITS, label propagation, SemDeDup,
-# C4/Gopher gate stack — registered
+# C4/Gopher gate stack, winnowing fingerprints — registered
 # with full oracles this round, first driver rows next).
 # Every query stays registered and oracle-checked locally regardless
 # of position (tools/check_oracle.py runs all).
@@ -4388,7 +4421,7 @@ _R6_FRESH_EVIDENCE_LE_Q50 = {13, 17, 20, 21, 36, 38}  # r4/r5 rows already
 # oracles and local check_oracle evidence this round, and take their
 # first driver rows in round 7's head, which must still fit —
 # asserted by the rotation test's capacity check.
-_R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193}
+_R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4615,6 +4648,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_label_propagation": q191_label_propagation,
         "q192_semdedup": q192_semdedup,
         "q193_corpus_gates": q193_corpus_gates,
+        "q194_winnow_fingerprints": q194_winnow_fingerprints,
     }
 
 
@@ -8161,5 +8195,39 @@ SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN p_nll THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_nll,
        CAST(SUM(CASE WHEN p_lang AND p_rep AND p_len AND p_nll THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM g GROUP BY source ORDER BY source
+"""
+    # q194: winnowing replayed with list ops — the span-hash list is
+    # built with variable ``si`` (the _MD5_INT60 lambda-shadowing rule,
+    # see q188), windows are rightmost-min list_reduce folds, the
+    # distinct struct set aggregates per doc. bit_xor = Spark bit_xor.
+    _wh = _MD5_INT60.format(col="array_to_string(wd[si:si+2], ' ')")
+    oracles["q194_winnow_fingerprints"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, ' ') AS wd FROM documents
+),
+base AS (SELECT doc_id, wd, len(wd) - 2 AS m FROM toks),
+hs AS (
+  SELECT doc_id, m,
+         list_transform(range(1, m + 1), si -> struct_pack(
+             h := {_wh}, p := si)) AS hp
+  FROM base WHERE m >= 1
+),
+wins AS (
+  SELECT doc_id, m,
+         list_transform(range(1, greatest(m - 3, 1) + 1), wi ->
+             list_reduce(hp[wi:wi+3], (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END)) AS sel
+  FROM hs
+),
+sf AS (
+  -- row-level DISTINCT: DuckDB's list_distinct cannot handle struct
+  -- lists (histogram-backed); deduping after unnest is equivalent
+  SELECT DISTINCT doc_id, m, s.h AS h, s.p AS p
+  FROM (SELECT doc_id, m, unnest(sel) AS s FROM wins)
+)
+SELECT doc_id, COUNT(*) AS n_fps,
+       CAST(bit_xor(h) AS BIGINT) AS fp_xor,
+       CAST(m AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS DOUBLE) / m AS density
+FROM sf GROUP BY doc_id, m ORDER BY doc_id
 """
     return oracles

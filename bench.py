@@ -146,6 +146,7 @@ HEADLINE = [
     "q191_label_propagation",
     "q192_semdedup",
     "q193_corpus_gates",
+    "q194_winnow_fingerprints",
 ]
 
 

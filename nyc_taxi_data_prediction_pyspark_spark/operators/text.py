@@ -821,3 +821,67 @@ def corpus_gate_report(
         p_nll.alias("pass_nll"),
         (p_lang & p_rep & p_len & p_nll).alias("pass_all"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    MOSS, SIGMOD'03): hash every k-token gram, slide a window of ``w``
+    consecutive hashes, and select each window's MINIMUM (ties to the
+    RIGHTMOST position — the paper's rule); the distinct selected
+    (position, hash) pairs are the document's fingerprint. The
+    guarantee that makes this the local-dedup primitive: any shared
+    token run of length ≥ w + k - 1 between two documents yields at
+    least one SHARED selected hash, while expected density is only
+    2/(w+1) — sparse fingerprints with a completeness floor, unlike
+    plain modulo sampling.
+
+    Shape: entirely IN-ROW (narrow, no shuffle) — positional k-grams
+    via the slice+zip_with shingle idiom, md5-60bit hashes, and a
+    per-window rightmost-min fold over (hash, pos) structs; per-row
+    cost O(n_tokens · w). Documents with fewer than w k-grams yield
+    one global-min fingerprint; documents with no k-grams yield no
+    rows. Returns exploded (id, fp_pos, fp_hash) — position 1-based,
+    the row set an order-independent contract both engines agree on."""
+    from ..functions.hashing import md5_int60
+
+    toks = F.split(normalize_text(text_col), " ")
+    m = F.size(toks) - (k - 1)
+    sh = F.slice(toks, 1, F.greatest(m, F.lit(1)))
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh, F.slice(toks, j + 1, F.greatest(m, F.lit(1))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    hs = F.transform(sh, lambda s: md5_int60(s))
+    hp = F.zip_with(
+        hs,
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda h, p: F.struct(h.alias("h"), p.cast("bigint").alias("p")),
+    )
+    nwin = F.greatest(m - (w - 1), F.lit(1))
+    init = F.struct(
+        F.lit(1 << 62).cast("bigint").alias("h"), F.lit(-1).cast("bigint").alias("p")
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), nwin),
+        lambda i: F.aggregate(
+            F.slice(hp, i, w),
+            init,
+            lambda acc, x: F.when(x["h"] <= acc["h"], x).otherwise(acc),
+        ),
+    )
+    sel = F.when(m > 0, F.array_distinct(wins)).otherwise(
+        F.array().cast("array<struct<h:bigint,p:bigint>>")
+    )
+    return df.select(F.col(id_col), F.explode(sel).alias("__s")).select(
+        F.col(id_col),
+        F.col("__s.p").alias("fp_pos"),
+        F.col("__s.h").alias("fp_hash"),
+    )

@@ -363,3 +363,45 @@ def test_semdedup_drops_higher_id_near_duplicates(spark):
         for r in dedup.semdedup(df, k=2, iters=1, threshold=0.95).collect()
     }
     assert again == out
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    # MOSS guarantee: a shared token run of length >= w + k - 1 (= 6 at
+    # k=3, w=4) must yield at least one SHARED selected hash.
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five"),
+            (2, "nine eight " + shared + " seven"),
+            (3, "totally different words everywhere here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = textops.winnow_fingerprints(docs, k=3, w=4)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    # positions are 1-based and within the k-gram range
+    toks1 = len(docs.where("doc_id = 1").first()["text"].split())
+    for r in rows:
+        if r["doc_id"] == 1:
+            assert 1 <= r["fp_pos"] <= toks1 - 2
+    # determinism
+    again = {(r["doc_id"], r["fp_pos"], r["fp_hash"]) for r in fp.collect()}
+    assert again == {(r["doc_id"], r["fp_pos"], r["fp_hash"]) for r in rows}
+
+
+def test_winnow_fingerprints_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "a b c d")],
+        ["doc_id", "text"],
+    )
+    fp = textops.winnow_fingerprints(docs, k=3, w=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc                     # no k-grams -> no rows
+    assert len(by_doc[2]) == 1                 # 1 gram -> its own fp
+    assert len(by_doc[3]) == 1                 # 2 grams, m < w -> global min only

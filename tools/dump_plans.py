@@ -102,6 +102,7 @@ NOTES = {
     "q191_label_propagation": "per round one |E| join on dst + two map-side-combinable aggs; struct-max mode (no window); |V| label frame checkpointed per round",
     "q192_semdedup": "k-row centroid broadcast for assignment; pairwise cosine confined WITHIN clusters by the equi-join on cluster id — never a corpus cross-join",
     "q193_corpus_gates": "three independent linear signal passes (lang/repetition/LM) composed by two left equi-joins on the id — no gate rescans another's input",
+    "q194_winnow_fingerprints": "fingerprint selection entirely in-row (narrow, zero shuffles before the per-doc rollup); O(tokens x w) window folds",
 }
 
 
