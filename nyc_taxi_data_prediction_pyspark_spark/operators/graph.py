@@ -401,6 +401,8 @@ def hits_quotient(
     Nodes missing a half-step's sum (no in- or no out-edges) carry 0
     for that score, the standard bipartite-HITS behavior. Returns
     (node, hub, auth) over all nodes, zero-filled."""
+    if iters < 1:
+        raise ValueError("hits_quotient needs iters >= 1 (no authority scores exist before the first half-step)")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()

@@ -845,10 +845,15 @@ def winnow_fingerprints(
     Shape: entirely IN-ROW (narrow, no shuffle) — positional k-grams
     via the slice+zip_with shingle idiom, md5-60bit hashes, and a
     per-window rightmost-min fold over (hash, pos) structs; per-row
-    cost O(n_tokens · w). Documents with fewer than w k-grams yield
-    one global-min fingerprint; documents with no k-grams yield no
-    rows. Returns exploded (id, fp_pos, fp_hash) — position 1-based,
-    the row set an order-independent contract both engines agree on."""
+    cost O(n_tokens · w). The (hash, pos) array is MATERIALIZED as a
+    projected column before the window transform references it —
+    inlining the expression into the lambda re-evaluates the whole
+    gram-hash chain once PER WINDOW (measured: 54 s vs 0.6 s at sf0.1,
+    the shingle_array element_at lesson at one remove). Documents with
+    fewer than w k-grams yield one global-min fingerprint; documents
+    with no k-grams yield no rows. Returns exploded (id, fp_pos,
+    fp_hash) — position 1-based, the row set an order-independent
+    contract both engines agree on."""
     from ..functions.hashing import md5_int60
 
     toks = F.split(normalize_text(text_col), " ")
@@ -865,22 +870,29 @@ def winnow_fingerprints(
         F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
         lambda h, p: F.struct(h.alias("h"), p.cast("bigint").alias("p")),
     )
-    nwin = F.greatest(m - (w - 1), F.lit(1))
+    base = df.select(
+        F.col(id_col),
+        F.when(m > 0, hp)
+        .otherwise(F.array().cast("array<struct<h:bigint,p:bigint>>"))
+        .alias("__hp"),
+    )
+    mm = F.size("__hp")
+    nwin = F.greatest(mm - (w - 1), F.lit(1))
     init = F.struct(
         F.lit(1 << 62).cast("bigint").alias("h"), F.lit(-1).cast("bigint").alias("p")
     )
     wins = F.transform(
         F.sequence(F.lit(1), nwin),
         lambda i: F.aggregate(
-            F.slice(hp, i, w),
+            F.slice(F.col("__hp"), i, w),
             init,
             lambda acc, x: F.when(x["h"] <= acc["h"], x).otherwise(acc),
         ),
     )
-    sel = F.when(m > 0, F.array_distinct(wins)).otherwise(
+    sel = F.when(mm > 0, F.array_distinct(wins)).otherwise(
         F.array().cast("array<struct<h:bigint,p:bigint>>")
     )
-    return df.select(F.col(id_col), F.explode(sel).alias("__s")).select(
+    return base.select(F.col(id_col), F.explode(sel).alias("__s")).select(
         F.col(id_col),
         F.col("__s.p").alias("fp_pos"),
         F.col("__s.h").alias("fp_hash"),
