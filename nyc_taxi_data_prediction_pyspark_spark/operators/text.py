@@ -897,3 +897,49 @@ def winnow_fingerprints(
         F.col("__s.p").alias("fp_pos"),
         F.col("__s.h").alias("fp_hash"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_v: int = 1000,
+) -> DataFrame:
+    """Vocabulary coverage / OOV profile: build the corpus's top-V
+    vocabulary by token frequency (ties broken lexicographically —
+    deterministic), then score every document's out-of-vocabulary
+    occurrence rate — the tokenizer-budget diagnostic a pretraining
+    pipeline runs before committing to a vocab size (what fraction of
+    the corpus would a V-entry word-level vocab cover, and which
+    documents are OOV-heavy).
+
+    Shape: one token explode; one map-side-combinable frequency
+    aggregation; TakeOrdered(V) caps the vocabulary at V rows, which
+    broadcast back onto the token stream as a left semi-join flag; one
+    per-document aggregation. Documents with no tokens are absent —
+    callers left-join if they need them. Returns (id, n_tokens, n_oov,
+    oov_rate) with oov_rate one IEEE division."""
+    toks = (
+        df.select(
+            F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("__t")
+        )
+        .where(F.col("__t") != "")
+    )
+    vocab = (
+        toks.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__t").asc())
+        .limit(top_v)
+        .select("__t")
+        .withColumn("__in_v", F.lit(True))
+    )
+    flagged = toks.join(F.broadcast(vocab), "__t", "left")
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        (
+            F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("oov_rate"),
+    )

@@ -290,3 +290,31 @@ def test_corpus_gate_report_absent_signal_semantics(spark):
     assert out[4]["pass_rep"]               # no bigrams -> vacuous pass
     assert not out[4]["pass_len"]
     assert not out[5]["pass_nll"] and not out[5]["pass_all"]
+
+
+def test_vocab_coverage_oov_rates(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common rare1"),
+            (2, "common other other rare2 rare3"),
+            (3, "common other"),
+        ],
+        ["doc_id", "text"],
+    )
+    # top-2 vocab by frequency: common(5), other(3)
+    out = {
+        r["doc_id"]: r
+        for r in textops.vocab_coverage(docs, top_v=2).collect()
+    }
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (4, 1)
+    assert (out[2]["n_tokens"], out[2]["n_oov"]) == (5, 2)
+    assert (out[3]["n_tokens"], out[3]["n_oov"]) == (2, 0)
+    assert out[3]["oov_rate"] == 0.0
+    assert abs(out[1]["oov_rate"] - 0.25) < 1e-12
+    # deterministic tie-break: with top_v=3, 'rare1'..'rare3' tie at 1;
+    # lexicographically smallest (rare1) enters the vocab
+    out3 = {
+        r["doc_id"]: r["n_oov"]
+        for r in textops.vocab_coverage(docs, top_v=3).collect()
+    }
+    assert out3 == {1: 0, 2: 2, 3: 0}

@@ -270,3 +270,35 @@ def test_label_propagation_isolated_node_keeps_own_label(spark):
     # reference must agree, which is the determinism contract.
     assert got == _lpa_reference(edges, iters=2)
     assert got[1] == 1 and got[2] == 2
+
+
+def test_degree_assortativity_matches_reference(spark):
+    # star graph: hub 0 -> leaves (disassortative) vs a 4-cycle (regular
+    # -> zero variance on both sides -> NULL coefficient)
+    star = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    df = spark.createDataFrame(star, ["src", "dst"])
+    row = graph.degree_assortativity(df).collect()[0]
+    # Python reference over the same directed edge list
+    import math
+
+    edges = sorted(set(star))
+    outd, ind = {}, {}
+    for s, d in edges:
+        outd[s] = outd.get(s, 0) + 1
+        ind[d] = ind.get(d, 0) + 1
+    xs = [outd[s] for s, _ in edges]
+    ys = [ind[d] for _, d in edges]
+    n = len(edges)
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    vx = n * sum(x * x for x in xs) - sum(xs) ** 2
+    vy = n * sum(y * y for y in ys) - sum(ys) ** 2
+    want = num / (math.sqrt(vx) * math.sqrt(vy))
+    assert row["n_edges"] == n
+    assert abs(row["assortativity"] - want) < 1e-12
+    assert want < 0  # a star is disassortative
+
+    cyc = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    row2 = graph.degree_assortativity(
+        spark.createDataFrame(cyc, ["src", "dst"])
+    ).collect()[0]
+    assert row2["assortativity"] is None  # constant degrees: no variance
