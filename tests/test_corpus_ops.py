@@ -318,3 +318,86 @@ def test_vocab_coverage_oov_rates(spark):
         for r in textops.vocab_coverage(docs, top_v=3).collect()
     }
     assert out3 == {1: 0, 2: 2, 3: 0}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_duplicate_span_coverage_matches_bruteforce(spark_h, texts):
+    """For ARBITRARY tiny corpora over a 2-token alphabet (maximal
+    span collisions): the operator equals a Python brute force on
+    every counter, and the structural invariants hold."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.dedup import (
+        duplicate_span_coverage,
+    )
+
+    n = 3
+    df = spark_h.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["n_dup_spans"], r["covered_tokens"])
+        for r in duplicate_span_coverage(df, n=n).collect()
+    }
+    # brute force
+    toks = {i: (t.split(" ") if t.strip() else [""]) for i, t in enumerate(texts)}
+    spans = {}  # key -> [(doc, pos)]
+    for i, ws in toks.items():
+        for p in range(len(ws) - n + 1):
+            spans.setdefault(tuple(ws[p : p + n]), []).append((i, p))
+    dup_positions = {}
+    dup_counts = {}
+    for key, occ in spans.items():
+        if len(occ) > 1:
+            for d, p in occ:
+                dup_counts[d] = dup_counts.get(d, 0) + 1
+                dup_positions.setdefault(d, set()).update(range(p, p + n))
+    for i, ws in toks.items():
+        want = (
+            len(ws),
+            max(len(ws) - n + 1, 0),
+            dup_counts.get(i, 0),
+            len(dup_positions.get(i, set())),
+        )
+        assert got[i] == want, (i, got[i], want)
+        # invariants
+        assert got[i][3] <= got[i][0] and got[i][2] <= got[i][1]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 10**6), min_size=2, max_size=40, unique=True),
+    st.sampled_from([2, 3]),
+)
+def test_mixture_interleave_is_a_wfq_schedule(spark_h, ids, ratio):
+    """For arbitrary id sets split across two sources at weight ratio
+    r:1 — positions are a permutation of 0..n-1, per-source order
+    follows the md5 key order, and in any prefix the heavy source
+    leads by at most its fair share bound."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.text import (
+        mixture_interleave,
+    )
+
+    rows = [(i, "heavy" if k % 2 == 0 else "light") for k, i in enumerate(ids)]
+    df = spark_h.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        (r["global_pos"], r["source"], r["doc_id"])
+        for r in mixture_interleave(
+            df, source_col="source", id_col="doc_id",
+            weights={"heavy": float(ratio), "light": 1.0},
+        ).collect()
+    )
+    n = len(rows)
+    assert [g for g, _, _ in got] == list(range(n))
+    # rate law: after ANY prefix, heavy count >= floor(ratio/(ratio+1) *
+    # prefix) - slack of one WFQ round
+    heavy_total = sum(1 for _, s in rows if s == "heavy")
+    seen_heavy = 0
+    for pos, (g, s, _) in enumerate(got, start=1):
+        if s == "heavy":
+            seen_heavy += 1
+        if seen_heavy < heavy_total:  # rate law only binds while heavy remains
+            assert seen_heavy >= (ratio * pos) // (ratio + 1) - ratio

@@ -405,3 +405,41 @@ def test_winnow_fingerprints_short_docs(spark):
     assert 1 not in by_doc                     # no k-grams -> no rows
     assert len(by_doc[2]) == 1                 # 1 gram -> its own fp
     assert len(by_doc[3]) == 1                 # 2 grams, m < w -> global min only
+
+
+def test_winnow_fingerprints_matches_bruteforce_random(spark):
+    """Operator vs a Python brute-force winnow on deterministic
+    pseudo-random corpora (seeded — no RNG state in the test)."""
+    import hashlib
+    import random
+
+    rng = random.Random(42)
+    texts = [
+        " ".join(rng.choice("abcde") for _ in range(rng.randint(0, 15)))
+        for _ in range(12)
+    ]
+    k, w = 3, 4
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["fp_pos"], r["fp_hash"])
+        for r in textops.winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    want = set()
+    for i, t in enumerate(texts):
+        ws = t.split(" ") if t.strip() else []
+        m = len(ws) - k + 1
+        if m < 1:
+            continue
+        hp = [
+            (int(hashlib.md5(" ".join(ws[p : p + k]).encode()).hexdigest()[:15], 16), p + 1)
+            for p in range(m)
+        ]
+        sel = set()
+        for wi in range(max(m - w + 1, 1)):
+            best = None
+            for h, p in hp[wi : wi + w]:
+                if best is None or h <= best[0]:
+                    best = (h, p)
+            sel.add(best)
+        want |= {(i, p, h) for h, p in sel}
+    assert got == want
