@@ -307,3 +307,51 @@ def lsh_topk(
     return cosine_topk(
         emb_with_buckets.where(F.col("bucket") == qb), qvec, k, id_col=id_col, vec_col=vec_col
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    combine N independent rankings of the same id space into one list
+    by score(id) = Σ_r 1/(k + rank_r(id)) — the standard way to merge
+    a lexical (BM25) and a vector (ANN) retriever without score
+    calibration, robust because only RANKS enter.
+
+    Determinism contract: each 1/(k+rank) term is one IEEE division of
+    exact integers quantized to DECIMAL(28,12) before the sum; the
+    final order breaks score ties by id. An id absent from a ranking
+    simply contributes nothing (the RRF convention). Returns the top
+    ``top`` rows as (id, n_lists, rrf_score).
+
+    Shape: a unionByName of the (id, rank) frames — each typically
+    already top-k-sized — one aggregation, one TakeOrdered. Fusion
+    cost is O(Σ list lengths), independent of corpus size."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking frame")
+    parts = [
+        r.select(
+            F.col(id_col),
+            (
+                F.lit(1.0) / (F.lit(k) + F.col(rank_col).cast("double"))
+            ).cast("decimal(28,12)").alias("__term"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            F.round(F.sum("__term").cast("double"), 9).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(top)
+    )

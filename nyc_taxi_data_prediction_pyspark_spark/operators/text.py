@@ -943,3 +943,81 @@ def vocab_coverage(
             / F.count(F.lit(1))
         ).alias("oov_rate"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranking of every document against a bag of query
+    terms (Robertson & Zaragoza, FnTIR 2009) — the lexical-retrieval
+    baseline beside the embedding ANN family, and the scorer a
+    RAG-ish corpus pipeline runs for keyword recall:
+
+        idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene form,
+                  always positive)
+        s(d)    = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·len/avg))
+
+    Determinism contract: tf/df/N are exact integers; avg doc length
+    is ONE IEEE division of exact sums; each term's contribution is a
+    fixed double expression quantized to DECIMAL(28,12) before the
+    per-document sum (the unigram_nll rule), so the score replays
+    bit-for-bit in SQL.
+
+    Shape: one token explode filtered to the query terms BEFORE any
+    shuffle (the term list is a literal IN — predicate pushdown-able),
+    one (doc, term) count, one #terms-row df frame broadcast, one
+    1-row corpus-stats frame. Documents matching no term are absent —
+    the caller left-joins if a dense ranking is needed. Returns
+    (id, n_matched_terms, bm25)."""
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__t"),
+    ).where(F.col("__t") != "")
+    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__len"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__len").alias("__tot")
+    )
+    qtoks = toks.where(F.col("__t").isin(terms))
+    tf = qtoks.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .join(lens, id_col)
+        .join(F.broadcast(stats), how="cross")  # 1-row corpus stats
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__contrib",
+            (
+                F.col("__idf")
+                * (F.col("__tf") * (k1 + 1))
+                / (
+                    F.col("__tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b
+                        * F.col("__len").cast("double")
+                        / (F.col("__tot").cast("double") / F.col("__n").cast("double"))
+                    )
+                )
+            ).cast("decimal(28,12)"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matched_terms"),
+        F.round(F.sum("__contrib").cast("double"), 6).alias("bm25"),
+    )

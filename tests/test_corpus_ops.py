@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from nyc_taxi_data_prediction_pyspark_spark.operators import dedup, text as textops
+from nyc_taxi_data_prediction_pyspark_spark.operators import dedup, similarity, text as textops
 
 
 def test_decontaminate_flags_exact_and_partial_overlap(spark):
@@ -401,3 +401,81 @@ def test_mixture_interleave_is_a_wfq_schedule(spark_h, ids, ratio):
             seen_heavy += 1
         if seen_heavy < heavy_total:  # rate law only binds while heavy remains
             assert seen_heavy >= (ratio * pos) // (ratio + 1) - ratio
+
+
+def test_bm25_matches_reference_and_ranks_sensibly(spark):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = [
+        (1, "spark shuffle spark join"),
+        (2, "spark weather rain"),
+        (3, "rain rain rain rain rain rain rain rain"),
+        (4, "nothing relevant here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = ["spark", "rain"]
+    got = {
+        r["doc_id"]: (r["n_matched_terms"], r["bm25"])
+        for r in textops.bm25_scores(df, q, k1=1.2, b=0.75).collect()
+    }
+    # Python reference with the identical quantization
+    docs = {i: t.split() for i, t, in ((r[0], r[1]) for r in rows)}
+    n = len(docs)
+    avg = sum(len(v) for v in docs.values()) / n
+    dfreq = {t: sum(1 for v in docs.values() if t in v) for t in q}
+    want = {}
+    for i, toks in docs.items():
+        s = Decimal(0)
+        m = 0
+        for t in q:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            m += 1
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            c = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avg))
+            s += Decimal(repr(c)).quantize(Decimal("1E-12"), rounding=ROUND_HALF_UP)
+        if m:
+            want[i] = (m, round(float(s), 6))
+    assert got == want
+    assert 4 not in got                       # no matching term -> absent
+    # doc2 matches BOTH query terms -> two idf contributions beat
+    # doc1's single saturating term
+    assert got[2][1] > got[1][1]
+    # rain-flooded doc3: tf saturation keeps it bounded, still positive
+    assert got[3][1] > 0 and all(v[1] > 0 for v in got.values())
+
+
+def test_rrf_fuse_merges_rankings(spark):
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], ["vec_id", "rank"])
+    b = spark.createDataFrame([(12, 1), (10, 2), (13, 3)], ["vec_id", "rank"])
+    out = similarity.rrf_fuse([a, b], k=60, top=4).collect()
+    rows = {r["vec_id"]: (r["n_lists"], r["rrf_score"]) for r in out}
+    # ids in both lists dominate ids in one
+    assert rows[10][0] == 2 and rows[12][0] == 2
+    assert rows[10][1] > rows[11][1] and rows[12][1] > rows[13][1]
+    # exact values: 1/61 + 1/62 etc., quantized then summed
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q12(x):
+        return Decimal(repr(x)).quantize(Decimal("1E-12"), rounding=ROUND_HALF_UP)
+
+    assert rows[10][1] == round(float(q12(1 / 61) + q12(1 / 62)), 9)
+    # the fused order is deterministic: 10 before 12 iff score(10) > score(12)
+    order = [r["vec_id"] for r in out]
+    assert order == sorted(order, key=lambda i: (-rows[i][1], i))
+
+
+def test_dsir_importance_degenerate_corpora_do_not_crash(spark):
+    # all-target: raw totals are 0 -> smoothing keeps every term finite
+    rows = [(1, "a b", True), (2, "b c", True)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_target"])
+    out = textops.dsir_importance(df).collect()
+    assert len(out) == 2 and all(r["avg_logratio"] is not None for r in out)
+    # all-raw: symmetric
+    rows2 = [(1, "a b", False), (2, "b c", False)]
+    out2 = textops.dsir_importance(
+        spark.createDataFrame(rows2, ["doc_id", "text", "is_target"])
+    ).collect()
+    assert len(out2) == 2 and all(r["avg_logratio"] is not None for r in out2)
