@@ -479,3 +479,22 @@ def test_dsir_importance_degenerate_corpora_do_not_crash(spark):
         spark.createDataFrame(rows2, ["doc_id", "text", "is_target"])
     ).collect()
     assert len(out2) == 2 and all(r["avg_logratio"] is not None for r in out2)
+
+
+def test_luhn_card_flags(spark):
+    rows = [
+        (1, "pay with 4532015112830366 now"),        # valid Visa test number
+        (2, "order 4532015112830367 shipped"),       # same digits, bad check
+        (3, "call 5551234 soon"),                    # too short: no run
+        (4, "id 79927398713xx and 79927398710"),     # 11 digits: too short
+        (5, "card 378282246310005 works"),           # valid Amex test number (15)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["digit_run"]): r["luhn_valid"]
+        for r in textops.luhn_card_flags(df).collect()
+    }
+    assert got[(1, "4532015112830366")] is True
+    assert got[(2, "4532015112830367")] is False
+    assert got[(5, "378282246310005")] is True
+    assert not [k for k in got if k[0] in (3, 4)]  # short runs never surface
