@@ -4333,12 +4333,15 @@ def q194_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     a substring-level dedup index stores instead of every shingle.
     The oracle replays the identical window folds with list_reduce."""
     docs = load(spark, sf, "documents")
-    fp = textops.winnow_fingerprints(docs, k=3, w=4)
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")), " "
-    )
+    k = 3
+    fp = textops.winnow_fingerprints(docs, k=k, w=4)
+    # same normalization + same k as the fingerprinting above — reuse
+    # the operator's helper so the density denominator can never
+    # desynchronize from the fingerprint tokenization
+    toks = F.split(textops.normalize_text("text"), " ")
     grams = docs.select(
-        F.col("doc_id"), F.greatest(F.size(toks) - 2, F.lit(0)).cast("bigint").alias("n_grams")
+        F.col("doc_id"),
+        F.greatest(F.size(toks) - (k - 1), F.lit(0)).cast("bigint").alias("n_grams"),
     )
     return (
         fp.groupBy("doc_id")

@@ -954,20 +954,25 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """Okapi BM25 ranking of every document against a bag of query
-    terms (Robertson & Zaragoza, FnTIR 2009) — the lexical-retrieval
-    baseline beside the embedding ANN family, and the scorer a
-    RAG-ish corpus pipeline runs for keyword recall:
+    """Okapi BM25 ranking of every document against a SET of query
+    terms (Robertson & Zaragoza, FnTIR 2009 — duplicates in
+    ``query_terms`` are deduplicated, the standard unit-query-weight
+    form) — the lexical-retrieval baseline beside the embedding ANN
+    family, and the scorer a RAG-ish corpus pipeline runs for keyword
+    recall:
 
         idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene form,
                   always positive)
         s(d)    = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·len/avg))
 
-    Determinism contract: tf/df/N are exact integers; avg doc length
-    is ONE IEEE division of exact sums; each term's contribution is a
-    fixed double expression quantized to DECIMAL(28,12) before the
-    per-document sum (the unigram_nll rule), so the score replays
-    bit-for-bit in SQL.
+    Determinism contract: tf/df/N are exact integers — N and the
+    average length count the WHOLE corpus, including documents that
+    normalize to zero tokens (an in-row length computes every doc's
+    length, so empty docs shift idf exactly as the formula says
+    instead of silently shrinking N); avg doc length is ONE IEEE
+    division of exact sums; each term's contribution is a fixed double
+    expression quantized to DECIMAL(28,12) before the per-document sum
+    (the unigram_nll rule), so the score replays bit-for-bit in SQL.
 
     Shape: one token explode filtered to the query terms BEFORE any
     shuffle (the term list is a literal IN — predicate pushdown-able),
@@ -975,15 +980,18 @@ def bm25_scores(
     1-row corpus-stats frame. Documents matching no term are absent —
     the caller left-joins if a dense ranking is needed. Returns
     (id, n_matched_terms, bm25)."""
-    terms = [t.lower() for t in query_terms]
+    if not query_terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    terms = sorted({t.lower() for t in query_terms})
+    ntoks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    lens = df.select(F.col(id_col), F.size(ntoks).cast("bigint").alias("__len"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__len").alias("__tot")
+    )
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("__t"),
     ).where(F.col("__t") != "")
-    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__len"))
-    stats = lens.agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("__len").alias("__tot")
-    )
     qtoks = toks.where(F.col("__t").isin(terms))
     tf = qtoks.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
     dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
@@ -1035,19 +1043,22 @@ def luhn_card_flags(
     7812) verifies, which cuts order-ids/timestamps from the redaction
     audit (~90% of random digit runs fail Luhn).
 
-    The checksum is computed IN-ROW with built-ins only: extract digit
-    runs, explode, reverse the run, fold over positions doubling every
-    second digit (aggregate over the digit array — exact integers,
-    identical in any engine). Returns one row per digit run:
-    (id, digit_run, run_len, luhn_valid); callers aggregate or join
-    back to gate redaction. Documents without 13-19 digit runs are
-    absent."""
+    The checksum is computed IN-ROW with built-ins only: extract
+    MAXIMAL digit runs ([0-9]+ — a bounded quantifier would TRUNCATE a
+    20-digit timestamp to a 19-digit prefix and Luhn-check the
+    fragment; lookaround boundaries are outside the Java∩RE2 subset),
+    keep only runs of card-plausible length 13-19, reverse, fold over
+    positions doubling every second digit (aggregate over the digit
+    array — exact integers, identical in any engine). Returns one row
+    per qualifying digit run: (id, digit_run, run_len, luhn_valid);
+    callers aggregate or join back to gate redaction. Documents
+    without 13-19 digit runs are absent."""
     runs = df.select(
         F.col(id_col),
         F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit("[0-9]{13,19}"), F.lit(0))
+            F.regexp_extract_all(F.col(text_col), F.lit("[0-9]+"), F.lit(0))
         ).alias("digit_run"),
-    )
+    ).where(F.length("digit_run").between(13, 19))
     rev = F.split(F.reverse(F.col("digit_run")), "")
     digits = F.filter(rev, lambda d: d != "")
     total = F.aggregate(

@@ -498,3 +498,11 @@ def test_luhn_card_flags(spark):
     assert got[(2, "4532015112830367")] is False
     assert got[(5, "378282246310005")] is True
     assert not [k for k in got if k[0] in (3, 4)]  # short runs never surface
+    # maximal-run rule: a 20-digit timestamp/id is NOT truncated to a
+    # 19-digit prefix and Luhn-checked (the [0-9]{13,19} bug — a
+    # 20-zero id's prefix would pass Luhn and false-flag)
+    over = spark.createDataFrame(
+        [(9, "ts 20260814123045991234 end"), (10, "id 00000000000000000000 x")],
+        ["doc_id", "text"],
+    )
+    assert textops.luhn_card_flags(over).count() == 0
