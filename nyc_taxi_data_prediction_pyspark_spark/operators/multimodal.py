@@ -345,3 +345,112 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.min("meta.n_bytes").alias("min_bytes"),
         F.max("meta.n_bytes").alias("max_bytes"),
     )
+
+
+PHASH_SCHEMA = "media_id long, frame_idx int, phash long"
+
+
+def frame_phash(df: DataFrame) -> DataFrame:
+    """Perceptual hash (aHash) of grayscale frames — the image-dedup
+    primitive an LLM multimodal pipeline runs before training (near-
+    identical crops/re-encodes of one image collapse to hashes within
+    a few bits): block-average the frame onto an 8×8 grid (REAL numpy
+    block means over the pixel array — the resize_frames gather, with
+    averaging), threshold each cell at the grid mean (strictly-greater
+    — ties to 0, deterministic), and pack the 64 bits row-major (bit
+    63 = cell (0,0)) into one BIGINT.
+
+    Input is ``frame_sample``'s schema; one row in → one row out, so
+    the plain mapInPandas batch shape applies. All integer/float math
+    is numpy float64 over uint8 pixels — deterministic everywhere.
+    Returns (media_id, frame_idx, phash)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for frame, w, h in zip(pdf["frame"], pdf["width"], pdf["height"]):
+                img = np.frombuffer(bytes(frame), dtype=np.uint8).reshape(int(h), int(w))
+                ys = (np.arange(9) * int(h)) // 8
+                xs = (np.arange(9) * int(w)) // 8
+                cells = np.empty((8, 8), dtype=np.float64)
+                for i in range(8):
+                    for j in range(8):
+                        block = img[ys[i] : max(ys[i + 1], ys[i] + 1),
+                                    xs[j] : max(xs[j + 1], xs[j] + 1)]
+                        cells[i, j] = block.mean()
+                bits = (cells > cells.mean()).astype(np.uint64).ravel()
+                ph = 0
+                for b in bits:
+                    ph = (ph << 1) | int(b)
+                # interpret as signed 64-bit for the BIGINT column
+                if ph >= 1 << 63:
+                    ph -= 1 << 64
+                hashes.append(ph)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "phash": hashes,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def phash_near_dupes(
+    hashes: DataFrame,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate media pairs by banded Hamming join over
+    perceptual hashes — the simhash_pairs machinery applied to image
+    hashes: the 64-bit hash splits into ``bands`` equal bit-bands, a
+    candidate pair must share at least one exact band (pigeonhole:
+    LOSSLESS for pairs within ``bands``-1 differing bits — with the
+    default 4 bands every pair at Hamming ≤ 3 is guaranteed found),
+    then the exact Hamming distance filters at ``max_hamming``.
+
+    Scale: the banded equi-join bounds candidates by band-bucket
+    population — never an all-pairs comparison; one row per media is
+    assumed (pre-aggregate multi-frame media to a representative
+    frame, e.g. frame 0, before calling). Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
+    from .dedup import hamming64
+
+    if not 64 % bands == 0:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    banded = h.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(h, {b * width}) & {mask}L").alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "h", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = banded.select(
+        F.col("band"), F.col("bkey"), F.col("id").alias("id_a"), F.col("h").alias("ha")
+    )
+    b = banded.select(
+        F.col("band"), F.col("bkey"), F.col("id").alias("id_b"), F.col("h").alias("hb")
+    )
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64("ha", "hb").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -146,3 +146,81 @@ def test_grouped_linear_fit_closed_form_matches_numpy(spark, sf_dir):
         assert p["n_obs"] == e["n_obs"]
         assert math.isclose(p["slope"], e["slope"], rel_tol=1e-6, abs_tol=1e-9)
         assert math.isclose(p["intercept"], e["intercept"], rel_tol=1e-6, abs_tol=1e-9)
+
+
+def _srv0(frames, w, h, fps=10):
+    import struct
+
+    return struct.pack("<4sHHH", b"SRV0", w, h, fps) + b"".join(frames)
+
+
+def _ahash_reference(frame, w, h):
+    import numpy as np
+
+    img = np.frombuffer(frame, dtype=np.uint8).reshape(h, w)
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    cells = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            cells[i, j] = img[
+                ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)
+            ].mean()
+    bits = (cells > cells.mean()).astype(int).ravel()
+    ph = 0
+    for b in bits:
+        ph = (ph << 1) | int(b)
+    return ph - (1 << 64) if ph >= 1 << 63 else ph
+
+
+def test_frame_phash_and_near_dupes(spark):
+    import numpy as np
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators import multimodal
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    tweaked = base.copy()
+    tweaked[0, 0] = 255 - tweaked[0, 0]  # one-pixel change
+    other = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    rows = [
+        (1, _srv0([base.tobytes()], 16, 16)),
+        (2, _srv0([tweaked.tobytes()], 16, 16)),
+        (3, _srv0([other.tobytes()], 16, 16)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    frames = multimodal.frame_sample(media, every_ms=1000)
+    ph = multimodal.frame_phash(frames)
+    got = {r["media_id"]: r["phash"] for r in ph.collect()}
+    # bit-exact vs the Python reference
+    assert got[1] == _ahash_reference(base.tobytes(), 16, 16)
+    assert got[3] == _ahash_reference(other.tobytes(), 16, 16)
+    # the one-pixel tweak stays within a few bits of the original
+    ham12 = bin((got[1] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert ham12 <= 3
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.phash_near_dupes(ph, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == ham12
+    assert not any(3 in k for k in pairs)  # the unrelated frame stays out
+
+
+def test_phash_banding_is_lossless_within_bands_minus_one(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators import multimodal
+
+    # craft hashes at exact Hamming distances: 3 (must be found at
+    # bands=4) and 4 spread over all bands (may legitimately be missed
+    # by banding if over threshold; here max_hamming=3 excludes it)
+    h0 = 0x0123456789ABCDEF
+    h3 = h0 ^ 0b111                      # 3 bits in one band
+    h4 = h0 ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))  # 1 bit/band
+    df = spark.createDataFrame(
+        [(1, h0), (2, h3), (3, h4)], "media_id long, phash long"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.phash_near_dupes(df, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 3
+    assert (1, 3) not in pairs  # hamming 4 > max_hamming
