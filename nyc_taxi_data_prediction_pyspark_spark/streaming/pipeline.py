@@ -497,3 +497,129 @@ def maintain_hourly_rollup(
             F.col("value_sum").cast("double").alias("value_sum"),
         )
     )
+
+
+def ingest_embeddings_incrementally(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    *,
+    n_arrival_files: int = 4,
+    threshold: float = 0.93,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming SEMANTIC dedup ingest: embedding vectors arrive in
+    micro-batches and fold into a store of (pid, bucket, dropped) —
+    the streaming form of ``dedup.semdedup``'s drop rule restricted to
+    sign-LSH buckets: a vector is dropped iff SOME lower-id vector in
+    its bucket is ε-close (cosine ≥ ``threshold``), no matter when
+    either side arrived.
+
+    Invariance argument (the T3/T6 discipline, the corpus-ingest MIN
+    argument with OR for MIN): dropped(v) = OR over the pair set
+    {(u,v): u<v, bucket(u)=bucket(v), cos ≥ t} — OR is idempotent,
+    commutative and monotone, and each pair is (re)discovered in every
+    batch that delivers either endpoint, so ANY arrival split or
+    at-least-once redelivery converges to the identical store; LATE
+    lower-id arrivals retroactively flip earlier survivors, which a
+    keep-only store could never do (that is why the store holds every
+    seen vector with its flag, not just the kept ones).
+
+    Per-batch cost: |batch| × its bucket-mates in the store (the LSH
+    block bound) + one store rewrite — the compaction-cadence shape of
+    ``ingest_corpus_incrementally``; per-key state
+    (applyInPandasWithState) is the low-latency alternative. Returns
+    the final store (pid, bucket, dropped)."""
+    import os
+    import shutil
+    import uuid
+
+    from ..catalog import load
+    from ..functions.vectors import as_double, cosine
+    from ..operators.similarity import lsh_buckets, random_hyperplanes
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)  # deterministic re-runs
+    arrivals = os.path.join(work_dir, "arrivals")
+    store = os.path.join(work_dir, "store")
+    ckpt = os.path.join(work_dir, "ckpt")
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    emb.repartition(n_arrival_files).write.mode("overwrite").parquet(arrivals)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+    )
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        ss = batch.sparkSession
+        b = (
+            lsh_buckets(batch, planes)
+            .select(
+                F.col("vec_id").alias("pid"),
+                "bucket",
+                as_double("embedding").alias("vec"),
+            )
+        )
+        if os.path.exists(store):
+            prev = ss.read.parquet(store)
+        else:
+            prev = ss.createDataFrame(
+                [], "pid long, bucket long, vec array<double>, dropped boolean"
+            )
+        allv = prev.unionByName(b.withColumn("dropped", F.lit(False)))
+        # re-aggregate redelivered pids (MIN on dropped=False arrival,
+        # OR on any dropped=True fold below keeps this idempotent)
+        allv = allv.groupBy("pid", "bucket").agg(
+            F.first("vec").alias("vec"), F.max("dropped").alias("dropped")
+        )
+        # pairs with at least one endpoint in this batch, earlier id
+        # drops later id; both directions (a late LOWER id must flip
+        # an already-stored survivor)
+        e = allv.select(
+            F.col("pid").alias("id_e"), F.col("bucket"), F.col("vec").alias("ve")
+        )
+        l = b.select(
+            F.col("pid").alias("id_l"), F.col("bucket"), F.col("vec").alias("vl")
+        )
+        hit_batch = (  # batch member is the later/dropped side
+            e.join(l, "bucket")
+            .where(F.col("id_e") < F.col("id_l"))
+            .where(cosine(F.col("ve"), F.col("vl")) >= threshold)
+            .select(F.col("id_l").alias("pid"))
+        )
+        hit_store = (  # batch member is the earlier side, store later
+            l.select(
+                F.col("id_l").alias("id_e2"), "bucket", F.col("vl").alias("ve2")
+            )
+            .join(
+                allv.select(
+                    F.col("pid").alias("id_l2"), "bucket", F.col("vec").alias("vl2")
+                ),
+                "bucket",
+            )
+            .where(F.col("id_e2") < F.col("id_l2"))
+            .where(cosine(F.col("ve2"), F.col("vl2")) >= threshold)
+            .select(F.col("id_l2").alias("pid"))
+        )
+        victims = hit_batch.union(hit_store).distinct().withColumn("__hit", F.lit(True))
+        merged = (
+            allv.join(victims, "pid", "left")
+            .select(
+                "pid",
+                "bucket",
+                "vec",
+                (F.col("dropped") | F.coalesce("__hit", F.lit(False))).alias("dropped"),
+            )
+        )
+        tmp = f"{store}_tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        _swap_store(store, tmp)
+
+    foreach_batch_merge(stream, checkpoint=ckpt, merge_fn=merge)
+    return spark.read.parquet(store).select("pid", "bucket", "dropped")

@@ -210,3 +210,57 @@ def test_event_stream_reads_both_ns_and_us_parquet(spark, tmp_path):
         )
         got[unit] = {tuple(r) for r in spark.table(sink).collect()}
     assert got["ns"] == got["us"] and len(got["us"]) == 3
+
+
+def test_ingest_embeddings_incrementally_matches_batch_and_split_invariant(spark, tmp_path):
+    """The streaming semantic-dedup store must equal the batch drop
+    rule (lower-id bucket-mate at cosine >= t) regardless of arrival
+    splits — including the retroactive case where a late lower id
+    flips an already-stored survivor."""
+    from nyc_taxi_data_prediction_pyspark_spark.functions.vectors import as_double, cosine
+    from nyc_taxi_data_prediction_pyspark_spark.operators.similarity import (
+        lsh_buckets,
+        random_hyperplanes,
+    )
+    from nyc_taxi_data_prediction_pyspark_spark.streaming import pipeline as stream
+
+    sf = "/root/testdata/sf0.001"
+    got2 = {
+        (r["pid"], r["dropped"])
+        for r in stream.ingest_embeddings_incrementally(
+            spark, sf, str(tmp_path / "w2"), n_arrival_files=2, threshold=0.35
+        ).collect()
+    }
+    got5 = {
+        (r["pid"], r["dropped"])
+        for r in stream.ingest_embeddings_incrementally(
+            spark, sf, str(tmp_path / "w5"), n_arrival_files=5, threshold=0.35
+        ).collect()
+    }
+    assert got2 == got5  # batch-boundary invariance
+
+    # batch reference: same buckets, same rule, computed in one pass
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+
+    emb = load(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    planes = random_hyperplanes(dim, 6, 42)
+    v = lsh_buckets(emb, planes).select(
+        F.col("vec_id").alias("pid"), "bucket", as_double("embedding").alias("vec")
+    )
+    a = v.select(F.col("pid").alias("id_a"), "bucket", F.col("vec").alias("va"))
+    b = v.select(F.col("pid").alias("id_b"), "bucket", F.col("vec").alias("vb"))
+    dropped = {
+        r["id_b"]
+        for r in a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .select("id_b")
+        .distinct()
+        .collect()
+    }
+    want = {
+        (r["pid"], r["pid"] in dropped) for r in v.select("pid").collect()
+    }
+    assert got2 == want
+    assert any(d for _, d in got2)  # the fixture actually has near-dupes
