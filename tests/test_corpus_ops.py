@@ -506,3 +506,18 @@ def test_luhn_card_flags(spark):
         ["doc_id", "text"],
     )
     assert textops.luhn_card_flags(over).count() == 0
+
+
+def test_bm25_counts_empty_docs_in_corpus_stats(spark):
+    """N and avg length cover the WHOLE corpus — an empty doc shifts
+    idf exactly per the formula instead of silently shrinking N."""
+    import math
+
+    rows = [(1, "spark spark"), (2, "spark rain"), (3, "   ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["bm25"] for r in textops.bm25_scores(df, ["spark"]).collect()}
+    n, avg = 3, (2 + 2 + 0) / 3  # empty doc counted with length 0
+    idf = math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
+    c1 = idf * (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 2 / avg))
+    assert abs(got[1] - round(c1, 6)) < 1e-9
+    assert 3 not in got
