@@ -4361,6 +4361,198 @@ def q194_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q195_bm25_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking (text.bm25_scores —
+    Robertson & Zaragoza FnTIR'09, Lucene idf form, DECIMAL-quantized
+    contributions) fused with the exact cosine vector ranking (the q19
+    probe) by reciprocal-rank fusion (similarity.rrf_fuse, Cormack et
+    al. SIGIR'09) — the standard two-retriever merge a RAG corpus
+    pipeline runs, with only RANKS crossing the fusion boundary so no
+    score calibration is needed. Both rankings are top-20 via
+    TakeOrderedAndProject (rank assignment is a row_number over the
+    already-bounded 20-row frame, not a data-sized window); the oracle
+    replays BM25, the cosine ranking, and the decimal RRF sum."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf, "documents")
+    emb = load(spark, sf, "embeddings")
+
+    bm = textops.bm25_scores(docs, ["merge", "spark", "vector"])
+    lex_order = [F.desc("bm25"), F.asc("doc_id")]
+    lexr = (
+        bm.orderBy(*lex_order)
+        .limit(20)
+        .select("doc_id", F.row_number().over(W.orderBy(*lex_order)).alias("rank"))
+    )
+
+    qrow = emb.orderBy("vec_id").select("vec_id", "embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    cs = similarity.cosine_topk(
+        emb.where(F.col("vec_id") != qrow["vec_id"]), qvec, 20
+    )
+    vec_order = [F.desc("cos"), F.asc("vec_id")]
+    vecr = cs.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(W.orderBy(*vec_order)).alias("rank"),
+    )
+
+    return similarity.rrf_fuse([lexr, vecr], id_col="doc_id", k=60, top=10)
+
+
+def q196_luhn_pii_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Luhn-validated card detection audit (text.luhn_card_flags): the
+    PRECISION gate on q95's blanket digit-run redaction — a 13-19
+    digit run only counts as a probable card number if its ISO 7812
+    checksum verifies. The fixture embeds one card-plausible run of
+    deterministic pseudo-random digits and varying length 13-19 per
+    document (plus the short doc-id run, which the length gate must
+    drop), so both Luhn classes and every plausible length are
+    exercised; the oracle replays the maximal-run extraction and the
+    reversed double-every-second-digit fold in list algebra."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('ord ', cast(doc_id as string), ' card ', "
+            "lpad(cast((doc_id + 1) * 2654435761 % 10000000000000 as string), "
+            "13 + cast(pmod(doc_id, 7) as int), '5'), ' end')"
+        ).alias("text"),
+    )
+    flags = textops.luhn_card_flags(aug)
+    return (
+        flags.groupBy("luhn_valid")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.col("run_len").cast("bigint")).alias("total_digits"),
+            F.min("digit_run").alias("min_run"),
+            F.max("digit_run").alias("max_run"),
+        )
+        .orderBy("luhn_valid")
+    )
+
+
+def q197_phash_near_dupes(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash image near-dup (multimodal.frame_phash +
+    phash_near_dupes): synthesize one deterministic 8x8 grayscale
+    frame per document — consecutive doc-id pairs share a base image,
+    the odd member perturbed in one pixel, the re-encode/crop family
+    aHash is built to collapse — run the REAL numpy aHash over the
+    binary frames (mapInPandas), then the banded-Hamming near-dup join
+    (exact for Hamming <= bands-1 = 3 by pigeonhole). Because each 8x8
+    block is a single pixel, the oracle replays the whole pipeline —
+    block means, grid-mean threshold, row-major bit pack, XOR popcount
+    — arithmetically from doc_id, so the binary codec path is
+    value-hash-checked end to end, not just plumbing-tested."""
+    import numpy as np
+    import pandas as pd
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators.multimodal import FRAME_SCHEMA
+
+    ids = load(spark, sf, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                # md5-derived pixels (the engine-stable hashing
+                # convention): arithmetic patterns — polynomials mod
+                # 256, multiplicative mid-bits of sequential inputs —
+                # leave cross-group structure that manufactures
+                # quadratic near-dup classes at scale; md5 gives each
+                # group an independent uniform 64-bit code
+                import hashlib
+
+                g = int(did) // 2
+                px = np.array(
+                    [
+                        int(hashlib.md5(f"{g}_{i}".encode()).hexdigest()[:2], 16)
+                        for i in range(64)
+                    ],
+                    dtype=np.uint8,
+                )
+                if int(did) % 2 == 1:
+                    px[0] = (int(px[0]) + 96) % 256
+                out.append((int(did), 0, 0, 8, 8, px.tobytes()))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "ts_ms", "width", "height", "frame"],
+            )
+
+    frames = ids.mapInPandas(synth, schema=FRAME_SCHEMA)
+    ph = multimodal.frame_phash(frames)
+    return multimodal.phash_near_dupes(ph, max_hamming=3, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q198_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity (graph.degree_assortativity, Newman PRL
+    2002) of the supplier→part supply graph from lineitem: do
+    high-volume suppliers stock high-ubiquity parts? Exact BIGINT
+    degree moments assembled into the Pearson coefficient in one
+    double expression — a single correlation number summarizing a
+    graph of any size; the oracle replays the identical moment sums."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import graph
+
+    li = load(spark, sf, "lineitem").select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return graph.degree_assortativity(li)
+
+
+def q199_vocab_oov(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage / OOV profile (text.vocab_coverage): build
+    the corpus top-16 vocabulary by token frequency (lexicographic
+    tie-break — deterministic), flag every token occurrence in/out of
+    vocabulary via a broadcast semi-join, roll the out-of-vocabulary
+    rate up per source — the tokenizer-budget diagnostic a pretraining
+    pipeline runs before fixing a vocab size. The oracle replays the
+    frequency cut and the per-source rollup."""
+    docs = load(spark, sf, "documents")
+    cov = textops.vocab_coverage(docs, top_v=16)
+    return (
+        cov.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_oov").alias("total_oov"),
+            (F.sum("n_oov").cast("double") / F.sum("n_tokens")).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def q200_streaming_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming incremental semantic dedup
+    (streaming.ingest_embeddings_incrementally): embedding vectors
+    arrive in 4 micro-batches and fold into a (pid, bucket, dropped)
+    store under the sign-LSH-blocked SemDeDup drop rule — dropped iff
+    some LOWER-id bucket-mate is cosine-0.93-close, regardless of
+    arrival order (the OR-fold idempotence argument makes redelivery
+    and late lower-id arrivals converge to the same store). The oracle
+    is the BATCH fixpoint: seeded hyperplanes baked in as literals
+    (the q28 precedent), within-bucket lower-id pairs, per-bucket
+    rollup — streaming arrival must land exactly on it."""
+    pin_session(spark)
+    work = os.path.join(tempfile.gettempdir(), f"semstream_{uuid.uuid4().hex[:8]}")
+    store = stream.ingest_embeddings_incrementally(
+        spark, sf, work, n_arrival_files=4, threshold=0.93, n_planes=6, seed=42
+    )
+    return (
+        store.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("dropped").cast("bigint")).alias("n_dropped"),
+            F.sum(
+                F.when(~F.col("dropped"), F.col("pid")).otherwise(F.lit(0))
+            ).alias("kept_checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -4425,6 +4617,12 @@ _R6_FRESH_EVIDENCE_LE_Q50 = {13, 17, 20, 21, 36, 38}  # r4/r5 rows already
 # first driver rows in round 7's head, which must still fit —
 # asserted by the rotation test's capacity check.
 _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
+# Registered after _R6_DEFERRED_NEW already filled round 7's head
+# (40-query r3 band + those ten = exactly 50): full oracles + local
+# check_oracle evidence now; first driver rows in rounds 8-9, which
+# the rotation test's schedule-feasibility check verifies still keep
+# every query within the ceil(N/50)-round freshness bound (N=200 → 4).
+_R7_DEFERRED_NEW = {195, 196, 197, 198, 199, 200}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4652,6 +4850,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_semdedup": q192_semdedup,
         "q193_corpus_gates": q193_corpus_gates,
         "q194_winnow_fingerprints": q194_winnow_fingerprints,
+        "q195_bm25_rrf_fusion": q195_bm25_rrf_fusion,
+        "q196_luhn_pii_audit": q196_luhn_pii_audit,
+        "q197_phash_near_dupes": q197_phash_near_dupes,
+        "q198_degree_assortativity": q198_degree_assortativity,
+        "q199_vocab_oov": q199_vocab_oov,
+        "q200_streaming_semantic_dedup": q200_streaming_semantic_dedup,
     }
 
 
@@ -8232,5 +8436,211 @@ SELECT doc_id, COUNT(*) AS n_fps,
        CAST(m AS BIGINT) AS n_grams,
        CAST(COUNT(*) AS DOUBLE) / m AS density
 FROM sf GROUP BY doc_id, m ORDER BY doc_id
+"""
+    # q195: BM25 replayed term-by-term (Lucene idf, DECIMAL(28,12)
+    # contributions — the unigram_nll rule), both rankings re-ranked
+    # with ROW_NUMBER over the identical (score DESC, id) order, the
+    # RRF terms quantized to DECIMAL(28,12) before the fused sum.
+    _bm_terms = "('merge', 'spark', 'vector')"
+    oracles["q195_bm25_rrf_fusion"] = f"""
+WITH lens AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array({_NORM_TEXT}, ' '), x -> x <> ''))::BIGINT AS dl
+  FROM documents
+),
+st AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM lens),
+tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM_TEXT}, ' ')) AS tok FROM documents
+),
+tfq AS (
+  SELECT doc_id, tok, COUNT(*) AS tfc FROM tk
+  WHERE tok <> '' AND tok IN {_bm_terms} GROUP BY 1, 2
+),
+dfq AS (SELECT tok, COUNT(*) AS dfc FROM tfq GROUP BY 1),
+bm AS (
+  SELECT t.doc_id,
+         ROUND(CAST(SUM(CAST(
+           ln(1.0 + (st.n - d.dfc + 0.5) / (d.dfc + 0.5))
+           * (t.tfc * 2.2)
+           / (t.tfc + 1.2 * (1.0 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE)
+              / (CAST(st.tot AS DOUBLE) / CAST(st.n AS DOUBLE))))
+         AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
+  FROM tfq t JOIN dfq d USING (tok) JOIN lens l USING (doc_id) CROSS JOIN st
+  GROUP BY t.doc_id
+),
+lexr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+  FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+),
+q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+cs AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND({_COS.format(a='e.embedding::DOUBLE[]', b='q.qv')}, 6) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+),
+vecr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS rnk
+  FROM cs ORDER BY cos DESC, doc_id ASC LIMIT 20
+),
+u AS (
+  SELECT doc_id, CAST(1.0 / (60 + CAST(rnk AS DOUBLE)) AS DECIMAL(28,12)) AS term FROM lexr
+  UNION ALL
+  SELECT doc_id, CAST(1.0 / (60 + CAST(rnk AS DOUBLE)) AS DECIMAL(28,12)) FROM vecr
+)
+SELECT doc_id, COUNT(*) AS n_lists,
+       ROUND(CAST(SUM(term) AS DOUBLE), 9) AS rrf_score
+FROM u GROUP BY doc_id ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+"""
+    # q196: the same deterministic card fixture rebuilt in SQL, maximal
+    # digit runs via regexp_extract_all, the Luhn fold as a range-
+    # indexed list_sum over the reversed digits (i%2=1 doubles, 2d-9
+    # past 9 — exact integers, engine-identical).
+    oracles["q196_luhn_pii_audit"] = """
+WITH aug AS (
+  SELECT doc_id,
+         concat('ord ', CAST(doc_id AS VARCHAR), ' card ',
+                lpad(CAST((doc_id + 1) * 2654435761 % 10000000000000 AS VARCHAR),
+                     CAST(13 + doc_id % 7 AS INT), '5'), ' end') AS text
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[0-9]+')) AS digit_run FROM aug
+),
+kept AS (
+  SELECT doc_id, digit_run, length(digit_run) AS rl, reverse(digit_run) AS rev
+  FROM runs WHERE length(digit_run) BETWEEN 13 AND 19
+),
+luhn AS (
+  SELECT doc_id, digit_run, rl,
+         list_sum(list_transform(range(rl), i ->
+             CASE WHEN i % 2 = 1 THEN
+               CASE WHEN CAST(substr(rev, CAST(i AS INT) + 1, 1) AS INT) * 2 > 9
+                    THEN CAST(substr(rev, CAST(i AS INT) + 1, 1) AS INT) * 2 - 9
+                    ELSE CAST(substr(rev, CAST(i AS INT) + 1, 1) AS INT) * 2 END
+             ELSE CAST(substr(rev, CAST(i AS INT) + 1, 1) AS INT) END
+         )) % 10 = 0 AS luhn_valid
+  FROM kept
+)
+SELECT luhn_valid,
+       COUNT(*) AS n_runs,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(rl) AS BIGINT) AS total_digits,
+       MIN(digit_run) AS min_run,
+       MAX(digit_run) AS max_run
+FROM luhn GROUP BY 1 ORDER BY 1
+"""
+    # q197: each 8x8 block is ONE pixel, so the whole aHash replays
+    # arithmetically — pixels from doc_id, grid mean as an exact
+    # SUM/64.0 double, strictly-greater bits packed row-major (bit 63
+    # = pixel 0) in HUGEINT then wrapped to signed BIGINT; the banded
+    # join is EXACT for hamming <= bands-1 = 3, so all-pairs popcount
+    # <= 3 is the semantic oracle (the q21 convention).
+    oracles["q197_phash_near_dupes"] = """
+WITH hx AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id // 2 AS VARCHAR) || '_' || CAST(i AS VARCHAR)) AS hh
+  FROM documents, range(64) t(i)
+),
+base AS (
+  SELECT doc_id, i,
+         (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) AS b
+  FROM hx
+),
+px AS (
+  SELECT doc_id, i,
+         CASE WHEN doc_id % 2 = 1 AND i = 0 THEN (b + 96) % 256 ELSE b END AS p
+  FROM base
+),
+mu AS (SELECT doc_id, SUM(p) / 64.0 AS m FROM px GROUP BY 1),
+ph AS (
+  SELECT px.doc_id,
+         CAST(CASE WHEN s >= 9223372036854775808 THEN s - 18446744073709551616
+                   ELSE s END AS BIGINT) AS phash
+  FROM (
+    SELECT px.doc_id,
+           SUM(CASE WHEN px.p > mu.m
+                    THEN CAST(1 AS HUGEINT) << CAST(63 - px.i AS INT)
+                    ELSE 0 END) AS s
+    FROM px JOIN mu USING (doc_id) GROUP BY px.doc_id
+  ) px
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+    # q198: exact degree moments (BIGINT), the Pearson coefficient
+    # assembled from them in the identical double expression shape.
+    oracles["q198_degree_assortativity"] = """
+WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+outd AS (SELECT src, COUNT(*) AS dx FROM e GROUP BY 1),
+ind AS (SELECT dst, COUNT(*) AS dy FROM e GROUP BY 1),
+j AS (SELECT dx, dy FROM e JOIN outd USING (src) JOIN ind USING (dst)),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy
+  FROM j
+)
+SELECT n AS n_edges,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS assortativity
+FROM m
+"""
+    # q199: the same top-16 frequency vocabulary (lexicographic tie-
+    # break), OOV flag as a left join, per-source rollup.
+    oracles["q199_vocab_oov"] = f"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM_TEXT}, ' ')) AS tok FROM documents
+),
+tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c FROM tk2 GROUP BY 1
+    ORDER BY c DESC, tok ASC LIMIT 16
+  )
+),
+per AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM tk2 t LEFT JOIN vocab v USING (tok) GROUP BY 1
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(p.n_oov) AS BIGINT) AS total_oov,
+       CAST(SUM(p.n_oov) AS DOUBLE) / CAST(SUM(p.n_tokens) AS BIGINT) AS oov_rate
+FROM per p JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+    # q200: the batch fixpoint the streaming fold must converge to —
+    # seeded hyperplanes baked as literals (q28 precedent), within-
+    # bucket lower-id cosine pairs, DISTINCT victims, bucket rollup.
+    _b200 = _lsh_bucket_sql("embedding::DOUBLE[]", n_planes=6, seed=42)
+    oracles["q200_streaming_semantic_dedup"] = f"""
+WITH b AS (
+  SELECT vec_id AS pid, embedding::DOUBLE[] AS v, {_b200} AS bucket FROM embeddings
+),
+pr AS (
+  SELECT b2.pid AS vic
+  FROM b b1 JOIN b b2 ON b1.bucket = b2.bucket AND b1.pid < b2.pid
+  WHERE {_COS.format(a='b1.v', b='b2.v')} >= 0.93
+),
+d AS (SELECT DISTINCT vic FROM pr)
+SELECT b.bucket,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN d.vic IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN d.vic IS NULL THEN b.pid ELSE 0 END) AS BIGINT) AS kept_checksum
+FROM b LEFT JOIN d ON b.pid = d.vic
+GROUP BY b.bucket ORDER BY b.bucket
 """
     return oracles

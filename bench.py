@@ -147,6 +147,12 @@ HEADLINE = [
     "q192_semdedup",
     "q193_corpus_gates",
     "q194_winnow_fingerprints",
+    "q195_bm25_rrf_fusion",
+    "q196_luhn_pii_audit",
+    "q197_phash_near_dupes",
+    "q198_degree_assortativity",
+    "q199_vocab_oov",
+    "q200_streaming_semantic_dedup",
 ]
 
 
