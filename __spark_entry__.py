@@ -4459,18 +4459,17 @@ def q197_phash_near_dupes(spark: SparkSession, sf: str) -> DataFrame:
                 # convention): arithmetic patterns — polynomials mod
                 # 256, multiplicative mid-bits of sequential inputs —
                 # leave cross-group structure that manufactures
-                # quadratic near-dup classes at scale; md5 gives each
-                # group an independent uniform 64-bit code
+                # quadratic near-dup classes at scale; four 16-byte
+                # digests give each group an independent uniform image
                 import hashlib
 
                 g = int(did) // 2
-                px = np.array(
-                    [
-                        int(hashlib.md5(f"{g}_{i}".encode()).hexdigest()[:2], 16)
-                        for i in range(64)
-                    ],
+                px = np.frombuffer(
+                    b"".join(
+                        hashlib.md5(f"{g}_{j}".encode()).digest() for j in range(4)
+                    ),
                     dtype=np.uint8,
-                )
+                ).copy()
                 if int(did) % 2 == 1:
                     px[0] = (int(px[0]) + 96) % 256
                 out.append((int(did), 0, 0, 8, 8, px.tobytes()))
@@ -8540,15 +8539,15 @@ FROM luhn GROUP BY 1 ORDER BY 1
     # <= 3 is the semantic oracle (the q21 convention).
     oracles["q197_phash_near_dupes"] = """
 WITH hx AS (
-  SELECT doc_id, i,
-         md5(CAST(doc_id // 2 AS VARCHAR) || '_' || CAST(i AS VARCHAR)) AS hh
-  FROM documents, range(64) t(i)
+  SELECT doc_id, j,
+         md5(CAST(doc_id // 2 AS VARCHAR) || '_' || CAST(j AS VARCHAR)) AS hh
+  FROM documents, range(4) t(j)
 ),
 base AS (
-  SELECT doc_id, i,
-         (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) AS b
-  FROM hx
+  SELECT doc_id, j * 16 + k AS i,
+         (strpos('0123456789abcdef', substr(hh, CAST(2 * k + 1 AS INT), 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hh, CAST(2 * k + 2 AS INT), 1)) - 1) AS b
+  FROM hx, range(16) u(k)
 ),
 px AS (
   SELECT doc_id, i,

@@ -371,18 +371,26 @@ def frame_phash(df: DataFrame) -> DataFrame:
             hashes = []
             for frame, w, h in zip(pdf["frame"], pdf["width"], pdf["height"]):
                 img = np.frombuffer(bytes(frame), dtype=np.uint8).reshape(int(h), int(w))
-                ys = (np.arange(9) * int(h)) // 8
-                xs = (np.arange(9) * int(w)) // 8
-                cells = np.empty((8, 8), dtype=np.float64)
-                for i in range(8):
-                    for j in range(8):
-                        block = img[ys[i] : max(ys[i + 1], ys[i] + 1),
-                                    xs[j] : max(xs[j + 1], xs[j] + 1)]
-                        cells[i, j] = block.mean()
-                bits = (cells > cells.mean()).astype(np.uint64).ravel()
-                ph = 0
-                for b in bits:
-                    ph = (ph << 1) | int(b)
+                if int(h) % 8 == 0 and int(w) % 8 == 0:
+                    # 8-divisible fast path: one vectorized reshape-mean
+                    # — exact-integer sums, so bit-identical to the
+                    # general block loop below
+                    cells = (
+                        img.reshape(8, int(h) // 8, 8, int(w) // 8)
+                        .astype(np.float64)
+                        .mean(axis=(1, 3))
+                    )
+                else:
+                    ys = (np.arange(9) * int(h)) // 8
+                    xs = (np.arange(9) * int(w)) // 8
+                    cells = np.empty((8, 8), dtype=np.float64)
+                    for i in range(8):
+                        for j in range(8):
+                            block = img[ys[i] : max(ys[i + 1], ys[i] + 1),
+                                        xs[j] : max(xs[j + 1], xs[j] + 1)]
+                            cells[i, j] = block.mean()
+                bits = (cells > cells.mean()).astype(np.uint8).ravel()
+                ph = int.from_bytes(np.packbits(bits).tobytes(), "big")
                 # interpret as signed 64-bit for the BIGINT column
                 if ph >= 1 << 63:
                     ph -= 1 << 64
