@@ -153,6 +153,9 @@ HEADLINE = [
     "q198_degree_assortativity",
     "q199_vocab_oov",
     "q200_streaming_semantic_dedup",
+    "q201_sq8_quantization_recall",
+    "q202_bpe_merge_table",
+    "q203_bpe_segmentation",
 ]
 
 

@@ -355,3 +355,140 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(top)
     )
+
+
+def _sq8_scales(emb: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """One-row per-dimension (min, max) scales frame for int8 scalar
+    quantization: 2·dim exact MIN/MAX aggregates (map-side combinable,
+    no float summation), broadcast back onto the corpus."""
+    v = as_double(vec_col)
+    return emb.agg(
+        F.array(
+            *[F.min(F.element_at(v, i + 1)) for i in range(dim)]
+        ).alias("__mn"),
+        F.array(
+            *[F.max(F.element_at(v, i + 1)) for i in range(dim)]
+        ).alias("__mx"),
+    )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column — the 4×
+    memory/bandwidth compression an ANN serving tier applies before
+    the exact-rerank stage (the IVF_SQ8 idea): per-dimension GLOBAL
+    min/max scales, each value mapped to floor((x-mn)/(mx-mn)·255+0.5)
+    − 128 ∈ [-128, 127] (a constant dimension maps to 0).
+
+    Determinism contract: the scales are exact MIN/MAX aggregates (no
+    float summation), the code is one double division + floor — any
+    engine agrees bit-for-bit, so quantized results are
+    oracle-checkable, unlike learned codebooks.
+
+    Shape: ONE corpus pass for the 1-row scales frame (2·dim exact
+    aggregates, map-side combinable), broadcast back onto the stream
+    (1-row nested-loop — metadata class); quantization itself is
+    in-row.  Returns (id, qvec array<int>)."""
+    dim = len(emb.select(vec_col).first()[0])
+    v = as_double(vec_col)
+    return (
+        emb.join(F.broadcast(_sq8_scales(emb, vec_col, dim)), how="cross")
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.when(
+                    F.element_at("__mx", i) == F.element_at("__mn", i), F.lit(0)
+                ).otherwise(
+                    F.floor(
+                        (F.element_at(v, i) - F.element_at("__mn", i))
+                        / (F.element_at("__mx", i) - F.element_at("__mn", i))
+                        * 255.0
+                        + 0.5
+                    ).cast("int")
+                    - 128
+                ),
+            ).alias("qvec"),
+        )
+    )
+
+
+def dequantize_embeddings(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The int8 reconstruction the serving tier actually scores:
+    x̂_i = mn_i + code_i · (mx_i − mn_i)/255 with the same scales and
+    floor rule as ``quantize_embeddings`` (a constant dimension
+    reconstructs to its constant).  Asymmetric distance computation
+    keeps the QUERY at full precision and ranks against x̂ — the affine
+    de-shift is what preserves cosine direction; ranking raw shifted
+    codes does not.  Same one-pass + broadcast shape.  Returns
+    (id, dvec array<double>)."""
+    dim = len(emb.select(vec_col).first()[0])
+    v = as_double(vec_col)
+    return (
+        emb.join(F.broadcast(_sq8_scales(emb, vec_col, dim)), how="cross")
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.when(
+                    F.element_at("__mx", i) == F.element_at("__mn", i),
+                    F.element_at("__mn", i),
+                ).otherwise(
+                    F.element_at("__mn", i)
+                    + F.floor(
+                        (F.element_at(v, i) - F.element_at("__mn", i))
+                        / (F.element_at("__mx", i) - F.element_at("__mn", i))
+                        * 255.0
+                        + 0.5
+                    )
+                    * (F.element_at("__mx", i) - F.element_at("__mn", i))
+                    / 255.0
+                ),
+            ).alias("dvec"),
+        )
+    )
+
+
+def quantization_recall(
+    emb: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k acceptance row for int8 quantization: rank the corpus
+    against the lowest-id probe vector by EXACT cosine and by the
+    serving tier's ASYMMETRIC cosine (full-precision query against the
+    int8 reconstruction, ``dequantize_embeddings``), and report
+    |overlap| of the two top-k sets — the measurement that decides
+    whether the compressed tier can serve first-stage retrieval.
+    Counts exact, recall one IEEE division; deterministic end to end
+    (the q58 acceptance-row discipline: an approximation shipped WITH
+    its checked contract).  Returns one row (k, n_overlap, recall)."""
+    probe = emb.orderBy(id_col).select(id_col, as_double(vec_col)).first()
+    qvec = [float(x) for x in probe[1]]
+    exact = cosine_topk(
+        emb.where(F.col(id_col) != probe[0]), qvec, k, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("__e"))
+    deq = dequantize_embeddings(emb, id_col=id_col, vec_col=vec_col)
+    approx = cosine_topk(
+        deq.where(F.col(id_col) != probe[0]), qvec, k, id_col=id_col, vec_col="dvec"
+    ).select(F.col(id_col).alias("__a"))
+    hit = exact.join(approx, exact["__e"] == approx["__a"], "inner")
+    return (
+        hit.agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            F.lit(k).alias("k"),
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / k).alias("recall"),
+        )
+    )

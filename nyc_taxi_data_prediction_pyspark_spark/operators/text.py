@@ -1082,3 +1082,143 @@ def luhn_card_flags(
         F.length("digit_run").cast("int").alias("run_len"),
         (total % 10 == 0).alias("luhn_valid"),
     )
+
+
+def _bpe_merge_fold(arr, left: str, right: str):
+    """Greedy left-to-right application of one BPE rule to a symbol
+    array: non-overlapping by construction (the merged symbol only
+    re-merges when it equals the rule's left side — exactly BPE's
+    greedy semantics).  A helper so each loop iteration binds its own
+    (left, right) — the fold lambda must stay exactly binary for
+    Spark's higher-order-function arity check."""
+    merged = F.lit(left + right)
+    lft = F.lit(left)
+    rgt = F.lit(right)
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == lft) & (x == rgt),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_fit(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> list[tuple[int, str, str, int]]:
+    """Byte-pair-encoding tokenizer fit (Sennrich et al., ACL 2016) in
+    DataFrame algebra: learn ``n_merges`` merge rules over the corpus
+    — the vocabulary-construction step a pretraining pipeline runs
+    before committing to a tokenizer, sitting beside
+    ``vocab_coverage``'s budget diagnostic.
+
+    Shape — the property that makes BPE affordable at corpus scale:
+    after ONE corpus pass (token explode → distinct-word counts), all
+    iterations run on the DISTINCT-WORD frame, whose size is the
+    vocabulary (bounded, ~1e7 at web scale), not the corpus.  Each
+    merge step is (a) one map-side-combinable pair-count aggregation
+    over in-row adjacent-pair arrays, (b) a 1-row argmax collect —
+    quantizer-metadata class, same as the IVF centroid pull — and (c)
+    an in-row left-to-right greedy fold applying the winning rule
+    (non-overlapping by construction: the fold's merged symbol can
+    only re-merge if it equals the rule's left side, exactly BPE's
+    greedy semantics).
+
+    Determinism contract: counts are exact integers; the argmax
+    tie-breaks (count DESC, left ASC, right ASC) — lexicographic, so
+    any engine picks the same rule.  Words are split into CHARACTERS
+    with a '</w>' end-of-word marker appended (the word-boundary
+    convention), so merges never cross word boundaries.
+
+    Returns the learned merge table [(step, left, right, pair_count)]
+    — driver-side metadata, like a fitted model's parameters.  Use
+    ``bpe_apply_rules`` (the returned rules with the same fold) to
+    tokenize; the merge TABLE is the model."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    toks = (
+        df.select(F.explode(F.split(normalize_text(text_col), " ")).alias("__w"))
+        .where(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    # chars + end-of-word marker, one array per DISTINCT word
+    words = toks.select(
+        "__cnt",
+        F.concat(
+            F.filter(F.split(F.col("__w"), ""), lambda c: c != ""),
+            F.array(F.lit("</w>")),
+        ).alias("__syms"),
+    ).localCheckpoint()  # iterations must not re-derive the corpus pass
+
+    rules: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            words.where(F.size("__syms") >= 2)
+            .select(
+                "__cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("__syms", i).alias("l"),
+                            F.element_at("__syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("__p"),
+            )
+            .groupBy("__p")
+            .agg(F.sum("__cnt").alias("__c"))
+            .orderBy(F.desc("__c"), F.asc("__p.l"), F.asc("__p.r"))
+            .limit(1)
+            .collect()  # 1-row argmax: rule metadata, the centroid-pull class
+        )
+        if not pairs:
+            break
+        left, right, cnt = pairs[0]["__p"]["l"], pairs[0]["__p"]["r"], int(pairs[0]["__c"])
+        rules.append((step, left, right, cnt))
+        words = words.select(
+            "__cnt",
+            _bpe_merge_fold(F.col("__syms"), left, right).alias("__syms"),
+        ).localCheckpoint()  # bound the per-step plan, vocab-sized frame
+    return rules
+
+
+def bpe_segment_stats(
+    df: DataFrame,
+    rules: list[tuple[int, str, str, int]],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a fitted BPE merge table (``bpe_fit``)
+    and report per-word-length compression: apply each rule IN FIT
+    ORDER with the same greedy left-to-right fold, then aggregate
+    (n_chars → avg symbols per word, word count).  One corpus pass;
+    every fold is in-row.  Returns (word_chars, n_words, total_symbols,
+    avg_symbols) — the tokenizer-efficiency curve."""
+    toks = (
+        df.select(F.explode(F.split(normalize_text(text_col), " ")).alias("__w"))
+        .where(F.col("__w") != "")
+    )
+    syms = F.concat(
+        F.filter(F.split(F.col("__w"), ""), lambda c: c != ""),
+        F.array(F.lit("</w>")),
+    )
+    for _step, left, right, _cnt in rules:
+        syms = _bpe_merge_fold(syms, left, right)
+    return (
+        toks.select(F.length("__w").alias("word_chars"), F.size(syms).alias("__n"))
+        .groupBy("word_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.col("__n").cast("bigint")).alias("total_symbols"),
+            (F.sum(F.col("__n").cast("bigint")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_symbols"
+            ),
+        )
+        .orderBy("word_chars")
+    )

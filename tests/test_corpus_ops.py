@@ -521,3 +521,72 @@ def test_bm25_counts_empty_docs_in_corpus_stats(spark):
     c1 = idf * (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 2 / avg))
     assert abs(got[1] - round(c1, 6)) < 1e-9
     assert 3 not in got
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Pure-Python BPE (Sennrich ACL'16) with the operator's tie-break:
+    count DESC, then (left, right) lexicographic ASC."""
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    rules = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (left, right), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((step, left, right, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return rules, vocab
+
+
+def test_bpe_fit_matches_reference(spark):
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "newer newest new low widest wide"),
+        (3, "wider wide wide new newer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = textops.bpe_fit(df, n_merges=6)
+
+    wc = {}
+    for _i, t in rows:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want, _ = _bpe_reference(wc, 6)
+    assert got == want
+    # greedy non-overlap: a run of the same pair merges left-to-right
+    run = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    r = textops.bpe_fit(run, n_merges=1)
+    assert r == [(1, "a", "a", 6)]  # 3 adjacent pairs per word x 2 words
+
+
+def test_bpe_segment_stats_applies_rules_in_order(spark):
+    rows = [(1, "low lower low new newer")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = textops.bpe_fit(df, n_merges=4)
+    stats = {r["word_chars"]: r for r in textops.bpe_segment_stats(df, rules).collect()}
+
+    wc = {}
+    for w in rows[0][1].split():
+        wc[w] = wc.get(w, 0) + 1
+    _, vocab = _bpe_reference(wc, 4)
+    by_len = {}
+    for syms, c in vocab.items():
+        chars = sum(len(s) for s in syms) - len("</w>")
+        n, tot = by_len.get(chars, (0, 0))
+        by_len[chars] = (n + c, tot + len(syms) * c)
+    for chars, (n, tot) in by_len.items():
+        assert stats[chars]["n_words"] == n
+        assert stats[chars]["total_symbols"] == tot
+        assert abs(stats[chars]["avg_symbols"] - tot / n) < 1e-12

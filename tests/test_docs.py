@@ -123,13 +123,13 @@ def test_driver_slot_rotation_covers_unproven_queries():
     )
     # schedule feasibility beyond round 7: a greedy oldest-first sweep
     # at 50 slots/round must keep every query within the sustainable
-    # freshness bound ceil(N/50) rounds (N=200 -> 4).  Rounds 8-9 must
+    # freshness bound ceil(N/50) rounds (N=203 -> 5).  Rounds 8-10 must
     # absorb the r4 band, the r5 band, and the round-8-deferred new
     # queries (which hold full oracles + local check_oracle evidence
     # meanwhile).
     r4_band = sum(1 for n in names if newest_green.get(n) == 4 and n not in first50)
     r5_band = sum(1 for n in names if newest_green.get(n) == 5 and n not in first50)
-    assert r4_band + r5_band + len(deferred_r8) <= 100, (
+    assert r4_band + r5_band + len(deferred_r8) <= 150, (
         r4_band,
         r5_band,
         len(deferred_r8),

@@ -82,3 +82,39 @@ def test_ivf_persisted_index_partition_prunes(spark, sf_dir, tmp_path):
     # the pruned read still answers the query end-to-end
     total = idx.count()
     assert probed.count() < total and probed.count() > 0
+
+
+def test_quantize_embeddings_matches_numpy_reference(spark):
+    import math
+
+    rows = [
+        (1, [0.0, -1.0, 5.0]),
+        (2, [1.0, 1.0, 5.0]),   # dim 2 constant -> code 0
+        (3, [0.25, 0.0, 5.0]),
+        (4, [1.0, -0.5, 5.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: list(r["qvec"]) for r in similarity.quantize_embeddings(emb).collect()}
+
+    mins = [min(v[d] for _i, v in rows) for d in range(3)]
+    maxs = [max(v[d] for _i, v in rows) for d in range(3)]
+    for i, v in rows:
+        want = [
+            0 if maxs[d] == mins[d]
+            else math.floor((v[d] - mins[d]) / (maxs[d] - mins[d]) * 255.0 + 0.5) - 128
+            for d in range(3)
+        ]
+        assert got[i] == want, (i, got[i], want)
+    assert all(-128 <= c <= 127 for cs in got.values() for c in cs)
+
+
+def test_quantization_recall_acceptance(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    row = similarity.quantization_recall(emb, k=10).collect()[0]
+    assert row["k"] == 10
+    assert row["n_overlap"] == round(row["recall"] * 10)
+    # asymmetric int8 scoring (full-precision query vs dequantized
+    # reconstruction) preserves the exact top-10 — the acceptance bar
+    # the serving tier needs (and a deterministic value, so the q201
+    # oracle asserts the exact overlap)
+    assert row["recall"] >= 0.9
