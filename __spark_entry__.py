@@ -4602,6 +4602,36 @@ def q203_bpe_segmentation(spark: SparkSession, sf: str) -> DataFrame:
     return textops.bpe_segment_stats(docs, rules)
 
 
+def q204_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training pairs
+    (similarity.hard_negatives): for each of the 4 lowest-id anchor
+    vectors, the top-5 most-cosine-similar corpus vectors with a
+    DIFFERENT label — the batch-construction step of a dual-encoder
+    training pipeline (negatives nearest the decision boundary).
+    One corpus scan through a broadcast of the 4-row anchor batch;
+    top-k is the exact two-phase salted form, so no window partition
+    is corpus-sized. Deterministic: data-defined anchors, 6-rounded
+    fold cosine, id tie-breaks. The oracle replays the non-equi join
+    and both rank phases collapse to one ROW_NUMBER."""
+    emb = load(spark, sf, "embeddings")
+    return similarity.hard_negatives(emb, n_anchors=4, k=5)
+
+
+def q205_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center diversity sampling (clustering.kcenter_sample,
+    Gonzalez 1985): 6 maximally-spread exemplars of the embedding
+    corpus — the coreset-selection step of a data-curation pipeline —
+    plus the witness row whose distance is the achieved covering
+    radius. Integer squared-L2 on quantized components (the q142
+    fixed-point discipline), seed = lowest id, (d2 DESC, id ASC)
+    argmax ties: a total order, so the oracle's 5 unrolled
+    farthest-point CTE steps select identical centers."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import clustering
+
+    emb = load(spark, sf, "embeddings")
+    return clustering.kcenter_sample(emb, k=6)
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -4671,7 +4701,7 @@ _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 # check_oracle evidence now; first driver rows in rounds 8-9, which
 # the rotation test's schedule-feasibility check verifies still keep
 # every query within the ceil(N/50)-round freshness bound (N=203 → 5).
-_R7_DEFERRED_NEW = {195, 196, 197, 198, 199, 200, 201, 202, 203}
+_R7_DEFERRED_NEW = {195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4908,6 +4938,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_sq8_quantization_recall": q201_sq8_quantization_recall,
         "q202_bpe_merge_table": q202_bpe_merge_table,
         "q203_bpe_segmentation": q203_bpe_segmentation,
+        "q204_hard_negatives": q204_hard_negatives,
+        "q205_kcenter_coreset": q205_kcenter_coreset,
     }
 
 
@@ -5280,6 +5312,63 @@ SELECT cluster, COUNT(*) AS n_points, CAST(SUM(pid) AS BIGINT) AS id_checksum,
 FROM asgF GROUP BY cluster ORDER BY cluster
 """
     )
+
+
+def _kcenter_sql(k: int = 6, dim: int = 64, quant: int = 1_000_000) -> str:
+    """q205's oracle: unrolled greedy k-center (farthest-point) in the
+    q142 long (pid, pos, q) integer form — seed = MIN(pid), then k-1
+    argmax steps, each joining pts against ONLY the newly selected
+    center's components and folding the running min-distance with
+    LEAST; ties (d DESC, pid ASC). The final UNION enumerates the k
+    selected rows plus the witness row (the covering radius). Same
+    dim guard as _kmeans_ctes."""
+    head = f"""
+WITH chk AS (
+  SELECT CASE WHEN MIN(len(embedding)) = {dim} AND MAX(len(embedding)) = {dim}
+              THEN 1
+              ELSE CAST(error('kcenter oracle unrolled for dim={dim} but embeddings differ') AS INTEGER)
+         END AS ok
+  FROM embeddings
+),
+pts AS (
+  SELECT vec_id AS pid, t.pos,
+         CAST(floor(CAST(embedding[t.pos] AS DOUBLE) * {quant}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) t(pos) CROSS JOIN chk
+  WHERE chk.ok = 1
+),
+s1 AS (SELECT MIN(pid) AS pid, CAST(0 AS BIGINT) AS d FROM pts),
+m1 AS (
+  SELECT p.pid, CAST(SUM((p.q - c.q) * (p.q - c.q)) AS BIGINT) AS d
+  FROM pts p
+  JOIN pts c ON p.pos = c.pos AND c.pid = (SELECT pid FROM s1)
+  WHERE p.pid <> (SELECT pid FROM s1)
+  GROUP BY p.pid
+)"""
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f""",
+s{i} AS (SELECT pid, d FROM m{i - 1} ORDER BY d DESC, pid ASC LIMIT 1),
+m{i} AS (
+  SELECT m.pid, LEAST(m.d, x.d2) AS d
+  FROM m{i - 1} m JOIN (
+    SELECT p.pid, CAST(SUM((p.q - c.q) * (p.q - c.q)) AS BIGINT) AS d2
+    FROM pts p JOIN pts c ON p.pos = c.pos AND c.pid = (SELECT pid FROM s{i})
+    GROUP BY p.pid
+  ) x ON m.pid = x.pid
+  WHERE m.pid <> (SELECT pid FROM s{i})
+)"""
+        )
+    selects = [
+        "SELECT CAST(1 AS INTEGER) AS step, pid AS vec_id, d AS maximin_d2,"
+        " TRUE AS selected FROM s1"
+    ]
+    for i in range(2, k + 1):
+        selects.append(f"SELECT CAST({i} AS INTEGER), pid, d, TRUE FROM s{i}")
+    selects.append(
+        f"SELECT CAST({k + 1} AS INTEGER), pid, d, FALSE FROM "
+        f"(SELECT pid, d FROM m{k} ORDER BY d DESC, pid ASC LIMIT 1)"
+    )
+    return head + "".join(steps) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY step"
 
 
 def _semdedup_sql(
@@ -8818,4 +8907,28 @@ SELECT CAST(10 AS INTEGER) AS k,
     # steps with the gaps-and-islands greedy-parity rule (see _bpe_sql).
     oracles["q202_bpe_merge_table"] = _bpe_sql(6, final="rules")
     oracles["q203_bpe_segmentation"] = _bpe_sql(6, final="stats")
+    # q204: the anchor batch is the 4 lowest ids; the engine's two
+    # salted rank phases compose to exactly one global per-anchor
+    # ROW_NUMBER, which is what the oracle runs directly.
+    oracles["q204_hard_negatives"] = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av, label AS al
+  FROM embeddings ORDER BY vec_id LIMIT 4
+),
+cand AS (
+  SELECT a.anchor_id, e.vec_id,
+         ROUND({_COS.format(a='e.embedding::DOUBLE[]', b='a.av')}, 6) AS cos
+  FROM a JOIN embeddings e ON e.label <> a.al
+)
+SELECT anchor_id, vec_id, cos, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY anchor_id ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM cand
+)
+WHERE rn <= 5
+ORDER BY anchor_id, rank
+"""
+    # q205: unrolled greedy k-center chain (see _kcenter_sql).
+    oracles["q205_kcenter_coreset"] = _kcenter_sql(k=6)
     return oracles

@@ -156,6 +156,8 @@ HEADLINE = [
     "q201_sq8_quantization_recall",
     "q202_bpe_merge_table",
     "q203_bpe_segmentation",
+    "q204_hard_negatives",
+    "q205_kcenter_coreset",
 ]
 
 

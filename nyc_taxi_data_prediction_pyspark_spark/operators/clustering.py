@@ -137,3 +137,83 @@ def kmeans_fixedpoint(
     out = assign(cent).select("pid", "cluster", "d2").localCheckpoint(eager=True)
     pts.unpersist()
     return out
+
+
+def kcenter_sample(
+    emb: DataFrame,
+    *,
+    k: int = 6,
+    quant: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point / Gonzalez) diversity sampling
+    — the coreset-selection step of a training-data curation pipeline:
+    pick k maximally-spread exemplars, the 2-approximation to the
+    k-center objective, used to seed diverse fine-tuning subsets or
+    dedup cluster representatives.
+
+    Determinism contract (the q142 fixed-point discipline): components
+    quantized to integers via floor(double(x)·quant) — exact on any
+    IEEE engine; distances are integer squared-L2 computed as an
+    in-row sequential fold (no cross-row float summation); the seed is
+    the lowest-id vector and every argmax breaks ties (d2 DESC, id
+    ASC) — a total order, so any engine selects the same centers.
+
+    Shape (100 TB corpus): per step, ONE corpus pass updates the
+    running min-distance frame against the newly selected center — a
+    64-int literal baked into the plan, no join — and one 1-row argmax
+    collect picks the next center (TakeOrdered of 1; center metadata,
+    the centroid-pull class). State is localCheckpointed each step so
+    step i does not recompute steps 1..i-1 (k passes total, not k²/2).
+
+    Returns k+1 rows (step, vec_id, maximin_d2, selected): steps 1..k
+    are the chosen centers with their selection-time maximin distance
+    (seed d2 = 0), step k+1 is the unselected WITNESS — the farthest
+    remaining point, whose d2 IS the achieved covering radius (the
+    k-center objective value)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pts = emb.select(
+        F.col(id_col).alias("pid"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(floor(cast(x as double) * {quant}) as bigint))"
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+
+    seed = pts.orderBy("pid").first()
+    if seed is None:
+        return emb.sparkSession.createDataFrame(
+            [], "step int, vec_id long, maximin_d2 long, selected boolean"
+        )
+
+    def d2_to(center_qv: list[int]):
+        lit = F.array(*[F.lit(int(x)) for x in center_qv])
+        return F.aggregate(
+            F.zip_with("qv", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    chosen = [(1, int(seed["pid"]), 0, True)]
+    mind = (
+        pts.where(F.col("pid") != int(seed["pid"]))
+        .select("pid", "qv", d2_to(list(seed["qv"])).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    for step in range(2, k + 1):
+        nxt = mind.orderBy(F.desc("d"), F.asc("pid")).first()
+        if nxt is None:
+            break
+        chosen.append((step, int(nxt["pid"]), int(nxt["d"]), True))
+        mind = (
+            mind.where(F.col("pid") != int(nxt["pid"]))
+            .select("pid", "qv", F.least("d", d2_to(list(nxt["qv"]))).alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    witness = mind.orderBy(F.desc("d"), F.asc("pid")).first()
+    if witness is not None:
+        chosen.append((len(chosen) + 1, int(witness["pid"]), int(witness["d"]), False))
+    return emb.sparkSession.createDataFrame(
+        chosen, "step int, vec_id long, maximin_d2 long, selected boolean"
+    ).orderBy("step")

@@ -18,7 +18,7 @@ Catalyst broadcasts it for free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.vectors import as_double, cosine, dot
 
@@ -491,4 +491,69 @@ def quantization_recall(
             "n_overlap",
             (F.col("n_overlap").cast("double") / k).alias("recall"),
         )
+    )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    n_anchors: int = 4,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    salt_buckets: int = 256,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training pairs: for each
+    anchor vector, the top-k most-cosine-similar corpus vectors with a
+    DIFFERENT label — the negatives that sit closest to the decision
+    boundary, which is what a contrastive curriculum samples (the
+    batch-construction step of a dual-encoder training pipeline).
+
+    Determinism contract: anchors are the ``n_anchors`` lowest-id
+    rows (data, not RNG); cosine is the sequential in-row fold
+    (functions/vectors.py) rounded to 6 — ties break on ascending
+    candidate id, so both rank phases are total orders.
+
+    Shape (100 TB corpus, bounded anchor batch): the anchor frame is
+    ``n_anchors`` rows — broadcast onto ONE corpus scan through the
+    label-mismatch non-equi join (BroadcastNestedLoop over a
+    query-batch-sized side, the metadata-broadcast class); top-k is
+    the exact two-phase form — phase 1 ranks within (anchor, salt)
+    buckets so no window partition is corpus-sized, phase 2 re-ranks
+    the ≤ anchors·salt_buckets·k survivors.  Every global top-k
+    element wins its own salt bucket, so the composition is exact.
+
+    Returns (anchor_id, vec_id, cos, rank), rank 1..k per anchor."""
+    anchors = F.broadcast(
+        emb.orderBy(id_col)
+        .limit(n_anchors)
+        .select(
+            F.col(id_col).alias("__aid"),
+            as_double(vec_col).alias("__avec"),
+            F.col(label_col).alias("__albl"),
+        )
+    )
+    cand = (
+        emb.join(anchors, emb[label_col] != F.col("__albl"))
+        .select(
+            F.col("__aid").alias("anchor_id"),
+            F.col(id_col),
+            F.round(cosine(as_double(vec_col), F.col("__avec")), 6).alias("cos"),
+        )
+    )
+    order = [F.col("cos").desc(), F.col(id_col).asc()]
+    local = Window.partitionBy(
+        "anchor_id", F.pmod(F.xxhash64(id_col), F.lit(salt_buckets))
+    ).orderBy(*order)
+    survivors = (
+        cand.withColumn("__rn", F.row_number().over(local))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    final = Window.partitionBy("anchor_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= k)
+        .orderBy("anchor_id", "rank")
     )

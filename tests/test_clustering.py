@@ -186,3 +186,44 @@ def test_hll_matches_pure_python_reference(spark):
     df = spark.createDataFrame([("g", v) for v in vals], "g string, v string")
     row = agg.hll_distinct(df, group_keys=["g"], value_col="v", p=p).first()
     assert (row["n_used"], row["d_scaled"]) == (want_used, want_d)
+
+
+def test_kcenter_matches_bruteforce_greedy(spark, sf_dir):
+    import math
+
+    emb = load(spark, sf_dir, "embeddings")
+    got = [
+        (r["step"], r["vec_id"], r["maximin_d2"], r["selected"])
+        for r in clustering.kcenter_sample(emb, k=5).collect()
+    ]
+
+    pts = {
+        r["vec_id"]: [math.floor(float(x) * 1_000_000) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    seed = min(pts)
+    want = [(1, seed, 0, True)]
+    mind = {pid: d2(v, pts[seed]) for pid, v in pts.items() if pid != seed}
+    for step in range(2, 6):
+        nxt = max(mind, key=lambda p: (mind[p], -p))
+        want.append((step, nxt, mind[nxt], True))
+        nv = pts[nxt]
+        del mind[nxt]
+        mind = {p: min(d, d2(pts[p], nv)) for p, d in mind.items()}
+    wit = max(mind, key=lambda p: (mind[p], -p))
+    want.append((6, wit, mind[wit], False))
+    assert got == want
+
+
+def test_kcenter_maximin_non_increasing_and_distinct(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    rows = clustering.kcenter_sample(emb, k=6).collect()
+    assert len(rows) == 7 and rows[-1]["selected"] is False
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    d2s = [r["maximin_d2"] for r in rows[1:]]  # seed row is 0 by convention
+    assert all(a >= b for a, b in zip(d2s, d2s[1:]))

@@ -41,6 +41,7 @@ BNL_ALLOWED = {
     "q193_corpus_gates": "1-row token-total broadcast inside the unigram-NLL gate (the q166 shape)",
     "q195_bm25_rrf_fusion": "1-row corpus-stats broadcast (BM25 N / avg doc length)",
     "q201_sq8_quantization_recall": "1-row per-dimension min/max scales broadcast (SQ8 quantizer metadata)",
+    "q204_hard_negatives": "n_anchors-row anchor-batch broadcast (bounded query set, label-mismatch non-equi join)",
 }
 
 

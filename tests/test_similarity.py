@@ -118,3 +118,44 @@ def test_quantization_recall_acceptance(spark, sf_dir):
     # the serving tier needs (and a deterministic value, so the q201
     # oracle asserts the exact overlap)
     assert row["recall"] >= 0.9
+
+
+def test_hard_negatives_matches_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    got = similarity.hard_negatives(emb, n_anchors=2, k=4).collect()
+
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    data = {r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"]) for r in rows}
+
+    def cos(a, b):
+        import math
+
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))), 6
+        )
+
+    anchors = sorted(data)[:2]
+    want = []
+    for aid in anchors:
+        av, al = data[aid]
+        cands = sorted(
+            ((-cos(v, av), vid) for vid, (v, lbl) in data.items() if lbl != al),
+        )[:4]
+        for rank, (negc, vid) in enumerate(cands, 1):
+            want.append((aid, vid, -negc, rank))
+    assert [(r["anchor_id"], r["vec_id"], r["cos"], r["rank"]) for r in got] == want
+
+
+def test_hard_negatives_labels_differ_and_ranked(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.hard_negatives(emb, n_anchors=3, k=5)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    per_anchor = {}
+    for r in out.collect():
+        assert labels[r["vec_id"]] != labels[r["anchor_id"]]
+        per_anchor.setdefault(r["anchor_id"], []).append((r["rank"], r["cos"]))
+    assert len(per_anchor) == 3
+    for ranked in per_anchor.values():
+        assert [rk for rk, _ in ranked] == list(range(1, 6))
+        assert all(a[1] >= b[1] for a, b in zip(ranked, ranked[1:]))
