@@ -4632,6 +4632,110 @@ def q205_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
     return clustering.kcenter_sample(emb, k=6)
 
 
+def q206_stratified_quota_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified train/val/test split with EXACT per-stratum quotas
+    (text.stratified_split): within each language, rows are laid in a
+    content-derived md5 order and cut at floor(n·8/10)/floor(n·9/10) —
+    the dataset-versioning split that must reproduce run-to-run.
+    Differs from q79 (fixed 20-per-stratum sample cap) and q148
+    (cluster-hash proportional split): quotas here are exact, and the
+    rank is TWO-PHASE (row_number within (stratum, hash-bucket) +
+    tiny running-count offsets), so no window partition is
+    stratum-sized — the scale fix for q79's single-window shape.
+    Output: per (lang, split) counts + id checksum/extrema. The
+    oracle's one PARTITION BY lang ROW_NUMBER over (bucket, hash, id)
+    equals the composed two-phase rank."""
+    docs = load(spark, sf, "documents")
+    asg = textops.stratified_split(
+        docs, strata_col="lang", id_col="doc_id", salt="split-v1", buckets=32
+    )
+    return (
+        asg.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def q207_kmeans_separation(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cluster cohesion/separation acceptance for the fixed-point
+    k-means (clustering.kmeans_separation): exact BIGINT sums of each
+    point's distance to its own centroid and to the nearest OTHER
+    centroid (best/second-best of the k integer distances), plus their
+    ratio — the clustering-quality gate checked before trusting
+    cluster-local dedup/sampling (q192's blocks, the IVF cell map).
+    Same determinism contract as q142; the oracle re-runs the unrolled
+    Lloyd chain and reads row_number 1 and 2 of the distance frame."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import clustering
+
+    emb = load(spark, sf, "embeddings")
+    return clustering.kmeans_separation(emb, k=8, iters=1)
+
+
+def q208_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (mining.event_transitions): adjacent event-type pairs in
+    (ts, event_id) order, counts + row-normalized probabilities — the
+    behavioral model behind next-event prediction and the
+    generalization of q85's single fixed funnel path to ALL paths.
+    One bounded per-user LEAD window, one groupBy, one tiny row-total
+    broadcast. The oracle replays the identical LEAD sequence."""
+    events = load(spark, sf, "events")
+    return mining.event_transitions(events)
+
+
+def q209_fd_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency violation profile (cleaning.fd_profile):
+    the cross-column data-quality check q43's per-column profile
+    cannot see — for four candidate FDs over orders (the true key
+    o_orderkey→o_custkey, the expected-to-fail o_custkey→priority,
+    the composite (custkey, orderdate)→status, and the date-level
+    orderdate→priority), report lhs group counts, violating-group
+    counts, and the worst group's distinct-rhs count. Exact distinct
+    aggregations, 1-row summaries unioned."""
+    orders = load(spark, sf, "orders")
+    return cleaning.fd_profile(
+        orders,
+        [
+            (("o_orderkey",), "o_custkey"),
+            (("o_custkey",), "o_orderpriority"),
+            (("o_custkey", "o_orderdate"), "o_orderstatus"),
+            (("o_orderdate",), "o_orderpriority"),
+        ],
+    )
+
+
+def q210_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval-quality eval row (similarity.retrieval_eval): rank
+    the corpus against the lowest-id probe by exact cosine (the q19
+    contract) and score the top-10 against label-match relevance —
+    precision@10, MRR, DCG/IDCG/nDCG@10. The DCG discount weights
+    are DRIVER-COMPUTED LITERALS baked into both engines' plans (no
+    runtime libm log2), the gain sum is a rank-ordered in-row fold,
+    and IDCG truncates the same literal cumsum at min(R, 10) — so an
+    eval metric that is normally 'approximately compared' value-hashes
+    exactly. The oracle replays the ranking and consumes the SAME
+    literal weights."""
+    emb = load(spark, sf, "embeddings")
+    return similarity.retrieval_eval(emb, k=10)
+
+
+def q211_length_bucket_padding(spark: SparkSession, sf: str) -> DataFrame:
+    """Padding-efficiency audit for length-bucketed batching
+    (text.length_bucket_padding): documents bucketed to the next
+    power-of-two token length (integer bin()-length arithmetic — the
+    HLL rank discipline, no float log2), per bucket the real token
+    mass vs padded slots and utilization — the measurement that
+    decides whether bucketed batching is worth the shuffle in a
+    training input pipeline. One narrow map + one combinable groupBy."""
+    docs = load(spark, sf, "documents")
+    return textops.length_bucket_padding(docs)
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -4701,7 +4805,10 @@ _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 # check_oracle evidence now; first driver rows in rounds 8-9, which
 # the rotation test's schedule-feasibility check verifies still keep
 # every query within the ceil(N/50)-round freshness bound (N=203 → 5).
-_R7_DEFERRED_NEW = {195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205}
+_R7_DEFERRED_NEW = {
+    195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
+    210, 211,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4940,6 +5047,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q203_bpe_segmentation": q203_bpe_segmentation,
         "q204_hard_negatives": q204_hard_negatives,
         "q205_kcenter_coreset": q205_kcenter_coreset,
+        "q206_stratified_quota_split": q206_stratified_quota_split,
+        "q207_kmeans_separation": q207_kmeans_separation,
+        "q208_markov_transitions": q208_markov_transitions,
+        "q209_fd_profile": q209_fd_profile,
+        "q210_retrieval_eval": q210_retrieval_eval,
+        "q211_length_bucket_padding": q211_length_bucket_padding,
     }
 
 
@@ -8931,4 +9044,150 @@ ORDER BY anchor_id, rank
 """
     # q205: unrolled greedy k-center chain (see _kcenter_sql).
     oracles["q205_kcenter_coreset"] = _kcenter_sql(k=6)
+    # q206: the engine's two-phase (bucket-local rank + offsets)
+    # composition equals one ROW_NUMBER over (bucket, hash, id).
+    _split_hash = _MD5_INT60.format(col="CAST(doc_id AS VARCHAR) || 'split-v1'")
+    oracles["q206_stratified_quota_split"] = f"""
+WITH h AS (
+  SELECT doc_id, lang, {_split_hash} AS hk FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hk % 32, hk, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM h
+),
+s AS (
+  SELECT lang, doc_id,
+         CASE WHEN rnk <= floor(n * 8 / 10) THEN 'train'
+              WHEN rnk <= floor(n * 9 / 10) THEN 'val'
+              ELSE 'test' END AS split
+  FROM r
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    # q207: the q142 unrolled-Lloyd chain (iters=1); best/second-best
+    # centroid distances are row_number 1 and 2 of distF.
+    oracles["q207_kmeans_separation"] = (
+        _kmeans_ctes(k=8, iters=1)
+        + """,
+second AS (
+  SELECT pid, d2 FROM (
+    SELECT pid, d2, row_number() OVER (PARTITION BY pid ORDER BY d2, cid) AS rn
+    FROM distF
+  ) WHERE rn = 2
+)
+SELECT a.cluster, COUNT(*) AS n_points,
+       CAST(SUM(a.d2) AS BIGINT) AS sum_own_d2,
+       CAST(SUM(s.d2) AS BIGINT) AS sum_next_d2,
+       CASE WHEN SUM(a.d2) > 0
+            THEN CAST(SUM(s.d2) AS DOUBLE) / CAST(SUM(a.d2) AS DOUBLE)
+       END AS separation
+FROM asgF a JOIN second s USING (pid)
+GROUP BY a.cluster ORDER BY a.cluster
+"""
+    )
+    # q208: the identical LEAD sequence, counts, and one ratio.
+    oracles["q208_markov_transitions"] = """
+WITH seq AS (
+  SELECT event_type AS src_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+  FROM events
+),
+c AS (
+  SELECT src_type, dst_type, COUNT(*) AS n_transitions
+  FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT src_type, CAST(SUM(n_transitions) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.src_type, c.dst_type, c.n_transitions,
+       CAST(c.n_transitions AS DOUBLE) / t.tot AS prob
+FROM c JOIN t USING (src_type)
+ORDER BY 1, 2
+"""
+    # q209: one exact distinct-count aggregation per candidate FD,
+    # 1-row summaries unioned — mirrors cleaning.fd_profile.
+    fd_sub = """
+SELECT '{fd}' AS fd,
+       COUNT(*) AS n_lhs_groups,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       MAX(n_rhs) AS max_rhs_per_group
+FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs FROM orders GROUP BY {lhs})"""
+    oracles["q209_fd_profile"] = (
+        "\nUNION ALL\n".join(
+            fd_sub.format(fd="+".join(lhs) + "->" + rhs, lhs=", ".join(lhs), rhs=rhs)
+            for lhs, rhs in [
+                (("o_orderkey",), "o_custkey"),
+                (("o_custkey",), "o_orderpriority"),
+                (("o_custkey", "o_orderdate"), "o_orderstatus"),
+                (("o_orderdate",), "o_orderpriority"),
+            ]
+        )
+        + "\nORDER BY fd"
+    )
+    # q210: same ranking as q19; the DCG weights/cumsums are the SAME
+    # driver-computed literals similarity._dcg_weights bakes into the
+    # Spark plan (repr round-trips doubles exactly); the gain sum is a
+    # rank-ordered list_reduce.
+    _w10 = similarity._dcg_weights(10)
+    _cumw10 = [sum(_w10[: i + 1]) for i in range(10)]
+    _wlist = "[" + ", ".join(repr(x) for x in _w10) + "]::DOUBLE[]"
+    _cumwlist = "[" + ", ".join(repr(x) for x in _cumw10) + "]::DOUBLE[]"
+    oracles["q210_retrieval_eval"] = f"""
+WITH pid AS (SELECT MIN(vec_id) AS pid FROM embeddings),
+q AS (
+  SELECT embedding::DOUBLE[] AS qv, label AS ql FROM embeddings, pid WHERE vec_id = pid.pid
+),
+top AS (
+  SELECT e.vec_id, ROUND({_COS.format(a='e.embedding::DOUBLE[]', b='q.qv')}, 6) AS cos, q.ql
+  FROM embeddings e, q, pid WHERE e.vec_id <> pid.pid
+  ORDER BY cos DESC, e.vec_id ASC LIMIT 10
+),
+r AS (
+  SELECT row_number() OVER (ORDER BY t.cos DESC, t.vec_id ASC) AS rnk,
+         CASE WHEN e2.label = t.ql THEN 1 ELSE 0 END AS rel
+  FROM top t JOIN embeddings e2 USING (vec_id)
+),
+nr AS (
+  SELECT COUNT(*) AS n_rel FROM embeddings e, q, pid
+  WHERE e.vec_id <> pid.pid AND e.label = q.ql
+),
+g AS (
+  SELECT rnk, rel,
+         rel * list_extract({_wlist}, rnk) AS gain,
+         CASE WHEN rel = 1 THEN rnk END AS relrank
+  FROM r
+),
+agg AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), LIST(gain ORDER BY rnk)),
+                     (acc, x) -> acc + x) AS dcg,
+         CAST(SUM(rel) AS DOUBLE) / 10 AS precision_at_k,
+         COALESCE(1.0 / MIN(relrank), 0.0) AS mrr
+  FROM g
+)
+SELECT CAST(10 AS INTEGER) AS k,
+       CAST(nr.n_rel AS BIGINT) AS n_relevant,
+       agg.precision_at_k, agg.mrr, agg.dcg,
+       CASE WHEN nr.n_rel = 0 THEN 0.0
+            ELSE list_extract({_cumwlist}, LEAST(nr.n_rel, 10)) END AS idcg,
+       CASE WHEN nr.n_rel = 0 THEN 0.0
+            ELSE agg.dcg / list_extract({_cumwlist}, LEAST(nr.n_rel, 10)) END AS ndcg
+FROM agg, nr
+"""
+    # q211: same integer bin()-length bucket rule and exact sums.
+    oracles["q211_length_bucket_padding"] = f"""
+WITH t AS (SELECT CAST(len({_TOKENS}) AS BIGINT) AS nt FROM documents),
+b AS (
+  SELECT GREATEST(CAST(16 AS BIGINT), CAST(1 AS BIGINT) << length(bin(nt - 1))) AS bucket_tokens,
+         nt
+  FROM t
+)
+SELECT bucket_tokens, COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) * bucket_tokens - SUM(nt) AS BIGINT) AS padded_tokens,
+       CAST(SUM(nt) AS DOUBLE) / (COUNT(*) * bucket_tokens) AS utilization
+FROM b GROUP BY 1 ORDER BY 1
+"""
     return oracles

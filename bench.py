@@ -158,6 +158,12 @@ HEADLINE = [
     "q203_bpe_segmentation",
     "q204_hard_negatives",
     "q205_kcenter_coreset",
+    "q206_stratified_quota_split",
+    "q207_kmeans_separation",
+    "q208_markov_transitions",
+    "q209_fd_profile",
+    "q210_retrieval_eval",
+    "q211_length_bucket_padding",
 ]
 
 

@@ -191,3 +191,39 @@ def quality_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def fd_profile(
+    df: DataFrame, candidates: Sequence[tuple[Sequence[str], str]]
+) -> DataFrame:
+    """Functional-dependency violation profile — the cross-COLUMN data
+    quality check (q43 profiles columns in isolation): for each
+    candidate FD "lhs → rhs", does every lhs group determine exactly
+    one rhs value? Reports per candidate the lhs group count, how many
+    groups violate (|distinct rhs| > 1), and the worst group's distinct
+    count — the profiling step that validates assumed keys/hierarchies
+    before a pipeline relies on them (Papenbrock et al. VLDB'15 frame
+    the discovery problem; this is the targeted-verification form).
+
+    Shape: one exact distinct-count aggregation per candidate (map-side
+    partial distinct), each collapsing to a 1-row summary — the k
+    summaries union. All counts exact integers. Returns
+    (fd, n_lhs_groups, n_violating_groups, max_rhs_per_group)."""
+    outs = []
+    for lhs, rhs in candidates:
+        lhs = list(lhs)
+        per_group = df.groupBy(*lhs).agg(F.countDistinct(rhs).alias("__n_rhs"))
+        outs.append(
+            per_group.agg(
+                F.lit("+".join(lhs) + "->" + rhs).alias("fd"),
+                F.count(F.lit(1)).alias("n_lhs_groups"),
+                F.sum(F.when(F.col("__n_rhs") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating_groups"),
+                F.max("__n_rhs").alias("max_rhs_per_group"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("fd")

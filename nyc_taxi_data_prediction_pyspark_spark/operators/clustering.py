@@ -76,35 +76,56 @@ def kmeans_fixedpoint(
         F.col("qv").alias("cv"),
     )
 
-    def assign(centroids: DataFrame) -> DataFrame:
-        """(pid, qv, cluster): nearest centroid by integer squared-L2,
-        ties to the lowest cid."""
-        return (
-            pts.crossJoin(F.broadcast(centroids))
-            .select(
-                "pid",
-                "qv",
-                "cid",
-                F.expr(
-                    "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
-                    " 0L, (acc, x) -> acc + x)"
-                ).alias("d2"),
-            )
-            .groupBy("pid")
-            .agg(
-                F.first("qv").alias("qv"),
-                F.min(F.struct("d2", "cid")).alias("m"),
-            )
-            .select(
-                "pid",
-                "qv",
-                F.col("m.cid").alias("cluster"),
-                F.col("m.d2").alias("d2"),
-            )
-        )
+    cent = _lloyd_centroids(pts, cent, iters, checkpoint_every)
 
+    # force the |n|-row assignment once, then release the cached point
+    # set so repeated calls in a long-lived session don't accumulate
+    # storage (the pagerank_fixedpoint discipline)
+    out = _assign(pts, cent).select("pid", "cluster", "d2").localCheckpoint(eager=True)
+    pts.unpersist()
+    return out
+
+
+def _all_distances(pts: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(pid, qv, cid, d2): integer squared-L2 to EVERY centroid —
+    points × broadcast(k×dim centroid rows), arithmetic in codegen."""
+    return pts.crossJoin(F.broadcast(centroids)).select(
+        "pid",
+        "qv",
+        "cid",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("d2"),
+    )
+
+
+def _assign(pts: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(pid, qv, cluster, d2): nearest centroid by integer squared-L2,
+    ties to the lowest cid."""
+    return (
+        _all_distances(pts, centroids)
+        .groupBy("pid")
+        .agg(
+            F.first("qv").alias("qv"),
+            F.min(F.struct("d2", "cid")).alias("m"),
+        )
+        .select(
+            "pid",
+            "qv",
+            F.col("m.cid").alias("cluster"),
+            F.col("m.d2").alias("d2"),
+        )
+    )
+
+
+def _lloyd_centroids(
+    pts: DataFrame, cent: DataFrame, iters: int, checkpoint_every: int = 0
+) -> DataFrame:
+    """``iters`` exact-integer Lloyd centroid updates (see module
+    docstring for the determinism contract)."""
     for it in range(iters):
-        assigned = assign(cent)
+        assigned = _assign(pts, cent)
         sums = (
             assigned.select("cluster", F.posexplode("qv").alias("pos", "v"))
             .groupBy("cluster", "pos")
@@ -130,11 +151,78 @@ def kmeans_fixedpoint(
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and (it + 1) < iters:
             cent = cent.localCheckpoint(eager=False)
+    return cent
 
-    # force the |n|-row assignment once, then release the cached point
-    # set so repeated calls in a long-lived session don't accumulate
-    # storage (the pagerank_fixedpoint discipline)
-    out = assign(cent).select("pid", "cluster", "d2").localCheckpoint(eager=True)
+
+def kmeans_separation(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 1,
+    quant: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster cohesion/separation acceptance for the fixed-point
+    k-means — the clustering-quality gate a curation pipeline checks
+    before trusting cluster-local dedup/sampling (q192's SemDeDup
+    blocks, the IVF cell map). A simplified-silhouette-style ratio
+    computed ENTIRELY in exact integers until one final division:
+
+    per point, a = d2 to its own (winning) centroid and b = d2 to the
+    nearest OTHER centroid (best and second-best of the k integer
+    distances — an in-row sort of the k-element struct array); per
+    cluster the output is exact BIGINT sums of a and b plus
+    separation = sum_b / sum_a (NULL for a degenerate all-zero
+    cluster). separation >> 1 means tight, well-separated clusters.
+
+    Same shape as assignment itself: points × broadcast(k×dim
+    centroids), one groupBy(pid) then one groupBy(cluster) — no extra
+    corpus pass beyond the fit. The oracle re-runs the unrolled Lloyd
+    chain and reads best/second-best as row_number 1 and 2."""
+    pts = emb.select(
+        F.col(id_col).alias("pid"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(floor(cast(x as double) * {quant}) as bigint))"
+        ).alias("qv"),
+    ).cache()
+    seeds = pts.orderBy("pid").limit(k)
+    cent = seeds.select(
+        (F.row_number().over(Window.orderBy("pid")) - 1).alias("cid"),
+        F.col("qv").alias("cv"),
+    )
+    cent = _lloyd_centroids(pts, cent, iters)
+    both = (
+        _all_distances(pts, cent)
+        .groupBy("pid")
+        .agg(F.array_sort(F.collect_list(F.struct("d2", "cid"))).alias("ds"))
+        .select(
+            "pid",
+            F.col("ds")[0]["cid"].alias("cluster"),
+            F.col("ds")[0]["d2"].alias("a2"),
+            F.col("ds")[1]["d2"].alias("b2"),
+        )
+    )
+    out = (
+        both.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("a2").alias("sum_own_d2"),
+            F.sum("b2").alias("sum_next_d2"),
+        )
+        .select(
+            "cluster",
+            "n_points",
+            "sum_own_d2",
+            "sum_next_d2",
+            F.when(
+                F.col("sum_own_d2") > 0,
+                F.col("sum_next_d2").cast("double") / F.col("sum_own_d2").cast("double"),
+            ).alias("separation"),
+        )
+        .orderBy("cluster")
+        .localCheckpoint(eager=True)
+    )
     pts.unpersist()
     return out
 

@@ -227,3 +227,50 @@ def skyline_2d(
         .where(F.col("__prev").isNull() | (F.col(hi) > F.col("__prev")))
         .select(lo, hi)
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count (src → dst) adjacent event-type pairs in each
+    user's timestamp order and row-normalize to transition
+    probabilities — the behavioral model behind next-event prediction,
+    funnel generalization (q85 is one fixed path; this is all paths),
+    and bot detection (improbable transition chains).
+
+    Determinism: the sequence order is (ts, id) — a total order, so
+    LEAD is unambiguous; counts exact, prob = one integer-ratio
+    division per row.
+
+    Shape: one LEAD window partitioned by user (bounded by per-user
+    activity — the q36 sessionization class, never corpus-sized) → one
+    (src, dst) groupBy with map-side combine → the #event-types² cell
+    frame joins its #event-types row-total frame broadcast. Returns
+    (src_type, dst_type, n_transitions, prob)."""
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    seq = df.select(
+        F.col(type_col).alias("src_type"),
+        F.lead(type_col).over(w).alias("dst_type"),
+    ).where(F.col("dst_type").isNotNull())
+    counts = seq.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("src_type").agg(
+        F.sum("n_transitions").alias("__tot")
+    )
+    return (
+        counts.join(F.broadcast(totals), "src_type")
+        .select(
+            "src_type",
+            "dst_type",
+            "n_transitions",
+            (F.col("n_transitions").cast("double") / F.col("__tot")).alias("prob"),
+        )
+        .orderBy("src_type", "dst_type")
+    )

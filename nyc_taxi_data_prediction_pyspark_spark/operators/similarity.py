@@ -557,3 +557,77 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .orderBy("anchor_id", "rank")
     )
+
+
+def _dcg_weights(k: int) -> list[float]:
+    """1/log2(i+1) for ranks 1..k, computed ONCE driver-side and baked
+    into the plan as literals — both engines then consume identical
+    doubles, so the eval row value-hashes (no runtime libm log in
+    either engine; the q151-sqrt determinism argument, solved by
+    constant folding instead of function choice)."""
+    import math
+
+    return [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+
+def retrieval_eval(
+    emb: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval-quality evaluation row — the eval-harness op a
+    retrieval/RAG pipeline runs per index build: rank the corpus
+    against the lowest-id probe by exact cosine and score the top-k
+    against label-match relevance (same label = relevant) with
+    precision@k, MRR, and nDCG@k.
+
+    Determinism: the ranking is the q19 contract (6-rounded fold
+    cosine, id tie-break); relevance is exact; the DCG discount
+    weights are driver-computed literals (``_dcg_weights``) embedded
+    in BOTH engines' plans; IDCG truncates the same literal cumsum at
+    min(R, k), R = exact relevant-corpus count. One division each for
+    precision/MRR/nDCG.
+
+    Shape: one TakeOrdered scan for the top-k (the cosine_topk plan),
+    one exact count for R, a k-row join back for labels — everything
+    after the scan is metadata-sized. Returns one row
+    (k, n_relevant, precision_at_k, mrr, dcg, idcg, ndcg)."""
+    probe = emb.orderBy(id_col).select(id_col, as_double(vec_col), label_col).first()
+    qid, qvec, qlabel = probe[0], [float(x) for x in probe[1]], probe[2]
+    rest = emb.where(F.col(id_col) != qid)
+    top = cosine_topk(rest, qvec, k, id_col=id_col, vec_col=vec_col)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cos"), F.asc(id_col)))
+    ).join(emb.select(id_col, label_col), id_col)
+    w = _dcg_weights(k)
+    cumw = [sum(w[: i + 1]) for i in range(k)]
+    rel = (F.col(label_col) == F.lit(qlabel)).cast("int")
+    wexpr = F.element_at(F.array(*[F.lit(x) for x in w]), F.col("rank"))
+    scored = ranked.select(
+        F.col("rank").alias("__srank"),
+        rel.alias("__rel"),
+        (rel * wexpr).alias("__gain"),
+        F.when(rel == 1, F.col("rank")).alias("__relrank"),
+    )
+    n_rel = rest.where(F.col(label_col) == F.lit(qlabel)).count()
+    idcg = cumw[min(n_rel, k) - 1] if n_rel > 0 else 0.0
+    # DCG is a float sum over the k gains: fold it in rank order (a
+    # rank-sorted in-row fold after collect), never a distributed SUM
+    # of doubles — the decimal-sum discipline's float sibling
+    dcg = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("__srank", "__gain"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["__gain"],
+    )
+    return scored.agg(
+        F.lit(k).alias("k"),
+        F.lit(n_rel).cast("bigint").alias("n_relevant"),
+        (F.sum("__rel").cast("double") / k).alias("precision_at_k"),
+        F.coalesce(1.0 / F.min("__relrank"), F.lit(0.0)).alias("mrr"),
+        dcg.alias("dcg"),
+        F.lit(float(idcg)).alias("idcg"),
+        (dcg / F.lit(float(idcg)) if idcg > 0 else F.lit(0.0)).alias("ndcg"),
+    )

@@ -1222,3 +1222,107 @@ def bpe_segment_stats(
         )
         .orderBy("word_chars")
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    *,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    buckets: int = 32,
+    tenths: tuple[int, int] = (8, 9),
+) -> DataFrame:
+    """Deterministic stratified train/val/test split with EXACT
+    per-stratum quotas — the dataset-versioning split a training
+    pipeline must reproduce run-to-run: within each stratum, rows are
+    laid in a content-derived pseudo-random order (md5 of id+salt; no
+    RNG state) and cut at floor(n·8/10) / floor(n·9/10).
+
+    Shape (100 TB): the exact rank is TWO-PHASE (the pack_documents
+    prefix-sum discipline) — row_number within (stratum, hash-bucket)
+    partitions, then each bucket's offset added from the
+    strata×buckets running-count frame (tiny, broadcast). The
+    composed order is (bucket, hash, id) — still a deterministic
+    permutation, and no window partition is stratum-sized.
+
+    Returns per-row (id, stratum, split) with split ∈
+    {train, val, test}."""
+    from ..functions.hashing import md5_int60
+
+    hk = md5_int60(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    keyed = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        hk.alias("__hk"),
+        F.pmod(hk, F.lit(buckets)).alias("__b"),
+    )
+    local = W.partitionBy(strata_col, "__b").orderBy("__hk", id_col)
+    ranked = keyed.withColumn("__rn", F.row_number().over(local))
+    per_bucket = keyed.groupBy(strata_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    run = W.partitionBy(strata_col).orderBy("__b")
+    offsets = per_bucket.select(
+        strata_col,
+        "__b",
+        (F.sum("__c").over(run) - F.col("__c")).alias("__off"),
+        F.sum("__c").over(W.partitionBy(strata_col)).alias("__n"),
+    )
+    t_hi, v_hi = tenths
+    rank = F.col("__off") + F.col("__rn")
+    return (
+        ranked.join(F.broadcast(offsets), [strata_col, "__b"])
+        .select(
+            id_col,
+            strata_col,
+            # floor(n·t/10) on BOTH engines (Spark / and DuckDB / are
+            # float division; floor, not a truncating cast — gotcha)
+            F.when(rank <= F.floor(F.col("__n") * t_hi / F.lit(10)), "train")
+            .when(rank <= F.floor(F.col("__n") * v_hi / F.lit(10)), "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+def length_bucket_padding(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_bucket: int = 16,
+) -> DataFrame:
+    """Padding-efficiency audit for length-bucketed batching — the
+    measurement behind the standard training-throughput fix (group
+    sequences into power-of-two length buckets so a batch pads to its
+    bucket, not to the global max): per bucket, document count, real
+    token mass, padded slots, and utilization.
+
+    The bucket is the next power of two ≥ n_tokens (floored at
+    ``min_bucket``), computed as 2^length(bin(n-1)) — pure integer/
+    string ops on BOTH engines (the HLL rank discipline: no float
+    log2, whose libm rounding at 2^k boundaries diverges).
+
+    One narrow map + one map-side-combinable groupBy; utilization is
+    one division of exact BIGINTs. Returns (bucket_tokens, n_docs,
+    sum_tokens, padded_tokens, utilization) ordered by bucket."""
+    t = token_count(text_col).cast("bigint")
+    # F.shiftleft needs a literal shift amount; the column-valued shift
+    # goes through expr
+    pow2 = F.expr("shiftleft(cast(1 as bigint), length(bin(__t - 1)))")
+    bucket = F.greatest(F.lit(min_bucket).cast("bigint"), pow2)
+    return (
+        df.select(t.alias("__t"))
+        .select(bucket.alias("bucket_tokens"), "__t")
+        .groupBy("bucket_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("sum_tokens"),
+            (F.count(F.lit(1)) * F.col("bucket_tokens") - F.sum("__t")).alias(
+                "padded_tokens"
+            ),
+            (
+                F.sum("__t").cast("double")
+                / (F.count(F.lit(1)) * F.col("bucket_tokens")).cast("double")
+            ).alias("utilization"),
+        )
+        .orderBy("bucket_tokens")
+    )

@@ -227,3 +227,23 @@ def test_kcenter_maximin_non_increasing_and_distinct(spark, sf_dir):
     assert len(set(ids)) == len(ids)
     d2s = [r["maximin_d2"] for r in rows[1:]]  # seed row is 0 by convention
     assert all(a >= b for a, b in zip(d2s, d2s[1:]))
+
+
+def test_kmeans_separation_consistent_with_assignment(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    sep = clustering.kmeans_separation(emb, k=4, iters=1).collect()
+    asg = clustering.kmeans_fixedpoint(emb, k=4, iters=1).collect()
+    # same partition of the points, and sum_own_d2 is exactly the
+    # per-cluster inertia of the assignment
+    by_cluster = {}
+    for r in asg:
+        c = by_cluster.setdefault(r["cluster"], [0, 0])
+        c[0] += 1
+        c[1] += r["d2"]
+    got = {r["cluster"]: (r["n_points"], r["sum_own_d2"]) for r in sep}
+    assert got == {c: (n, d) for c, (n, d) in by_cluster.items()}
+    for r in sep:
+        # second-best >= best pointwise, so the sums inherit it
+        assert r["sum_next_d2"] >= r["sum_own_d2"]
+        if r["sum_own_d2"] > 0:
+            assert r["separation"] == r["sum_next_d2"] / r["sum_own_d2"]

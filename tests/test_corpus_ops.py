@@ -590,3 +590,71 @@ def test_bpe_segment_stats_applies_rules_in_order(spark):
         assert stats[chars]["n_words"] == n
         assert stats[chars]["total_symbols"] == tot
         assert abs(stats[chars]["avg_symbols"] - tot / n) < 1e-12
+
+
+def test_stratified_split_exact_quotas_and_determinism(spark, sf_dir):
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    a = textops.stratified_split(docs).collect()
+    b = textops.stratified_split(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # partition: every doc exactly once
+    assert len(a) == docs.count()
+    assert len({r["doc_id"] for r in a}) == len(a)
+    # exact quotas per stratum: floor(n*8/10) train, floor(n*9/10)-train val
+    from collections import Counter
+
+    per = Counter((r["lang"], r["split"]) for r in a)
+    n_s = Counter(r["lang"] for r in a)
+    for lang, n in n_s.items():
+        t = n * 8 // 10
+        v = n * 9 // 10 - t
+        assert per[(lang, "train")] == t, (lang, n)
+        assert per[(lang, "val")] == v
+        assert per[(lang, "test")] == n - t - v
+
+
+def test_stratified_split_two_phase_rank_matches_single_window(spark, sf_dir):
+    """The composed (bucket-local rank + offset) order must equal one
+    global per-stratum sort by (bucket, hash, id)."""
+    import hashlib
+
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    got = {r["doc_id"]: r["split"] for r in textops.stratified_split(docs).collect()}
+
+    rows = docs.select("doc_id", "lang").collect()
+    by_lang = {}
+    for r in rows:
+        h = int(hashlib.md5(f"{r['doc_id']}split-v1".encode()).hexdigest()[:15], 16)
+        by_lang.setdefault(r["lang"], []).append((h % 32, h, r["doc_id"]))
+    want = {}
+    for lang, keyed in by_lang.items():
+        keyed.sort()
+        n = len(keyed)
+        for rnk, (_b, _h, did) in enumerate(keyed, 1):
+            want[did] = (
+                "train" if rnk <= n * 8 // 10 else "val" if rnk <= n * 9 // 10 else "test"
+            )
+    assert got == want
+
+
+def test_length_bucket_padding_toy_parity(spark):
+    rows = [
+        (1, " ".join(["w"] * 5)),    # 5 tokens  -> bucket 16 (floor)
+        (2, " ".join(["w"] * 16)),   # 16 tokens -> bucket 16 (exact power)
+        (3, " ".join(["w"] * 17)),   # 17 tokens -> bucket 32
+        (4, " ".join(["w"] * 100)),  # 100       -> bucket 128
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["bucket_tokens"]: (r["n_docs"], r["sum_tokens"], r["padded_tokens"], r["utilization"])
+        for r in textops.length_bucket_padding(df).collect()
+    }
+    assert got == {
+        16: (2, 21, 11, 21 / 32),
+        32: (1, 17, 15, 17 / 32),
+        128: (1, 100, 28, 100 / 128),
+    }

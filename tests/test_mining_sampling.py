@@ -947,3 +947,59 @@ def test_clamped_balance_property(spark_h, events):
         len(events), bal, maxb, clamps
     )
     assert r.final_bal >= 0 and r.max_bal >= r.final_bal
+
+
+def test_event_transitions_matches_python_replay(spark, sf_dir):
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+
+    events = load(spark, sf_dir, "events")
+    got = [
+        (r["src_type"], r["dst_type"], r["n_transitions"], r["prob"])
+        for r in mining.event_transitions(events).collect()
+    ]
+
+    rows = events.select("user_id", "ts", "event_id", "event_type").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["event_type"]))
+    from collections import Counter
+
+    counts = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    totals = Counter()
+    for (a, _b), n in counts.items():
+        totals[a] += n
+    want = sorted(
+        (a, b, n, n / totals[a]) for (a, b), n in counts.items()
+    )
+    assert got == want
+    # row-normalization: per-src probabilities sum to ~1
+    per_src = Counter()
+    for a, _b, _n, p in got:
+        per_src[a] += p
+    assert all(abs(s - 1.0) < 1e-9 for s in per_src.values())
+
+
+def test_fd_profile_detects_violations(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.cleaning import fd_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, "a", "x"),
+            (3, "b", "x"),
+            (4, "b", "y"),  # b -> {x, y}: violates k2 -> v
+            (5, "c", "z"),
+        ],
+        "k1 int, k2 string, v string",
+    )
+    rows = {r["fd"]: r for r in fd_profile(df, [(("k1",), "v"), (("k2",), "v")]).collect()}
+    assert rows["k1->v"]["n_lhs_groups"] == 5
+    assert rows["k1->v"]["n_violating_groups"] == 0
+    assert rows["k1->v"]["max_rhs_per_group"] == 1
+    assert rows["k2->v"]["n_lhs_groups"] == 3
+    assert rows["k2->v"]["n_violating_groups"] == 1
+    assert rows["k2->v"]["max_rhs_per_group"] == 2

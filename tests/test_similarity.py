@@ -159,3 +159,40 @@ def test_hard_negatives_labels_differ_and_ranked(spark, sf_dir):
     for ranked in per_anchor.values():
         assert [rk for rk, _ in ranked] == list(range(1, 6))
         assert all(a[1] >= b[1] for a, b in zip(ranked, ranked[1:]))
+
+
+def test_retrieval_eval_matches_python_replay(spark, sf_dir):
+    import math
+
+    emb = load(spark, sf_dir, "embeddings")
+    row = similarity.retrieval_eval(emb, k=10).collect()[0]
+
+    data = [
+        (r["vec_id"], [float(x) for x in r["embedding"]], r["label"])
+        for r in emb.collect()
+    ]
+    data.sort()
+    qid, qv, ql = data[0]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))), 6
+        )
+
+    rest = [(vid, v, lbl) for vid, v, lbl in data if vid != qid]
+    top = sorted(rest, key=lambda t: (-cos(t[1], qv), t[0]))[:10]
+    rels = [1 if lbl == ql else 0 for _vid, _v, lbl in top]
+    w = [1.0 / math.log2(i + 1) for i in range(1, 11)]
+    dcg = 0.0
+    for i, r in enumerate(rels):
+        dcg += r * w[i] if r else 0.0
+    n_rel = sum(1 for _vid, _v, lbl in rest if lbl == ql)
+    idcg = sum(w[: min(n_rel, 10)])
+    first = next((i + 1 for i, r in enumerate(rels) if r), None)
+    assert row["k"] == 10 and row["n_relevant"] == n_rel
+    assert row["precision_at_k"] == sum(rels) / 10
+    assert row["mrr"] == (1.0 / first if first else 0.0)
+    assert row["dcg"] == dcg and row["idcg"] == idcg
+    assert row["ndcg"] == dcg / idcg
+    assert 0.0 <= row["ndcg"] <= 1.0
