@@ -4736,6 +4736,86 @@ def q211_length_bucket_padding(spark: SparkSession, sf: str) -> DataFrame:
     return textops.length_bucket_padding(docs)
 
 
+def q212_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt double-exponential smoothing backtest
+    (windows.holt_level_trend): per-user level+trend state over the
+    event value series and the one-step-ahead forecast — the
+    trend-aware smoother between q113's EWMA (level only) and q181's
+    seasonal-naive backtest. α=0.5/β=0.25 are exact binary fractions
+    so the sequential fold is bit-stable; the oracle replays the same
+    recurrence row-at-a-time as a recursive CTE (q128/q173 struct-
+    accumulator discipline). Reported for the first 25 users by id."""
+    ev = load(spark, sf, "events")
+    out = windows.holt_level_trend(
+        ev,
+        partition=["user_id"],
+        ts="ts",
+        value_col="value",
+        alpha=0.5,
+        beta=0.25,
+        order_tiebreak=["event_id"],
+    )
+    return out.orderBy("user_id").limit(25)
+
+
+def q213_cusum_changepoints(spark: SparkSession, sf: str) -> DataFrame:
+    """One-sided CUSUM change-point audit (windows.cusum_alarms): each
+    user's value series folded against its own mean with restart-on-
+    alarm — the sequential drift detector beside q168's batch
+    median/MAD outlier gate. The fold is scaled by n so the mean needs
+    no division: pure BIGINT arithmetic end-to-end, replayed by the
+    oracle as a recursive CTE. Summarized as one row per alarm count
+    so the result is a stable distribution frame."""
+    ev = load(spark, sf, "events")
+    per_user = windows.cusum_alarms(
+        ev,
+        partition=["user_id"],
+        ts="ts",
+        value_col="value",
+        scale=4,
+        threshold=5.0,
+        order_tiebreak=["event_id"],
+    )
+    return (
+        per_user.groupBy("n_alarms")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("tot_events"),
+            F.max("max_s_scaled").alias("max_s_scaled"),
+        )
+        .orderBy("n_alarms")
+    )
+
+
+def q214_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation (mining.rfm_segments): recency /
+    frequency / monetary quintile scores per customer (5 = best on
+    each axis), rolled up per (r,f,m) cell. Every NTILE is the
+    skew-proof two-phase global rank + closed-form ntile_from_rank
+    (q110's machinery) — no data-sized single-partition window; spend
+    is an exact decimal sum. The oracle replays the same grid with
+    native NTILE windows over the identical (key, custkey) total
+    orders."""
+    orders = load(spark, sf, "orders")
+    return mining.rfm_segments(orders, k=5)
+
+
+def q215_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan–Meier user-retention curve (mining.survival_curve) at
+    HOUR grain: a user churns at their last-activity hour when ≥24
+    silent hours precede the corpus max hour (the synthetic feed spans
+    30 days), right-censored otherwise — the estimator behind q91's
+    cohort grid done properly. Exact BIGINT buckets and risk sets; one
+    IEEE division per churn duration; the running product folds over
+    the metadata-sized duration histogram and the oracle replays it as
+    a recursive CTE."""
+    ev = load(spark, sf, "events")
+    return mining.survival_curve(
+        ev, entity_col="user_id", ts_col="ts",
+        unit_micros=3_600_000_000, churn_gap_units=24,
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -4807,7 +4887,7 @@ _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 # every query within the ceil(N/50)-round freshness bound (N=203 → 5).
 _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
-    210, 211,
+    210, 211, 212, 213, 214, 215, 216, 217, 218,
 }
 
 
@@ -5053,6 +5133,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_fd_profile": q209_fd_profile,
         "q210_retrieval_eval": q210_retrieval_eval,
         "q211_length_bucket_padding": q211_length_bucket_padding,
+        "q212_holt_forecast": q212_holt_forecast,
+        "q213_cusum_changepoints": q213_cusum_changepoints,
+        "q214_rfm_segments": q214_rfm_segments,
+        "q215_survival_curve": q215_survival_curve,
     }
 
 
@@ -9189,5 +9273,145 @@ SELECT bucket_tokens, COUNT(*) AS n_docs,
        CAST(COUNT(*) * bucket_tokens - SUM(nt) AS BIGINT) AS padded_tokens,
        CAST(SUM(nt) AS DOUBLE) / (COUNT(*) * bucket_tokens) AS utilization
 FROM b GROUP BY 1 ORDER BY 1
+"""
+    # q212: Holt recurrence replayed row-at-a-time as a recursive CTE
+    # (the q128/q173 struct-accumulator discipline — NOT list_reduce).
+    # Seeds l1=x1, b1=x2-x1; the t>=2 step re-consumes x2 (textbook
+    # convention, matching windows.holt_level_trend exactly). All
+    # literals cast to DOUBLE so no DECIMAL promotion sneaks in.
+    oracles["q212_holt_forecast"] = """
+WITH RECURSIVE e AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+seed AS (
+  SELECT e1.user_id, e1.n, e1.v AS l,
+         COALESCE(e2.v - e1.v, CAST(0 AS DOUBLE)) AS b
+  FROM e e1 LEFT JOIN e e2 ON e2.user_id = e1.user_id AND e2.rn = 2
+  WHERE e1.rn = 1
+),
+fold(user_id, rn, n, l, b) AS (
+  SELECT user_id, 1::BIGINT, n, l, b FROM seed
+  UNION ALL
+  SELECT f.user_id, e.rn, f.n,
+         CAST(0.5 AS DOUBLE) * e.v + CAST(0.5 AS DOUBLE) * (f.l + f.b),
+         CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * e.v + CAST(0.5 AS DOUBLE) * (f.l + f.b)) - f.l)
+           + CAST(0.75 AS DOUBLE) * f.b
+  FROM fold f JOIN e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, l AS level, b AS trend,
+       l + b AS forecast_1
+FROM fold WHERE rn = n
+ORDER BY user_id LIMIT 25
+"""
+    # q213: the n-scaled integer CUSUM fold replayed as a recursive
+    # CTE; same half-away ROUND quantization, pure BIGINT throughout.
+    oracles["q213_cusum_changepoints"] = """
+WITH RECURSIVE e AS (
+  SELECT user_id,
+         CAST(ROUND(CAST(value AS DOUBLE) * 10000, 0) AS BIGINT) AS vq,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         SUM(CAST(ROUND(CAST(value AS DOUBLE) * 10000, 0) AS BIGINT))
+           OVER (PARTITION BY user_id) AS sum_q
+  FROM events
+),
+fold(user_id, rn, n, s, alarms, maxs) AS (
+  SELECT user_id, 0::BIGINT, n, 0::BIGINT, 0::BIGINT, 0::BIGINT
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT f.user_id, e.rn, f.n,
+         CASE WHEN GREATEST(0, f.s + (e.n * e.vq - e.sum_q)) > 50000 * e.n
+              THEN 0
+              ELSE GREATEST(0, f.s + (e.n * e.vq - e.sum_q)) END,
+         f.alarms + CASE WHEN GREATEST(0, f.s + (e.n * e.vq - e.sum_q)) > 50000 * e.n
+                         THEN 1 ELSE 0 END,
+         GREATEST(f.maxs, GREATEST(0, f.s + (e.n * e.vq - e.sum_q)))
+  FROM fold f JOIN e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+),
+per_user AS (
+  SELECT user_id, n AS n_events, alarms AS n_alarms, maxs AS max_s
+  FROM fold WHERE rn = n
+)
+SELECT CAST(n_alarms AS BIGINT) AS n_alarms,
+       COUNT(*) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS tot_events,
+       CAST(MAX(max_s) AS BIGINT) AS max_s_scaled
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+    # q214: native NTILE windows over the identical deterministic
+    # (key, custkey) total orders; the Spark side's two-phase rank +
+    # closed-form bucket is bit-identical to window NTILE (q110).
+    oracles["q214_rfm_segments"] = """
+WITH per AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT o_custkey, frequency, mon,
+         date_diff('day', last_order, (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS recency_days
+  FROM per
+),
+s AS (
+  SELECT frequency, mon,
+         NTILE(5) OVER (ORDER BY 0 - recency_days ASC, o_custkey ASC) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f_score,
+         NTILE(5) OVER (ORDER BY mon ASC, o_custkey ASC) AS m_score
+  FROM g
+)
+SELECT CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       COUNT(*) AS n_customers,
+       CAST(SUM(frequency) AS BIGINT) AS tot_orders,
+       CAST(SUM(mon) AS DOUBLE) AS monetary_sum
+FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+    # q215: the KM product replayed as a recursive CTE over the same
+    # (duration, churned) histogram — exact integer risk sets, one
+    # IEEE division per churn day, ascending-t product order.
+    oracles["q215_survival_curve"] = """
+WITH RECURSIVE per AS (
+  SELECT user_id,
+         MIN(epoch_us(ts) // 3600000000) AS fd,
+         MAX(epoch_us(ts) // 3600000000) AS ld
+  FROM events GROUP BY 1
+),
+mx AS (SELECT MAX(epoch_us(ts) // 3600000000) AS maxd FROM events),
+durs AS (
+  SELECT CASE WHEN p.ld <= mx.maxd - 24
+              THEN p.ld - p.fd
+              ELSE mx.maxd - p.fd END + 1 AS t,
+         CASE WHEN p.ld <= mx.maxd - 24 THEN 1 ELSE 0 END AS ch
+  FROM per p, mx
+),
+hist AS (
+  SELECT CAST(t AS BIGINT) AS t, CAST(SUM(ch) AS BIGINT) AS dch,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM durs GROUP BY 1
+),
+rk AS (
+  SELECT t, dch, c, CAST(ROW_NUMBER() OVER (ORDER BY t ASC) AS BIGINT) AS rn
+  FROM hist
+),
+fold(rn, rem, atrisk, surv, dch, t) AS (
+  SELECT CAST(0 AS BIGINT), (SELECT CAST(SUM(c) AS BIGINT) FROM hist),
+         CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT r.rn, f.rem - r.c, f.rem,
+         CASE WHEN r.dch > 0
+              THEN f.surv * (CAST(1 AS DOUBLE) - CAST(r.dch AS DOUBLE) / CAST(f.rem AS DOUBLE))
+              ELSE f.surv END,
+         r.dch, r.t
+  FROM fold f JOIN rk r ON r.rn = f.rn + 1
+)
+SELECT t AS t_units, atrisk AS n_at_risk, dch AS d_churned, surv AS survival
+FROM fold WHERE dch > 0 ORDER BY t_units
 """
     return oracles

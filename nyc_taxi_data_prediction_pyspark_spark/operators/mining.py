@@ -274,3 +274,186 @@ def event_transitions(
         )
         .orderBy("src_type", "dst_type")
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    *,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    k: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation
+    (Hughes, *Strategic Database Marketing* — the classic retention
+    scoring grid): per customer, days since last order relative to the
+    corpus max date, order count, and exact decimal spend; each metric
+    scored 1..k by NTILE with k = best (most recent / most frequent /
+    highest spend). Returns the per-(r,f,m)-cell rollup: customer
+    count, total orders, spend.
+
+    Scale shape: the per-customer rollup is one combinable groupBy;
+    the corpus max date is a 1-row broadcast (metadata, not data);
+    each NTILE is the SKEW-PROOF two-phase global rank
+    (``windows.grouped_rank_two_phase`` on a constant group — no
+    data-sized single-partition window anywhere) composed with the
+    closed-form ``ntile_from_rank``, bit-identical to window NTILE.
+    Ties are broken by customer id so every rank is deterministic;
+    descending metrics rank on the negated column (the two-phase rank
+    is ascending by construction).
+    """
+    from . import windows as _w
+
+    per = orders.groupBy(cust_col).agg(
+        F.max(F.col(date_col).cast("date")).alias("__last"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(18,2)")).alias("__mon"),
+    )
+    maxd = orders.agg(F.max(F.col(date_col).cast("date")).alias("__maxd"))
+    per = per.crossJoin(F.broadcast(maxd)).select(
+        F.col(cust_col).alias("__cust"),
+        F.datediff("__maxd", "__last").cast("bigint").alias("recency_days"),
+        "frequency",
+        "__mon",
+    )
+    # rank keys: k = best ⇒ best must rank LAST (NTILE's top bucket).
+    # recency: smaller is better → rank by -recency (ascending);
+    # frequency / monetary: bigger is better → rank ascending as-is.
+    scored = (
+        per.withColumn("__g", F.lit(1))
+        .withColumn("__neg_rec", -F.col("recency_days"))
+        .withColumn("__mon_key", F.col("__mon"))
+    )
+    for key, rank_col in (
+        ("__neg_rec", "__rk_r"),
+        ("frequency", "__rk_f"),
+        ("__mon_key", "__rk_m"),
+    ):
+        scored = _w.grouped_rank_two_phase(
+            scored,
+            ["__g"],
+            [key, "__cust"],
+            out_col=rank_col,
+            group_size_col="__n" if rank_col == "__rk_r" else None,
+        )
+    out = scored.select(
+        _w.ntile_from_rank("__rk_r", "__n", k).alias("r_score"),
+        _w.ntile_from_rank("__rk_f", "__n", k).alias("f_score"),
+        _w.ntile_from_rank("__rk_m", "__n", k).alias("m_score"),
+        "frequency",
+        "__mon",
+    )
+    return (
+        out.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("frequency").cast("bigint").alias("tot_orders"),
+            F.sum("__mon").cast("double").alias("monetary_sum"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def survival_curve(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    unit_micros: int = 86_400_000_000,
+    churn_gap_units: int = 1,
+) -> DataFrame:
+    """Kaplan–Meier survival estimate for entity retention (Kaplan &
+    Meier JASA 1958) with right-censoring. Time is bucketed to integer
+    units (``floor(epoch_us / unit_micros)`` — day by default, hour
+    for finer curves): an entity is observed from its first event
+    bucket; it CHURNS at its last event bucket if that bucket is ≥
+    ``churn_gap_units`` before the corpus max bucket, otherwise it is
+    CENSORED at the corpus max bucket (still alive when observation
+    ended). At each churn duration t (units, inclusive):
+        S(t) = Π_{t' ≤ t} (1 − d_{t'} / n_{t'})
+    with d = churns at t', n = entities still at risk entering t'.
+    Returns one row per churn duration: (t_units, n_at_risk,
+    d_churned, survival) — the retention curve q91's cohort grid
+    approximates, with censoring handled correctly.
+
+    Exactness: buckets, d and n are exact BIGINTs; each factor is ONE
+    IEEE division and the running product folds in ascending-t order,
+    so the curve is bit-stable and the oracle replays it
+    row-at-a-time as a recursive CTE over the same histogram
+    (q128/q173 discipline).
+
+    Scale shape: per-entity first/last is one combinable groupBy over
+    the raw events; everything after operates on the (duration,
+    churned) HISTOGRAM — bounded by the observation window in units
+    (metadata-sized), so the single-row fold that carries the product
+    touches no data-sized state. The corpus max bucket is a 1-row
+    broadcast.
+    """
+    # integer `div`, not floor(double /): epoch micros ~1.7e15 are
+    # representable in a double, but the rounded quotient can cross an
+    # integer boundary the true quotient sits just below
+    days = df.select(
+        F.col(entity_col).alias("__e"),
+        F.expr(f"unix_micros({ts_col}) div {int(unit_micros)}").cast("bigint").alias("__d"),
+    )
+    per = days.groupBy("__e").agg(
+        F.min("__d").alias("__first"), F.max("__d").alias("__last")
+    )
+    maxd = days.agg(F.max("__d").alias("__maxd"))
+    per = per.crossJoin(F.broadcast(maxd))
+    churned = F.col("__last") <= F.col("__maxd") - churn_gap_units
+    dur = (
+        F.when(churned, F.col("__last") - F.col("__first"))
+        .otherwise(F.col("__maxd") - F.col("__first"))
+        .cast("bigint")
+        + 1
+    )
+    hist = (
+        per.select(dur.alias("t"), churned.cast("bigint").alias("__ch"))
+        .groupBy("t")
+        .agg(
+            F.sum("__ch").cast("bigint").alias("__dch"),
+            F.count(F.lit(1)).cast("bigint").alias("__c"),
+        )
+    )
+    packed = hist.agg(
+        F.sort_array(F.collect_list(F.struct("t", "__dch", "__c"))).alias("__h"),
+        F.sum("__c").cast("bigint").alias("__n0"),
+    )
+    row_t = "array<struct<t:bigint,n_at_risk:bigint,d_churned:bigint,survival:double>>"
+    init = F.struct(
+        F.col("__n0").alias("rem"),
+        F.lit(1.0).alias("surv"),
+        F.array().cast(row_t).alias("rows"),
+    )
+
+    def step(acc, x):
+        s2 = acc["surv"] * (
+            F.lit(1.0) - x["__dch"].cast("double") / acc["rem"].cast("double")
+        )
+        is_event = x["__dch"] > 0
+        new_row = F.struct(
+            x["t"].alias("t"),
+            acc["rem"].alias("n_at_risk"),
+            x["__dch"].alias("d_churned"),
+            s2.alias("survival"),
+        )
+        return F.struct(
+            (acc["rem"] - x["__c"]).alias("rem"),
+            F.when(is_event, s2).otherwise(acc["surv"]).alias("surv"),
+            F.when(is_event, F.concat(acc["rows"], F.array(new_row)))
+            .otherwise(acc["rows"])
+            .alias("rows"),
+        )
+
+    folded = packed.select(F.aggregate("__h", init, step).alias("__f"))
+    return (
+        folded.select(F.explode("__f.rows").alias("__r"))
+        .select(
+            F.col("__r.t").alias("t_units"),
+            F.col("__r.n_at_risk").alias("n_at_risk"),
+            F.col("__r.d_churned").alias("d_churned"),
+            F.col("__r.survival").alias("survival"),
+        )
+        .orderBy("t_units")
+    )

@@ -729,3 +729,144 @@ def clamped_running_balance(
         F.col("__f.maxb").alias("max_bal"),
         F.col("__f.clamps").alias("n_clamps"),
     )
+
+
+def holt_level_trend(
+    df: DataFrame,
+    *,
+    partition: Sequence[str],
+    ts: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) per
+    group, returning each group's FINAL (level, trend) state and the
+    one-step-ahead forecast ``level + trend`` — the trend-aware member
+    of the smoothing family next to ``ewma_last`` (level only) and the
+    seasonal-naive backtest (q181).
+
+    Recurrence (Hyndman & Athanasopoulos, fpp3 §8.2 — public
+    textbook): seeded with l_1 = x_1, b_1 = x_2 - x_1, then for t ≥ 2
+        l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+    (note x_2 seeds b_1 AND is consumed by the t=2 step — the
+    textbook convention, mirrored exactly by the oracle). A
+    one-element group has trend 0 by definition.
+
+    Like EWMA the recurrence carries state no window frame can
+    express, so it is the sequential-fold pattern: collect →
+    ``sort_array`` → ``F.aggregate`` with a (level, trend) struct
+    accumulator. α and β must be exact binary fractions (0.5, 0.25)
+    so every multiplier is representation-exact; the fold is then
+    bit-identical run-to-run and engine-to-engine (the oracle replays
+    it row-at-a-time as a recursive CTE — the q128/q173 discipline
+    for struct accumulators).
+
+    Scale posture: one shuffle; per-group state is the group's own
+    history (bounded by events-per-entity). A hot entity composes
+    per-chunk AFFINE maps exactly like ``ewma_last_segmented`` — the
+    Holt step is affine in (l, b): (l,b) ↦ M·(l,b) + c·x with
+    constant M, so contiguous runs fold to one 2×2 affine map.
+    """
+    a = float(alpha)
+    bt = float(beta)
+    order_cols = [F.unix_micros(F.col(ts)).alias("__t")] + [
+        F.col(c).cast("bigint").alias(f"__tb{i}") for i, c in enumerate(order_tiebreak)
+    ]
+    packed = F.struct(*order_cols, F.col(value_col).cast("double").alias("__v"))
+    arr = F.sort_array(F.collect_list(packed))
+    vals = F.transform(arr, lambda s: s["__v"])
+    x0 = F.element_at(vals, 1)
+    x1 = F.element_at(vals, 2)
+    init = F.struct(
+        x0.alias("l"),
+        F.when(F.size(vals) >= 2, x1 - x0).otherwise(F.lit(0.0)).alias("b"),
+    )
+
+    def step(acc, x):
+        nl = F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        nb = F.lit(bt) * (nl - acc["l"]) + F.lit(1.0 - bt) * acc["b"]
+        return F.struct(nl.alias("l"), nb.alias("b"))
+
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))), init, step
+    )
+    out = df.groupBy(*partition).agg(
+        F.count(F.lit(1)).alias("n_events"), folded.alias("__f")
+    )
+    return out.select(
+        *partition,
+        "n_events",
+        F.col("__f.l").alias("level"),
+        F.col("__f.b").alias("trend"),
+        (F.col("__f.l") + F.col("__f.b")).alias("forecast_1"),
+    )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    *,
+    partition: Sequence[str],
+    ts: str,
+    value_col: str,
+    scale: int = 4,
+    threshold: float = 5.0,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """One-sided CUSUM change-point detection per group (Page 1954):
+    walking the series in event-time order against the group's own
+    mean, ``S_t = max(0, S_{t-1} + (x_t - μ))``; when S crosses the
+    decision threshold h an ALARM fires and S restarts at 0. Returns
+    per group (n_events, n_alarms, max_s, final_s) — the sequential
+    anomaly detector next to the batch median/MAD outlier gate (q168).
+
+    Exactness: values are quantized to 10^-scale integer units
+    (half-away ROUND — the one mode Spark and DuckDB share), and the
+    whole fold runs SCALED BY n so the mean needs no division:
+        S'_scaled = max(0, S_scaled + (n·x_q - sum_q))
+        alarm  ⟺  S'_scaled > h_q·n
+    Pure BIGINT arithmetic — engine-stable, order-deterministic, and
+    replayable row-at-a-time by the oracle's recursive CTE (the
+    q128/q173 struct-accumulator discipline). Magnitudes: |n·x_q| ≤
+    events-per-entity × 10^(scale+digits) — a 10^6-event entity with
+    10^6-unit values stays < 2^62.
+
+    Scale posture: one shuffle; state bounded by events-per-entity
+    (sum_q and n come from the collected array itself, no second
+    pass). max_s/final_s are reported in the n-scaled units alongside
+    n_events so callers can rescale.
+    """
+    unit = 10**scale
+    h_q = int(round(threshold * unit))
+    order_cols = [F.unix_micros(F.col(ts)).alias("__t")] + [
+        F.col(c).cast("bigint").alias(f"__tb{i}") for i, c in enumerate(order_tiebreak)
+    ] + [F.round(F.col(value_col) * unit, 0).cast("bigint").alias("__v")]
+    arr = F.sort_array(F.collect_list(F.struct(*order_cols)))
+    vals = F.transform(arr, lambda s: s["__v"])
+    zero = F.lit(0).cast("bigint")
+    n = F.size(vals).cast("bigint")
+    sum_q = F.aggregate(vals, zero, lambda acc, x: acc + x)
+    init = F.struct(zero.alias("s"), zero.alias("alarms"), zero.alias("maxs"))
+
+    def step(acc, x):
+        st = F.greatest(zero, acc["s"] + (n * x - sum_q))
+        fired = st > F.lit(h_q) * n
+        return F.struct(
+            F.when(fired, zero).otherwise(st).alias("s"),
+            (acc["alarms"] + fired.cast("bigint")).alias("alarms"),
+            F.greatest(acc["maxs"], st).alias("maxs"),
+        )
+
+    folded = F.aggregate(vals, init, step)
+    out = df.groupBy(*partition).agg(
+        F.count(F.lit(1)).alias("n_events"), folded.alias("__f")
+    )
+    return out.select(
+        *partition,
+        "n_events",
+        F.col("__f.alarms").alias("n_alarms"),
+        F.col("__f.maxs").alias("max_s_scaled"),
+        F.col("__f.s").alias("final_s_scaled"),
+    )

@@ -1003,3 +1003,88 @@ def test_fd_profile_detects_violations(spark):
     assert rows["k2->v"]["n_lhs_groups"] == 3
     assert rows["k2->v"]["n_violating_groups"] == 1
     assert rows["k2->v"]["max_rhs_per_group"] == 2
+
+
+def test_rfm_segments_equals_window_ntile(spark):
+    """The composed two-phase-rank + closed-form NTILE grid must equal
+    the naive single-window NTILE(5) computation row for row."""
+    import datetime as dt
+
+    rng = random.Random(31)
+    rows = []
+    oid = 0
+    for cust in range(1, 41):
+        for _ in range(rng.randrange(1, 8)):
+            oid += 1
+            rows.append(
+                (oid, cust, dt.datetime(2026, 1, 1) + dt.timedelta(days=rng.randrange(200)),
+                 round(rng.random() * 1000, 2))
+            )
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    got = {
+        (r.r_score, r.f_score, r.m_score): (r.n_customers, r.tot_orders, r.monetary_sum)
+        for r in mining.rfm_segments(df, k=5).collect()
+    }
+
+    # naive reference: plain window NTILE over the same total orders
+    from pyspark.sql import Window as W
+
+    per = df.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    )
+    maxd = df.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    per = per.crossJoin(F.broadcast(maxd)).withColumn(
+        "rec", F.datediff("maxd", "last").cast("bigint")
+    )
+    ref = per.select(
+        F.ntile(5).over(W.orderBy((-F.col("rec")).asc(), F.col("o_custkey").asc())).alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.col("freq").asc(), F.col("o_custkey").asc())).alias("f_score"),
+        F.ntile(5).over(W.orderBy(F.col("mon").asc(), F.col("o_custkey").asc())).alias("m_score"),
+        "freq",
+        "mon",
+    )
+    want = {
+        (r.r_score, r.f_score, r.m_score): (r.n, r.t, r.m)
+        for r in ref.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("freq").cast("bigint").alias("t"),
+            F.sum("mon").cast("double").alias("m"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_survival_curve_hand_computed_km(spark):
+    """Crafted cohort with known Kaplan-Meier values, censoring
+    included. Day grain (unit = 86400e6 us), churn gap 1 day:
+    corpus max day = day 9. Entities (first, last):
+      A (0, 2) churned  dur 3      D (0, 9) censored dur 10
+      B (0, 2) churned  dur 3      E (5, 9) censored dur 5
+      C (0, 4) churned  dur 5
+    Risk sets (ascending dur): t=3: n=5,d=2 -> S=0.6
+      t=5: n=3 (A,B gone), d=1 -> S=0.6*(1-1/3)=0.4  (E censored at 5
+      counts AT RISK at 5, leaves after)"""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for ent, (f, l) in {"A": (0, 2), "B": (0, 2), "C": (0, 4), "D": (0, 9), "E": (5, 9)}.items():
+        for d in (f, l):
+            eid += 1
+            rows.append((ent, eid, base + dt.timedelta(days=d)))
+    df = spark.createDataFrame(rows, "user_id string, event_id long, ts timestamp")
+    out = [
+        (r.t_units, r.n_at_risk, r.d_churned, r.survival)
+        for r in mining.survival_curve(
+            df, entity_col="user_id", ts_col="ts",
+            unit_micros=86_400_000_000, churn_gap_units=1,
+        ).collect()
+    ]
+    assert out == [(3, 5, 2, 0.6), (5, 3, 1, 0.6 * (1 - 1 / 3))]

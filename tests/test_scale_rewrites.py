@@ -566,3 +566,76 @@ def test_throttle_segmented_partition_invariant(spark):
     a = {tuple(r) for r in windows.throttle_last_segmented(df7, **kw).collect()}
     b = {tuple(r) for r in windows.throttle_last_segmented(df13, **kw).collect()}
     assert a == b
+
+
+def test_holt_matches_python_fold(spark):
+    rng = random.Random(22)
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (rng.randrange(6), i, base + dt.timedelta(seconds=i), rng.random() * 50 + i * 0.1)
+        for i in range(400)
+    ]
+    # singleton + pair groups exercise the seed edge cases
+    rows += [(90, 1000, base, 7.5), (91, 1001, base, 3.0), (91, 1002, base + dt.timedelta(seconds=1), 5.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    out = {
+        r.user_id: (r.n_events, r.level, r.trend, r.forecast_1)
+        for r in windows.holt_level_trend(
+            df, partition=["user_id"], ts="ts", value_col="value",
+            alpha=0.5, beta=0.25, order_tiebreak=["event_id"],
+        ).collect()
+    }
+    by_user: dict[int, list[tuple[int, float]]] = {}
+    for u, eid, _ts, v in rows:
+        by_user.setdefault(u, []).append((eid, v))
+    for u, seq in by_user.items():
+        vals = [v for _eid, v in sorted(seq)]
+        l = vals[0]
+        b = vals[1] - vals[0] if len(vals) >= 2 else 0.0
+        for x in vals[1:]:
+            nl = 0.5 * x + 0.5 * (l + b)
+            b = 0.25 * (nl - l) + 0.75 * b
+            l = nl
+        n, gl, gb, gf = out[u]
+        assert n == len(vals)
+        assert gl == l and gb == b and gf == l + b  # bit-exact fold parity
+    # singleton: level = the value, trend 0
+    assert out[90] == (1, 7.5, 0.0, 7.5)
+
+
+def test_cusum_matches_python_fold(spark):
+    rng = random.Random(23)
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    i = 0
+    for u in range(4):
+        # regime shift halfway: mean 10 then mean 30 → drift alarms
+        for j in range(60):
+            v = (10.0 if j < 30 else 30.0) + rng.random()
+            rows.append((u, i, base + dt.timedelta(seconds=i), v))
+            i += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    out = {
+        r.user_id: (r.n_events, r.n_alarms, r.max_s_scaled, r.final_s_scaled)
+        for r in windows.cusum_alarms(
+            df, partition=["user_id"], ts="ts", value_col="value",
+            scale=4, threshold=5.0, order_tiebreak=["event_id"],
+        ).collect()
+    }
+    by_user: dict[int, list[tuple[int, float]]] = {}
+    for u, eid, _ts, v in rows:
+        by_user.setdefault(u, []).append((eid, v))
+    for u, seq in by_user.items():
+        vq = [round(v * 10000) for _eid, v in sorted(seq)]
+        n, sq = len(vq), sum(vq)
+        s = alarms = maxs = 0
+        for x in vq:
+            st = max(0, s + (n * x - sq))
+            maxs = max(maxs, st)
+            if st > 50000 * n:
+                alarms += 1
+                s = 0
+            else:
+                s = st
+        assert out[u] == (n, alarms, maxs, s)
+        assert alarms >= 1  # the regime shift must actually fire
