@@ -4816,6 +4816,52 @@ def q215_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q216_ra_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Resource-Allocation link prediction (graph.ra_link_prediction,
+    Zhou et al. EPJ B 2009): which supplier pairs are most
+    interchangeable, scored by Σ 1/deg(part) over shared parts in the
+    part→supplier supply graph — integer micro-unit weights (BIGINT
+    floor division), candidate pairs generated per part (Σ deg², never
+    all-pairs), hot parts capped before pair generation. Top-20 by
+    (score, pair)."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import graph
+
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return graph.ra_link_prediction(
+        li, left="l_suppkey", right="l_partkey", deg_cap=64, k=20
+    )
+
+
+def q217_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI-ranked collocations (text.pmi_collocations, Church & Hanks
+    CL 1990): top-20 bigrams by lift = c12·N²/(B·c1·c2) over the
+    shared-normalization token stream — exact integer counts, the
+    score one fixed-parenthesization double expression (PMI without a
+    libm ln: ln is monotone so lift ranking IS PMI ranking). min_count
+    3 keeps rare-pair noise out."""
+    docs = load(spark, sf, "documents")
+    return textops.pmi_collocations(docs, text_col="text", min_count=3, k=20)
+
+
+def q218_linear_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear multi-touch attribution (mining.linear_attribution):
+    each purchase's 1,000,000 ppm of credit split EXACTLY across the
+    touches since the previous purchase (integer quota rule — base =
+    ppm div n, remainder to the earliest touches; the q206 exact-quota
+    discipline, no decimal division). Zero-touch purchases land on the
+    synthetic (direct) channel. Per-channel rollup; the oracle replays
+    the same forward IGNORE-NULLS window and quota arithmetic."""
+    ev = load(spark, sf, "events")
+    return mining.linear_attribution(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        id_col="event_id",
+        conversion_type="purchase",
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5137,6 +5183,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_cusum_changepoints": q213_cusum_changepoints,
         "q214_rfm_segments": q214_rfm_segments,
         "q215_survival_curve": q215_survival_curve,
+        "q216_ra_link_prediction": q216_ra_link_prediction,
+        "q217_pmi_collocations": q217_pmi_collocations,
+        "q218_linear_attribution": q218_linear_attribution,
     }
 
 
@@ -9413,5 +9462,102 @@ fold(rn, rem, atrisk, surv, dch, t) AS (
 )
 SELECT t AS t_units, atrisk AS n_at_risk, dch AS d_churned, surv AS survival
 FROM fold WHERE dch > 0 ORDER BY t_units
+"""
+    # q216: identical integer RA arithmetic — true degrees first, cap
+    # filter, per-part pair generation, BIGINT floor-division weights.
+    oracles["q216_ra_link_prediction"] = """
+WITH e AS (SELECT DISTINCT l_suppkey AS l, l_partkey AS r FROM lineitem),
+deg AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+w AS (
+  SELECT e.l, e.r, CAST(1000000000 // deg.d AS BIGINT) AS wt
+  FROM e JOIN deg ON e.r = deg.r WHERE deg.d <= 64
+),
+pairs AS (
+  SELECT a.l AS node_a, b.l AS node_b,
+         CAST(SUM(a.wt) AS BIGINT) AS ra_score_scaled,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM w a JOIN w b ON a.r = b.r AND a.l < b.l
+  GROUP BY 1, 2
+)
+SELECT node_a, node_b, ra_score_scaled, n_shared
+FROM pairs
+ORDER BY ra_score_scaled DESC, node_a ASC, node_b ASC
+LIMIT 20
+"""
+    # q217: identical token normalization (the q186 template), exact
+    # integer counts, and the SAME fixed-parenthesization double lift.
+    oracles["q217_pmi_collocations"] = """
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ts
+  FROM documents
+),
+uc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1
+),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+bc AS (
+  SELECT g.w1 AS w1, g.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM (
+    SELECT unnest(list_transform(range(1, len(ts)),
+                  i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS g
+    FROM toks
+  ) GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+bt AS (
+  SELECT CAST(SUM(CASE WHEN len(ts) > 1 THEN len(ts) - 1 ELSE 0 END) AS BIGINT) AS b
+  FROM toks
+)
+SELECT bc.w1, bc.w2, bc.pair_count,
+       (CAST(bc.pair_count AS DOUBLE) * CAST(nt.n AS DOUBLE) * CAST(nt.n AS DOUBLE))
+       / (CAST(bt.b AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+FROM bc
+JOIN uc u1 ON u1.w = bc.w1
+JOIN uc u2 ON u2.w = bc.w2
+CROSS JOIN nt CROSS JOIN bt
+ORDER BY lift DESC, bc.w1 ASC, bc.w2 ASC
+LIMIT 20
+"""
+    # q218: same forward IGNORE-NULLS conversion window, same integer
+    # quota split (// and % on BIGINT), same (direct) fallback.
+    oracles["q218_linear_attribution"] = """
+WITH marked AS (
+  SELECT user_id AS u, ts, event_id AS id, event_type AS t,
+         FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv
+  FROM events
+),
+touches AS (SELECT * FROM marked WHERE t <> 'purchase' AND conv IS NOT NULL),
+ranked AS (
+  SELECT t AS channel, u, conv,
+         ROW_NUMBER() OVER (PARTITION BY u, conv ORDER BY ts ASC, id ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY u, conv) AS BIGINT) AS n
+  FROM touches
+),
+per AS (
+  SELECT channel, u, conv,
+         (1000000 // n) + CASE WHEN rn <= 1000000 % n THEN 1 ELSE 0 END AS credit
+  FROM ranked
+),
+touched AS (
+  SELECT channel,
+         CAST(COUNT(*) AS BIGINT) AS n_touches,
+         CAST(COUNT(DISTINCT CAST(u AS VARCHAR) || ':' || CAST(conv AS VARCHAR)) AS BIGINT) AS n_conversions,
+         CAST(SUM(credit) AS BIGINT) AS credit_ppm
+  FROM per GROUP BY 1
+),
+direct AS (
+  SELECT '(direct)' AS channel,
+         CAST(0 AS BIGINT) AS n_touches,
+         CAST(COUNT(*) AS BIGINT) AS n_conversions,
+         CAST(COUNT(*) * 1000000 AS BIGINT) AS credit_ppm
+  FROM marked m
+  WHERE m.t = 'purchase'
+    AND NOT EXISTS (SELECT 1 FROM touches x WHERE x.u = m.u AND x.conv = m.id)
+  HAVING COUNT(*) > 0
+)
+SELECT * FROM touched UNION ALL SELECT * FROM direct ORDER BY channel
 """
     return oracles

@@ -558,3 +558,60 @@ def degree_assortativity(
             num.cast("double") / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))),
         ).alias("assortativity"),
     )
+
+
+def ra_link_prediction(
+    edges: DataFrame,
+    *,
+    left: str,
+    right: str,
+    deg_cap: int = 64,
+    unit: int = 10**9,
+    k: int = 20,
+) -> DataFrame:
+    """Resource-Allocation link prediction over a bipartite projection
+    (Zhou, Lü & Zhang, Eur. Phys. J. B 2009 — the RA index; the
+    integer-weight cousin of Adamic–Adar): score every LEFT-node pair
+    by the resources flowing through their shared RIGHT neighbors,
+        RA(a, b) = Σ_{r ∈ Γ(a) ∩ Γ(b)} 1 / deg(r),
+    the classic "which suppliers are interchangeable / which items are
+    co-purchased" collaborative signal. Returns the top-k pairs by
+    (score, pair id) with the shared-neighbor count.
+
+    Exactness: contributions are integer micro-units ``unit div
+    deg(r)`` (BIGINT floor division — no float accumulation), summed
+    exactly, so ranking and values are engine-stable.
+
+    Scale shape — the same discipline as the q17/q153 posting lists:
+    candidate pairs are generated per RIGHT node by a self-join
+    co-partitioned on the right key, so the pair volume is
+    Σ_r deg(r)², NOT |V|². Hot right-nodes are dropped by ``deg_cap``
+    BEFORE pair generation (their per-pair contribution is ≤
+    unit/deg_cap — the least informative edges, exactly why RA
+    down-weights them; the cap bound is the documented loss, the
+    q17 cap-sensitivity argument). Degrees are computed on the FULL
+    edge set first, so surviving weights are true degrees.
+    """
+    e = edges.select(F.col(left).alias("__l"), F.col(right).alias("__r")).distinct()
+    deg = e.groupBy("__r").agg(F.count(F.lit(1)).cast("bigint").alias("__deg"))
+    w = (
+        e.join(deg.where(F.col("__deg") <= deg_cap), "__r")
+        .withColumn("__w", F.expr(f"CAST({int(unit)} AS BIGINT) div __deg"))
+    )
+    a, b = w.alias("a"), w.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.__r") == F.col("b.__r")) & (F.col("a.__l") < F.col("b.__l")))
+        .select(
+            F.col("a.__l").alias("node_a"),
+            F.col("b.__l").alias("node_b"),
+            F.col("a.__w").alias("__w"),
+        )
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.sum("__w").cast("bigint").alias("ra_score_scaled"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("ra_score_scaled").desc(), F.col("node_a").asc(), F.col("node_b").asc()
+    ).limit(k)

@@ -457,3 +457,110 @@ def survival_curve(
         )
         .orderBy("t_units")
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion_type: str,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Linear multi-touch attribution with EXACT integer credits: each
+    conversion's credit (``ppm`` parts) is split evenly across the
+    touches that precede it — and because 1/n is not representable,
+    the split is the deterministic integer rule
+        base = ppm div n,  first (ppm mod n) touches get base+1
+    so every conversion's credits sum to exactly ``ppm`` and both
+    engines agree bit-for-bit (no decimal division anywhere — the
+    exact-quota discipline of q206).
+
+    Semantics: events are totally ordered per user by (ts, id); every
+    event belongs to the NEXT conversion at-or-after it in that order
+    (each touch is spent on at most one conversion — the standard
+    per-conversion lookback window); a conversion with no preceding
+    touches is credited to the synthetic ``(direct)`` channel in full.
+    Trailing events after the last conversion influence nothing and
+    get nothing.
+
+    Returns per channel: (channel, n_touches, n_conversions,
+    credit_ppm) ordered by channel.
+
+    Scale shape: one user-partitioned IGNORE-NULLS forward window
+    assigns conversion ids (per-user state only — the q176 neighbor-
+    window pattern); touch ranking partitions by (user, conversion) —
+    bounded by path length, not user history; the rollup is one
+    combinable groupBy. No data-sized window, no cross join.
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    fwd = (
+        W.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    marked = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__t"),
+    ).withColumn(
+        "__conv",
+        F.first(
+            F.when(F.col("__t") == conversion_type, F.col("__id")), ignorenulls=True
+        ).over(
+            W.partitionBy("__u")
+            .orderBy(F.col("__ts").asc(), F.col("__id").asc())
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        ),
+    )
+    touches = marked.where(
+        (F.col("__t") != conversion_type) & F.col("__conv").isNotNull()
+    )
+    ranked = touches.withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy("__u", "__conv").orderBy(
+                F.col("__ts").asc(), F.col("__id").asc()
+            )
+        ),
+    )
+    sized = ranked.withColumn(
+        "__n", F.count(F.lit(1)).over(W.partitionBy("__u", "__conv"))
+    )
+    credit = (
+        F.expr(f"CAST({int(ppm)} AS BIGINT) div __n")
+        + (F.col("__rn") <= F.expr(f"CAST({int(ppm)} AS BIGINT) % __n")).cast("bigint")
+    )
+    per_touch = sized.select(
+        F.col("__t").alias("channel"),
+        F.col("__u").alias("__u"),
+        F.col("__conv").alias("__conv"),
+        credit.alias("__credit"),
+    )
+    touched = per_touch.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.countDistinct("__u", "__conv").cast("bigint").alias("n_conversions"),
+        F.sum("__credit").cast("bigint").alias("credit_ppm"),
+    )
+    # conversions with no touches -> (direct)
+    convs = marked.where(F.col("__t") == conversion_type).select(
+        F.col("__u"), F.col("__id").alias("__conv")
+    )
+    with_touch = per_touch.select("__u", "__conv").distinct()
+    direct = (
+        convs.join(with_touch, ["__u", "__conv"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+        .select(
+            F.lit("(direct)").alias("channel"),
+            F.lit(0).cast("bigint").alias("n_touches"),
+            "n_conversions",
+            (F.col("n_conversions") * ppm).cast("bigint").alias("credit_ppm"),
+        )
+        .where(F.col("n_conversions") > 0)
+    )
+    return touched.unionByName(direct).orderBy("channel")

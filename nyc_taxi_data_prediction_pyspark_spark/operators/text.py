@@ -1326,3 +1326,79 @@ def length_bucket_padding(
         )
         .orderBy("bucket_tokens")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus collocations ranked by pointwise-mutual-information LIFT
+    (Church & Hanks CL 1990 — PMI = ln(lift); ln is monotone, so
+    ranking by lift IS ranking by PMI without a libm call in either
+    engine):
+
+        lift(w1, w2) = P(w1 w2) / (P(w1)·P(w2))
+                     = c12 · N² / (B · c1 · c2)
+
+    with c12 the bigram count, c1/c2 unigram counts, N total tokens, B
+    total bigrams — every operand an exact BIGINT. The score itself is
+    ONE fixed-parenthesization double expression over those integers
+    (((c12·N)·N) / ((B·c1)·c2)), so both engines round identically and
+    the ranking plus the reported value are bit-stable (the q113
+    fixed-op-order rule; no float SUM anywhere).
+
+    Scale shape: one exploded unigram stream and one in-row zip_with
+    bigram stream (no per-row Python), two map-side-combinable counts,
+    totals as 1-row broadcasts, two equi joins of the (min_count-
+    filtered) bigram frame against the unigram counts (AQE broadcasts
+    the small side), TakeOrdered top-k. ``min_count`` keeps the
+    rare-pair noise PMI is infamous for out of the ranking.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    cnt = F.size(toks) - 1
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").cast("bigint").alias("__n"))
+    big = (
+        df.select(
+            F.when(
+                cnt > 0,
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(cnt, F.lit(1))),
+                    F.slice(toks, 2, F.greatest(cnt, F.lit(1))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            .alias("__bg")
+        )
+        .select(F.explode("__bg").alias("g"))
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    n_big = df.select(
+        F.when(cnt > 0, cnt).otherwise(F.lit(0)).cast("bigint").alias("__bc")
+    ).agg(F.sum("__bc").cast("bigint").alias("__b"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("__c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("__c2"))
+    joined = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    lift = (d("pair_count") * d("__n") * d("__n")) / (d("__b") * d("__c1") * d("__c2"))
+    return (
+        joined.select("w1", "w2", "pair_count", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )

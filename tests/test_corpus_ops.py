@@ -658,3 +658,57 @@ def test_length_bucket_padding_toy_parity(spark):
         32: (1, 17, 15, 17 / 32),
         128: (1, 100, 28, 100 / 128),
     }
+
+
+def test_pmi_collocations_hand_computed(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.text import pmi_collocations
+
+    # corpus: "a b" x3, "a c" x2, "c c" x1  -> N=12 tokens, B=6 bigrams
+    docs = [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c"), (5, "a c"), (6, "c c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r.w1, r.w2): (r.pair_count, r.lift)
+        for r in pmi_collocations(df, text_col="text", min_count=1, k=10).collect()
+    }
+    n, b = 12.0, 6.0
+    c = {"a": 5, "b": 3, "c": 4}
+    assert out[("a", "b")] == (3, 3 * n * n / (b * c["a"] * c["b"]))
+    assert out[("a", "c")] == (2, 2 * n * n / (b * c["a"] * c["c"]))
+    assert out[("c", "c")] == (1, 1 * n * n / (b * c["c"] * c["c"]))
+    # min_count filters the tail
+    filtered = pmi_collocations(df, text_col="text", min_count=3, k=10).collect()
+    assert [(r.w1, r.w2) for r in filtered] == [("a", "b")]
+
+
+def test_linear_attribution_quota_and_direct(spark):
+    import datetime as dt
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators import mining
+
+    base = dt.datetime(2026, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # user 1: view, click, view -> purchase (3 touches: 333334/333333/333333
+        # by type: view gets 333334+333333, click 333333)
+        (1, 1, t(0), "view"), (1, 2, t(1), "click"), (1, 3, t(2), "view"),
+        (1, 4, t(3), "purchase"),
+        # user 1 second purchase immediately after -> zero touches -> (direct)
+        (1, 5, t(4), "purchase"),
+        # user 1 trailing view after last purchase -> influences nothing
+        (1, 6, t(5), "view"),
+        # user 2: single click -> purchase (full ppm to click)
+        (2, 7, t(0), "click"), (2, 8, t(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    out = {
+        r.channel: (r.n_touches, r.n_conversions, r.credit_ppm)
+        for r in mining.linear_attribution(
+            df, user_col="user_id", ts_col="ts", type_col="event_type",
+            id_col="event_id", conversion_type="purchase",
+        ).collect()
+    }
+    assert out["view"] == (2, 1, 333_334 + 333_333)
+    assert out["click"] == (2, 2, 333_333 + 1_000_000)
+    assert out["(direct)"] == (0, 1, 1_000_000)
+    # every conversion's credit sums exactly to ppm
+    assert sum(v[2] for v in out.values()) == 3 * 1_000_000

@@ -302,3 +302,33 @@ def test_degree_assortativity_matches_reference(spark):
         spark.createDataFrame(cyc, ["src", "dst"])
     ).collect()[0]
     assert row2["assortativity"] is None  # constant degrees: no variance
+
+
+def test_ra_link_prediction_brute_force_and_cap(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.graph import ra_link_prediction
+
+    # bipartite: left nodes 1-4, right nodes 10-13
+    edges = [
+        (1, 10), (2, 10),            # r10 deg 2 -> w 500_000_000
+        (1, 11), (2, 11), (3, 11),   # r11 deg 3 -> w 333_333_333
+        (3, 12), (4, 12),            # r12 deg 2
+        (1, 13), (2, 13), (3, 13), (4, 13),  # r13 deg 4 (capped out below)
+    ]
+    df = spark.createDataFrame(edges, "l long, r long")
+    out = {
+        (r.node_a, r.node_b): (r.ra_score_scaled, r.n_shared)
+        for r in ra_link_prediction(df, left="l", right="r", deg_cap=3, k=100).collect()
+    }
+    # r13 (deg 4 > cap) contributes nothing; hand-computed RA sums:
+    assert out[(1, 2)] == (500_000_000 + 333_333_333, 2)
+    assert out[(1, 3)] == (333_333_333, 1)
+    assert out[(2, 3)] == (333_333_333, 1)
+    assert out[(3, 4)] == (500_000_000, 1)
+    assert (1, 4) not in out  # only shared via the capped r13
+    # uncapped: every pair sharing r13 gains 250_000_000
+    full = {
+        (r.node_a, r.node_b): r.ra_score_scaled
+        for r in ra_link_prediction(df, left="l", right="r", deg_cap=64, k=100).collect()
+    }
+    assert full[(1, 4)] == 250_000_000
+    assert full[(1, 2)] == 500_000_000 + 333_333_333 + 250_000_000

@@ -42,6 +42,8 @@ BNL_ALLOWED = {
     "q195_bm25_rrf_fusion": "1-row corpus-stats broadcast (BM25 N / avg doc length)",
     "q201_sq8_quantization_recall": "1-row per-dimension min/max scales broadcast (SQ8 quantizer metadata)",
     "q204_hard_negatives": "n_anchors-row anchor-batch broadcast (bounded query set, label-mismatch non-equi join)",
+    "q215_survival_curve": "1-row corpus-max-bucket broadcast onto the per-entity frame",
+    "q217_pmi_collocations": "two 1-row totals (token count x bigram count) crossed onto the scored pairs",
 }
 
 
