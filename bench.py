@@ -164,6 +164,13 @@ HEADLINE = [
     "q209_fd_profile",
     "q210_retrieval_eval",
     "q211_length_bucket_padding",
+    "q212_holt_forecast",
+    "q213_cusum_changepoints",
+    "q214_rfm_segments",
+    "q215_survival_curve",
+    "q216_ra_link_prediction",
+    "q217_pmi_collocations",
+    "q218_linear_attribution",
 ]
 
 
