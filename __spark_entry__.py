@@ -4862,6 +4862,52 @@ def q218_linear_attribution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q219_scene_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """Video scene-change detection (multimodal.scene_changes):
+    synthesize one deterministic SRV0 video per document — 12 frames
+    of 8×8 pixels in 3 scenes (scene = frame div 4), each scene's base
+    image from four md5 digests of (doc, scene) with a +(frame mod 4)
+    brightness drift within the scene — then run the REAL codec path
+    (header parse + numpy SAD over the binary payloads, mapInPandas)
+    and flag boundaries at SAD ≥ 3000. Within-scene SAD is ~64 (the
+    drift) and boundary SAD ~5400 (independent md5 images), so the
+    detector must find exactly the two scene cuts per video — and
+    because every pixel is md5-derived arithmetic, the oracle replays
+    decode, SAD and thresholding from doc_id, value-hash-checking the
+    whole binary codec end to end (the q197 discipline)."""
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+
+    ids = load(spark, sf, "documents").select("doc_id")
+
+    def synth(it):
+        import hashlib
+
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                frames = []
+                for f in range(12):
+                    base = np.frombuffer(
+                        b"".join(
+                            hashlib.md5(f"{int(did)}_{f // 4}_{j}".encode()).digest()
+                            for j in range(4)
+                        ),
+                        dtype=np.uint8,
+                    )
+                    frames.append(((base.astype(np.int64) + f % 4) % 256).astype(np.uint8))
+                payload = _struct.pack("<4sHHH", b"SRV0", 8, 8, 12) + b"".join(
+                    fr.tobytes() for fr in frames
+                )
+                out.append((int(did), payload))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    videos = ids.mapInPandas(synth, schema="media_id long, payload binary")
+    return multimodal.scene_changes(videos, threshold=3000).orderBy("media_id")
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -4933,7 +4979,7 @@ _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 # every query within the ceil(N/50)-round freshness bound (N=203 → 5).
 _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
-    210, 211, 212, 213, 214, 215, 216, 217, 218,
+    210, 211, 212, 213, 214, 215, 216, 217, 218, 219,
 }
 
 
@@ -5186,6 +5232,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q216_ra_link_prediction": q216_ra_link_prediction,
         "q217_pmi_collocations": q217_pmi_collocations,
         "q218_linear_attribution": q218_linear_attribution,
+        "q219_scene_changes": q219_scene_changes,
     }
 
 
@@ -9559,5 +9606,32 @@ direct AS (
   HAVING COUNT(*) > 0
 )
 SELECT * FROM touched UNION ALL SELECT * FROM direct ORDER BY channel
+"""
+    # q219: the whole codec replayed arithmetically — md5-hex bytes →
+    # pixels (the q197 technique), +f%4 drift, adjacent-frame SAD,
+    # threshold — so decode/SAD/flagging value-hash end to end.
+    oracles["q219_scene_changes"] = """
+WITH px AS (
+  SELECT doc_id, f.f AS f, j.j * 16 + k.k AS p,
+         ((strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(f.f // 4 AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)),
+                         CAST(2 * k.k + 1 AS INT), 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(f.f // 4 AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)),
+                           CAST(2 * k.k + 2 AS INT), 1)) - 1)
+          + f.f % 4) % 256 AS v
+  FROM documents, range(12) f(f), range(4) j(j), range(16) k(k)
+),
+sad AS (
+  SELECT a.doc_id, a.f AS i, CAST(SUM(ABS(b.v - a.v)) AS BIGINT) AS sad
+  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.p = a.p AND b.f = a.f + 1
+  GROUP BY 1, 2
+)
+SELECT doc_id AS media_id,
+       CAST(12 AS INT) AS n_frames,
+       CAST(SUM(CASE WHEN sad >= 3000 THEN 1 ELSE 0 END) AS INT) AS n_changes,
+       CAST(COALESCE(MIN(CASE WHEN sad >= 3000 THEN i + 1 END), -1) AS INT) AS first_change_idx,
+       CAST(MAX(sad) AS BIGINT) AS max_sad
+FROM sad GROUP BY doc_id ORDER BY media_id
 """
     return oracles

@@ -171,6 +171,7 @@ HEADLINE = [
     "q216_ra_link_prediction",
     "q217_pmi_collocations",
     "q218_linear_attribution",
+    "q219_scene_changes",
 ]
 
 

@@ -462,3 +462,69 @@ def phash_near_dupes(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def scene_changes(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    threshold: int,
+) -> DataFrame:
+    """Video scene-change detection over SRV0 payloads: decode each
+    video's frames (REAL header parse + numpy over the binary column —
+    the production seam swaps pyav into the same mapInPandas loop),
+    compute the SAD (sum of absolute differences, exact integers —
+    the classic shot-boundary signal) between every adjacent frame
+    pair, and flag a scene change where SAD ≥ ``threshold``.
+
+    Returns per video: (media_id, n_frames, n_changes,
+    first_change_idx, max_sad) — first_change_idx is the index of the
+    first frame that STARTS a new scene (-1 when none), all values
+    exact BIGINTs so a deterministic synthetic corpus value-hash
+    checks the entire codec path (the q197 discipline).
+
+    Scale shape: narrow mapInPandas — no shuffle at all; per-task
+    state is one video's frames (payload tables keep a few payloads
+    per split via maxPartitionBytes). SAD in int64, immune to uint8
+    overflow.
+    """
+    import struct
+
+    import numpy as np
+
+    def go(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload)
+                magic, w, h, _fps = struct.unpack_from("<4sHHH", buf, 0)
+                if magic != b"SRV0":
+                    raise ValueError(f"scene_changes: not an SRV0 payload for id={mid}")
+                body = np.frombuffer(buf, dtype=np.uint8, offset=10)
+                px = w * h
+                n = len(body) // px
+                frames = body[: n * px].reshape(n, px).astype(np.int64)
+                if n > 1:
+                    sad = np.abs(np.diff(frames, axis=0)).sum(axis=1)
+                    hits = np.nonzero(sad >= threshold)[0]
+                    out.append(
+                        (
+                            int(mid),
+                            n,
+                            int(len(hits)),
+                            int(hits[0] + 1) if len(hits) else -1,
+                            int(sad.max()),
+                        )
+                    )
+                else:
+                    out.append((int(mid), n, 0, -1, 0))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_frames", "n_changes", "first_change_idx", "max_sad"],
+            )
+
+    return df.mapInPandas(
+        go,
+        schema="media_id long, n_frames int, n_changes int, first_change_idx int, max_sad long",
+    )

@@ -224,3 +224,30 @@ def test_phash_banding_is_lossless_within_bands_minus_one(spark):
     }
     assert pairs.get((1, 2)) == 3
     assert (1, 3) not in pairs  # hamming 4 > max_hamming
+
+
+def test_scene_changes_hand_computed(spark):
+    """2x2 video, 4 frames: two identical, a hard cut, a near-identical
+    pair -> exactly one boundary at frame 2 with the exact SAD."""
+    import struct
+
+    f0 = bytes([10, 20, 30, 40])
+    f1 = f0                              # SAD 0
+    f2 = bytes([200, 210, 220, 230])     # SAD 4*190 = 760  (the cut)
+    f3 = bytes([201, 210, 220, 230])     # SAD 1
+    payload = struct.pack("<4sHHH", b"SRV0", 2, 2, 4) + f0 + f1 + f2 + f3
+    df = spark.createDataFrame([(7, bytearray(payload))], "media_id long, payload binary")
+    rows = multimodal.scene_changes(df, threshold=500).collect()
+    assert [tuple(r) for r in rows] == [(7, 4, 1, 2, 760)]
+    # threshold above the cut -> no changes, sentinel index
+    rows = multimodal.scene_changes(df, threshold=1000).collect()
+    assert [tuple(r) for r in rows] == [(7, 4, 0, -1, 760)]
+
+
+def test_scene_changes_rejects_bad_magic(spark):
+    import struct
+
+    payload = struct.pack("<4sHHH", b"JUNK", 2, 2, 1) + bytes(4)
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    with pytest.raises(Exception, match="SRV0"):
+        multimodal.scene_changes(df, threshold=10).collect()
