@@ -4908,6 +4908,20 @@ def q219_scene_changes(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.scene_changes(videos, threshold=3000).orderBy("media_id")
 
 
+def q220_streaming_holt(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming incremental Holt smoothing (streaming.
+    holt_state_stream): events arrive in event-time-ordered
+    micro-batches (ts-range files, one per trigger) and each batch
+    CONTINUES every user's (level, trend) fold from a persistent
+    state store, guarded by an applied-batch watermark because the
+    fold is NOT idempotent. The state machine replays the exact batch
+    IEEE-op sequence, so the final store is BIT-EQUAL to q212's batch
+    operator — the oracle IS q212's recursive-CTE replay."""
+    work = f"/tmp/sparkgraft_q220_{os.path.basename(sf.rstrip('/'))}_{uuid.uuid4().hex[:8]}"
+    out = stream.holt_state_stream(spark, sf, work, alpha=0.5, beta=0.25)
+    return out.orderBy("user_id").limit(25)
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -4979,7 +4993,7 @@ _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 # every query within the ceil(N/50)-round freshness bound (N=203 → 5).
 _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
-    210, 211, 212, 213, 214, 215, 216, 217, 218, 219,
+    210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220,
 }
 
 
@@ -5233,6 +5247,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_pmi_collocations": q217_pmi_collocations,
         "q218_linear_attribution": q218_linear_attribution,
         "q219_scene_changes": q219_scene_changes,
+        "q220_streaming_holt": q220_streaming_holt,
     }
 
 
@@ -9634,4 +9649,8 @@ SELECT doc_id AS media_id,
        CAST(MAX(sad) AS BIGINT) AS max_sad
 FROM sad GROUP BY doc_id ORDER BY media_id
 """
+    # q220: the streaming fold is bit-equal to the batch q212 fold by
+    # construction (identical IEEE-op sequence continued across
+    # batches) — the oracle IS q212's recursive-CTE replay.
+    oracles["q220_streaming_holt"] = oracles["q212_holt_forecast"]
     return oracles

@@ -172,6 +172,7 @@ HEADLINE = [
     "q217_pmi_collocations",
     "q218_linear_attribution",
     "q219_scene_changes",
+    "q220_streaming_holt",
 ]
 
 

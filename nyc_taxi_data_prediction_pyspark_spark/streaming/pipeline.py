@@ -623,3 +623,191 @@ def ingest_embeddings_incrementally(
 
     foreach_batch_merge(stream, checkpoint=ckpt, merge_fn=merge)
     return spark.read.parquet(store).select("pid", "bucket", "dropped")
+
+
+def holt_state_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    *,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    n_arrival_files: int = 4,
+) -> DataFrame:
+    """Streaming incremental Holt smoothing: events arrive in
+    event-time-ordered micro-batches (one ts-range file per trigger)
+    and each batch CONTINUES every user's (level, trend) fold from a
+    persistent state store — the streaming twin of
+    ``windows.holt_level_trend`` (q212).
+
+    Exactness contract: the state machine applies the IDENTICAL
+    IEEE-op sequence as the batch fold — per user the state is
+    (n, l, b) with n=0 empty, n=1 "seed level only", and the n=1→2
+    transition computing b = x − l before the first real step, exactly
+    the batch seeding — so after the last batch the store is
+    BIT-EQUAL to the batch operator (no affine composition shortcut:
+    composing per-batch affine maps is mathematically equal but
+    rounds differently, so the element-wise replay is the one that
+    value-hashes). Arrivals are split by ``repartitionByRange`` on
+    (ts, event_id), and file-source triggers list part files in
+    order, so cross-batch event-time order per user holds by
+    construction.
+
+    Delivery: Holt is NOT idempotent (a re-applied batch double-
+    advances the fold), so unlike q104's MIN-merge this sink keeps a
+    driver-side applied-batch watermark INSIDE the store swap (the
+    rollup_merge_fn ledger discipline, collapsed to one integer
+    because file-source batch ids are sequential): a redelivered
+    batch_id <= watermark is a no-op. Crash-safe via the same
+    rename-aside ``_swap_store``.
+
+    Per-batch cost is O(|store| + |batch|) (store re-write per
+    trigger, the q104 compaction-cadence contract); per-key state is
+    3 scalars, so the store is |users|-sized — the
+    applyInPandasWithState low-latency variant (q42) swaps in behind
+    the same state machine when triggers are seconds apart.
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from ..catalog import load
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)  # deterministic re-runs
+    arrivals = os.path.join(work_dir, "arrivals")
+    store = os.path.join(work_dir, "store")
+    ckpt = os.path.join(work_dir, "ckpt")
+    a, bt = float(alpha), float(beta)
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    # FileStreamSource orders files by MODIFICATION TIME, not name, so
+    # a parallel repartitionByRange write gives no cross-batch order
+    # guarantee (measured: batches arrive shuffled). Write the ts-range
+    # slices SEQUENTIALLY (one job each) and force strictly increasing
+    # mtimes, so trigger order == event-time order by construction.
+    cuts = [
+        int(c)
+        for c in ev.agg(
+            F.percentile(
+                F.unix_micros("ts"),
+                F.array(
+                    *[
+                        F.lit(i / n_arrival_files)
+                        for i in range(1, n_arrival_files)
+                    ]
+                ),
+            ).alias("c")
+        ).collect()[0]["c"]
+    ]
+    bounds = [None, *cuts, None]
+    os.makedirs(arrivals, exist_ok=True)
+    import time as _time
+
+    base_mtime = _time.time() - 3600
+    for i in range(n_arrival_files):
+        lo, hi = bounds[i], bounds[i + 1]
+        sl = ev
+        if lo is not None:
+            sl = sl.where(F.unix_micros("ts") > lo)
+        if hi is not None:
+            sl = sl.where(F.unix_micros("ts") <= hi)
+        before = set(os.listdir(arrivals))
+        sl.coalesce(1).write.mode("append").parquet(arrivals)
+        for fname in set(os.listdir(arrivals)) - before:
+            os.utime(
+                os.path.join(arrivals, fname), (base_mtime + i, base_mtime + i)
+            )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+    )
+
+    ledger = os.path.join(work_dir, "applied.json")
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        watermark = -1
+        if os.path.exists(ledger):
+            with open(ledger) as fh:
+                watermark = json.load(fh)["watermark"]
+        if batch_id <= watermark:
+            return  # redelivered batch: the fold is not idempotent, skip
+        sess = batch.sparkSession
+        packed = batch.groupBy("user_id").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("__t"),
+                        F.col("event_id").cast("bigint").alias("__tb"),
+                        F.col("value").cast("double").alias("__v"),
+                    )
+                )
+            ).alias("__arr")
+        )
+        if os.path.exists(store):
+            prev = sess.read.parquet(store)
+        else:
+            prev = sess.createDataFrame(
+                [], "user_id long, n_events long, l double, b double"
+            )
+        joined = packed.join(prev, "user_id", "left").select(
+            "user_id",
+            "__arr",
+            F.coalesce("n_events", F.lit(0).cast("bigint")).alias("__n0"),
+            F.coalesce("l", F.lit(0.0)).alias("__l0"),
+            F.coalesce("b", F.lit(0.0)).alias("__b0"),
+        )
+        init = F.struct(
+            F.col("__n0").alias("n"), F.col("__l0").alias("l"), F.col("__b0").alias("b")
+        )
+
+        def step(acc, x):
+            v = x["__v"]
+            # n=0: seed level.  n=1: seed trend from (x - l), then the
+            # first real step — the exact batch-fold op sequence.
+            bseed = v - acc["l"]
+            nl1 = F.lit(a) * v + F.lit(1.0 - a) * (acc["l"] + bseed)
+            nb1 = F.lit(bt) * (nl1 - acc["l"]) + F.lit(1.0 - bt) * bseed
+            nl = F.lit(a) * v + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+            nb = F.lit(bt) * (nl - acc["l"]) + F.lit(1.0 - bt) * acc["b"]
+            return (
+                F.when(acc["n"] == 0, F.struct(F.lit(1).cast("bigint").alias("n"), v.alias("l"), F.lit(0.0).alias("b")))
+                .when(acc["n"] == 1, F.struct(F.lit(2).cast("bigint").alias("n"), nl1.alias("l"), nb1.alias("b")))
+                .otherwise(F.struct((acc["n"] + 1).alias("n"), nl.alias("l"), nb.alias("b")))
+            )
+
+        upd = joined.select(
+            "user_id",
+            F.aggregate("__arr", init, step).alias("__s"),
+        ).select(
+            "user_id",
+            F.col("__s.n").alias("n_events"),
+            F.col("__s.l").alias("l"),
+            F.col("__s.b").alias("b"),
+        )
+        untouched = prev.join(packed.select("user_id"), "user_id", "left_anti")
+        merged = untouched.unionByName(upd)
+        tmp = f"{store}_tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        # ledger rides inside the swap: write it before the rename so a
+        # crash cannot commit data without the watermark that guards it
+        with open(ledger + ".tmp", "w") as fh:
+            json.dump({"watermark": batch_id}, fh)
+        _swap_store(store, tmp)
+        os.replace(ledger + ".tmp", ledger)
+
+    foreach_batch_merge(stream, checkpoint=ckpt, merge_fn=merge)
+    out = spark.read.parquet(store)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.col("l").alias("level"),
+        F.when(F.col("n_events") == 1, F.lit(0.0)).otherwise(F.col("b")).alias("trend"),
+        (
+            F.col("l")
+            + F.when(F.col("n_events") == 1, F.lit(0.0)).otherwise(F.col("b"))
+        ).alias("forecast_1"),
+    )

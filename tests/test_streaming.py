@@ -264,3 +264,27 @@ def test_ingest_embeddings_incrementally_matches_batch_and_split_invariant(spark
     }
     assert got2 == want
     assert any(d for _, d in got2)  # the fixture actually has near-dupes
+
+
+def test_streaming_holt_bit_equals_batch(spark, sf_dir, tmp_path):
+    """The incremental state-store fold must be BIT-equal to the batch
+    operator for every user — not approximately: the state machine
+    replays the identical IEEE-op sequence across batch boundaries."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import windows
+
+    got = {
+        r.user_id: (r.n_events, r.level, r.trend, r.forecast_1)
+        for r in stream.holt_state_stream(
+            spark, sf_dir, str(tmp_path / "holt"), alpha=0.5, beta=0.25,
+            n_arrival_files=4,
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.level, r.trend, r.forecast_1)
+        for r in windows.holt_level_trend(
+            load(spark, sf_dir, "events"),
+            partition=["user_id"], ts="ts", value_col="value",
+            alpha=0.5, beta=0.25, order_tiebreak=["event_id"],
+        ).collect()
+    }
+    assert got == want  # exact, every user, every field
