@@ -109,6 +109,26 @@ NOTES = {
     "q198_degree_assortativity": "two map-side-combinable degree aggs + equi-join-back + one 5-sum moment reduce; coefficient assembled from exact BIGINT moments",
     "q199_vocab_oov": "one token explode; TakeOrdered(V) vocabulary broadcast back as a semi-join flag; per-doc then per-source map-side-combinable rollups",
     "q200_streaming_semantic_dedup": "per-batch work = |batch| x LSH bucket-mates (equi-join on bucket) + one store rewrite; the OR-fold store makes redelivery and late lower-id arrivals idempotent",
+    "q201_sq8_quantization_recall": "1-row per-dimension scale broadcast; quantize/dequantize in-row; both rankings TakeOrdered — recall join is k x k",
+    "q202_bpe_merge_table": "distinct-word frame (vocab-sized, not corpus-sized); each merge = one argmax 1-row broadcast + in-row re-segmentation fold",
+    "q203_bpe_segmentation": "rules applied in fit order as in-row folds over the distinct-word frame; per-length rollup map-side combines",
+    "q204_hard_negatives": "anchor batch broadcast (bounded); per-anchor candidates via label-mismatch filter; exact two-phase salted top-k — no global sort",
+    "q205_kcenter_coreset": "k iterations x (1-row argmax broadcast + maximin update map) — integer distances, no pairwise corpus join",
+    "q206_stratified_quota_split": "bucket-local row_number + tiny per-stratum offset broadcast (the two-phase rank) — no stratum-sized window",
+    "q207_kmeans_separation": "k-row centroid broadcast; per-vector rank-1/rank-2 distances in-row; one exact BIGINT moment rollup",
+    "q208_markov_transitions": "per-user LEAD window (bounded partitions) + pair counts; row-total is a tiny broadcast for the probability division",
+    "q209_fd_profile": "one exact distinct-agg per candidate FD over the same scan; 1-row summaries unioned — no self-joins",
+    "q210_retrieval_eval": "1-row probe broadcast; exact cosine map + TakeOrdered(k); DCG weights are plan literals — no runtime libm",
+    "q211_length_bucket_padding": "one narrow bucket map (integer bin()-length) + one combinable groupBy — zero joins",
+    "q212_holt_forecast": "sequential-fold class (q113): one shuffle, per-group state = own history; (level,trend) struct fold with exact-binary multipliers",
+    "q213_cusum_changepoints": "one shuffle; n-scaled BIGINT fold needs no mean division and no second pass (sum/n from the collected array)",
+    "q214_rfm_segments": "three two-phase global ranks (q110 machinery) on the 1-row-per-customer frame — no data-sized single-partition window",
+    "q215_survival_curve": "per-entity rollup + 1-row max-bucket broadcast; the KM product folds over the metadata-sized duration histogram",
+    "q216_ra_link_prediction": "candidate pairs per right-node (sum deg^2, degree-capped); weights by BIGINT floor division; TakeOrdered(k)",
+    "q217_pmi_collocations": "in-row token/bigram streams; min_count filters before the two AQE-sized model joins; totals are 1-row broadcasts",
+    "q218_linear_attribution": "forward IGNORE-NULLS window per user; touch ranking partitioned by (user, conversion); integer quota split in-row",
+    "q219_scene_changes": "narrow mapInPandas codec (header parse + int64 SAD) — zero shuffles before the per-video rows",
+    "q220_streaming_holt": "per-batch cost O(|store| + |batch|); ts-range triggers in mtime order; state = 3 scalars per user, watermark-guarded fold",
 }
 
 
