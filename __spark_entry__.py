@@ -4922,6 +4922,33 @@ def q220_streaming_holt(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("user_id").limit(25)
 
 
+def q221_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-truncation retrieval eval (similarity.
+    matryoshka_recall, Kusupati et al. NeurIPS'22): recall@10 of
+    cosine rankings over the first 4/8/16 of 64 embedding dimensions
+    vs the full-width exact ranking — the dimension-axis sibling of
+    q201's int8 recall row; picks the cheapest serving width. The
+    oracle replays every truncated ranking with list slices and the
+    same 6-digit rounding."""
+    emb = load(spark, sf, "embeddings")
+    return similarity.matryoshka_recall(emb, dims=(4, 8, 16), k=10)
+
+
+def q222_conformal_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Split conformal prediction intervals (ml/forecast.
+    conformal_interval_backtest, Lei et al. JASA 2018) over the q181
+    seasonal-naive hourly forecaster: first 60% of forecastable hours
+    calibrate q̂ = the ⌈(n+1)·0.9⌉-th smallest |residual| (exact
+    integer-rank order statistic, no interpolation), the rest measure
+    empirical coverage of pred ± q̂ — the finite-sample-valid
+    uncertainty wrapper the point forecast lacks. Integer residuals
+    and ceiling arithmetic replay exactly in the oracle."""
+    ev = load(spark, sf, "events")
+    return forecast.conformal_interval_backtest(
+        ev, lag_hours=168, alpha_pct=10, cal_frac_pct=60
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -4993,7 +5020,7 @@ _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 # every query within the ceil(N/50)-round freshness bound (N=203 → 5).
 _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
-    210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220,
+    210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222,
 }
 
 
@@ -5248,6 +5275,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q218_linear_attribution": q218_linear_attribution,
         "q219_scene_changes": q219_scene_changes,
         "q220_streaming_holt": q220_streaming_holt,
+        "q221_matryoshka_recall": q221_matryoshka_recall,
+        "q222_conformal_intervals": q222_conformal_intervals,
     }
 
 
@@ -9653,4 +9682,97 @@ FROM sad GROUP BY doc_id ORDER BY media_id
     # construction (identical IEEE-op sequence continued across
     # batches) — the oracle IS q212's recursive-CTE replay.
     oracles["q220_streaming_holt"] = oracles["q212_holt_forecast"]
+    # q221: every truncated ranking replayed with list slices and the
+    # SAME 6-digit rounding + (cos DESC, id ASC) total order as q19.
+    _mrl_widths = (4, 8, 16)
+    _mrl_tops = "\n".join(
+        f"""t{d} AS (
+  SELECT e.vec_id FROM embeddings e, q
+  WHERE e.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+  ORDER BY ROUND({_COS.format(a=f'(e.embedding::DOUBLE[])[1:{d}]', b=f'(q.embedding::DOUBLE[])[1:{d}]')}, 6) DESC,
+           e.vec_id ASC
+  LIMIT 10
+),"""
+        for d in _mrl_widths
+    )
+    _mrl_rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS INTEGER) AS dim, CAST(10 AS INTEGER) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ex JOIN t{d} USING (vec_id)) AS n_overlap,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ex JOIN t{d} USING (vec_id)) / CAST(10 AS DOUBLE) AS recall"""
+        for d in _mrl_widths
+    )
+    oracles["q221_matryoshka_recall"] = f"""
+WITH q AS (
+  SELECT embedding FROM embeddings WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+ex AS (
+  SELECT e.vec_id FROM embeddings e, q
+  WHERE e.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+  ORDER BY ROUND({_COS.format(a='e.embedding::DOUBLE[]', b='q.embedding::DOUBLE[]')}, 6) DESC,
+           e.vec_id ASC
+  LIMIT 10
+),
+{_mrl_tops}
+_last AS (SELECT 1)
+{_mrl_rows}
+ORDER BY dim
+"""
+    # q222: same spine/lag windows over the hour domain, same integer
+    # ceiling rank, same selected-order-statistic q-hat.
+    oracles["q222_conformal_intervals"] = """
+WITH hours AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+),
+spine AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds) g
+),
+scored AS (
+  SELECT * FROM (
+    SELECT s.event_type,
+           epoch_us(s.h) // 3600000000 AS hidx,
+           COALESCE(hh.c, 0) AS c,
+           LAG(COALESCE(hh.c, 0), 168) OVER (PARTITION BY s.event_type ORDER BY epoch_us(s.h) // 3600000000) AS pred,
+           ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY epoch_us(s.h) // 3600000000) AS rn0
+    FROM spine s LEFT JOIN hours hh ON hh.event_type = s.event_type AND hh.h = s.h
+  ) WHERE pred IS NOT NULL
+),
+base AS (
+  SELECT event_type, hidx, ABS(c - pred) AS resid,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hidx) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM scored
+),
+split AS (
+  SELECT *, rn <= (n * 60) // 100 AS is_cal FROM base
+),
+ncal AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal FROM split WHERE is_cal GROUP BY 1
+),
+ranked AS (
+  SELECT s.event_type, s.resid, n.n_cal,
+         ((n.n_cal + 1) * 90 + 99) // 100 AS qr,
+         ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY s.resid ASC, s.hidx ASC) AS rrank
+  FROM split s JOIN ncal n USING (event_type) WHERE s.is_cal
+),
+qhat AS (
+  SELECT event_type, n_cal, CAST(resid AS BIGINT) AS qhat, qr > n_cal AS qhat_clamped
+  FROM ranked WHERE rrank = LEAST(qr, n_cal)
+)
+SELECT s.event_type, q.n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       q.qhat, q.qhat_clamped,
+       CAST(SUM(CASE WHEN s.resid <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(SUM(CASE WHEN s.resid <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+         / CAST(COUNT(*) AS DOUBLE) AS coverage
+FROM split s JOIN qhat q USING (event_type)
+WHERE NOT s.is_cal
+GROUP BY 1, 2, 4, 5
+ORDER BY s.event_type
+"""
     return oracles

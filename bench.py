@@ -173,6 +173,8 @@ HEADLINE = [
     "q218_linear_attribution",
     "q219_scene_changes",
     "q220_streaming_holt",
+    "q221_matryoshka_recall",
+    "q222_conformal_intervals",
 ]
 
 

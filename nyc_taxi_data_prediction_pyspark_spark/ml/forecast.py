@@ -170,3 +170,110 @@ def grouped_linear_fit_pandas(
         )
 
     return df.select(group, x, y).groupBy(group).applyInPandas(fit, out_schema)
+
+
+def conformal_interval_backtest(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    lag_hours: int = 168,
+    alpha_pct: int = 10,
+    cal_frac_pct: int = 60,
+) -> DataFrame:
+    """Split conformal prediction intervals for the seasonal-naive
+    hourly forecaster (Vovk et al.; the split-conformal recipe of Lei
+    et al. JASA 2018): per event type, forecast each hour's count with
+    the same hour ``lag_hours`` earlier on the zero-filled hour spine
+    (the q181 base forecaster), take the FIRST ``cal_frac_pct``% of
+    forecastable hours as the calibration window and the rest as test,
+    set the interval half-width to the ⌈(n_cal+1)·(1−α)⌉-th smallest
+    absolute calibration residual (the finite-sample-valid split-
+    conformal quantile — an exact ORDER STATISTIC at an integer rank,
+    not an interpolated quantile), and report empirical test coverage
+    of pred ± q̂.
+
+    Exactness: counts and residuals are BIGINTs, the calibration rank
+    is integer ceiling arithmetic ((n+1)·(100−α)+99) div 100, q̂ is a
+    selected residual (no interpolation), coverage is one IEEE
+    division — everything replays in SQL. When the rank exceeds n_cal
+    (tiny calibration sets) q̂ is the max residual and the row flags
+    ``qhat_clamped`` (the standard +∞ case, made finite and visible).
+
+    Scale shape: the spine/lag/rank windows all partition by event
+    type over the HOUR DOMAIN — bounded by the observation window,
+    metadata-sized, never event-sized; the raw events are touched by
+    exactly one combinable groupBy.
+
+    Returns per type: (event_type, n_cal, n_test, qhat, qhat_clamped,
+    n_covered, coverage).
+    """
+    from pyspark.sql import Window as W
+
+    hours = events.groupBy(
+        type_col, F.date_trunc("hour", ts_col).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    ).crossJoin(events.select(type_col).distinct())
+    w = W.partitionBy(type_col).orderBy("hidx")
+    scored = (
+        spine.join(hours, [type_col, "h"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0).cast("bigint")))
+        .withColumn("hidx", F.expr("unix_micros(h) div 3600000000"))
+        .withColumn("pred", F.lag("c", lag_hours).over(w))
+        .where(F.col("pred").isNotNull())
+        .withColumn("resid", F.abs(F.col("c") - F.col("pred")))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy(type_col)))
+    )
+    split = scored.withColumn(
+        "is_cal", F.col("rn") <= F.expr(f"(n * {int(cal_frac_pct)}) div 100")
+    )
+    cal = split.where("is_cal")
+    ncal = cal.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal")
+    )
+    qrank = F.expr(f"((n_cal + 1) * {100 - int(alpha_pct)} + 99) div 100")
+    ranked = cal.join(ncal, type_col).withColumn(
+        "rrank",
+        F.row_number().over(
+            W.partitionBy(type_col).orderBy(F.col("resid").asc(), F.col("hidx").asc())
+        ),
+    )
+    qhat = (
+        ranked.withColumn("qr", qrank)
+        .withColumn("clamped", F.col("qr") > F.col("n_cal"))
+        .where(
+            (F.col("rrank") == F.least(F.col("qr"), F.col("n_cal")))
+        )
+        .select(
+            type_col,
+            "n_cal",
+            F.col("resid").alias("qhat"),
+            F.col("clamped").alias("qhat_clamped"),
+        )
+    )
+    test = split.where(~F.col("is_cal"))
+    return (
+        test.join(qhat, type_col)
+        .groupBy(type_col, "n_cal", "qhat", "qhat_clamped")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum((F.col("resid") <= F.col("qhat")).cast("bigint")).alias("n_covered"),
+        )
+        .select(
+            type_col,
+            "n_cal",
+            "n_test",
+            "qhat",
+            "qhat_clamped",
+            "n_covered",
+            (F.col("n_covered").cast("double") / F.col("n_test")).alias("coverage"),
+        )
+        .orderBy(type_col)
+    )

@@ -631,3 +631,57 @@ def retrieval_eval(
         F.lit(float(idcg)).alias("idcg"),
         (dcg / F.lit(float(idcg)) if idcg > 0 else F.lit(0.0)).alias("ndcg"),
     )
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    dims: tuple[int, ...] = (4, 8, 16),
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-truncation retrieval eval (Kusupati et al. NeurIPS'22
+    — MRL: nested prefixes of an embedding are usable representations):
+    for each truncation width d, rank the corpus against the lowest-id
+    probe by cosine over the FIRST d dimensions and report
+    overlap/recall@k against the full-width exact ranking — the
+    measurement that picks the cheapest serving width, the dimension-
+    axis sibling of q201's precision-axis (int8) recall row.
+
+    Deterministic end to end (the q58 acceptance-row discipline):
+    probe = data (lowest id), cosine is the in-row fold rounded to 6
+    (the q19 convention) at every width, ties break on ascending id,
+    counts exact, recall one IEEE division.
+
+    Scale shape: one TakeOrdered top-k scan per width (per-partition
+    heaps, k rows shuffle) + k×k overlap joins — widths are a handful,
+    so cost is |dims| linear scans; at serving scale each truncated
+    scan reads d/D of the vector bytes, which is the point.
+    """
+    probe = emb.orderBy(id_col).select(id_col, as_double(vec_col)).first()
+    qvec = [float(x) for x in probe[1]]
+    corpus = emb.where(F.col(id_col) != probe[0])
+    exact = cosine_topk(corpus, qvec, k, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("__e")
+    )
+    out = None
+    for d in dims:
+        trunc = corpus.select(
+            F.col(id_col), F.slice(as_double(vec_col), 1, d).alias("__tv")
+        )
+        topd = cosine_topk(trunc, qvec[:d], k, id_col=id_col, vec_col="__tv").select(
+            F.col(id_col).alias("__a")
+        )
+        row = (
+            exact.join(topd, exact["__e"] == topd["__a"], "inner")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+            .select(
+                F.lit(d).cast("int").alias("dim"),
+                F.lit(k).cast("int").alias("k"),
+                "n_overlap",
+                (F.col("n_overlap").cast("double") / k).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dim")

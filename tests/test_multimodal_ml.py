@@ -251,3 +251,33 @@ def test_scene_changes_rejects_bad_magic(spark):
     df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
     with pytest.raises(Exception, match="SRV0"):
         multimodal.scene_changes(df, threshold=10).collect()
+
+
+def test_conformal_intervals_periodic_series(spark):
+    """A perfectly 168h-periodic series has all-zero calibration
+    residuals -> qhat = 0 and full test coverage; one injected test
+    spike breaks exactly one hour's coverage."""
+    import datetime as dt
+
+    from nyc_taxi_data_prediction_pyspark_spark.ml import forecast
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(336):  # 2 exact weekly periods, 1 event per hour
+        eid += 1
+        rows.append((eid, 1, base + dt.timedelta(hours=h), "click"))
+    # spike in the TEST window (test = last 40% of the 168
+    # forecastable hours -> indices 268..335)
+    eid += 1
+    rows.append((eid, 1, base + dt.timedelta(hours=300, minutes=30), "click"))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = forecast.conformal_interval_backtest(
+        df, lag_hours=168, alpha_pct=10, cal_frac_pct=60
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.qhat == 0 and not r.qhat_clamped
+    assert r.n_cal == 100 and r.n_test == 68
+    assert r.n_covered == r.n_test - 1  # only the spiked hour misses
+    assert r.coverage == (r.n_test - 1) / r.n_test

@@ -196,3 +196,22 @@ def test_retrieval_eval_matches_python_replay(spark, sf_dir):
     assert row["dcg"] == dcg and row["idcg"] == idcg
     assert row["ndcg"] == dcg / idcg
     assert 0.0 <= row["ndcg"] <= 1.0
+
+
+def test_matryoshka_recall_full_width_is_perfect_and_truncation_degrades(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.similarity import matryoshka_recall
+
+    # 8-dim vectors: first 2 dims IDENTICAL across the corpus, the
+    # tail carries all the signal -> d=2 ranking is tie-order (by id),
+    # d=8 ranking is the true one.
+    import random as _r
+
+    rng = _r.Random(5)
+    rows = [(i, [1.0, 2.0] + [rng.random() for _ in range(6)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.dim: (r.n_overlap, r.recall) for r in matryoshka_recall(df, dims=(2, 8), k=5).collect()}
+    assert out[8] == (5, 1.0)  # full width reproduces the exact ranking
+    assert out[2][0] <= 5      # truncated overlap is a valid count
+    # d=2: all cosines tie -> top-5 by id = {1..5}; the true top-5 is
+    # signal-driven, so overlap must be strictly worse than perfect
+    assert out[2][0] < 5
