@@ -44,6 +44,7 @@ BNL_ALLOWED = {
     "q204_hard_negatives": "n_anchors-row anchor-batch broadcast (bounded query set, label-mismatch non-equi join)",
     "q215_survival_curve": "1-row corpus-max-bucket broadcast onto the per-entity frame",
     "q217_pmi_collocations": "two 1-row totals (token count x bigram count) crossed onto the scored pairs",
+    "q222_conformal_intervals": "hour spine x #event-types frame (both metadata-sized) crossed — the q181 shape",
 }
 
 
