@@ -4949,6 +4949,21 @@ def q222_conformal_intervals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q223_ab_test_wilson(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B experiment readout (mining.ab_test_report): engine-stable
+    md5 hash-split arms, ever-purchased conversion, per-arm rate with
+    Wilson 95% score intervals — the one transcendental (sqrt) is
+    correctly rounded under IEEE-754, so even a confidence interval
+    value-hashes across engines (ln/pow would not — the reason scores
+    elsewhere are quantized or rational). Oracle replays the md5
+    split and the identical fixed-parenthesization interval."""
+    ev = load(spark, sf, "events")
+    return mining.ab_test_report(
+        ev, user_col="user_id", type_col="event_type",
+        conversion_type="purchase", salt="ab1",
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5020,7 +5035,7 @@ _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 # every query within the ceil(N/50)-round freshness bound (N=203 → 5).
 _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
-    210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222,
+    210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
 }
 
 
@@ -5277,6 +5292,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q220_streaming_holt": q220_streaming_holt,
         "q221_matryoshka_recall": q221_matryoshka_recall,
         "q222_conformal_intervals": q222_conformal_intervals,
+        "q223_ab_test_wilson": q223_ab_test_wilson,
     }
 
 
@@ -9774,5 +9790,39 @@ FROM split s JOIN qhat q USING (event_type)
 WHERE NOT s.is_cal
 GROUP BY 1, 2, 4, 5
 ORDER BY s.event_type
+"""
+    # q223: identical md5 arm split and identical fixed-
+    # parenthesization Wilson interval (sqrt is IEEE-correctly-rounded
+    # in both engines; 1.96*1.96 written as the product in both).
+    _ab_hash = _MD5_INT60.format(col="'ab1:' || CAST(u AS VARCHAR)")
+    oracles["q223_ab_test_wilson"] = f"""
+WITH users AS (SELECT DISTINCT user_id AS u FROM events),
+conv AS (SELECT DISTINCT user_id AS u FROM events WHERE event_type = 'purchase'),
+per AS (
+  SELECT CASE WHEN ({_ab_hash}) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN c.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions
+  FROM users LEFT JOIN conv c USING (u)
+  GROUP BY 1
+)
+SELECT arm, n_users, n_conversions,
+       CAST(n_conversions AS DOUBLE) / CAST(n_users AS DOUBLE) AS rate,
+       ((CAST(n_conversions AS DOUBLE) / CAST(n_users AS DOUBLE)
+         + (1.96 * 1.96) / (2.0 * CAST(n_users AS DOUBLE)))
+        - 1.96 * sqrt(
+            (CAST(n_conversions AS DOUBLE) / CAST(n_users AS DOUBLE)
+             * (1.0 - CAST(n_conversions AS DOUBLE) / CAST(n_users AS DOUBLE)))
+            / CAST(n_users AS DOUBLE)
+            + (1.96 * 1.96) / (4.0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
+       / (1.0 + (1.96 * 1.96) / CAST(n_users AS DOUBLE)) AS wilson_lo,
+       ((CAST(n_conversions AS DOUBLE) / CAST(n_users AS DOUBLE)
+         + (1.96 * 1.96) / (2.0 * CAST(n_users AS DOUBLE)))
+        + 1.96 * sqrt(
+            (CAST(n_conversions AS DOUBLE) / CAST(n_users AS DOUBLE)
+             * (1.0 - CAST(n_conversions AS DOUBLE) / CAST(n_users AS DOUBLE)))
+            / CAST(n_users AS DOUBLE)
+            + (1.96 * 1.96) / (4.0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
+       / (1.0 + (1.96 * 1.96) / CAST(n_users AS DOUBLE)) AS wilson_hi
+FROM per ORDER BY arm
 """
     return oracles

@@ -175,6 +175,7 @@ HEADLINE = [
     "q220_streaming_holt",
     "q221_matryoshka_recall",
     "q222_conformal_intervals",
+    "q223_ab_test_wilson",
 ]
 
 

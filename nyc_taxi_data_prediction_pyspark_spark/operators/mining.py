@@ -564,3 +564,73 @@ def linear_attribution(
         .where(F.col("n_conversions") > 0)
     )
     return touched.unionByName(direct).orderBy("channel")
+
+
+def ab_test_report(
+    events: DataFrame,
+    *,
+    user_col: str,
+    type_col: str,
+    conversion_type: str,
+    salt: str = "ab1",
+) -> DataFrame:
+    """Deterministic A/B experiment readout: users are assigned to
+    arms by an engine-stable hash split (md5 of salt:user — the
+    mixture_sample discipline, so assignment is reproducible and
+    replayable, not RNG), conversion = the user ever fired
+    ``conversion_type``, and each arm reports its conversion rate with
+    a Wilson 95% score interval (Wilson JASA 1927 — the interval that
+    behaves at small n and p near 0/1, unlike the Wald interval).
+
+    Exactness: n and c are exact BIGINTs; the rate and the Wilson
+    bounds are FIXED-parenthesization double expressions over them —
+    and the one transcendental involved, sqrt, is correctly rounded by
+    IEEE-754 (unlike ln/pow, which round engine-specifically and are
+    banned elsewhere in this codebase), so the bounds value-hash
+    across engines. z is the literal 1.96; z² is written 1.96*1.96 in
+    both engines rather than a pre-rounded constant.
+
+    Scale shape: two distinct-aggs over events (exposure and
+    converters, both map-side combinable) + one left join on user, one
+    2-row arm rollup; the scalar interval math runs on the 2-row
+    result. Returns (arm, n_users, n_conversions, rate, wilson_lo,
+    wilson_hi) ordered by arm.
+    """
+    from ..functions.hashing import md5_int60
+
+    users = events.select(F.col(user_col).alias("__u")).distinct()
+    arm = F.when(
+        md5_int60(F.concat(F.lit(salt + ":"), F.col("__u").cast("string"))) % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    converters = (
+        events.where(F.col(type_col) == conversion_type)
+        .select(F.col(user_col).alias("__u"))
+        .distinct()
+        .withColumn("__c", F.lit(1).cast("bigint"))
+    )
+    per_arm = (
+        users.withColumn("arm", arm)
+        .join(converters, "__u", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.coalesce("__c", F.lit(0))).cast("bigint").alias("n_conversions"),
+        )
+    )
+    n = F.col("n_users").cast("double")
+    p = F.col("n_conversions").cast("double") / n
+    z2 = F.lit(1.96) * F.lit(1.96)
+    center = p + z2 / (F.lit(2.0) * n)
+    half = F.lit(1.96) * F.sqrt(
+        (p * (F.lit(1.0) - p)) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + z2 / n
+    return per_arm.select(
+        "arm",
+        "n_users",
+        "n_conversions",
+        p.alias("rate"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    ).orderBy("arm")

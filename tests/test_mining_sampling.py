@@ -1088,3 +1088,45 @@ def test_survival_curve_hand_computed_km(spark):
         ).collect()
     ]
     assert out == [(3, 5, 2, 0.6), (5, 3, 1, 0.6 * (1 - 1 / 3))]
+
+
+def test_ab_test_wilson_reference_math(spark):
+    import datetime as dt
+    import hashlib
+    import math
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(1, 101):
+        eid += 1
+        rows.append((eid, u, base, "view"))
+        if u % 3 == 0:  # every third user converts
+            eid += 1
+            rows.append((eid, u, base + dt.timedelta(minutes=1), "purchase"))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = {r.arm: r for r in mining.ab_test_report(
+        df, user_col="user_id", type_col="event_type",
+        conversion_type="purchase", salt="ab1",
+    ).collect()}
+
+    # python replay of the md5 split + Wilson interval
+    def arm_of(u):
+        h = int(hashlib.md5(f"ab1:{u}".encode()).hexdigest()[:15], 16)
+        return "A" if h % 2 == 0 else "B"
+
+    for arm in ("A", "B"):
+        users = [u for u in range(1, 101) if arm_of(u) == arm]
+        conv = [u for u in users if u % 3 == 0]
+        n, c = len(users), len(conv)
+        r = out[arm]
+        assert (r.n_users, r.n_conversions) == (n, c)
+        p = c / n
+        z2 = 1.96 * 1.96
+        center = p + z2 / (2.0 * n)
+        half = 1.96 * math.sqrt((p * (1.0 - p)) / n + z2 / (4.0 * n * n))
+        denom = 1.0 + z2 / n
+        assert r.rate == p
+        assert abs(r.wilson_lo - (center - half) / denom) < 1e-12
+        assert abs(r.wilson_hi - (center + half) / denom) < 1e-12
+        assert r.wilson_lo < p < r.wilson_hi
