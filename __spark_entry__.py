@@ -4964,6 +4964,21 @@ def q223_ab_test_wilson(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q224_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population-Stability-Index drift monitor (aggregates.
+    population_stability): PSI of each event type's value distribution
+    between the first and second time halves — first-half exact
+    deciles as the expected buckets (the q152 type-7 contract),
+    add-one smoothing, ln terms decimal-quantized before the sum (the
+    q158 rule). The model-monitoring score that tells a 100 TB
+    pipeline its feature distribution moved."""
+    ev = load(spark, sf, "events")
+    return agg.population_stability(
+        ev, group_keys=["event_type"], value_col="value", ts_col="ts",
+        n_buckets=10,
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5036,6 +5051,7 @@ _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
+    224,
 }
 
 
@@ -5293,6 +5309,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q221_matryoshka_recall": q221_matryoshka_recall,
         "q222_conformal_intervals": q222_conformal_intervals,
         "q223_ab_test_wilson": q223_ab_test_wilson,
+        "q224_psi_drift": q224_psi_drift,
     }
 
 
@@ -9824,5 +9841,45 @@ SELECT arm, n_users, n_conversions,
             + (1.96 * 1.96) / (4.0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
        / (1.0 + (1.96 * 1.96) / CAST(n_users AS DOUBLE)) AS wilson_hi
 FROM per ORDER BY arm
+"""
+    # q224: same type-7 median split, first-half decile cuts, add-one
+    # shares, and decimal-quantized ln terms (the q158 rule).
+    oracles["q224_psi_drift"] = """
+WITH mid AS (SELECT quantile_cont(epoch_us(ts), 0.5) AS m FROM events),
+marked AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         CASE WHEN CAST(epoch_us(ts) AS DOUBLE) <= mid.m THEN 1 ELSE 0 END AS f
+  FROM events, mid
+),
+cuts AS (
+  SELECT event_type,
+         quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+  FROM marked WHERE f = 1 GROUP BY 1
+),
+bucketed AS (
+  SELECT m.event_type, m.f,
+         1 + list_sum(list_transform(c.cuts, x -> CASE WHEN m.v > x THEN 1 ELSE 0 END)) AS b
+  FROM marked m JOIN cuts c USING (event_type)
+),
+counts AS (
+  SELECT event_type, b,
+         CAST(SUM(f) AS BIGINT) AS c1, CAST(SUM(1 - f) AS BIGINT) AS c2
+  FROM bucketed GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM counts GROUP BY 1
+)
+SELECT c.event_type,
+       CAST(MAX(t.n1) AS BIGINT) AS n_first,
+       CAST(MAX(t.n2) AS BIGINT) AS n_second,
+       ROUND(CAST(SUM(CAST(
+         (CAST(c.c1 + 1 AS DOUBLE) / CAST(t.n1 + 10 AS DOUBLE)
+          - CAST(c.c2 + 1 AS DOUBLE) / CAST(t.n2 + 10 AS DOUBLE))
+         * ln((CAST(c.c1 + 1 AS DOUBLE) / CAST(t.n1 + 10 AS DOUBLE))
+              / (CAST(c.c2 + 1 AS DOUBLE) / CAST(t.n2 + 10 AS DOUBLE)))
+         AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+FROM counts c JOIN totals t USING (event_type)
+GROUP BY 1 ORDER BY 1
 """
     return oracles

@@ -176,6 +176,7 @@ HEADLINE = [
     "q221_matryoshka_recall",
     "q222_conformal_intervals",
     "q223_ab_test_wilson",
+    "q224_psi_drift",
 ]
 
 

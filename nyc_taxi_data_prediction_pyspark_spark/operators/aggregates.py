@@ -789,3 +789,85 @@ def correlation_matrix(
         for b in measures[i + 1 :]
     ]
     return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def population_stability(
+    df: DataFrame,
+    *,
+    group_keys: list[str],
+    value_col: str,
+    ts_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between the first and second time
+    halves of a value distribution — the standard model-monitoring
+    drift score (PSI < 0.1 stable, > 0.25 action):
+
+        PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+
+    with buckets = exact DECILES OF THE FIRST HALF (the expected
+    distribution, the industry convention), p/q the add-one-smoothed
+    bucket shares of each half (smoothing makes empty buckets finite
+    AND deterministic — no epsilon tuning).
+
+    Determinism: the time split is the exact type-7 median of epoch
+    micros; the cut points are exact type-7 percentiles (bit-equal
+    across engines — the q152 contract); bucket assignment is an
+    in-row comparison fold; the per-bucket ln terms follow the
+    grouped_entropy rule — IEEE doubles quantized to DECIMAL(28,12)
+    BEFORE the distributed sum, result rounded to 6dp.
+
+    Scale shape: one pass for the split boundary (1-row broadcast),
+    one grouped percentile for the cuts (#groups rows, broadcast
+    join-back), one bucket-count aggregation (group × half × bucket —
+    metadata-sized), the PSI fold on that. Raw rows are scanned twice
+    (boundary + bucketing); no data-sized window, no cross join.
+
+    Returns per group: (…, n_first, n_second, psi).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    boundary = df.agg(F.percentile(us, 0.5).alias("__mid"))
+    marked = df.crossJoin(F.broadcast(boundary)).select(
+        *group_keys,
+        F.col(value_col).cast("double").alias("__v"),
+        (F.unix_micros(F.col(ts_col)).cast("double") <= F.col("__mid"))
+        .cast("int")
+        .alias("__first"),
+    )
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = (
+        marked.where(F.col("__first") == 1)
+        .groupBy(*group_keys)
+        .agg(F.percentile(F.col("__v"), F.array(*[F.lit(f) for f in fracs])).alias("__cuts"))
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.transform(F.col("__cuts"), lambda c: (F.col("__v") > c).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    counts = (
+        marked.join(F.broadcast(cuts), group_keys)
+        .select(*group_keys, "__first", bucket.alias("__b"))
+        .groupBy(*group_keys, "__b")
+        .agg(
+            F.sum("__first").cast("bigint").alias("__c1"),
+            F.sum(F.lit(1) - F.col("__first")).cast("bigint").alias("__c2"),
+        )
+    )
+    totals = counts.groupBy(*group_keys).agg(
+        F.sum("__c1").cast("bigint").alias("__n1"),
+        F.sum("__c2").cast("bigint").alias("__n2"),
+    )
+    j = counts.join(totals, group_keys)
+    p = (F.col("__c1") + 1).cast("double") / (F.col("__n1") + n_buckets).cast("double")
+    q = (F.col("__c2") + 1).cast("double") / (F.col("__n2") + n_buckets).cast("double")
+    term = ((p - q) * F.log(p / q)).cast("decimal(28,12)")
+    return (
+        j.groupBy(*group_keys)
+        .agg(
+            F.max("__n1").alias("n_first"),
+            F.max("__n2").alias("n_second"),
+            F.round(F.sum(term).cast("double"), 6).alias("psi"),
+        )
+        .orderBy(*group_keys)
+    )

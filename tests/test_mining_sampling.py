@@ -1130,3 +1130,31 @@ def test_ab_test_wilson_reference_math(spark):
         assert abs(r.wilson_lo - (center - half) / denom) < 1e-12
         assert abs(r.wilson_hi - (center + half) / denom) < 1e-12
         assert r.wilson_lo < p < r.wilson_hi
+
+
+def test_psi_drift_zero_when_identical_and_large_when_shifted(spark):
+    import datetime as dt
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        population_stability,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    # type "stable": identical value pattern in both halves -> PSI 0
+    # type "shifted": second half values moved up by 100 -> PSI large
+    for half in (0, 1):
+        for i in range(200):
+            eid += 1
+            ts = base + dt.timedelta(hours=half * 1000 + i)
+            rows.append((eid, ts, "stable", float(i % 50)))
+            eid += 1
+            rows.append((eid, ts, "shifted", float(i % 50 + half * 100)))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    out = {r.event_type: r for r in population_stability(
+        df, group_keys=["event_type"], value_col="value", ts_col="ts", n_buckets=10
+    ).collect()}
+    assert out["stable"].n_first == out["stable"].n_second == 200
+    assert out["stable"].psi == 0.0       # identical shares, smoothing included
+    assert out["shifted"].psi > 1.0       # total bucket displacement
