@@ -4979,6 +4979,18 @@ def q224_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q225_lang_id_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier eval with chance correction (text.lang_id_eval):
+    the q16 lang-id heuristic scored against the gold ``lang`` column
+    — per-class precision/recall/F1 and Cohen's kappa, all reduced to
+    exact BIGINT confusion counts with ONE IEEE division each (kappa
+    via the rational (agree·N − Σ true_k·pred_k)/(N² − Σ), so no
+    intermediate po/pe float ever rounds). The oracle replays the
+    marker scoring and the identical rationals."""
+    docs = load(spark, sf, "documents")
+    return textops.lang_id_eval(docs, text_col="text", label_col="lang")
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5047,11 +5059,11 @@ _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 # (40-query r3 band + those ten = exactly 50): full oracles + local
 # check_oracle evidence now; first driver rows in rounds 8-9, which
 # the rotation test's schedule-feasibility check verifies still keep
-# every query within the ceil(N/50)-round freshness bound (N=203 → 5).
+# every query within the ceil(N/50)-round freshness bound (N=225 → 5).
 _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
-    224,
+    224, 225,
 }
 
 
@@ -5310,6 +5322,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q222_conformal_intervals": q222_conformal_intervals,
         "q223_ab_test_wilson": q223_ab_test_wilson,
         "q224_psi_drift": q224_psi_drift,
+        "q225_lang_id_kappa": q225_lang_id_kappa,
     }
 
 
@@ -9881,5 +9894,45 @@ SELECT c.event_type,
          AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
 FROM counts c JOIN totals t USING (event_type)
 GROUP BY 1 ORDER BY 1
+"""
+    # q225: the q16 marker scoring replayed, then the identical exact
+    # rationals (kappa = (agree*N - S)/(N^2 - S), F1 harmonic form).
+    oracles["q225_lang_id_kappa"] = f"""
+WITH h AS (
+  SELECT lang, {_HITS['en']} AS h_en, {_HITS['es']} AS h_es,
+         {_HITS['fr']} AS h_fr, {_HITS['de']} AS h_de
+  FROM documents
+),
+scored AS (SELECT lang AS t, {lang_case} AS p FROM h),
+conf AS (SELECT t, p, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY 1, 2),
+truec AS (SELECT t AS lang, CAST(SUM(c) AS BIGINT) AS n_true FROM conf GROUP BY 1),
+predc AS (SELECT p AS lang, CAST(SUM(c) AS BIGINT) AS n_pred FROM conf GROUP BY 1),
+tpc AS (SELECT t AS lang, c AS tp FROM conf WHERE t = p),
+classes AS (
+  SELECT COALESCE(tr.lang, pr.lang) AS lang,
+         CAST(COALESCE(tr.n_true, 0) AS BIGINT) AS n_true,
+         CAST(COALESCE(pr.n_pred, 0) AS BIGINT) AS n_pred,
+         CAST(COALESCE(tpc.tp, 0) AS BIGINT) AS tp
+  FROM truec tr
+  FULL OUTER JOIN predc pr ON tr.lang = pr.lang
+  LEFT JOIN tpc ON COALESCE(tr.lang, pr.lang) = tpc.lang
+),
+tot AS (
+  SELECT CAST(SUM(n_true) AS BIGINT) AS n,
+         CAST(SUM(tp) AS BIGINT) AS agree,
+         CAST(SUM(n_true * n_pred) AS BIGINT) AS s
+  FROM classes
+)
+SELECT c.lang, c.n_true, c.n_pred, c.tp,
+       CASE WHEN c.n_pred > 0 THEN CAST(c.tp AS DOUBLE) / CAST(c.n_pred AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS "precision",
+       CASE WHEN c.n_true > 0 THEN CAST(c.tp AS DOUBLE) / CAST(c.n_true AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS recall,
+       CASE WHEN c.n_true + c.n_pred > 0
+            THEN (2.0 * CAST(c.tp AS DOUBLE)) / CAST(c.n_true + c.n_pred AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS f1,
+       CAST(t.agree * t.n - t.s AS DOUBLE) / CAST(t.n * t.n - t.s AS DOUBLE) AS kappa
+FROM classes c, tot t
+ORDER BY c.lang
 """
     return oracles

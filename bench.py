@@ -177,6 +177,7 @@ HEADLINE = [
     "q222_conformal_intervals",
     "q223_ab_test_wilson",
     "q224_psi_drift",
+    "q225_lang_id_kappa",
 ]
 
 

@@ -1402,3 +1402,84 @@ def pmi_collocations(
         .orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(k)
     )
+
+
+def lang_id_eval(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Classification eval of the ``lang_id`` heuristic against gold
+    labels: per-class precision / recall / F1 plus Cohen's kappa
+    (Cohen 1960) — chance-corrected agreement, the metric that stops a
+    majority-class classifier from looking good.
+
+    Exactness: the confusion counts are BIGINTs and every metric is
+    ONE IEEE division over them — including kappa, which reduces to
+    the exact rational
+        κ = (agree·N − Σ_k true_k·pred_k) / (N² − Σ_k true_k·pred_k)
+    so no intermediate float (po, pe) ever rounds. F1 uses the
+    harmonic identity 2·tp/(n_true+n_pred) — again one division.
+
+    Scale shape: one lang_id pass (in-row marker scoring), one
+    (true, pred) count aggregation (≤ classes² rows — metadata), the
+    rest is arithmetic on that tiny frame; totals ride a 1-row
+    broadcast. Returns one row per class (union of gold and predicted
+    label sets, so a class the model never predicts still reports its
+    recall) with the corpus kappa repeated on each row.
+    """
+    scored = lang_id(df, text_col=text_col).select(
+        F.col(label_col).alias("__t"), F.col("pred_lang").alias("__p")
+    )
+    conf = scored.groupBy("__t", "__p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    truec = conf.groupBy("__t").agg(F.sum("__c").cast("bigint").alias("n_true"))
+    predc = conf.groupBy("__p").agg(F.sum("__c").cast("bigint").alias("n_pred"))
+    tp = conf.where(F.col("__t") == F.col("__p")).select(
+        F.col("__t").alias("lang"), F.col("__c").alias("tp")
+    )
+    classes = (
+        truec.select(F.col("__t").alias("lang"), "n_true")
+        .join(predc.select(F.col("__p").alias("lang"), "n_pred"), "lang", "full_outer")
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    totals = classes.agg(
+        F.sum("n_true").cast("bigint").alias("__n"),
+        F.sum("tp").cast("bigint").alias("__agree"),
+        F.sum(F.col("n_true") * F.col("n_pred")).cast("bigint").alias("__s"),
+    )
+    n, agree, s = F.col("__n"), F.col("__agree"), F.col("__s")
+    kappa = (agree * n - s).cast("double") / (n * n - s).cast("double")
+    zero = F.lit(0.0)
+    return (
+        classes.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_true",
+            "n_pred",
+            "tp",
+            F.when(F.col("n_pred") > 0, F.col("tp").cast("double") / F.col("n_pred"))
+            .otherwise(zero)
+            .alias("precision"),
+            F.when(F.col("n_true") > 0, F.col("tp").cast("double") / F.col("n_true"))
+            .otherwise(zero)
+            .alias("recall"),
+            F.when(
+                (F.col("n_true") + F.col("n_pred")) > 0,
+                (F.lit(2.0) * F.col("tp").cast("double"))
+                / (F.col("n_true") + F.col("n_pred")).cast("double"),
+            )
+            .otherwise(zero)
+            .alias("f1"),
+            kappa.alias("kappa"),
+        )
+        .orderBy("lang")
+    )

@@ -712,3 +712,28 @@ def test_linear_attribution_quota_and_direct(spark):
     assert out["(direct)"] == (0, 1, 1_000_000)
     # every conversion's credit sums exactly to ppm
     assert sum(v[2] for v in out.values()) == 3 * 1_000_000
+
+
+def test_lang_id_eval_kappa_hand_computed(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.text import lang_id_eval
+
+    # gold en x4 / fr x2; texts chosen so lang_id predicts
+    # en,en,en,fr (for gold en) and fr,en (for gold fr):
+    docs = [
+        (1, "en", "the cat and the dog"),
+        (2, "en", "this is of the essence"),
+        (3, "en", "to be and not to be"),
+        (4, "en", "le chat est la"),          # misclassified fr
+        (5, "fr", "le chien est les des"),
+        (6, "fr", "the quick brown fox and"),  # misclassified en
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    out = {r.lang: r for r in lang_id_eval(df, text_col="text", label_col="lang").collect()}
+    en, fr = out["en"], out["fr"]
+    assert (en.n_true, en.n_pred, en.tp) == (4, 4, 3)
+    assert (fr.n_true, fr.n_pred, fr.tp) == (2, 2, 1)
+    assert en.precision == 0.75 and en.recall == 0.75 and en.f1 == 0.75
+    assert fr.precision == 0.5 and fr.recall == 0.5 and fr.f1 == 0.5
+    # kappa = (agree*N - S)/(N^2 - S); agree=4, N=6, S=4*4+2*2=20
+    assert en.kappa == (4 * 6 - 20) / (6 * 6 - 20) == 0.25
+    assert fr.kappa == en.kappa

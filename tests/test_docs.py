@@ -123,7 +123,7 @@ def test_driver_slot_rotation_covers_unproven_queries():
     )
     # schedule feasibility beyond round 7: a greedy oldest-first sweep
     # at 50 slots/round must keep every query within the sustainable
-    # freshness bound ceil(N/50) rounds (N=203 -> 5).  Rounds 8-10 must
+    # freshness bound ceil(N/50) rounds (N=225 -> 5).  Rounds 8-10 must
     # absorb the r4 band, the r5 band, and the round-8-deferred new
     # queries (which hold full oracles + local check_oracle evidence
     # meanwhile).
