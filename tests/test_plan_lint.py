@@ -46,6 +46,7 @@ BNL_ALLOWED = {
     "q217_pmi_collocations": "two 1-row totals (token count x bigram count) crossed onto the scored pairs",
     "q222_conformal_intervals": "hour spine x #event-types frame (both metadata-sized) crossed — the q181 shape",
     "q224_psi_drift": "1-row median-boundary broadcast onto the value stream",
+    "q225_lang_id_kappa": "1-row kappa-totals broadcast onto the #classes-row confusion frame",
 }
 
 
