@@ -26,6 +26,7 @@ from nyc_taxi_data_prediction_pyspark_spark.operators import (
     aggregates as agg,
     cleaning,
     dedup,
+    evaluation,
     joins,
     merge,
     mining,
@@ -4991,6 +4992,62 @@ def q225_lang_id_kappa(spark: SparkSession, sf: str) -> DataFrame:
     return textops.lang_id_eval(docs, text_col="text", label_col="lang")
 
 
+def q226_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC (evaluation.roc_auc): does event
+    value rank purchases above other event types? Mann-Whitney 2U kept
+    BIGINT (distinct-score collapse + two-phase exclusive prefix sum —
+    no global single-task window), ONE division for the AUC. The
+    oracle replays the identical rank algebra."""
+    ev = load(spark, sf, "events")
+    labeled = ev.select(
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+    )
+    return evaluation.roc_auc(labeled, score_col="value", label_col="is_purchase")
+
+
+def q227_calibration_brier(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability diagram + Brier/ECE (evaluation.calibration_report)
+    for the rational score p = value/(value+100) predicting
+    'purchase'. Per-bin means are DECIMAL(28,10)-quantized sums (the
+    grouped_autocorr partition-order rule) with one division each; the
+    corpus Brier and ECE ride a 1-row broadcast."""
+    ev = load(spark, sf, "events")
+    scored = ev.where(F.col("value").isNotNull()).select(
+        (F.col("value") / (F.col("value") + F.lit(100.0))).alias("p"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return evaluation.calibration_report(scored, prob_col="p", label_col="y", bins=10)
+
+
+def q228_ks_two_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between purchase
+    and non-purchase value distributions (evaluation.ks_two_sample):
+    D kept rational as max |cum_a*n_b - cum_b*n_a| over the pooled
+    distinct values (BIGINT), one division, deterministic argmax
+    (smallest value attaining the max)."""
+    ev = load(spark, sf, "events")
+    samples = ev.select("value", (F.col("event_type") == "purchase").alias("is_a"))
+    return evaluation.ks_two_sample(samples, value_col="value", sample_col="is_a")
+
+
+def q229_gini_lorenz(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-priority Gini coefficient + Lorenz decile shares over order
+    revenue (evaluation.gini_lorenz): rank-statistic form with ranks
+    from the skew-proof two-phase ranking, cents-scaled DECIMAL
+    products (exact inside the 38-digit envelope), one division per
+    metric. NTILE-identical closed-form deciles."""
+    o = load(spark, sf, "orders")
+    return evaluation.gini_lorenz(
+        o.select(
+            F.col("o_orderpriority").alias("priority"), "o_totalprice", "o_orderkey"
+        ),
+        group_keys=["priority"],
+        value_col=F.col("o_totalprice").cast("decimal(18,2)") * 100,
+        tiebreak_col="o_orderkey",
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5063,7 +5120,7 @@ _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
-    224, 225,
+    224, 225, 226, 227, 228, 229,
 }
 
 
@@ -5323,6 +5380,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_ab_test_wilson": q223_ab_test_wilson,
         "q224_psi_drift": q224_psi_drift,
         "q225_lang_id_kappa": q225_lang_id_kappa,
+        "q226_roc_auc": q226_roc_auc,
+        "q227_calibration_brier": q227_calibration_brier,
+        "q228_ks_two_sample": q228_ks_two_sample,
+        "q229_gini_lorenz": q229_gini_lorenz,
     }
 
 
@@ -9934,5 +9995,129 @@ SELECT c.lang, c.n_true, c.n_pred, c.tp,
        CAST(t.agree * t.n - t.s AS DOUBLE) / CAST(t.n * t.n - t.s AS DOUBLE) AS kappa
 FROM classes c, tot t
 ORDER BY c.lang
+"""
+    # q226: exact tie-corrected Mann-Whitney AUC — collapse to distinct
+    # scores, exclusive cumulative negatives, 2U as one BIGINT sum.
+    oracles["q226_roc_auc"] = """
+WITH g AS (
+  SELECT value AS s,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+  FROM events WHERE value IS NOT NULL GROUP BY value
+),
+c AS (
+  SELECT pos, neg,
+         CAST(COALESCE(SUM(neg) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumneg
+  FROM g
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(neg) AS BIGINT) AS n_neg,
+       CAST(SUM(2 * cumneg * pos + pos * neg) AS BIGINT) AS auc_num2,
+       ROUND(CAST(SUM(2 * cumneg * pos + pos * neg) AS DOUBLE)
+             / (2.0 * CAST(SUM(pos) AS BIGINT) * CAST(SUM(neg) AS BIGINT)), 6) AS auc
+FROM c
+"""
+    # q227: reliability bins + Brier/ECE with the DECIMAL(28,10)
+    # quantization convention (float sums partition-order-proof).
+    oracles["q227_calibration_brier"] = """
+WITH base AS (
+  SELECT LEAST(CAST(FLOOR((value / (value + 100.0)) * 10) AS BIGINT), 9) AS bin,
+         value / (value + 100.0) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+),
+per AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         SUM(CAST(p AS DECIMAL(28,10))) AS sp,
+         SUM(CAST((p - y) * (p - y) AS DECIMAL(28,10))) AS sq
+  FROM base GROUP BY bin
+),
+per2 AS (
+  SELECT bin, n, n_pos,
+         CAST(sp AS DOUBLE) / n AS mean_pred,
+         CAST(n_pos AS DOUBLE) / n AS frac_pos,
+         sq
+  FROM per
+),
+per3 AS (SELECT *, mean_pred - frac_pos AS gap FROM per2),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, SUM(sq) AS sqs,
+         SUM(CAST(n * ABS(gap) AS DECIMAL(28,10))) AS ece_num
+  FROM per3
+)
+SELECT bin, n, n_pos,
+       ROUND(mean_pred, 6) AS mean_pred,
+       ROUND(frac_pos, 6) AS frac_pos,
+       ROUND(gap, 6) AS gap,
+       ROUND(CAST(t.sqs AS DOUBLE) / t.tn, 6) AS brier,
+       ROUND(CAST(t.ece_num AS DOUBLE) / t.tn, 6) AS ece
+FROM per3, tot t
+ORDER BY bin
+"""
+    # q228: exact KS distance, rational max |cum_a*n_b - cum_b*n_a|,
+    # deterministic argmax = smallest value attaining the max.
+    oracles["q228_ks_two_sample"] = """
+WITH g AS (
+  SELECT value AS v,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM events WHERE value IS NOT NULL GROUP BY value
+),
+c AS (
+  SELECT v,
+         CAST(SUM(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+         CAST(SUM(b) OVER (ORDER BY v) AS BIGINT) AS cb
+  FROM g
+),
+t AS (SELECT MAX(ca) AS na, MAX(cb) AS nb FROM c),
+d AS (
+  SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+         CAST(ABS(ca * t.nb - cb * t.na) AS BIGINT) AS d_scaled, v
+  FROM c, t
+)
+SELECT n_a, n_b, d_scaled,
+       ROUND(CAST(d_scaled AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) AS ks_d,
+       v AS ks_at
+FROM d ORDER BY d_scaled DESC, v ASC LIMIT 1
+"""
+    # q229: rank-statistic Gini + Lorenz deciles; NTILE matches the
+    # closed-form ntile_from_rank bit-for-bit, HUGEINT keeps the
+    # rank-value products exact (the Spark side's DECIMAL(38,0)).
+    oracles["q229_gini_lorenz"] = """
+WITH b AS (
+  SELECT o_orderpriority AS priority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         o_orderkey AS k
+  FROM orders
+),
+r AS (
+  SELECT priority, x,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY x, k) AS rk,
+         COUNT(*) OVER (PARTITION BY priority) AS n,
+         NTILE(10) OVER (PARTITION BY priority ORDER BY x, k) AS dec
+  FROM b
+),
+d AS (
+  SELECT priority, dec, MAX(n) AS n,
+         SUM(CAST(x AS HUGEINT)) AS dx,
+         SUM(CAST(rk AS HUGEINT) * CAST(x AS HUGEINT)) AS drx
+  FROM r GROUP BY priority, dec
+),
+c AS (
+  SELECT priority, dec AS decile, n,
+         SUM(dx) OVER (PARTITION BY priority ORDER BY dec) AS cum,
+         SUM(dx) OVER (PARTITION BY priority) AS tot,
+         SUM(drx) OVER (PARTITION BY priority) AS srx
+  FROM d
+)
+SELECT priority, CAST(decile AS INT) AS decile, CAST(n AS BIGINT) AS n,
+       CAST(tot AS DOUBLE) AS total_scaled,
+       ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+       ROUND(CAST(2 * srx - (n + 1) * tot AS DOUBLE)
+             / CAST(n * tot AS DOUBLE), 6) AS gini
+FROM c ORDER BY priority, decile
 """
     return oracles

@@ -178,6 +178,10 @@ HEADLINE = [
     "q223_ab_test_wilson",
     "q224_psi_drift",
     "q225_lang_id_kappa",
+    "q226_roc_auc",
+    "q227_calibration_brier",
+    "q228_ks_two_sample",
+    "q229_gini_lorenz",
 ]
 
 

@@ -1,0 +1,300 @@
+"""Ranking / classifier evaluation statistics, exact (north-star
+extension: model-eval readouts a training-data pipeline runs next to
+its curation gates — reference parity anchor: the readme's verification
+aggregates, readme.md:139-190, generalized to eval metrics).
+
+Everything here follows the repo's determinism contract: confusion /
+rank statistics are reduced to BIGINT (or exact DECIMAL) aggregates
+with ONE IEEE division per reported metric, so the DuckDB oracle
+hash-matches bit-for-bit. No libm (exp/ln/sqrt) anywhere.
+
+Scale shapes: every operator aggregates to a DISTINCT-VALUE frame
+first (one row per distinct score — bounded by value cardinality, not
+row count), then runs its cumulative statistics through
+windows.grouped_cumsum_two_phase, the skew-proof two-phase prefix sum
+— no global single-task window on a data-sized frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from .windows import grouped_cumsum_two_phase
+
+
+def roc_auc(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    group_keys: list[str] | None = None,
+    two_phase: bool = True,
+) -> DataFrame:
+    """Exact tie-corrected ROC AUC (= the Mann-Whitney U statistic
+    normalized by n_pos * n_neg) of ``score_col`` as a ranker for the
+    0/1 ``label_col``.
+
+    Exact form: collapse to one row per distinct score with BIGINT
+    (pos_g, neg_g) counts; with cum_neg_g = sum of neg strictly below
+    the score,
+
+        2 * U = sum_g (2 * cum_neg_g * pos_g + pos_g * neg_g)
+
+    (each positive beats every negative below it and half-credits the
+    negatives tied with it). AUC = 2U / (2 * n_pos * n_neg) — BIGINT
+    numerator and denominator, one division, round 6.
+
+    Returns per group: n_pos, n_neg, auc_num2 (=2U, the exact BIGINT),
+    auc.
+    """
+    gk = list(group_keys or [])
+    y = F.col(label_col).cast("bigint")
+    g = (
+        df.where(F.col(score_col).isNotNull())
+        .groupBy(*gk, score_col)
+        .agg(
+            F.sum(y).cast("bigint").alias("__pos"),
+            (F.count(F.lit(1)) - F.sum(y)).cast("bigint").alias("__neg"),
+        )
+    )
+    c = grouped_cumsum_two_phase(
+        g, gk, [score_col], ["__neg"], exclusive=True, two_phase=two_phase
+    )
+    out = c.groupBy(*gk).agg(
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+        F.sum("__neg").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.lit(2) * F.col("__cum___neg") * F.col("__pos")
+            + F.col("__pos") * F.col("__neg")
+        )
+        .cast("bigint")
+        .alias("auc_num2"),
+    )
+    return out.select(
+        *gk,
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.round(
+            F.col("auc_num2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    *,
+    value_col: str,
+    sample_col: str,
+    two_phase: bool = True,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the two
+    samples named by boolean ``sample_col`` (True = sample A):
+
+        D = max over distinct v of |ECDF_A(v) - ECDF_B(v)|
+
+    kept rational: D = d_scaled / (n_a * n_b) with BIGINT
+    d_scaled = max |cum_a * n_b - cum_b * n_a| over inclusive
+    cumulative counts at each pooled distinct value. Reports the
+    smallest value attaining the max (``ks_at``) for a deterministic
+    argmax. One row out: n_a, n_b, d_scaled, ks_d (one division).
+
+    Scale: one distinct-value aggregation, one two-phase prefix sum,
+    one metadata reduce — never a global data-sized sort task.
+    """
+    a = F.col(sample_col).cast("boolean")
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(
+            F.sum(a.cast("bigint")).cast("bigint").alias("__a"),
+            F.sum((~a).cast("bigint")).cast("bigint").alias("__b"),
+        )
+    )
+    c = grouped_cumsum_two_phase(
+        g, [], [value_col], ["__a", "__b"], exclusive=False, two_phase=two_phase
+    )
+    tot = c.groupBy().agg(
+        F.max("__cum___a").cast("bigint").alias("n_a"),
+        F.max("__cum___b").cast("bigint").alias("n_b"),
+    )
+    gaps = c.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("__cum___a") * F.col("n_b") - F.col("__cum___b") * F.col("n_a")
+        )
+        .cast("bigint")
+        .alias("__d"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    # deterministic argmax: max d, then the SMALLEST value attaining it
+    out = gaps.groupBy("n_a", "n_b").agg(
+        F.max(F.struct(F.col("__d").alias("d"), (-F.col("__v")).alias("nv"))).alias(
+            "__m"
+        )
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        F.col("__m.d").alias("d_scaled"),
+        F.round(
+            F.col("__m.d").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double"),
+            6,
+        ).alias("ks_d"),
+        (-F.col("__m.nv")).alias("ks_at"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    *,
+    prob_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Brier score, partition-order-proof.
+
+    Rows land in bin floor(p * bins) (clamped to bins-1). Per bin:
+    n, n_pos, mean predicted probability and the empirical positive
+    rate (each ONE division over a DECIMAL(28,10)-quantized sum — the
+    grouped_autocorr rule, so the distributed float sum is
+    order-independent), and the signed calibration gap. The corpus
+    Brier score sum( (p - y)^2 ) / N and the expected calibration
+    error sum( n_b * |gap_b| ) / N ride on every row from a 1-row
+    broadcast (allowlisted BNL shape).
+    """
+    dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("bigint")
+    b = F.least(F.floor(p * bins).cast("bigint"), F.lit(bins - 1))
+    base = df.where(p.isNotNull()).select(
+        b.alias("bin"), p.alias("__p"), y.alias("__y")
+    )
+    per = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__y").cast("bigint").alias("n_pos"),
+        F.sum(dec(F.col("__p"))).alias("__sp"),
+        F.sum(dec((F.col("__p") - F.col("__y")) * (F.col("__p") - F.col("__y")))).alias(
+            "__sq"
+        ),
+    )
+    per = per.select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("__sp").cast("double") / F.col("n")).alias("mean_pred"),
+        (F.col("n_pos").cast("double") / F.col("n")).alias("frac_pos"),
+        "__sq",
+    ).withColumn("gap", F.col("mean_pred") - F.col("frac_pos"))
+    tot = per.groupBy().agg(
+        F.sum("n").cast("bigint").alias("__n"),
+        F.sum("__sq").alias("__sqs"),
+        F.sum(dec(F.col("n") * F.abs(F.col("gap")))).alias("__ece_num"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round("mean_pred", 6).alias("mean_pred"),
+            F.round("frac_pos", 6).alias("frac_pos"),
+            F.round("gap", 6).alias("gap"),
+            F.round(F.col("__sqs").cast("double") / F.col("__n"), 6).alias("brier"),
+            F.round(F.col("__ece_num").cast("double") / F.col("__n"), 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+def gini_lorenz(
+    df: DataFrame,
+    *,
+    group_keys: list[str],
+    value_col: Column,
+    tiebreak_col: str,
+    deciles: int = 10,
+    two_phase: bool = True,
+) -> DataFrame:
+    """Per-group Gini coefficient + Lorenz-curve decile points over a
+    non-negative INTEGER-SCALED ``value_col`` (pass cents, not dollars
+    — concentration readout, the q178 Pareto/ABC family's
+    chance-corrected cousin).
+
+    Exact form: with x_(1) <= ... <= x_(n) (ties broken by
+    ``tiebreak_col`` for a total order — rank statistics over ties in
+    x are Gini-invariant because equal x contribute equally whatever
+    their relative rank),
+
+        G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+
+    — the rank-value products are computed as DECIMAL(18,0) x
+    DECIMAL(19,0) -> DECIMAL(38,0), inside Spark's exact-precision
+    envelope (a bigint product would wrap silently at ~1e11-row
+    groups), sums carry DECIMAL(38,0), one division per metric. Ranks
+    come from windows.grouped_rank_two_phase (skew-proof); the Lorenz
+    points are cumulative value shares at each in-group decile
+    boundary (ntile_from_rank's closed-form buckets), one division
+    each, over a deciles-per-group metadata frame.
+
+    Returns one row per (group, decile) with the group's n,
+    total_scaled, gini repeated and that decile's cum_share.
+    """
+    from .windows import grouped_rank_two_phase, ntile_from_rank
+
+    gk = list(group_keys)
+    base = df.select(
+        *gk, value_col.cast("bigint").alias("__x"), F.col(tiebreak_col).alias("__tb")
+    )
+    ranked = grouped_rank_two_phase(
+        base,
+        gk,
+        ["__x", "__tb"],
+        out_col="__r",
+        two_phase=two_phase,
+        group_size_col="__n",
+    )
+    ranked = ranked.withColumn(
+        "__dec", ntile_from_rank("__r", "__n", deciles).cast("int")
+    )
+    per_dec = ranked.groupBy(*gk, "__dec").agg(
+        F.max("__n").cast("bigint").alias("n"),
+        F.sum(F.col("__x").cast("decimal(38,0)")).alias("__dx"),
+        F.sum(
+            F.col("__r").cast("decimal(18,0)") * F.col("__x").cast("decimal(19,0)")
+        ).alias("__drx"),
+    )
+    # cumulative over <= `deciles` rows per group — metadata-sized
+    wc = (
+        W.partitionBy(*gk)
+        .orderBy(F.col("__dec").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wg = W.partitionBy(*gk)
+    out = per_dec.select(
+        *gk,
+        F.col("__dec").alias("decile"),
+        "n",
+        F.sum("__dx").over(wc).alias("__cum"),
+        F.sum("__dx").over(wg).alias("__tot"),
+        F.sum("__drx").over(wg).alias("__srx"),
+    )
+    gini = (
+        F.lit(2).cast("decimal(38,0)") * F.col("__srx")
+        - (F.col("n") + 1).cast("decimal(38,0)") * F.col("__tot")
+    ).cast("double") / (
+        F.col("n").cast("decimal(38,0)") * F.col("__tot")
+    ).cast("double")
+    return out.select(
+        *gk,
+        "decile",
+        "n",
+        F.col("__tot").cast("double").alias("total_scaled"),
+        F.round(F.col("__cum").cast("double") / F.col("__tot").cast("double"), 6).alias(
+            "cum_share"
+        ),
+        F.round(gini, 6).alias("gini"),
+    ).orderBy(*gk, "decile")

@@ -870,3 +870,101 @@ def cusum_alarms(
         F.col("__f.maxs").alias("max_s_scaled"),
         F.col("__f.s").alias("final_s_scaled"),
     )
+
+
+def grouped_cumsum_two_phase(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    exclusive: bool = False,
+    two_phase: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running sums of ``value_cols`` in ``order_cols`` order
+    WITHOUT funnelling any group through a single task — the
+    grouped_rank_two_phase idiom generalized from COUNT to SUM, for the
+    ECDF / Lorenz / rank-statistic family (exact AUC, KS, Gini) whose
+    core is "cumulative count-weight below this value".
+
+    Emits one ``__cum_<c>`` BIGINT column per value col (inputs must be
+    integer-typed — the callers sum counts, never floats).
+    ``exclusive=True`` gives the strictly-below prefix (the Mann-Whitney
+    convention); rows at EQUAL order keys must already be collapsed
+    (callers aggregate to one row per distinct key first) or "below"
+    would split ties by partition accident.
+
+    Phase plan: range-exchange on (group, order) → partition-local
+    window (bounded by partition size, not group size) → per-
+    (partition, group) subtotals (metadata-sized) → broadcast exclusive
+    offsets back. localCheckpoint pins the nondeterministic row→pid map
+    for its two consumers (windows.py:195 rationale). Exact integer
+    arithmetic → bit-identical to the single-window form
+    (``two_phase=False``, the small-N oracle cross-check).
+    """
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    vcols = list(value_cols)
+    hi = -1 if exclusive else 0
+    if not two_phase:
+        w = (
+            W.partitionBy(*gcols)
+            .orderBy(*[F.col(c).asc() for c in ocols])
+            .rowsBetween(W.unboundedPreceding, hi)
+        )
+        out = df
+        for c in vcols:
+            out = out.withColumn(
+                f"__cum_{c}",
+                F.coalesce(F.sum(F.col(c).cast("bigint")).over(w), F.lit(0)).cast(
+                    "bigint"
+                ),
+            )
+        return out
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    order_exprs = [F.col(c).asc() for c in [*gcols, *ocols]]
+    part = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local_w = (
+        W.partitionBy("__pid", *gcols)
+        .orderBy(*[F.col(c).asc() for c in ocols])
+        .rowsBetween(W.unboundedPreceding, hi)
+    )
+    local = part
+    for c in vcols:
+        local = local.withColumn(
+            f"__loc_{c}",
+            F.coalesce(F.sum(F.col(c).cast("bigint")).over(local_w), F.lit(0)).cast(
+                "bigint"
+            ),
+        )
+    subtotals = part.groupBy("__pid", *gcols).agg(
+        *[F.sum(F.col(c).cast("bigint")).alias(f"__sub_{c}") for c in vcols]
+    )
+    off_w = (
+        W.partitionBy(*gcols)
+        .orderBy(F.col("__pid").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = subtotals.select(
+        "__pid",
+        *gcols,
+        *[
+            F.coalesce(F.sum(f"__sub_{c}").over(off_w), F.lit(0))
+            .cast("bigint")
+            .alias(f"__off_{c}")
+            for c in vcols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), on=["__pid", *gcols])
+    for c in vcols:
+        out = out.withColumn(
+            f"__cum_{c}", (F.col(f"__loc_{c}") + F.col(f"__off_{c}")).cast("bigint")
+        )
+    return out.drop("__pid", *[f"__loc_{c}" for c in vcols], *[f"__off_{c}" for c in vcols])

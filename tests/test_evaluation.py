@@ -1,0 +1,161 @@
+"""Exact eval statistics (operators/evaluation.py): known-answer
+cases cross-checked by hand, plus two-phase == single-window parity on
+real testdata (the grouped_cumsum_two_phase correctness contract)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+from nyc_taxi_data_prediction_pyspark_spark.operators import evaluation
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_roc_auc_known_answer_with_ties(spark):
+    # scores: pos at 3,4,4 ; neg at 1,2,4  ->  pairs = 9
+    # pos3 beats neg1,neg2 (2); pos4 beats neg1,neg2 (2x2=4) and ties
+    # neg4 (2 x 0.5 = 1)  =>  U = 7, AUC = 7/9
+    rows = [
+        Row(s=1.0, y=0),
+        Row(s=2.0, y=0),
+        Row(s=3.0, y=1),
+        Row(s=4.0, y=1),
+        Row(s=4.0, y=1),
+        Row(s=4.0, y=0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = evaluation.roc_auc(df, score_col="s", label_col="y").collect()[0]
+    assert (out.n_pos, out.n_neg) == (3, 3)
+    assert out.auc_num2 == 14  # 2U
+    assert out.auc == round(7 / 9, 6)
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    perfect = spark.createDataFrame(
+        [Row(s=float(i), y=int(i >= 5)) for i in range(10)]
+    )
+    assert evaluation.roc_auc(perfect, score_col="s", label_col="y").collect()[0].auc == 1.0
+    inverted = perfect.select("s", (1 - F.col("y")).alias("y"))
+    assert evaluation.roc_auc(inverted, score_col="s", label_col="y").collect()[0].auc == 0.0
+
+
+def test_roc_auc_two_phase_parity(spark):
+    ev = load(spark, SF, "events").select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    a = evaluation.roc_auc(ev, score_col="value", label_col="y", two_phase=True)
+    b = evaluation.roc_auc(ev, score_col="value", label_col="y", two_phase=False)
+    assert a.collect() == b.collect()
+
+
+def test_ks_known_answer(spark):
+    # A = {1,2,3}, B = {4,5,6}: disjoint supports -> D = 1 at v = 3
+    rows = [Row(v=float(i), a=(i <= 3)) for i in range(1, 7)]
+    out = evaluation.ks_two_sample(
+        spark.createDataFrame(rows), value_col="v", sample_col="a"
+    ).collect()[0]
+    assert (out.n_a, out.n_b) == (3, 3)
+    assert out.ks_d == 1.0 and out.ks_at == 3.0
+
+
+def test_ks_identical_samples_is_zero(spark):
+    # same multiset in both samples -> every ECDF gap is 0
+    rows = [Row(v=float(v), a=bool(t)) for v in (1, 2, 2, 5) for t in (0, 1)]
+    out = evaluation.ks_two_sample(
+        spark.createDataFrame(rows), value_col="v", sample_col="a"
+    ).collect()[0]
+    assert out.d_scaled == 0 and out.ks_d == 0.0
+
+
+def test_ks_two_phase_parity(spark):
+    ev = load(spark, SF, "events").select(
+        "value", (F.col("event_type") == "purchase").alias("a")
+    )
+    a = evaluation.ks_two_sample(ev, value_col="value", sample_col="a", two_phase=True)
+    b = evaluation.ks_two_sample(ev, value_col="value", sample_col="a", two_phase=False)
+    assert a.collect() == b.collect()
+
+
+def test_calibration_perfectly_calibrated_bin(spark):
+    # one bin [0.4, 0.5): p = 0.45 everywhere, 9 pos / 11 neg is NOT
+    # 0.45 -> gap = 0.45 - 0.45 exactly when 9/20 = 0.45: use 20 rows
+    rows = [Row(p=0.45, y=int(i < 9)) for i in range(20)]
+    out = evaluation.calibration_report(
+        spark.createDataFrame(rows), prob_col="p", label_col="y", bins=10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.bin == 4 and r.n == 20 and r.n_pos == 9
+    assert r.mean_pred == 0.45 and r.frac_pos == 0.45 and r.gap == 0.0
+    # Brier for p=.45: 9*(.55)^2 + 11*(.45)^2 over 20
+    assert r.brier == round((9 * 0.55**2 + 11 * 0.45**2) / 20, 6)
+    assert r.ece == 0.0
+
+
+def test_calibration_p_one_lands_in_last_bin(spark):
+    rows = [Row(p=1.0, y=1), Row(p=0.0, y=0)]
+    out = evaluation.calibration_report(
+        spark.createDataFrame(rows), prob_col="p", label_col="y", bins=10
+    ).collect()
+    assert [r.bin for r in out] == [0, 9]
+    assert all(r.brier == 0.0 for r in out)
+
+
+def test_gini_uniform_is_zero_and_extreme_is_high(spark):
+    uniform = spark.createDataFrame([Row(g="u", x=100, k=i) for i in range(10)])
+    out = evaluation.gini_lorenz(
+        uniform, group_keys=["g"], value_col=F.col("x"), tiebreak_col="k"
+    ).collect()
+    assert all(r.gini == 0.0 for r in out)
+    # one holder owns everything except epsilon: G -> (n-1)/n * (1 - eps-ish)
+    extreme = spark.createDataFrame(
+        [Row(g="e", x=0, k=i) for i in range(9)] + [Row(g="e", x=1000, k=9)]
+    )
+    out = evaluation.gini_lorenz(
+        extreme, group_keys=["g"], value_col=F.col("x"), tiebreak_col="k"
+    ).collect()
+    assert all(r.gini == 0.9 for r in out)  # exactly (n-1)/n with all mass on one
+    # Lorenz: cumulative share is 0 through decile 9, 1.0 at decile 10
+    shares = {r.decile: r.cum_share for r in out}
+    assert shares[9] == 0.0 and shares[10] == 1.0
+
+
+def test_gini_two_phase_parity(spark):
+    o = load(spark, SF, "orders").select(
+        F.col("o_orderpriority").alias("g"), "o_totalprice", "o_orderkey"
+    )
+    kw = dict(
+        group_keys=["g"],
+        value_col=F.col("o_totalprice").cast("decimal(18,2)") * 100,
+        tiebreak_col="o_orderkey",
+    )
+    a = evaluation.gini_lorenz(o, two_phase=True, **kw)
+    b = evaluation.gini_lorenz(o, two_phase=False, **kw)
+    assert a.collect() == b.collect()
+
+
+def test_grouped_cumsum_two_phase_parity_grouped(spark):
+    """The shared prefix-sum engine: per-group running sums must be
+    bit-identical between the range-exchange form and the plain
+    window, inclusive AND exclusive."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.windows import (
+        grouped_cumsum_two_phase,
+    )
+
+    ev = (
+        load(spark, SF, "events")
+        .groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    for excl in (False, True):
+        a = grouped_cumsum_two_phase(
+            ev, ["event_type"], ["value"], ["c"], exclusive=excl, two_phase=True
+        )
+        b = grouped_cumsum_two_phase(
+            ev, ["event_type"], ["value"], ["c"], exclusive=excl, two_phase=False
+        )
+        key = lambda r: (r.event_type, r.value)  # noqa: E731
+        assert sorted(a.collect(), key=key) == sorted(b.collect(), key=key)

@@ -47,6 +47,8 @@ BNL_ALLOWED = {
     "q222_conformal_intervals": "hour spine x #event-types frame (both metadata-sized) crossed — the q181 shape",
     "q224_psi_drift": "1-row median-boundary broadcast onto the value stream",
     "q225_lang_id_kappa": "1-row kappa-totals broadcast onto the #classes-row confusion frame",
+    "q227_calibration_brier": "1-row Brier/ECE-totals broadcast onto the #bins-row frame",
+    "q228_ks_two_sample": "1-row sample-size broadcast onto the distinct-value ECDF frame",
 }
 
 
