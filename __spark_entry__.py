@@ -5048,6 +5048,57 @@ def q229_gini_lorenz(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q230_ri_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity orphan audit over the full TPC-H FK graph
+    plus the events->customer edge (cleaning.ri_audit): per edge, the
+    LEFT ANTI orphan counts a warehouse runs before trusting its joins
+    — all exact BIGINTs. The oracle replays each edge as a LEFT JOIN
+    IS NULL count."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    s = load(spark, sf, "supplier")
+    p = load(spark, sf, "part")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    ev = load(spark, sf, "events")
+    return cleaning.ri_audit(
+        [
+            ("cust_nation", c, "c_nationkey", n, "n_nationkey"),
+            ("events_cust", ev, "user_id", c, "c_custkey"),
+            ("li_orders", li, "l_orderkey", o, "o_orderkey"),
+            ("li_part", li, "l_partkey", p, "p_partkey"),
+            ("li_supp", li, "l_suppkey", s, "s_suppkey"),
+            ("nation_region", n, "n_regionkey", r, "r_regionkey"),
+            ("orders_cust", o, "o_custkey", c, "c_custkey"),
+            ("supp_nation", s, "s_nationkey", n, "n_nationkey"),
+        ]
+    )
+
+
+def q231_skew_advisor(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew / salting advisor (skew.skew_report): per candidate
+    shuffle key, the hottest-key share and the smallest salt fan-out
+    that would even it out at parallelism=1000 — exact integer ceil
+    division (div), deterministic argmax for the hot key. The readout
+    that decides whether skew.salted_agg/salted_join is needed before
+    a 100 TB run."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import skew
+
+    ev = load(spark, sf, "events")
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    return skew.skew_report(
+        [
+            ("events.event_type", ev, "event_type"),
+            ("events.user_id", ev, "user_id"),
+            ("lineitem.l_orderkey", li, "l_orderkey"),
+            ("orders.o_custkey", o, "o_custkey"),
+        ],
+        parallelism=1000,
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5120,7 +5171,7 @@ _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
-    224, 225, 226, 227, 228, 229,
+    224, 225, 226, 227, 228, 229, 230, 231,
 }
 
 
@@ -5384,6 +5435,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_calibration_brier": q227_calibration_brier,
         "q228_ks_two_sample": q228_ks_two_sample,
         "q229_gini_lorenz": q229_gini_lorenz,
+        "q230_ri_audit": q230_ri_audit,
+        "q231_skew_advisor": q231_skew_advisor,
     }
 
 
@@ -10120,4 +10173,61 @@ SELECT priority, CAST(decile AS INT) AS decile, CAST(n AS BIGINT) AS n,
              / CAST(n * tot AS DOUBLE), 6) AS gini
 FROM c ORDER BY priority, decile
 """
+    # q230: each FK edge replayed as a LEFT JOIN-IS-NULL count against
+    # the parent's distinct key set — exact BIGINTs, no division.
+    _ri_edges = [
+        ("cust_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("events_cust", "events", "user_id", "customer", "c_custkey"),
+        ("li_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("li_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("li_supp", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders_cust", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supp_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    _ri_arms = [
+        f"""
+SELECT '{name}' AS edge,
+       CAST(COUNT(ch.{ck}) AS BIGINT) AS child_rows,
+       CAST(SUM(CASE WHEN ch.{ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+       CAST(COUNT(DISTINCT ch.{ck}) AS BIGINT) AS distinct_keys,
+       CAST(SUM(CASE WHEN ch.{ck} IS NOT NULL AND pa.__pk IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+       CAST(COUNT(DISTINCT CASE WHEN pa.__pk IS NULL THEN ch.{ck} END) AS BIGINT)
+         AS orphan_keys
+FROM {child} ch
+LEFT JOIN (SELECT DISTINCT {pk} AS __pk FROM {parent}) pa ON ch.{ck} = pa.__pk"""
+        for name, child, ck, parent, pk in _ri_edges
+    ]
+    oracles["q230_ri_audit"] = (
+        "\nUNION ALL\n".join(_ri_arms) + "\nORDER BY edge"
+    )
+    # q231: the skew advisor's exact integer algebra per candidate key
+    # (argmax = min key among tied max counts, ceil via integer //).
+    _skew_frames = [
+        ("events.event_type", "events", "event_type"),
+        ("events.user_id", "events", "user_id"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+    ]
+    _skew_arms = [
+        f"""
+SELECT '{name}' AS keyed, n_rows, n_keys, max_cnt,
+       (SELECT MIN(k) FROM (SELECT CAST({key} AS VARCHAR) AS k,
+                                   CAST(COUNT(*) AS BIGINT) AS c
+                            FROM {tbl} GROUP BY 1) cc
+        WHERE cc.c = s.max_cnt) AS top_key,
+       ROUND(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             / CAST(n_rows AS DOUBLE), 6) AS skew_ratio,
+       CAST(GREATEST(1, (max_cnt * 1000 + n_rows - 1) // n_rows) AS BIGINT)
+         AS salt_buckets
+FROM (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_cnt
+      FROM (SELECT CAST({key} AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS c
+            FROM {tbl} GROUP BY 1)) s"""
+        for name, tbl, key in _skew_frames
+    ]
+    oracles["q231_skew_advisor"] = (
+        "\nUNION ALL\n".join(_skew_arms) + "\nORDER BY keyed"
+    )
     return oracles

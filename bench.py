@@ -182,6 +182,8 @@ HEADLINE = [
     "q227_calibration_brier",
     "q228_ks_two_sample",
     "q229_gini_lorenz",
+    "q230_ri_audit",
+    "q231_skew_advisor",
 ]
 
 

@@ -227,3 +227,58 @@ def fd_profile(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("fd")
+
+
+def ri_audit(
+    edges: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit across declared FK edges — the
+    cross-TABLE data-quality sibling of ``fd_profile``: for each
+    ``(name, child_df, child_key, parent_df, parent_key)``, count the
+    child rows whose key has no parent (the warehouse's dangling-FK
+    report, run before a pipeline trusts its joins).
+
+    Per edge: child_rows (key NOT NULL), null_keys, distinct_keys, and
+    the orphan side via LEFT ANTI against the parent's distinct key
+    set — orphan_rows and orphan_keys. All exact BIGINTs, no division.
+
+    Scale: one anti-join per edge (Catalyst broadcasts small parents
+    — nation/region — automatically; big parents hash-shuffle on the
+    key, the join's natural partitioning); each edge collapses to ONE
+    summary row, the k rows union. The anti-join consumes the
+    parent's DISTINCT key frame, so a fat parent row never rides the
+    shuffle.
+    """
+    outs = []
+    for name, child, ckey, parent, pkey in edges:
+        keyed = child.select(F.col(ckey).alias("__k"))
+        orphans = keyed.where(F.col("__k").isNotNull()).join(
+            parent.select(F.col(pkey).alias("__k")).distinct(), "__k", "left_anti"
+        )
+        # count("__k") counts NON-NULL keys; countDistinct ignores
+        # nulls natively — one pass for the child-side stats
+        stats = keyed.agg(
+            F.count("__k").cast("bigint").alias("child_rows"),
+            F.sum(F.col("__k").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("null_keys"),
+            F.countDistinct("__k").cast("bigint").alias("distinct_keys"),
+        )
+        orph = orphans.agg(
+            F.count(F.lit(1)).cast("bigint").alias("orphan_rows"),
+            F.countDistinct("__k").cast("bigint").alias("orphan_keys"),
+        )
+        outs.append(
+            stats.crossJoin(orph).select(
+                F.lit(name).alias("edge"),
+                "child_rows",
+                "null_keys",
+                "distinct_keys",
+                "orphan_rows",
+                "orphan_keys",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("edge")

@@ -85,3 +85,66 @@ def salted_join(
     o = other.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
     out = s.join(o, on=[*on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def skew_report(
+    frames: Sequence[tuple[str, DataFrame, str]],
+    *,
+    parallelism: int = 1000,
+) -> DataFrame:
+    """Key-skew advisor — measures the thing this module's mitigations
+    (salted_agg/salted_join) exist for, so a pipeline can DECIDE from
+    data whether a key needs salting before the 100 TB run.
+
+    For each ``(name, df, key_col)``: n_rows, n_keys, max_cnt (hottest
+    key's row count), the hottest key itself (deterministic argmax:
+    max count, then min key string), skew_ratio = max_cnt/avg_cnt
+    (= max_cnt*n_keys/n_rows, ONE rounded division), and salt_buckets
+    — the smallest salt fan-out that caps the hottest key's per-task
+    share at an even 1/parallelism of the data:
+    ceil(max_cnt * parallelism / n_rows) as exact BIGINT ceil division
+    (`div`, never a truncated double), floored at 1 ("don't salt").
+
+    Shape per frame: one map-side-combinable key count (the partial
+    agg IS the skew-proof path even when the key is hot — combiners
+    bound any task's state by its input split), one 1-row reduce over
+    the counts frame; the k summaries union.
+    """
+    outs = []
+    for name, df, key in frames:
+        counts = df.groupBy(F.col(key).cast("string").alias("__k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c")
+        )
+        summary = counts.agg(
+            F.sum("__c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("__c").cast("bigint").alias("max_cnt"),
+            F.min_by(
+                "__k", F.struct((-F.col("__c")).alias("nc"), F.col("__k").alias("k"))
+            ).alias("top_key"),
+        )
+        outs.append(
+            summary.select(
+                F.lit(name).alias("keyed"),
+                "n_rows",
+                "n_keys",
+                "max_cnt",
+                "top_key",
+                F.round(
+                    F.col("max_cnt").cast("double")
+                    * F.col("n_keys").cast("double")
+                    / F.col("n_rows").cast("double"),
+                    6,
+                ).alias("skew_ratio"),
+                F.greatest(
+                    F.lit(1).cast("bigint"),
+                    F.expr(
+                        f"(max_cnt * {int(parallelism)} + n_rows - 1) div n_rows"
+                    ).cast("bigint"),
+                ).alias("salt_buckets"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("keyed")

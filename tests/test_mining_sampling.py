@@ -1158,3 +1158,68 @@ def test_psi_drift_zero_when_identical_and_large_when_shifted(spark):
     assert out["stable"].n_first == out["stable"].n_second == 200
     assert out["stable"].psi == 0.0       # identical shares, smoothing included
     assert out["shifted"].psi > 1.0       # total bucket displacement
+
+
+# ---------------------------------------------------------------- ri_audit
+
+
+def test_ri_audit_counts_orphans_and_nulls(spark):
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.cleaning import ri_audit
+
+    child = spark.createDataFrame(
+        [Row(fk=1), Row(fk=1), Row(fk=2), Row(fk=99), Row(fk=None)]
+    )
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2), Row(pk=3)])
+    out = ri_audit([("edge", child, "fk", parent, "pk")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.child_rows == 4  # non-null keys
+    assert r.null_keys == 1
+    assert r.distinct_keys == 3  # {1, 2, 99}
+    assert r.orphan_rows == 1 and r.orphan_keys == 1  # fk=99
+
+
+def test_ri_audit_clean_edge_is_all_zero_orphans(spark):
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.cleaning import ri_audit
+
+    child = spark.createDataFrame([Row(fk=i % 3) for i in range(9)])
+    parent = spark.createDataFrame([Row(pk=i) for i in range(3)])
+    r = ri_audit([("e", child, "fk", parent, "pk")]).collect()[0]
+    assert r.orphan_rows == 0 and r.orphan_keys == 0 and r.null_keys == 0
+
+
+# ---------------------------------------------------------------- skew_report
+
+
+def test_skew_report_hot_key_math(spark):
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.skew import skew_report
+
+    # key 'hot' has 90 rows, 'a'..'j' one each: n=100, keys=11, max=90
+    rows = [Row(k="hot")] * 90 + [Row(k=c) for c in "abcdefghij"]
+    df = spark.createDataFrame(rows)
+    r = skew_report([("t", df, "k")], parallelism=10).collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_cnt, r.top_key) == (100, 11, 90, "hot")
+    assert r.skew_ratio == round(90 * 11 / 100, 6)
+    # ceil(90 * 10 / 100) = 9 salt buckets
+    assert r.salt_buckets == 9
+
+
+def test_skew_report_uniform_key_needs_no_salt(spark):
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame([Row(k=i % 50) for i in range(500)])
+    r = skew_report([("u", df, "k")], parallelism=32).collect()[0]
+    assert r.max_cnt == 10 and r.salt_buckets == 1 and r.skew_ratio == 1.0
+
+
+def test_skew_report_top_key_tie_breaks_to_min_string(spark):
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame([Row(k="b"), Row(k="b"), Row(k="a"), Row(k="a")])
+    r = skew_report([("t", df, "k")]).collect()[0]
+    assert r.top_key == "a"
