@@ -5099,6 +5099,54 @@ def q231_skew_advisor(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q232_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event
+    series per event_type (windows.seasonal_decompose): centered
+    2x24-MA trend over the zero-filled hour spine (the q181 grid),
+    hour-of-day seasonal indices from quantized detrended means,
+    residual diagnostics per slot. Integer window sums, ONE division
+    per metric, DECIMAL(28,10) quantization before every distributed
+    float mean."""
+    ev = load(spark, sf, "events")
+    hours = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    ).crossJoin(ev.select("event_type").distinct())
+    grid = (
+        spine.join(hours, ["event_type", "h"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .withColumn("hidx", F.expr("unix_micros(h) div 3600000000"))
+        .withColumn("hod", F.hour("h"))
+    )
+    return windows.seasonal_decompose(
+        grid,
+        group_cols=["event_type"],
+        order_col="hidx",
+        hod_col="hod",
+        value_col="c",
+        period=24,
+    )
+
+
+def q233_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional inverted-index phrase search (text.phrase_search):
+    exact multi-token phrase occurrences across the corpus in one
+    postings pass — token-filtered explode, broadcast phrase spec,
+    distinct-offset anchor vote. All counts exact BIGINTs; the oracle
+    replays the same anchor algebra over zipped-unnest postings."""
+    docs = load(spark, sf, "documents")
+    return textops.phrase_search(
+        docs,
+        ["fast sort", "scan query big", "table table", "value value value"],
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5171,7 +5219,7 @@ _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
-    224, 225, 226, 227, 228, 229, 230, 231,
+    224, 225, 226, 227, 228, 229, 230, 231, 232, 233,
 }
 
 
@@ -5437,6 +5485,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q229_gini_lorenz": q229_gini_lorenz,
         "q230_ri_audit": q230_ri_audit,
         "q231_skew_advisor": q231_skew_advisor,
+        "q232_seasonal_decompose": q232_seasonal_decompose,
+        "q233_phrase_search": q233_phrase_search,
     }
 
 
@@ -10230,4 +10280,107 @@ FROM (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_key
     oracles["q231_skew_advisor"] = (
         "\nUNION ALL\n".join(_skew_arms) + "\nORDER BY keyed"
     )
+    # q232: the decomposition replayed window-for-window — full-window
+    # trend (c1 = c2 = 24), quantized detrended means, centered
+    # indices, residual stats.
+    oracles["q232_seasonal_decompose"] = """
+WITH hours AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT et.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds) g
+),
+grid AS (
+  SELECT s.event_type, s.h, COALESCE(ho.c, 0) AS c,
+         CAST(EXTRACT(hour FROM s.h) AS INT) AS slot
+  FROM spine s LEFT JOIN hours ho ON s.event_type = ho.event_type AND s.h = ho.h
+),
+t AS (
+  SELECT event_type, slot, c,
+         SUM(c) OVER w1 AS s1, COUNT(*) OVER w1 AS c1,
+         SUM(c) OVER w2 AS s2, COUNT(*) OVER w2 AS c2
+  FROM grid
+  WINDOW w1 AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+         w2 AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+),
+d AS (
+  SELECT event_type, slot,
+         CAST(c AS DOUBLE) - CAST(s1 + s2 AS DOUBLE) / 48.0 AS dd
+  FROM t WHERE c1 = 24 AND c2 = 24
+),
+raw AS (
+  SELECT event_type, slot, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CAST(dd AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS s_raw
+  FROM d GROUP BY 1, 2
+),
+cent AS (
+  SELECT event_type, slot, n_obs,
+         s_raw - CAST(SUM(CAST(s_raw AS DECIMAL(28,10)))
+                        OVER (PARTITION BY event_type) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY event_type) AS s
+  FROM raw
+),
+r AS (
+  SELECT d.event_type, d.slot, cent.n_obs, cent.s, ABS(d.dd - cent.s) AS ar
+  FROM d JOIN cent ON d.event_type = cent.event_type AND d.slot = cent.slot
+)
+SELECT event_type, slot, MAX(n_obs) AS n_obs,
+       ROUND(MAX(s), 6) AS s_index,
+       ROUND(CAST(SUM(CAST(ar AS DECIMAL(28,10))) AS DOUBLE) / MAX(n_obs), 6)
+         AS avg_abs_resid,
+       ROUND(MAX(ar), 6) AS max_abs_resid
+FROM r GROUP BY event_type, slot
+ORDER BY event_type, slot
+"""
+    # q233: the positional-AND anchor algebra over zipped-unnest
+    # postings (token filter implicit in the spec join).
+    _PHRASES = ["fast sort", "scan query big", "table table", "value value value"]
+    _spec_rows = ", ".join(
+        f"({pid}, '{ph}', {off}, '{tok}', {len(ph.split())})"
+        for pid, ph in enumerate(_PHRASES)
+        for off, tok in enumerate(ph.split())
+    )
+    oracles["q233_phrase_search"] = f"""
+WITH spec(pid, phrase, off, tok, plen) AS (VALUES {_spec_rows}),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+         unnest(range(0, len(regexp_split_to_array(trim(text), '\\s+')))) AS pos
+  FROM documents
+),
+hits AS (
+  SELECT s.pid, s.plen, t.doc_id, t.pos - s.off AS start, s.off
+  FROM toks t JOIN spec s ON t.tok = s.tok
+  WHERE t.pos - s.off >= 0
+),
+anchors AS (
+  SELECT pid, plen, doc_id, start, COUNT(DISTINCT off) AS n_off
+  FROM hits GROUP BY 1, 2, 3, 4
+  HAVING COUNT(DISTINCT off) = plen
+),
+per AS (
+  SELECT pid,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_matches,
+         MIN({{'d': doc_id, 's': start}}) AS first
+  FROM anchors GROUP BY pid
+)
+SELECT sp.phrase,
+       COALESCE(per.n_docs, 0) AS n_docs,
+       COALESCE(per.n_matches, 0) AS n_matches,
+       per.first.d AS first_doc_id,
+       per.first.s AS first_pos
+FROM (SELECT DISTINCT pid, phrase FROM spec) sp
+LEFT JOIN per USING (pid)
+ORDER BY sp.phrase
+"""
     return oracles

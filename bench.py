@@ -184,6 +184,8 @@ HEADLINE = [
     "q229_gini_lorenz",
     "q230_ri_audit",
     "q231_skew_advisor",
+    "q232_seasonal_decompose",
+    "q233_phrase_search",
 ]
 
 

@@ -12,6 +12,8 @@ operator is hash-checkable against ANSI SQL.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 # Tiny per-language stopword lexicons for the n-gram/stopword-hit
@@ -1482,4 +1484,84 @@ def lang_id_eval(
             kappa.alias("kappa"),
         )
         .orderBy("lang")
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-phrase exact search over a POSITIONAL inverted index —
+    the IR-engine primitive (find every occurrence of each multi-token
+    phrase across the corpus) built join-first rather than L-way
+    self-join-per-phrase:
+
+      1. postings: (doc, pos, token) — but ONLY for tokens that occur
+         in some phrase (a broadcast semi-filter, so the exploded
+         frame is |hits|, not |corpus tokens|);
+      2. the phrase spec (phrase_id, offset, token) broadcast-joins the
+         postings on token; every joined row votes for a candidate
+         anchor start = pos - offset;
+      3. an anchor is a MATCH iff it collected all len(phrase) DISTINCT
+         offsets — one groupBy, exact integers (Brown et al.'s
+         document-at-a-time positional AND, shuffled once on
+         (phrase, doc, anchor)).
+
+    Whitespace tokenization (WORD_SPLIT — the corpus-wide convention,
+    so phrase queries match token_count/winnow semantics). Returns one
+    row per phrase: n_docs, n_matches (occurrences), first_doc_id and
+    first_pos within it (deterministic min), 0-row phrases included
+    via the spec left join.
+
+    Scale: no per-phrase scan — one pass builds postings for all
+    phrases; the only shuffle keys on (phrase, doc, anchor), and the
+    phrase spec / token filter stay broadcast (phrase lists are
+    metadata-sized by construction).
+    """
+    spark = docs.sparkSession
+    spec_rows = []
+    for pid, ph in enumerate(phrases):
+        toks = ph.split()
+        for off, tok in enumerate(toks):
+            spec_rows.append((pid, ph, off, tok, len(toks)))
+    spec = spark.createDataFrame(
+        spec_rows, "pid int, phrase string, off int, tok string, plen int"
+    )
+    toks = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), WORD_SPLIT)).alias(
+            "__pos", "tok"
+        ),
+    )
+    hits = toks.join(F.broadcast(spec), "tok").select(
+        "pid", "plen", "__doc", (F.col("__pos") - F.col("off")).alias("__start"), "off"
+    )
+    anchors = (
+        hits.where(F.col("__start") >= 0)
+        .groupBy("pid", "plen", "__doc", "__start")
+        .agg(F.countDistinct("off").alias("__n_off"))
+        .where(F.col("__n_off") == F.col("plen"))
+    )
+    per_phrase = anchors.groupBy("pid").agg(
+        F.countDistinct("__doc").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min(F.struct(F.col("__doc").alias("d"), F.col("__start").alias("p"))).alias(
+            "__first"
+        ),
+    )
+    return (
+        spec.select("pid", "phrase")
+        .distinct()
+        .join(per_phrase, "pid", "left")
+        .select(
+            "phrase",
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+            F.col("__first.d").alias("first_doc_id"),
+            F.col("__first.p").alias("first_pos"),
+        )
+        .orderBy("phrase")
     )

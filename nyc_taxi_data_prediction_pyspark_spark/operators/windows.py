@@ -968,3 +968,98 @@ def grouped_cumsum_two_phase(
             f"__cum_{c}", (F.col(f"__loc_{c}") + F.col(f"__off_{c}")).cast("bigint")
         )
     return out.drop("__pid", *[f"__loc_{c}" for c in vcols], *[f"__off_{c}" for c in vcols])
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    order_col: str,
+    hod_col: str,
+    value_col: str,
+    period: int = 24,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    half of STL, Cleveland et al. '90) over a DENSE per-group series:
+    trend via the centered 2x``period`` moving average, seasonal
+    indices as centered per-slot means of the detrended series,
+    residual diagnostics per slot.
+
+    Exactness discipline: the trend numerator is two INTEGER window
+    sums (s1 over [-p/2, p/2-1] + s2 over [-p/2+1, p/2]; their sum
+    half-weights the endpoints exactly), ONE division by 2p; every
+    subsequent float mean quantizes its terms to DECIMAL(28,10) before
+    the distributed sum (the grouped_autocorr rule); MAX/|r| are
+    order-independent. Trend is defined only where BOTH windows are
+    full (count = period), so series edges never dilute the indices.
+
+    Scale: ROWS windows partitioned by the group — the series frame is
+    one row per (group, period-slot-time), i.e. time-granularity
+    metadata (a decade of hours is 87k rows), never the raw events.
+    Input must be dense per group (zero-fill on a spine first);
+    ``hod_col`` is the precomputed seasonal slot (hour-of-day).
+
+    Returns per (group, slot): n_obs (full-trend rows), s_index,
+    avg_abs_resid, max_abs_resid.
+    """
+    gcols = list(group_cols)
+    half = period // 2
+    w1 = (
+        W.partitionBy(*gcols)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(-half, half - 1)
+    )
+    w2 = (
+        W.partitionBy(*gcols)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(-half + 1, half)
+    )
+    x = F.col(value_col).cast("bigint")
+    full = (F.count(F.lit(1)).over(w1) == period) & (
+        F.count(F.lit(1)).over(w2) == period
+    )
+    trend = F.when(
+        full,
+        (F.sum(x).over(w1) + F.sum(x).over(w2)).cast("double")
+        / F.lit(2.0 * period),
+    )
+    base = df.select(
+        *gcols,
+        F.col(hod_col).alias("__slot"),
+        (x.cast("double") - trend).alias("__d"),
+    ).where(F.col("__d").isNotNull())
+    dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+    raw = base.groupBy(*gcols, "__slot").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(dec(F.col("__d"))).alias("__sd"),
+    )
+    raw = raw.withColumn(
+        "__s_raw", F.col("__sd").cast("double") / F.col("n_obs")
+    )
+    wg = W.partitionBy(*gcols)
+    centered = raw.withColumn(
+        "__s",
+        F.col("__s_raw")
+        - F.sum(dec(F.col("__s_raw"))).over(wg).cast("double")
+        / F.count(F.lit(1)).over(wg),
+    ).select(*gcols, "__slot", "n_obs", "__s")
+    resid = base.join(centered, [*gcols, "__slot"]).select(
+        *gcols,
+        "__slot",
+        "n_obs",
+        "__s",
+        F.abs(F.col("__d") - F.col("__s")).alias("__ar"),
+    )
+    return (
+        resid.groupBy(*gcols, "__slot")
+        .agg(
+            F.max("n_obs").alias("n_obs"),
+            F.round(F.max("__s"), 6).alias("s_index"),
+            F.round(
+                F.sum(dec(F.col("__ar"))).cast("double") / F.max("n_obs"), 6
+            ).alias("avg_abs_resid"),
+            F.round(F.max("__ar"), 6).alias("max_abs_resid"),
+        )
+        .withColumnRenamed("__slot", "slot")
+        .orderBy(*gcols, "slot")
+    )

@@ -159,3 +159,88 @@ def test_grouped_cumsum_two_phase_parity_grouped(spark):
         )
         key = lambda r: (r.event_type, r.value)  # noqa: E731
         assert sorted(a.collect(), key=key) == sorted(b.collect(), key=key)
+
+
+# ------------------------------------------------------- seasonal_decompose
+
+
+def test_seasonal_decompose_flat_series_zero_seasonality(spark):
+    """A constant series has zero seasonal indices and zero residuals
+    wherever the trend is defined."""
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.windows import (
+        seasonal_decompose,
+    )
+
+    rows = [Row(g="a", i=i, slot=i % 24, c=7) for i in range(96)]
+    out = seasonal_decompose(
+        spark.createDataFrame(rows),
+        group_cols=["g"],
+        order_col="i",
+        hod_col="slot",
+        value_col="c",
+        period=24,
+    ).collect()
+    assert len(out) == 24
+    assert all(r.s_index == 0.0 and r.max_abs_resid == 0.0 for r in out)
+    # 96 hours, trend defined on rows 12..83 inclusive = 72 rows = 3/slot
+    assert all(r.n_obs == 3 for r in out)
+
+
+def test_seasonal_decompose_recovers_pure_seasonal_pattern(spark):
+    """x = 10 + (5 if slot==0 else 0): slot 0's index must exceed the
+    others and indices must sum to ~0 (centered)."""
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.windows import (
+        seasonal_decompose,
+    )
+
+    rows = [
+        Row(g="a", i=i, slot=i % 24, c=10 + (120 if i % 24 == 0 else 0))
+        for i in range(24 * 6)
+    ]
+    out = seasonal_decompose(
+        spark.createDataFrame(rows),
+        group_cols=["g"],
+        order_col="i",
+        hod_col="slot",
+        value_col="c",
+        period=24,
+    ).collect()
+    by_slot = {r.slot: r.s_index for r in out}
+    assert by_slot[0] == max(by_slot.values())
+    assert by_slot[0] > 100  # ~115 = 120 - 5 (the mean uplift)
+    assert abs(sum(by_slot.values())) < 1e-6  # centered
+
+
+# --------------------------------------------------------- phrase_search
+
+
+def test_phrase_search_counts_overlaps_and_misses(spark):
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a"),
+            Row(doc_id=2, text="b b b"),
+            Row(doc_id=3, text="c c"),
+        ]
+    )
+    out = {r.phrase: r for r in phrase_search(docs, ["a b", "b b", "z q"]).collect()}
+    assert out["a b"].n_matches == 2 and out["a b"].n_docs == 1
+    assert out["a b"].first_doc_id == 1 and out["a b"].first_pos == 0
+    # overlapping occurrences both count: "b b b" has starts 0 and 1
+    assert out["b b"].n_matches == 2 and out["b b"].n_docs == 1
+    assert out["z q"].n_matches == 0 and out["z q"].first_doc_id is None
+
+
+def test_phrase_search_repeated_token_phrase_needs_all_offsets(spark):
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x x y x x x")]  # "x x x" only at start 3
+    )
+    out = phrase_search(docs, ["x x x"]).collect()[0]
+    assert out.n_matches == 1 and out.first_pos == 3

@@ -50,6 +50,7 @@ BNL_ALLOWED = {
     "q227_calibration_brier": "1-row Brier/ECE-totals broadcast onto the #bins-row frame",
     "q228_ks_two_sample": "1-row sample-size broadcast onto the distinct-value ECDF frame",
     "q230_ri_audit": "per-edge 1-row stats x 1-row orphan-counts crossed (8 edges)",
+    "q232_seasonal_decompose": "hour spine x #event-types frame (both metadata-sized) crossed — the q181 shape",
 }
 
 
