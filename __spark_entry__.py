@@ -5147,6 +5147,18 @@ def q233_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q234_mutual_nn_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs within sign-LSH blocks
+    (similarity.mutual_nn_pairs): each side is the other's best
+    bucket-mate by cosine (round 6, ties to smallest id) — the RNN
+    alignment/dedup criterion, block-local so no all-pairs join. The
+    oracle bakes the seeded hyperplanes in as literals (the q28
+    precedent) and replays the identical struct-max + mutuality join."""
+    emb = load(spark, sf, "embeddings")
+    planes = similarity.random_hyperplanes(64, 4, seed=42)
+    return similarity.mutual_nn_pairs(emb, planes)
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5219,7 +5231,7 @@ _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
-    224, 225, 226, 227, 228, 229, 230, 231, 232, 233,
+    224, 225, 226, 227, 228, 229, 230, 231, 232, 233, 234,
 }
 
 
@@ -5487,6 +5499,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_skew_advisor": q231_skew_advisor,
         "q232_seasonal_decompose": q232_seasonal_decompose,
         "q233_phrase_search": q233_phrase_search,
+        "q234_mutual_nn_pairs": q234_mutual_nn_pairs,
     }
 
 
@@ -10382,5 +10395,28 @@ SELECT sp.phrase,
 FROM (SELECT DISTINCT pid, phrase FROM spec) sp
 LEFT JOIN per USING (pid)
 ORDER BY sp.phrase
+"""
+    # q234: seeded hyperplanes baked in as literals (the q28
+    # precedent); block-local best neighbor via struct-max, mutuality
+    # as a self-join on the best-edge frame.
+    oracles["q234_mutual_nn_pairs"] = f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         {_lsh_bucket_sql('embedding::DOUBLE[]', n_planes=4, seed=42, dim=64)} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT x.id AS a, y.id AS bb,
+         ROUND({_COS.format(a='x.v', b='y.v')}, 6) AS cos
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.id <> y.id
+),
+best AS (
+  SELECT a, MAX({{'c': cos, 'nb': -bb}}) AS m FROM pairs GROUP BY a
+),
+edges AS (SELECT a, -(m.nb) AS best, m.c AS cos FROM best)
+SELECT e1.a AS vec_id_a, e1.best AS vec_id_b, e1.cos AS cos
+FROM edges e1 JOIN edges e2 ON e2.a = e1.best AND e2.best = e1.a
+WHERE e1.a < e1.best
+ORDER BY vec_id_a
 """
     return oracles

@@ -186,6 +186,7 @@ HEADLINE = [
     "q231_skew_advisor",
     "q232_seasonal_decompose",
     "q233_phrase_search",
+    "q234_mutual_nn_pairs",
 ]
 
 

@@ -685,3 +685,67 @@ def matryoshka_recall(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("dim")
+
+
+def mutual_nn_pairs(
+    emb: DataFrame,
+    planes: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal (mutual) nearest-neighbor pairs within sign-LSH
+    blocks — the alignment/dedup primitive (each side is the other's
+    best neighbor; the RNN criterion of bitext mining and SemDeDup-
+    style cluster pairing) computed block-locally so no all-pairs join
+    ever forms.
+
+    Semantics: candidates for a vector are its LSH bucket-mates; its
+    best neighbor is the max (cosine round 6, ties to the SMALLEST
+    candidate id — struct-max on (cos, -id)); a pair (a < b) is
+    emitted iff best(a) = b AND best(b) = a. Block-local by design:
+    the guarantee is "mutual within the bucket", the standard blocked
+    trade-off (documented, oracle replays the same blocks).
+
+    Scale: the only quadratic term is per-bucket (2^n_planes buckets
+    partition the corpus; n_planes tunes the block width), the shuffle
+    keys on bucket then on id — never a global cross join. Best-
+    neighbor is a groupBy struct-max, mutuality one self-join on the
+    best-edge frame.
+    """
+    b = lsh_buckets(emb, planes, vec_col=vec_col).select(
+        F.col(id_col).alias("__id"), as_double(vec_col).alias("__v"), "bucket"
+    )
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), "bucket")
+        .where(F.col("x.__id") != F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("__a"),
+            F.col("y.__id").alias("__b"),
+            F.round(cosine(F.col("x.__v"), F.col("y.__v")), 6).alias("__cos"),
+        )
+    )
+    best = pairs.groupBy("__a").agg(
+        F.max(
+            F.struct(F.col("__cos").alias("c"), (-F.col("__b")).alias("nb"))
+        ).alias("__m")
+    )
+    edges = best.select(
+        F.col("__a"),
+        (-F.col("__m.nb")).alias("__best"),
+        F.col("__m.c").alias("cos"),
+    )
+    rev = edges.select(
+        F.col("__a").alias("__best"), F.col("__best").alias("__a")
+    )
+    return (
+        edges.join(rev, ["__a", "__best"])
+        .where(F.col("__a") < F.col("__best"))
+        .select(
+            F.col("__a").alias("vec_id_a"),
+            F.col("__best").alias("vec_id_b"),
+            "cos",
+        )
+        .orderBy("vec_id_a")
+    )

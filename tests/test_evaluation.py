@@ -244,3 +244,43 @@ def test_phrase_search_repeated_token_phrase_needs_all_offsets(spark):
     )
     out = phrase_search(docs, ["x x x"]).collect()[0]
     assert out.n_matches == 1 and out.first_pos == 3
+
+
+# --------------------------------------------------------- mutual_nn_pairs
+
+
+def test_mutual_nn_pairs_two_clusters(spark):
+    """Two tight pairs + one singleton-bucket vector: exactly the two
+    mutual pairs come back, the singleton matches nothing."""
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.similarity import (
+        mutual_nn_pairs,
+    )
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.99, 0.14, 0.0]),
+        Row(vec_id=3, embedding=[0.01, 1.0, 0.0]),
+        Row(vec_id=4, embedding=[0.02, 0.99, 0.0]),
+        Row(vec_id=5, embedding=[-1.0, -1.0, -1.0]),  # own bucket
+    ]
+    # one explicit plane: bucket = sign(x + 2y + 0z-ish) keeps 1-4
+    # together and isolates 5
+    planes = [[1.0, 2.0, 0.5]]
+    out = mutual_nn_pairs(spark.createDataFrame(rows), planes).collect()
+    got = {(r.vec_id_a, r.vec_id_b) for r in out}
+    assert got == {(1, 2), (3, 4)}
+
+
+def test_mutual_nn_pairs_tie_breaks_to_smallest_id(spark):
+    """Three identical vectors: best(1) = 2 (smallest id among cos=1
+    ties), best(2) = 1, best(3) = 1 -> only (1,2) is mutual."""
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.similarity import (
+        mutual_nn_pairs,
+    )
+
+    rows = [Row(vec_id=i, embedding=[1.0, 1.0]) for i in (1, 2, 3)]
+    out = mutual_nn_pairs(spark.createDataFrame(rows), [[1.0, 1.0]]).collect()
+    assert {(r.vec_id_a, r.vec_id_b) for r in out} == {(1, 2)}
+    assert all(r.cos == 1.0 for r in out)
