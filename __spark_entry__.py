@@ -5159,6 +5159,23 @@ def q234_mutual_nn_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.mutual_nn_pairs(emb, planes)
 
 
+_BANDIT_ARMS = ["click", "error", "purchase", "signup", "view"]
+
+
+def q235_bandit_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy-bandit off-policy replay over the event log
+    (mining.bandit_replay): at each step of each day's time-ordered
+    stream, which arm would the greedy policy have pulled given the
+    log so far, scored by the Li et al. WSDM'11 replay estimator
+    (reward = value >= 100). Daily state reset = embarrassingly
+    parallel days; the argmax is engine-parity-safe by construction
+    (identical IEEE division both sides). The oracle replays the same
+    publish/forward-fill/row_number algebra."""
+    ev = load(spark, sf, "events")
+    labeled = ev.withColumn("reward", (F.col("value") >= 100.0).cast("int"))
+    return mining.bandit_replay(labeled, _BANDIT_ARMS)
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5231,7 +5248,7 @@ _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
-    224, 225, 226, 227, 228, 229, 230, 231, 232, 233, 234,
+    224, 225, 226, 227, 228, 229, 230, 231, 232, 233, 234, 235,
 }
 
 
@@ -5500,6 +5517,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q232_seasonal_decompose": q232_seasonal_decompose,
         "q233_phrase_search": q233_phrase_search,
         "q234_mutual_nn_pairs": q234_mutual_nn_pairs,
+        "q235_bandit_replay": q235_bandit_replay,
     }
 
 
@@ -10418,5 +10436,81 @@ SELECT e1.a AS vec_id_a, e1.best AS vec_id_b, e1.cos AS cos
 FROM edges e1 JOIN edges e2 ON e2.a = e1.best AND e2.best = e1.a
 WHERE e1.a < e1.best
 ORDER BY vec_id_a
+"""
+    # q235: the replay's publish / forward-fill / row_number algebra
+    # replayed arm-for-arm (the argmax ordering is identical IEEE
+    # division over identical BIGINTs on both engines).
+    oracles["q235_bandit_replay"] = """
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS day, ts, event_id AS id, event_type AS arm,
+         CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS r
+  FROM events
+),
+pub AS (
+  SELECT day, ts, id, arm, r,
+         {'n': CAST(COUNT(*) OVER w_arm AS BIGINT),
+           's': CAST(SUM(r) OVER w_arm AS BIGINT)} AS incl
+  FROM base
+  WINDOW w_arm AS (PARTITION BY day, arm ORDER BY ts, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+filled AS (
+  SELECT day, ts, id, arm, r,
+         LAST_VALUE(CASE WHEN arm = 'click' THEN incl END IGNORE NULLS) OVER w AS st_click,
+         LAST_VALUE(CASE WHEN arm = 'error' THEN incl END IGNORE NULLS) OVER w AS st_error,
+         LAST_VALUE(CASE WHEN arm = 'purchase' THEN incl END IGNORE NULLS) OVER w AS st_purchase,
+         LAST_VALUE(CASE WHEN arm = 'signup' THEN incl END IGNORE NULLS) OVER w AS st_signup,
+         LAST_VALUE(CASE WHEN arm = 'view' THEN incl END IGNORE NULLS) OVER w AS st_view
+  FROM pub
+  WINDOW w AS (PARTITION BY day ORDER BY ts, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+cands AS (
+  SELECT day, ts, id, arm, r, 'click' AS cand,
+         CAST(COALESCE(st_click.n, 0) AS BIGINT) AS n,
+         CAST(COALESCE(st_click.s, 0) AS BIGINT) AS s FROM filled
+  UNION ALL
+  SELECT day, ts, id, arm, r, 'error' AS cand,
+         CAST(COALESCE(st_error.n, 0) AS BIGINT) AS n,
+         CAST(COALESCE(st_error.s, 0) AS BIGINT) AS s FROM filled
+  UNION ALL
+  SELECT day, ts, id, arm, r, 'purchase' AS cand,
+         CAST(COALESCE(st_purchase.n, 0) AS BIGINT) AS n,
+         CAST(COALESCE(st_purchase.s, 0) AS BIGINT) AS s FROM filled
+  UNION ALL
+  SELECT day, ts, id, arm, r, 'signup' AS cand,
+         CAST(COALESCE(st_signup.n, 0) AS BIGINT) AS n,
+         CAST(COALESCE(st_signup.s, 0) AS BIGINT) AS s FROM filled
+  UNION ALL
+  SELECT day, ts, id, arm, r, 'view' AS cand,
+         CAST(COALESCE(st_view.n, 0) AS BIGINT) AS n,
+         CAST(COALESCE(st_view.s, 0) AS BIGINT) AS s FROM filled
+),
+picks AS (
+  SELECT arm, r, cand AS pick FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY day, ts, id
+      ORDER BY (n > 0) ASC,
+               (CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / n END) DESC NULLS LAST,
+               cand ASC) AS rn
+    FROM cands) WHERE rn = 1
+),
+logs AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_log FROM base GROUP BY 1),
+pol AS (
+  SELECT pick AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_policy,
+         CAST(SUM(CASE WHEN pick = arm THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         CAST(SUM(CASE WHEN pick = arm THEN r ELSE 0 END) AS BIGINT) AS matched_reward
+  FROM picks GROUP BY 1
+)
+SELECT COALESCE(logs.arm, pol.arm) AS arm,
+       COALESCE(n_log, 0) AS n_log,
+       COALESCE(n_policy, 0) AS n_policy,
+       COALESCE(n_matched, 0) AS n_matched,
+       COALESCE(matched_reward, 0) AS matched_reward,
+       CASE WHEN COALESCE(n_matched, 0) > 0
+            THEN CAST(matched_reward AS DOUBLE) / n_matched END AS replay_value
+FROM logs FULL OUTER JOIN pol ON logs.arm = pol.arm
+ORDER BY arm
 """
     return oracles

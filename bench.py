@@ -187,6 +187,7 @@ HEADLINE = [
     "q232_seasonal_decompose",
     "q233_phrase_search",
     "q234_mutual_nn_pairs",
+    "q235_bandit_replay",
 ]
 
 

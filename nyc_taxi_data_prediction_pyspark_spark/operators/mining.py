@@ -634,3 +634,144 @@ def ab_test_report(
         ((center - half) / denom).alias("wilson_lo"),
         ((center + half) / denom).alias("wilson_hi"),
     ).orderBy("arm")
+
+
+def bandit_replay(
+    events: DataFrame,
+    arms: list[str],
+    *,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    arm_col: str = "event_type",
+    reward_col: str = "reward",
+) -> DataFrame:
+    """Deterministic greedy-bandit OFF-POLICY REPLAY (the rejection-
+    sampling replay estimator of Li et al., WSDM'11): walk the logged
+    event stream in time order and ask, at every step, which arm a
+    greedy policy (highest empirical mean reward so far, unseen arms
+    first, all ties to the lexicographically smallest arm) WOULD have
+    pulled given the log's own history; score the policy on the steps
+    where its pick coincides with the logged arm.
+
+    State resets per DAY — the explicit scale contract: each day's
+    replay is an independent sequential fold, so days parallelize
+    embarrassingly and no task ever holds more than one day of one
+    ordering (the q36 sessionize-by-day shape).
+
+    Determinism: the pick is a row_number over per-step candidate rows
+    ordered by (seen ASC, mean DESC NULLS LAST, arm ASC) — `mean` is
+    the SAME s/n IEEE division on both engines (identical BIGINTs in,
+    identical double out), so the comparison is engine-parity-safe by
+    construction; counts are exact. Per-arm stats arrive at each step
+    via one exclusive-window forward fill per arm (last_value IGNORE
+    NULLS over the day's order of that arm's published inclusive
+    stats), i.e. |arms| window passes, not a per-step join.
+
+    Returns per arm: n_log (logged pulls), n_policy (greedy picks),
+    n_matched (pick == logged arm), matched_reward, and the replay
+    estimate matched_reward / n_matched (ONE division, null when the
+    policy never matched)."""
+    day = F.to_date(F.col(ts_col)).alias("__day")
+    base = events.select(
+        day,
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(arm_col).alias("__arm"),
+        F.col(reward_col).cast("bigint").alias("__r"),
+    )
+    w_arm = (
+        W.partitionBy("__day", "__arm")
+        .orderBy(F.col("__ts").asc(), F.col("__id").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pub = base.select(
+        "__day",
+        "__ts",
+        "__id",
+        "__arm",
+        "__r",
+        F.struct(
+            F.count(F.lit(1)).over(w_arm).cast("bigint").alias("n"),
+            F.sum("__r").over(w_arm).cast("bigint").alias("s"),
+        ).alias("__incl"),
+    )
+    w_day_excl = (
+        W.partitionBy("__day")
+        .orderBy(F.col("__ts").asc(), F.col("__id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    filled = pub
+    for a in arms:
+        filled = filled.withColumn(
+            f"__st_{a}",
+            F.last(
+                F.when(F.col("__arm") == a, F.col("__incl")), ignorenulls=True
+            ).over(w_day_excl),
+        )
+    cands = filled.select(
+        "__day",
+        "__ts",
+        "__id",
+        "__arm",
+        "__r",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("cand"),
+                        F.coalesce(F.col(f"__st_{a}.n"), F.lit(0))
+                        .cast("bigint")
+                        .alias("n"),
+                        F.coalesce(F.col(f"__st_{a}.s"), F.lit(0))
+                        .cast("bigint")
+                        .alias("s"),
+                    )
+                    for a in arms
+                ]
+            )
+        ).alias("__c"),
+    )
+    mean = F.when(
+        F.col("__c.n") > 0, F.col("__c.s").cast("double") / F.col("__c.n")
+    )
+    w_pick = W.partitionBy("__day", "__ts", "__id").orderBy(
+        (F.col("__c.n") > 0).asc(), mean.desc_nulls_last(), F.col("__c.cand").asc()
+    )
+    picks = (
+        cands.withColumn("__rn", F.row_number().over(w_pick))
+        .where(F.col("__rn") == 1)
+        .select(
+            "__arm", "__r", F.col("__c.cand").alias("__pick")
+        )
+    )
+    log_side = base.groupBy(F.col("__arm").alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_log")
+    )
+    pol_side = picks.groupBy(F.col("__pick").alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_policy"),
+        F.sum((F.col("__pick") == F.col("__arm")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(
+            F.when(F.col("__pick") == F.col("__arm"), F.col("__r")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("matched_reward"),
+    )
+    return (
+        log_side.join(pol_side, "arm", "full_outer")
+        .select(
+            "arm",
+            F.coalesce("n_log", F.lit(0)).cast("bigint").alias("n_log"),
+            F.coalesce("n_policy", F.lit(0)).cast("bigint").alias("n_policy"),
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+            F.coalesce("matched_reward", F.lit(0))
+            .cast("bigint")
+            .alias("matched_reward"),
+            F.when(
+                F.coalesce("n_matched", F.lit(0)) > 0,
+                F.col("matched_reward").cast("double") / F.col("n_matched"),
+            ).alias("replay_value"),
+        )
+        .orderBy("arm")
+    )

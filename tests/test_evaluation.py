@@ -284,3 +284,49 @@ def test_mutual_nn_pairs_tie_breaks_to_smallest_id(spark):
     out = mutual_nn_pairs(spark.createDataFrame(rows), [[1.0, 1.0]]).collect()
     assert {(r.vec_id_a, r.vec_id_b) for r in out} == {(1, 2)}
     assert all(r.cos == 1.0 for r in out)
+
+
+# ----------------------------------------------------------- bandit_replay
+
+
+def test_bandit_replay_hand_traced_sequence(spark):
+    """5-step trace, arms {A,B}: unseen-first, then mean argmax, ties
+    alphabetical. Policy picks A,B,A,A,A; matches steps 1,2,3,5."""
+    import datetime
+
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.mining import bandit_replay
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    seq = [("A", 1), ("B", 0), ("A", 0), ("B", 1), ("A", 1)]
+    rows = [
+        Row(ts=t0 + datetime.timedelta(minutes=i), event_id=i, event_type=a, reward=r)
+        for i, (a, r) in enumerate(seq)
+    ]
+    out = {r.arm: r for r in bandit_replay(spark.createDataFrame(rows), ["A", "B"]).collect()}
+    a, b = out["A"], out["B"]
+    assert (a.n_log, a.n_policy, a.n_matched, a.matched_reward) == (3, 4, 3, 2)
+    assert a.replay_value == 2 / 3
+    assert (b.n_log, b.n_policy, b.n_matched, b.matched_reward) == (2, 1, 1, 0)
+    assert b.replay_value == 0.0
+
+
+def test_bandit_replay_state_resets_per_day(spark):
+    """Day 2 starts blind: its first step must pick the alphabetical
+    unseen arm again even though day 1 ended with a clear winner."""
+    import datetime
+
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.mining import bandit_replay
+
+    d1 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    d2 = datetime.datetime(2024, 1, 2, 12, 0, 0)
+    rows = [
+        Row(ts=d1, event_id=1, event_type="B", reward=1),
+        Row(ts=d1 + datetime.timedelta(minutes=1), event_id=2, event_type="B", reward=1),
+        # day 2, logged arm A: a carried-over policy would pick B
+        # (mean 1.0); a reset policy picks A (unseen-first, alpha)
+        Row(ts=d2, event_id=3, event_type="A", reward=1),
+    ]
+    out = {r.arm: r for r in bandit_replay(spark.createDataFrame(rows), ["A", "B"]).collect()}
+    assert out["A"].n_matched == 1  # reset -> picked A on day 2
