@@ -129,6 +129,21 @@ NOTES = {
     "q218_linear_attribution": "forward IGNORE-NULLS window per user; touch ranking partitioned by (user, conversion); integer quota split in-row",
     "q219_scene_changes": "narrow mapInPandas codec (header parse + int64 SAD) — zero shuffles before the per-video rows",
     "q220_streaming_holt": "per-batch cost O(|store| + |batch|); ts-range triggers in mtime order; state = 3 scalars per user, watermark-guarded fold",
+    "q221_matryoshka_recall": "1-row probe broadcast; truncated-prefix cosines are in-row slice folds over ONE corpus scan; every ranking TakeOrdered(k); recall joins are k x k",
+    "q222_conformal_intervals": "spine grid (metadata cross) + per-type exact ceil((n+1)q) residual order statistic — no interpolation, no data-sized global window",
+    "q223_ab_test_wilson": "md5 hash-split in-row; one per-user rollup then a 2-row arm aggregate; Wilson interval assembled from exact counts (sqrt correctly rounded)",
+    "q224_psi_drift": "first-half deciles via the q152 exact-percentile contract; bucket counts map-side combine; ln terms decimal-quantized before the one distributed sum",
+    "q225_lang_id_kappa": "in-row marker scoring; confusion frame is <= classes^2 rows; kappa from one BIGINT rational; 1-row totals broadcast",
+    "q226_roc_auc": "distinct-score collapse BEFORE any ranking; exclusive neg-prefix via the two-phase range exchange (no single-task window); 2U as one BIGINT sum",
+    "q227_calibration_brier": "one narrow bin map + #bins-row aggregate; per-bin means from DECIMAL(28,10)-quantized sums; Brier/ECE ride a 1-row broadcast",
+    "q228_ks_two_sample": "distinct-value collapse, two-phase inclusive cumsums for both samples in ONE pass, metadata reduce for the rational sup-gap argmax",
+    "q229_gini_lorenz": "cents-scaled exact ranks from the two-phase ranking; DECIMAL(38,0) rank-value products; Lorenz/deciles over a 10-rows-per-group frame",
+    "q230_ri_audit": "per-edge LEFT ANTI against the parent's DISTINCT keys (small parents broadcast by Catalyst); each edge collapses to one row pre-union",
+    "q231_skew_advisor": "map-side-combinable key counts (combiners bound hot-key task state); 1-row reduce per frame; ceil salt fan-out by integer div",
+    "q232_seasonal_decompose": "hour-spine grid (metadata cross); integer 2x24-MA window sums partitioned by event_type; every float mean decimal-quantized",
+    "q233_phrase_search": "postings filtered to phrase tokens by the broadcast spec BEFORE the explode leaves the stage; one shuffle on (phrase, doc, anchor)",
+    "q234_mutual_nn_pairs": "pairwise cosine confined WITHIN sign-LSH buckets (equi-join on bucket); best-neighbor is a struct-max groupBy; mutuality one self-join on best edges",
+    "q235_bandit_replay": "per-(day,arm) inclusive windows + |arms| forward fills in ONE day-ordered window exec; pick via row_number over 5-row per-step partitions; days independent",
 }
 
 
