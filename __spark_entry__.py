@@ -5176,6 +5176,73 @@ def q235_bandit_replay(spark: SparkSession, sf: str) -> DataFrame:
     return mining.bandit_replay(labeled, _BANDIT_ARMS)
 
 
+def q236_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation of quantity vs
+    extended price per return flag (evaluation.spearman_rho): midranks
+    kept integer by the 2x scaling, moments as DECIMAL(38,0), one
+    fixed-parenthesization division (sqrt correctly rounded). The
+    monotone-association sibling of q169's Pearson matrix."""
+    li = load(spark, sf, "lineitem")
+    return evaluation.spearman_rho(
+        li,
+        x_col="l_quantity",
+        y_col="l_extendedprice",
+        group_keys=["l_returnflag"],
+    )
+
+
+def _hourly_xy_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense hour spine with click (x) and purchase (y) counts — the
+    q181 grid without the event-type cross (single series pair)."""
+    ev = load(spark, sf, "events")
+    hours = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum((F.col("event_type") == "click").cast("bigint")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("y"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    return (
+        spine.join(hours, "h", "left")
+        .select(
+            F.expr("unix_micros(h) div 3600000000").alias("hidx"),
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+
+
+def q237_cross_corr_lags(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead-lag cross-correlation (aggregates.cross_corr_lags): does
+    click volume lead purchase volume, and by how many hours? rho at
+    lags 0..24 over the dense hourly grid, exact integer moments, best
+    lag by deterministic struct-max. The series frame is
+    hour-granularity metadata — the windows never touch raw events."""
+    return agg.cross_corr_lags(
+        _hourly_xy_grid(spark, sf), order_col="hidx", x_col="x", y_col="y", max_lag=24
+    )
+
+
+def q238_haar_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Haar wavelet energy spectrum of the hourly event-count series
+    (windows.haar_energy): which time scales carry the variation —
+    pure integer detail/approximation folds, exact 2^-l scaling over a
+    common denominator, one share division per level. Signal
+    processing in DataFrame algebra, no FFT, no libm."""
+    grid = _hourly_xy_grid(spark, sf)
+    w0 = windows.W.partitionBy()  # spine frame — metadata-sized
+    series = grid.select(
+        (F.col("hidx") - F.min("hidx").over(w0)).alias("idx"), "c"
+    )
+    return windows.haar_energy(series, index_col="idx", value_col="c", levels=6)
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5248,7 +5315,8 @@ _R6_DEFERRED_NEW = {185, 186, 187, 188, 189, 190, 191, 192, 193, 194}
 _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
-    224, 225, 226, 227, 228, 229, 230, 231, 232, 233, 234, 235,
+    224, 225, 226, 227, 228, 229, 230, 231, 232, 233, 234, 235, 236,
+    237, 238,
 }
 
 
@@ -5518,6 +5586,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_phrase_search": q233_phrase_search,
         "q234_mutual_nn_pairs": q234_mutual_nn_pairs,
         "q235_bandit_replay": q235_bandit_replay,
+        "q236_spearman": q236_spearman,
+        "q237_cross_corr_lags": q237_cross_corr_lags,
+        "q238_haar_energy": q238_haar_energy,
     }
 
 
@@ -10512,5 +10583,506 @@ SELECT COALESCE(logs.arm, pol.arm) AS arm,
             THEN CAST(matched_reward AS DOUBLE) / n_matched END AS replay_value
 FROM logs FULL OUTER JOIN pol ON logs.arm = pol.arm
 ORDER BY arm
+"""
+    # q236: midrank algebra replayed — 2x ranks from windowed
+    # cumulative counts over the distinct-value frames, HUGEINT
+    # moments, the identical fixed-parenthesization division.
+    oracles["q236_spearman"] = """
+WITH rx AS (
+  SELECT l_returnflag AS g, l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(2 * COALESCE(SUM(COUNT(*)) OVER (
+                PARTITION BY l_returnflag ORDER BY l_quantity
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + COUNT(*) + 1 AS BIGINT) AS r2
+  FROM lineitem GROUP BY 1, 2
+),
+ry AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(2 * COALESCE(SUM(COUNT(*)) OVER (
+                PARTITION BY l_returnflag ORDER BY l_extendedprice
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + COUNT(*) + 1 AS BIGINT) AS r2
+  FROM lineitem GROUP BY 1, 2
+),
+rj AS (
+  SELECT l.l_returnflag AS g, rx.r2 AS rxv, ry.r2 AS ryv
+  FROM lineitem l
+  JOIN rx ON rx.g = l.l_returnflag AND rx.v = l.l_quantity
+  JOIN ry ON ry.g = l.l_returnflag AND ry.v = l.l_extendedprice
+),
+m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(rxv AS HUGEINT)) AS sx, SUM(CAST(ryv AS HUGEINT)) AS sy,
+         SUM(CAST(rxv AS HUGEINT) * ryv) AS sxy,
+         SUM(CAST(rxv AS HUGEINT) * rxv) AS sxx,
+         SUM(CAST(ryv AS HUGEINT) * ryv) AS syy
+  FROM rj GROUP BY 1
+)
+SELECT g AS l_returnflag, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+FROM m ORDER BY l_returnflag
+"""
+
+    # q237: the 25 lag arms replayed over the same dense grid; best
+    # lag via the identical struct-max window.
+    oracles["q237_cross_corr_lags"] = """
+WITH hours AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+grid AS (
+  SELECT epoch_us(s.h) // 3600000000 AS hidx,
+         COALESCE(ho.x, 0) AS x, COALESCE(ho.y, 0) AS y, COALESCE(ho.c, 0) AS c
+  FROM spine s LEFT JOIN hours ho ON s.h = ho.h
+),
+leads AS (
+  SELECT x,
+         LEAD(y, 0) OVER (ORDER BY hidx) AS y0,
+         LEAD(y, 1) OVER (ORDER BY hidx) AS y1,
+         LEAD(y, 2) OVER (ORDER BY hidx) AS y2,
+         LEAD(y, 3) OVER (ORDER BY hidx) AS y3,
+         LEAD(y, 4) OVER (ORDER BY hidx) AS y4,
+         LEAD(y, 5) OVER (ORDER BY hidx) AS y5,
+         LEAD(y, 6) OVER (ORDER BY hidx) AS y6,
+         LEAD(y, 7) OVER (ORDER BY hidx) AS y7,
+         LEAD(y, 8) OVER (ORDER BY hidx) AS y8,
+         LEAD(y, 9) OVER (ORDER BY hidx) AS y9,
+         LEAD(y, 10) OVER (ORDER BY hidx) AS y10,
+         LEAD(y, 11) OVER (ORDER BY hidx) AS y11,
+         LEAD(y, 12) OVER (ORDER BY hidx) AS y12,
+         LEAD(y, 13) OVER (ORDER BY hidx) AS y13,
+         LEAD(y, 14) OVER (ORDER BY hidx) AS y14,
+         LEAD(y, 15) OVER (ORDER BY hidx) AS y15,
+         LEAD(y, 16) OVER (ORDER BY hidx) AS y16,
+         LEAD(y, 17) OVER (ORDER BY hidx) AS y17,
+         LEAD(y, 18) OVER (ORDER BY hidx) AS y18,
+         LEAD(y, 19) OVER (ORDER BY hidx) AS y19,
+         LEAD(y, 20) OVER (ORDER BY hidx) AS y20,
+         LEAD(y, 21) OVER (ORDER BY hidx) AS y21,
+         LEAD(y, 22) OVER (ORDER BY hidx) AS y22,
+         LEAD(y, 23) OVER (ORDER BY hidx) AS y23,
+         LEAD(y, 24) OVER (ORDER BY hidx) AS y24
+  FROM grid
+),
+lags AS (
+  SELECT 0 AS lag, CAST(COUNT(y0) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y0) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y0)
+                    - SUM(CASE WHEN y0 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y0 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y0) AS HUGEINT)
+                              * SUM(CASE WHEN y0 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y0 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y0 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y0) AS HUGEINT) * SUM(CAST(y0 AS HUGEINT) * y0)
+                            - SUM(CAST(y0 AS HUGEINT)) * SUM(CAST(y0 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 1 AS lag, CAST(COUNT(y1) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y1) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y1)
+                    - SUM(CASE WHEN y1 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y1 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y1) AS HUGEINT)
+                              * SUM(CASE WHEN y1 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y1 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y1 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y1) AS HUGEINT) * SUM(CAST(y1 AS HUGEINT) * y1)
+                            - SUM(CAST(y1 AS HUGEINT)) * SUM(CAST(y1 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 2 AS lag, CAST(COUNT(y2) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y2) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y2)
+                    - SUM(CASE WHEN y2 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y2 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y2) AS HUGEINT)
+                              * SUM(CASE WHEN y2 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y2 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y2 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y2) AS HUGEINT) * SUM(CAST(y2 AS HUGEINT) * y2)
+                            - SUM(CAST(y2 AS HUGEINT)) * SUM(CAST(y2 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 3 AS lag, CAST(COUNT(y3) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y3) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y3)
+                    - SUM(CASE WHEN y3 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y3 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y3) AS HUGEINT)
+                              * SUM(CASE WHEN y3 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y3 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y3 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y3) AS HUGEINT) * SUM(CAST(y3 AS HUGEINT) * y3)
+                            - SUM(CAST(y3 AS HUGEINT)) * SUM(CAST(y3 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 4 AS lag, CAST(COUNT(y4) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y4) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y4)
+                    - SUM(CASE WHEN y4 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y4 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y4) AS HUGEINT)
+                              * SUM(CASE WHEN y4 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y4 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y4 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y4) AS HUGEINT) * SUM(CAST(y4 AS HUGEINT) * y4)
+                            - SUM(CAST(y4 AS HUGEINT)) * SUM(CAST(y4 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 5 AS lag, CAST(COUNT(y5) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y5) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y5)
+                    - SUM(CASE WHEN y5 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y5 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y5) AS HUGEINT)
+                              * SUM(CASE WHEN y5 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y5 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y5 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y5) AS HUGEINT) * SUM(CAST(y5 AS HUGEINT) * y5)
+                            - SUM(CAST(y5 AS HUGEINT)) * SUM(CAST(y5 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 6 AS lag, CAST(COUNT(y6) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y6) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y6)
+                    - SUM(CASE WHEN y6 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y6 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y6) AS HUGEINT)
+                              * SUM(CASE WHEN y6 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y6 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y6 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y6) AS HUGEINT) * SUM(CAST(y6 AS HUGEINT) * y6)
+                            - SUM(CAST(y6 AS HUGEINT)) * SUM(CAST(y6 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 7 AS lag, CAST(COUNT(y7) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y7) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y7)
+                    - SUM(CASE WHEN y7 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y7 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y7) AS HUGEINT)
+                              * SUM(CASE WHEN y7 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y7 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y7 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y7) AS HUGEINT) * SUM(CAST(y7 AS HUGEINT) * y7)
+                            - SUM(CAST(y7 AS HUGEINT)) * SUM(CAST(y7 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 8 AS lag, CAST(COUNT(y8) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y8) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y8)
+                    - SUM(CASE WHEN y8 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y8 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y8) AS HUGEINT)
+                              * SUM(CASE WHEN y8 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y8 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y8 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y8) AS HUGEINT) * SUM(CAST(y8 AS HUGEINT) * y8)
+                            - SUM(CAST(y8 AS HUGEINT)) * SUM(CAST(y8 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 9 AS lag, CAST(COUNT(y9) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y9) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y9)
+                    - SUM(CASE WHEN y9 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y9 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y9) AS HUGEINT)
+                              * SUM(CASE WHEN y9 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y9 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y9 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y9) AS HUGEINT) * SUM(CAST(y9 AS HUGEINT) * y9)
+                            - SUM(CAST(y9 AS HUGEINT)) * SUM(CAST(y9 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 10 AS lag, CAST(COUNT(y10) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y10) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y10)
+                    - SUM(CASE WHEN y10 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y10 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y10) AS HUGEINT)
+                              * SUM(CASE WHEN y10 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y10 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y10 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y10) AS HUGEINT) * SUM(CAST(y10 AS HUGEINT) * y10)
+                            - SUM(CAST(y10 AS HUGEINT)) * SUM(CAST(y10 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 11 AS lag, CAST(COUNT(y11) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y11) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y11)
+                    - SUM(CASE WHEN y11 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y11 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y11) AS HUGEINT)
+                              * SUM(CASE WHEN y11 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y11 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y11 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y11) AS HUGEINT) * SUM(CAST(y11 AS HUGEINT) * y11)
+                            - SUM(CAST(y11 AS HUGEINT)) * SUM(CAST(y11 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 12 AS lag, CAST(COUNT(y12) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y12) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y12)
+                    - SUM(CASE WHEN y12 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y12 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y12) AS HUGEINT)
+                              * SUM(CASE WHEN y12 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y12 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y12 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y12) AS HUGEINT) * SUM(CAST(y12 AS HUGEINT) * y12)
+                            - SUM(CAST(y12 AS HUGEINT)) * SUM(CAST(y12 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 13 AS lag, CAST(COUNT(y13) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y13) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y13)
+                    - SUM(CASE WHEN y13 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y13 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y13) AS HUGEINT)
+                              * SUM(CASE WHEN y13 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y13 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y13 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y13) AS HUGEINT) * SUM(CAST(y13 AS HUGEINT) * y13)
+                            - SUM(CAST(y13 AS HUGEINT)) * SUM(CAST(y13 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 14 AS lag, CAST(COUNT(y14) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y14) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y14)
+                    - SUM(CASE WHEN y14 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y14 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y14) AS HUGEINT)
+                              * SUM(CASE WHEN y14 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y14 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y14 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y14) AS HUGEINT) * SUM(CAST(y14 AS HUGEINT) * y14)
+                            - SUM(CAST(y14 AS HUGEINT)) * SUM(CAST(y14 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 15 AS lag, CAST(COUNT(y15) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y15) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y15)
+                    - SUM(CASE WHEN y15 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y15 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y15) AS HUGEINT)
+                              * SUM(CASE WHEN y15 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y15 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y15 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y15) AS HUGEINT) * SUM(CAST(y15 AS HUGEINT) * y15)
+                            - SUM(CAST(y15 AS HUGEINT)) * SUM(CAST(y15 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 16 AS lag, CAST(COUNT(y16) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y16) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y16)
+                    - SUM(CASE WHEN y16 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y16 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y16) AS HUGEINT)
+                              * SUM(CASE WHEN y16 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y16 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y16 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y16) AS HUGEINT) * SUM(CAST(y16 AS HUGEINT) * y16)
+                            - SUM(CAST(y16 AS HUGEINT)) * SUM(CAST(y16 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 17 AS lag, CAST(COUNT(y17) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y17) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y17)
+                    - SUM(CASE WHEN y17 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y17 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y17) AS HUGEINT)
+                              * SUM(CASE WHEN y17 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y17 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y17 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y17) AS HUGEINT) * SUM(CAST(y17 AS HUGEINT) * y17)
+                            - SUM(CAST(y17 AS HUGEINT)) * SUM(CAST(y17 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 18 AS lag, CAST(COUNT(y18) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y18) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y18)
+                    - SUM(CASE WHEN y18 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y18 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y18) AS HUGEINT)
+                              * SUM(CASE WHEN y18 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y18 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y18 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y18) AS HUGEINT) * SUM(CAST(y18 AS HUGEINT) * y18)
+                            - SUM(CAST(y18 AS HUGEINT)) * SUM(CAST(y18 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 19 AS lag, CAST(COUNT(y19) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y19) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y19)
+                    - SUM(CASE WHEN y19 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y19 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y19) AS HUGEINT)
+                              * SUM(CASE WHEN y19 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y19 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y19 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y19) AS HUGEINT) * SUM(CAST(y19 AS HUGEINT) * y19)
+                            - SUM(CAST(y19 AS HUGEINT)) * SUM(CAST(y19 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 20 AS lag, CAST(COUNT(y20) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y20) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y20)
+                    - SUM(CASE WHEN y20 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y20 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y20) AS HUGEINT)
+                              * SUM(CASE WHEN y20 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y20 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y20 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y20) AS HUGEINT) * SUM(CAST(y20 AS HUGEINT) * y20)
+                            - SUM(CAST(y20 AS HUGEINT)) * SUM(CAST(y20 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 21 AS lag, CAST(COUNT(y21) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y21) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y21)
+                    - SUM(CASE WHEN y21 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y21 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y21) AS HUGEINT)
+                              * SUM(CASE WHEN y21 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y21 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y21 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y21) AS HUGEINT) * SUM(CAST(y21 AS HUGEINT) * y21)
+                            - SUM(CAST(y21 AS HUGEINT)) * SUM(CAST(y21 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 22 AS lag, CAST(COUNT(y22) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y22) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y22)
+                    - SUM(CASE WHEN y22 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y22 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y22) AS HUGEINT)
+                              * SUM(CASE WHEN y22 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y22 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y22 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y22) AS HUGEINT) * SUM(CAST(y22 AS HUGEINT) * y22)
+                            - SUM(CAST(y22 AS HUGEINT)) * SUM(CAST(y22 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 23 AS lag, CAST(COUNT(y23) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y23) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y23)
+                    - SUM(CASE WHEN y23 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y23 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y23) AS HUGEINT)
+                              * SUM(CASE WHEN y23 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y23 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y23 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y23) AS HUGEINT) * SUM(CAST(y23 AS HUGEINT) * y23)
+                            - SUM(CAST(y23 AS HUGEINT)) * SUM(CAST(y23 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+  UNION ALL
+  SELECT 24 AS lag, CAST(COUNT(y24) AS BIGINT) AS n_overlap,
+         ROUND(CAST(CAST(COUNT(y24) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y24)
+                    - SUM(CASE WHEN y24 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                      * SUM(CAST(y24 AS HUGEINT)) AS DOUBLE)
+               / (sqrt(CAST(CAST(COUNT(y24) AS HUGEINT)
+                              * SUM(CASE WHEN y24 IS NOT NULL THEN CAST(x AS HUGEINT) * x END)
+                            - SUM(CASE WHEN y24 IS NOT NULL THEN CAST(x AS HUGEINT) END)
+                              * SUM(CASE WHEN y24 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS DOUBLE))
+                  * sqrt(CAST(CAST(COUNT(y24) AS HUGEINT) * SUM(CAST(y24 AS HUGEINT) * y24)
+                            - SUM(CAST(y24 AS HUGEINT)) * SUM(CAST(y24 AS HUGEINT)) AS DOUBLE))), 6)
+           AS rho
+  FROM leads
+)
+SELECT lag, n_overlap, rho,
+       CAST(-((MAX({'r': rho, 'nl': -lag}) OVER ()).nl) AS INT) AS best_lag
+FROM lags ORDER BY lag
+"""
+
+    # q238: the level chain replayed — integer pair folds, complete
+    # pairs only, exact 2^-l scaling over the common denominator.
+    oracles["q238_haar_energy"] = """
+WITH hours AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+grid AS (
+  SELECT epoch_us(s.h) // 3600000000 AS hidx,
+         COALESCE(ho.x, 0) AS x, COALESCE(ho.y, 0) AS y, COALESCE(ho.c, 0) AS c
+  FROM spine s LEFT JOIN hours ho ON s.h = ho.h
+),
+l0 AS (SELECT hidx - (SELECT MIN(hidx) FROM grid) AS i, c AS x FROM grid),
+p1 AS (SELECT i // 2 AS pi, COUNT(*) AS cnt,
+  CAST(SUM(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS BIGINT) AS d,
+  CAST(SUM(x) AS BIGINT) AS a FROM l0 GROUP BY i // 2),
+l1 AS (SELECT pi AS i, a AS x FROM p1 WHERE cnt = 2),
+p2 AS (SELECT i // 2 AS pi, COUNT(*) AS cnt,
+  CAST(SUM(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS BIGINT) AS d,
+  CAST(SUM(x) AS BIGINT) AS a FROM l1 GROUP BY i // 2),
+l2 AS (SELECT pi AS i, a AS x FROM p2 WHERE cnt = 2),
+p3 AS (SELECT i // 2 AS pi, COUNT(*) AS cnt,
+  CAST(SUM(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS BIGINT) AS d,
+  CAST(SUM(x) AS BIGINT) AS a FROM l2 GROUP BY i // 2),
+l3 AS (SELECT pi AS i, a AS x FROM p3 WHERE cnt = 2),
+p4 AS (SELECT i // 2 AS pi, COUNT(*) AS cnt,
+  CAST(SUM(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS BIGINT) AS d,
+  CAST(SUM(x) AS BIGINT) AS a FROM l3 GROUP BY i // 2),
+l4 AS (SELECT pi AS i, a AS x FROM p4 WHERE cnt = 2),
+p5 AS (SELECT i // 2 AS pi, COUNT(*) AS cnt,
+  CAST(SUM(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS BIGINT) AS d,
+  CAST(SUM(x) AS BIGINT) AS a FROM l4 GROUP BY i // 2),
+l5 AS (SELECT pi AS i, a AS x FROM p5 WHERE cnt = 2),
+p6 AS (SELECT i // 2 AS pi, COUNT(*) AS cnt,
+  CAST(SUM(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS BIGINT) AS d,
+  CAST(SUM(x) AS BIGINT) AS a FROM l5 GROUP BY i // 2),
+l6 AS (SELECT pi AS i, a AS x FROM p6 WHERE cnt = 2),
+spec AS (
+  SELECT 1 AS level, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         COALESCE(SUM(CAST(d AS HUGEINT) * d) * 32, 0) AS num
+  FROM p1 WHERE cnt = 2
+  UNION ALL
+  SELECT 2 AS level, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         COALESCE(SUM(CAST(d AS HUGEINT) * d) * 16, 0) AS num
+  FROM p2 WHERE cnt = 2
+  UNION ALL
+  SELECT 3 AS level, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         COALESCE(SUM(CAST(d AS HUGEINT) * d) * 8, 0) AS num
+  FROM p3 WHERE cnt = 2
+  UNION ALL
+  SELECT 4 AS level, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         COALESCE(SUM(CAST(d AS HUGEINT) * d) * 4, 0) AS num
+  FROM p4 WHERE cnt = 2
+  UNION ALL
+  SELECT 5 AS level, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         COALESCE(SUM(CAST(d AS HUGEINT) * d) * 2, 0) AS num
+  FROM p5 WHERE cnt = 2
+  UNION ALL
+  SELECT 6 AS level, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         COALESCE(SUM(CAST(d AS HUGEINT) * d) * 1, 0) AS num
+  FROM p6 WHERE cnt = 2
+)
+SELECT level, n_pairs,
+       CAST(num AS DOUBLE) AS detail_energy,
+       ROUND(CAST(num AS DOUBLE) / CAST(SUM(num) OVER () AS DOUBLE), 6)
+         AS energy_share
+FROM spec ORDER BY level
 """
     return oracles

@@ -188,6 +188,9 @@ HEADLINE = [
     "q233_phrase_search",
     "q234_mutual_nn_pairs",
     "q235_bandit_replay",
+    "q236_spearman",
+    "q237_cross_corr_lags",
+    "q238_haar_energy",
 ]
 
 

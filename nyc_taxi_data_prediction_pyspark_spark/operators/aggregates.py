@@ -871,3 +871,83 @@ def population_stability(
         )
         .orderBy(*group_keys)
     )
+
+
+def cross_corr_lags(
+    series: DataFrame,
+    *,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 24,
+) -> DataFrame:
+    """Normalized cross-correlation between two INTEGER series at lags
+    0..max_lag (does x lead y, and by how much?) — the lead-lag
+    diagnostic next to grouped_autocorr's self-lag.
+
+    rho_k = Pearson over the overlapping pairs (x_t, y_{t+k}), all
+    five moment sums exact DECIMAL(38,0) over BIGINT products (counts
+    in, so no float ever sums distributed); ONE fixed-parenthesization
+    division with IEEE-correctly-rounded sqrt, round 6. best_lag rides
+    every row via a struct-max over the (max_lag+1)-row lag frame
+    (max rho, ties to the SMALLEST lag).
+
+    Scale: the input is a time-granularity series frame (hours/days —
+    metadata-sized by construction, document at call sites), so the
+    unpartitioned LEAD windows and the lag frame are both bounded; the
+    raw-data reduction happens upstream in the series aggregation.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col(order_col).asc())
+    x = F.col(x_col).cast("bigint")
+    y = F.col(y_col).cast("bigint")
+    base = series.select(
+        x.alias("__x"),
+        *[F.lead(y, k).over(w).alias(f"__y{k}") for k in range(max_lag + 1)],
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = []
+    for k in range(max_lag + 1):
+        yk = F.col(f"__y{k}")
+        cond = yk.isNotNull()
+        aggs += [
+            F.sum(cond.cast("bigint")).cast("bigint").alias(f"__n{k}"),
+            F.sum(F.when(cond, dec(F.col("__x")))).alias(f"__sx{k}"),
+            F.sum(dec(yk)).alias(f"__sy{k}"),
+            F.sum(dec(F.col("__x") * yk)).alias(f"__sxy{k}"),
+            F.sum(F.when(cond, dec(F.col("__x") * F.col("__x")))).alias(f"__sxx{k}"),
+            F.sum(dec(yk * yk)).alias(f"__syy{k}"),
+        ]
+    m = base.agg(*aggs)
+    lag_rows = []
+    for k in range(max_lag + 1):
+        n = F.col(f"__n{k}").cast("decimal(38,0)")
+        num = (n * F.col(f"__sxy{k}") - F.col(f"__sx{k}") * F.col(f"__sy{k}")).cast(
+            "double"
+        )
+        dx = (n * F.col(f"__sxx{k}") - F.col(f"__sx{k}") * F.col(f"__sx{k}")).cast(
+            "double"
+        )
+        dy = (n * F.col(f"__syy{k}") - F.col(f"__sy{k}") * F.col(f"__sy{k}")).cast(
+            "double"
+        )
+        lag_rows.append(
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col(f"__n{k}").alias("n_overlap"),
+                F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("rho"),
+            )
+        )
+    lags = m.select(F.explode(F.array(*lag_rows)).alias("__l")).select(
+        F.col("__l.lag").alias("lag"),
+        F.col("__l.n_overlap").alias("n_overlap"),
+        F.col("__l.rho").alias("rho"),
+    )
+    wb = W.partitionBy()  # (max_lag+1)-row frame — metadata-sized
+    best = F.max(
+        F.struct(F.col("rho").alias("r"), (-F.col("lag")).alias("nl"))
+    ).over(wb)
+    return lags.select(
+        "lag", "n_overlap", "rho", (-best.getField("nl")).cast("int").alias("best_lag")
+    ).orderBy("lag")

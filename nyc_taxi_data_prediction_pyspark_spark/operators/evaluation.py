@@ -6,7 +6,9 @@ aggregates, readme.md:139-190, generalized to eval metrics).
 Everything here follows the repo's determinism contract: confusion /
 rank statistics are reduced to BIGINT (or exact DECIMAL) aggregates
 with ONE IEEE division per reported metric, so the DuckDB oracle
-hash-matches bit-for-bit. No libm (exp/ln/sqrt) anywhere.
+hash-matches bit-for-bit. No engine-dependent libm (exp/ln) anywhere;
+sqrt appears only where IEEE-754 requires correct rounding (Spearman's
+denominator — the q223 Wilson-interval precedent).
 
 Scale shapes: every operator aggregates to a DISTINCT-VALUE frame
 first (one row per distinct score — bounded by value cardinality, not
@@ -298,3 +300,75 @@ def gini_lorenz(
         ),
         F.round(gini, 6).alias("gini"),
     ).orderBy(*gk, "decile")
+
+
+def spearman_rho(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    group_keys: list[str] | None = None,
+    two_phase: bool = True,
+) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation: Pearson over
+    FRACTIONAL (midrank) ranks, with every rank kept integer by the
+    2x scaling r2(v) = 2 * cum_below(v) + cnt(v) + 1 (twice the
+    average rank of v's tie group), so the moment sums are exact.
+
+    rho = (n * Sxy - Sx * Sy)
+          / (sqrt(n * Sxx - Sx^2) * sqrt(n * Syy - Sy^2))
+
+    over the 2x ranks — the 2x factors cancel. Products are summed as
+    DECIMAL(38,0) (a bigint sum of rank products wraps at ~1e9-row
+    groups); sqrt is IEEE-correctly-rounded, the final expression is
+    ONE fixed parenthesization, round 6.
+
+    Scale shape: two distinct-value collapses (one per axis), midranks
+    via the two-phase exclusive prefix sum (never a data-sized
+    single-task window), two equi-join rank attachments, one 6-sum
+    moment reduce per group.
+    """
+    gk = list(group_keys or [])
+
+    def ranks2(col: str, out: str) -> DataFrame:
+        g = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(*gk, col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+        )
+        c = grouped_cumsum_two_phase(
+            g, gk, [col], ["__cnt"], exclusive=True, two_phase=two_phase
+        )
+        return c.select(
+            *gk,
+            col,
+            (F.lit(2) * F.col("__cum___cnt") + F.col("__cnt") + 1)
+            .cast("bigint")
+            .alias(out),
+        )
+
+    rx = ranks2(x_col, "__rx")
+    ry = ranks2(y_col, "__ry")
+    rows = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .join(rx, [*gk, x_col])
+        .join(ry, [*gk, y_col])
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = rows.groupBy(*gk).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("__rx"))).alias("__sx"),
+        F.sum(dec(F.col("__ry"))).alias("__sy"),
+        F.sum(dec(F.col("__rx") * F.col("__ry"))).alias("__sxy"),
+        F.sum(dec(F.col("__rx") * F.col("__rx"))).alias("__sxx"),
+        F.sum(dec(F.col("__ry") * F.col("__ry"))).alias("__syy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    denx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    deny = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    return m.select(
+        *gk,
+        "n",
+        F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6).alias("spearman_rho"),
+    ).orderBy(*gk)

@@ -1063,3 +1063,82 @@ def seasonal_decompose(
         .withColumnRenamed("__slot", "slot")
         .orderBy(*gcols, "slot")
     )
+
+
+def haar_energy(
+    series: DataFrame,
+    *,
+    index_col: str,
+    value_col: str,
+    levels: int = 6,
+) -> DataFrame:
+    """Haar wavelet energy spectrum of an INTEGER series — which time
+    scales carry the variation (hourly jitter vs daily swing), in pure
+    integer DataFrame algebra (no FFT, no floats until the final
+    share division).
+
+    Level l pairs consecutive level-(l-1) approximations (the series
+    itself at l=1): detail d = x_even - x_odd, approximation
+    a = x_even + x_odd (unnormalized Haar — the 1/sqrt(2) factors are
+    deferred into the ENERGY as the exact integer scaling
+    energy_l = sum(d^2) / 2^l, kept as the DECIMAL(38,0) numerator
+    sum(d^2) * 2^(levels-l) over the common denominator 2^levels).
+    Incomplete trailing pairs are dropped (count = 2 gate), so every
+    reported pair is exact.
+
+    Returns per level: n_pairs, detail_energy_num (the scaled exact
+    integer), energy_share (one division by the total — the spectrum).
+
+    Scale: level l runs one map-side-combinable groupBy on index div 2
+    over a frame that HALVES each level; the input is a
+    time-granularity series (metadata-sized — document at call sites).
+    """
+    cur = series.select(
+        F.col(index_col).cast("bigint").alias("__i"),
+        F.col(value_col).cast("bigint").alias("__x"),
+    )
+    per_level = []
+    for lvl in range(1, levels + 1):
+        paired = cur.groupBy(F.expr("__i div 2").alias("__pi")).agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(
+                F.when(F.col("__i") % 2 == 0, F.col("__x")).otherwise(-F.col("__x"))
+            )
+            .cast("bigint")
+            .alias("__d"),
+            F.sum("__x").cast("bigint").alias("__a"),
+        ).where(F.col("__cnt") == 2)
+        # localCheckpoint: consumed twice (energy agg + next level) and
+        # each level must see a FROZEN parent, not a recomputed lineage
+        paired = paired.localCheckpoint(eager=False)
+        scale = 1 << (levels - lvl)
+        per_level.append(
+            paired.agg(
+                F.lit(lvl).alias("level"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.coalesce(
+                    F.sum(
+                        (F.col("__d") * F.col("__d")).cast("decimal(38,0)")
+                        * F.lit(scale).cast("decimal(38,0)")
+                    ),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("detail_energy_num"),
+            )
+        )
+        cur = paired.select(F.col("__pi").alias("__i"), F.col("__a").alias("__x"))
+    spec = per_level[0]
+    for p in per_level[1:]:
+        spec = spec.unionByName(p)
+    wt = W.partitionBy()  # `levels`-row frame — metadata-sized
+    total = F.sum("detail_energy_num").over(wt)
+    return spec.select(
+        "level",
+        "n_pairs",
+        F.col("detail_energy_num").cast("double").alias("detail_energy"),
+        # try_divide: a constant series has zero total detail energy;
+        # NULL share then matches DuckDB's divide-by-zero NULL
+        F.round(
+            F.try_divide(F.col("detail_energy_num").cast("double"), total.cast("double")),
+            6,
+        ).alias("energy_share"),
+    ).orderBy("level")

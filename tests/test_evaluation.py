@@ -330,3 +330,108 @@ def test_bandit_replay_state_resets_per_day(spark):
     ]
     out = {r.arm: r for r in bandit_replay(spark.createDataFrame(rows), ["A", "B"]).collect()}
     assert out["A"].n_matched == 1  # reset -> picked A on day 2
+
+
+# -------------------------------------------------------------- spearman_rho
+
+
+def test_spearman_perfect_and_inverse_monotone(spark):
+    rows = [Row(g="a", x=float(i), y=float(i * i)) for i in range(1, 9)]
+    out = evaluation.spearman_rho(
+        spark.createDataFrame(rows), x_col="x", y_col="y", group_keys=["g"]
+    ).collect()[0]
+    assert out.spearman_rho == 1.0
+    rows = [Row(g="a", x=float(i), y=float(-i)) for i in range(1, 9)]
+    out = evaluation.spearman_rho(
+        spark.createDataFrame(rows), x_col="x", y_col="y", group_keys=["g"]
+    ).collect()[0]
+    assert out.spearman_rho == -1.0
+
+
+def test_spearman_matches_bruteforce_midranks(spark):
+    """Tie-heavy fixture cross-checked against a plain-Python midrank
+    Pearson — the textbook definition."""
+    import math
+
+    xs = [1, 2, 2, 3, 3, 3, 4, 5, 5, 1]
+    ys = [2, 1, 3, 3, 5, 4, 4, 5, 5, 2]
+
+    def midranks(vals):
+        out = [0.0] * len(vals)
+        for i, v in enumerate(vals):
+            below = sum(1 for u in vals if u < v)
+            tied = sum(1 for u in vals if u == v)
+            out[i] = below + (tied + 1) / 2
+        return out
+
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx)) * math.sqrt(
+        sum((b - my) ** 2 for b in ry)
+    )
+    expected = round(num / den, 6)
+
+    rows = [Row(g="a", x=float(x), y=float(y)) for x, y in zip(xs, ys)]
+    out = evaluation.spearman_rho(
+        spark.createDataFrame(rows), x_col="x", y_col="y", group_keys=["g"]
+    ).collect()[0]
+    assert abs(out.spearman_rho - expected) < 2e-6
+
+
+def test_spearman_two_phase_parity(spark):
+    li = load(spark, SF, "lineitem")
+    kw = dict(x_col="l_quantity", y_col="l_extendedprice", group_keys=["l_returnflag"])
+    a = evaluation.spearman_rho(li, two_phase=True, **kw)
+    b = evaluation.spearman_rho(li, two_phase=False, **kw)
+    assert a.collect() == b.collect()
+
+
+# ----------------------------------------------------------- cross_corr_lags
+
+
+def test_cross_corr_finds_planted_lag(spark):
+    """y is x shifted forward by 3 steps: rho(3) = 1, best_lag = 3."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        cross_corr_lags,
+    )
+
+    xs = [5, 1, 9, 2, 7, 3, 8, 4, 6, 1, 9, 2, 7, 5, 3, 8]
+    rows = [
+        Row(i=i, x=x, y=(xs[i - 3] if i >= 3 else 0)) for i, x in enumerate(xs)
+    ]
+    out = cross_corr_lags(
+        spark.createDataFrame(rows), order_col="i", x_col="x", y_col="y", max_lag=5
+    ).collect()
+    by_lag = {r.lag: r for r in out}
+    assert by_lag[3].rho == 1.0
+    assert all(r.best_lag == 3 for r in out)
+    assert by_lag[0].n_overlap == len(xs) and by_lag[5].n_overlap == len(xs) - 5
+
+
+# ---------------------------------------------------------------- haar_energy
+
+
+def test_haar_alternating_series_all_energy_at_level_one(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.windows import haar_energy
+
+    rows = [Row(idx=i, c=(10 if i % 2 == 0 else 0)) for i in range(64)]
+    out = haar_energy(
+        spark.createDataFrame(rows), index_col="idx", value_col="c", levels=4
+    ).collect()
+    by = {r.level: r for r in out}
+    assert by[1].energy_share == 1.0
+    assert all(by[l].energy_share == 0.0 for l in (2, 3, 4))
+    assert by[1].n_pairs == 32 and by[4].n_pairs == 4
+
+
+def test_haar_constant_series_zero_detail_everywhere(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.windows import haar_energy
+
+    rows = [Row(idx=i, c=7) for i in range(32)]
+    out = haar_energy(
+        spark.createDataFrame(rows), index_col="idx", value_col="c", levels=3
+    ).collect()
+    assert all(r.detail_energy == 0.0 for r in out)
+    assert all(r.energy_share is None for r in out)  # 0/0 total

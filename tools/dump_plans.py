@@ -144,6 +144,9 @@ NOTES = {
     "q233_phrase_search": "postings filtered to phrase tokens by the broadcast spec BEFORE the explode leaves the stage; one shuffle on (phrase, doc, anchor)",
     "q234_mutual_nn_pairs": "pairwise cosine confined WITHIN sign-LSH buckets (equi-join on bucket); best-neighbor is a struct-max groupBy; mutuality one self-join on best edges",
     "q235_bandit_replay": "per-(day,arm) inclusive windows + |arms| forward fills in ONE day-ordered window exec; pick via row_number over 5-row per-step partitions; days independent",
+    "q236_spearman": "two distinct-value collapses + two-phase midranks (never a data-sized single-task window); two equi-join rank attachments; one 6-sum moment reduce",
+    "q237_cross_corr_lags": "all 25 lag leads in ONE window exec over the metadata-sized hour grid; one 150-sum reduce; best lag via struct-max on the 25-row frame",
+    "q238_haar_energy": "level l = one combinable groupBy on i div 2 over a frame that HALVES per level; integer folds; per-level frames localCheckpointed for their two consumers",
 }
 
 
