@@ -5243,6 +5243,22 @@ def q238_haar_energy(spark: SparkSession, sf: str) -> DataFrame:
     return windows.haar_energy(series, index_col="idx", value_col="c", levels=6)
 
 
+def q239_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the q227 score
+    (evaluation.isotonic_calibration): the exact pool-adjacent-
+    violators fit via the minimax identity max_j<=i min_k>=i avg(j..k)
+    over 60 quantized score bins — a sequential merge algorithm
+    re-expressed as one metadata-row of nested higher-order-function
+    arithmetic. Oracle replays the identical prefix-sum minimax with
+    DuckDB list comprehensions."""
+    ev = load(spark, sf, "events")
+    scored = ev.where(F.col("value").isNotNull()).select(
+        (F.col("value") / (F.col("value") + F.lit(100.0))).alias("p"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return evaluation.isotonic_calibration(scored, prob_col="p", label_col="y", bins=60)
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5316,7 +5332,7 @@ _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
     224, 225, 226, 227, 228, 229, 230, 231, 232, 233, 234, 235, 236,
-    237, 238,
+    237, 238, 239,
 }
 
 
@@ -5589,6 +5605,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_spearman": q236_spearman,
         "q237_cross_corr_lags": q237_cross_corr_lags,
         "q238_haar_energy": q238_haar_energy,
+        "q239_isotonic_calibration": q239_isotonic_calibration,
     }
 
 
@@ -11084,5 +11101,42 @@ SELECT level, n_pairs,
        ROUND(CAST(num AS DOUBLE) / CAST(SUM(num) OVER () AS DOUBLE), 6)
          AS energy_share
 FROM spec ORDER BY level
+"""
+    # q239: the minimax-PAV identity replayed with list
+    # comprehensions over the same integer prefix sums.
+    oracles["q239_isotonic_calibration"] = """
+WITH base AS (
+  SELECT LEAST(CAST(FLOOR((value / (value + 100.0)) * 60) AS BIGINT), 59) AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+),
+per AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(y) AS BIGINT) AS sy
+  FROM base GROUP BY bin
+),
+arrs AS (
+  SELECT list(bin ORDER BY bin) AS bins, list(w ORDER BY bin) AS w,
+         list(sy ORDER BY bin) AS sy, COUNT(*)::INT AS n
+  FROM per
+),
+pre AS (
+  SELECT bins, w, sy, n,
+         [CAST(COALESCE(list_sum(w[1:t]), 0) AS BIGINT) FOR t IN range(0, n + 1)] AS pw,
+         [CAST(COALESCE(list_sum(sy[1:t]), 0) AS BIGINT) FOR t IN range(0, n + 1)] AS psy
+  FROM arrs
+),
+iso AS (
+  SELECT bins, w, sy,
+    [ list_max([ list_min([ CAST(psy[k + 2] - psy[j + 1] AS DOUBLE)
+                            / CAST(pw[k + 2] - pw[j + 1] AS DOUBLE)
+                 FOR k IN range(i, n) ])
+       FOR j IN range(0, i + 1) ])
+      FOR i IN range(0, n) ] AS fit
+  FROM pre
+)
+SELECT UNNEST(bins) AS bin, UNNEST(w) AS n, UNNEST(sy) AS n_pos,
+       ROUND(CAST(UNNEST(sy) AS DOUBLE) / UNNEST(w), 6) AS raw_rate,
+       ROUND(UNNEST(fit), 6) AS iso_rate
+FROM iso ORDER BY bin
 """
     return oracles

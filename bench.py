@@ -191,6 +191,7 @@ HEADLINE = [
     "q236_spearman",
     "q237_cross_corr_lags",
     "q238_haar_energy",
+    "q239_isotonic_calibration",
 ]
 
 

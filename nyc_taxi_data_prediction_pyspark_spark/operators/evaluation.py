@@ -372,3 +372,99 @@ def spearman_rho(
         "n",
         F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6).alias("spearman_rho"),
     ).orderBy(*gk)
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    *,
+    prob_col: str,
+    label_col: str,
+    bins: int = 60,
+) -> DataFrame:
+    """Isotonic (PAV) calibration of a score against 0/1 labels — the
+    nonparametric monotone recalibrator (Zadrozny & Elkan KDD'02),
+    computed EXACTLY in DataFrame algebra via the minimax identity
+
+        iso_i = max_{j<=i} min_{k>=i} avg(y over bins j..k)
+
+    which equals the pool-adjacent-violators fit (Robertson, Wright &
+    Dykstra 1988, thm 1.4.4) with no sequential merge loop to
+    distribute.
+
+    Shape: one data pass bins the scores (floor(p*bins), clamped);
+    the per-bin (w, sum_y) frame collapses to ONE metadata row of
+    arrays, where nested higher-order functions evaluate the minimax
+    over integer prefix sums — O(bins^3) codegen arithmetic on one
+    row, no shuffle, no UDF. Every average is one BIGINT-exact IEEE
+    division; min/max over identical doubles on both engines.
+
+    Returns per non-empty bin: bin, n, n_pos, raw_rate, iso_rate
+    (monotone non-decreasing by construction).
+    """
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("bigint")
+    b = F.least(F.floor(p * bins).cast("bigint"), F.lit(bins - 1))
+    per = (
+        df.where(p.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("w"),
+            F.sum(y).cast("bigint").alias("sy"),
+        )
+    )
+    arrs = per.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("bin"), F.col("w"), F.col("sy")))
+        ).alias("__r")
+    )
+    arrs = arrs.select(
+        F.transform("__r", lambda r: r["bin"]).alias("bins"),
+        F.transform("__r", lambda r: r["w"]).alias("w"),
+        F.transform("__r", lambda r: r["sy"]).alias("sy"),
+        F.size("__r").alias("n"),
+    )
+    zero = F.lit(0).cast("bigint")
+    prefix = lambda col: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.col("n")),
+        lambda t: F.aggregate(
+            F.slice(F.col(col), F.lit(1), t), zero, lambda acc, x: acc + x
+        ),
+    )
+    arrs = arrs.select("bins", "w", "sy", "n", prefix("w").alias("pw"), prefix("sy").alias("psy"))
+    avg = lambda j, k: (  # noqa: E731
+        F.element_at("psy", k + F.lit(2)) - F.element_at("psy", j + F.lit(1))
+    ).cast("double") / (
+        F.element_at("pw", k + F.lit(2)) - F.element_at("pw", j + F.lit(1))
+    ).cast("double")
+    fit = F.transform(
+        F.sequence(F.lit(0), F.col("n") - 1),
+        lambda i: F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), i),
+                lambda j: F.array_min(
+                    F.transform(
+                        F.sequence(i, F.col("n") - 1), lambda k: avg(j, k)
+                    )
+                ),
+            )
+        ),
+    )
+    out = arrs.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.col("bins").alias("bin"),
+                F.col("w").alias("n"),
+                F.col("sy").alias("n_pos"),
+                fit.alias("iso"),
+            )
+        ).alias("__i", "__z")
+    )
+    return out.select(
+        F.col("__z.bin").alias("bin"),
+        F.col("__z.n").alias("n"),
+        F.col("__z.n_pos").alias("n_pos"),
+        F.round(F.col("__z.n_pos").cast("double") / F.col("__z.n"), 6).alias(
+            "raw_rate"
+        ),
+        F.round(F.col("__z.iso"), 6).alias("iso_rate"),
+    ).orderBy("bin")

@@ -435,3 +435,51 @@ def test_haar_constant_series_zero_detail_everywhere(spark):
     ).collect()
     assert all(r.detail_energy == 0.0 for r in out)
     assert all(r.energy_share is None for r in out)  # 0/0 total
+
+
+# -------------------------------------------------------- isotonic_calibration
+
+
+def test_isotonic_matches_bruteforce_pav(spark):
+    """The minimax identity must equal the sequential pool-adjacent-
+    violators merge on a violation-heavy fixture."""
+    data = [(0, 4, 1), (1, 5, 3), (2, 3, 1), (3, 6, 5), (4, 2, 2), (5, 4, 1)]
+    rows = []
+    for b, w, sy in data:
+        p = (b + 0.5) / 6
+        rows += [Row(p=p, y=1 if i < sy else 0) for i in range(w)]
+    out = evaluation.isotonic_calibration(
+        spark.createDataFrame(rows), prob_col="p", label_col="y", bins=6
+    ).collect()
+
+    # reference PAV (stack merge, exact rational compare)
+    blocks: list[list[int]] = []
+    for _, w, sy in data:
+        blocks.append([sy, w])
+        while len(blocks) > 1 and blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]:
+            s2, w2 = blocks.pop()
+            blocks[-1][0] += s2
+            blocks[-1][1] += w2
+    expected = []
+    i = 0
+    for s, wt in blocks:
+        acc = 0
+        while acc < wt:
+            acc += data[i][1]
+            expected.append(round(s / wt, 6))
+            i += 1
+    assert [r.iso_rate for r in out] == expected
+    # monotone non-decreasing by construction
+    fits = [r.iso_rate for r in out]
+    assert fits == sorted(fits)
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    rows = []
+    for b, rate in [(0, 0.0), (1, 0.25), (2, 0.5), (3, 1.0)]:
+        p = (b + 0.5) / 4
+        rows += [Row(p=p, y=1 if i < int(rate * 4) else 0) for i in range(4)]
+    out = evaluation.isotonic_calibration(
+        spark.createDataFrame(rows), prob_col="p", label_col="y", bins=4
+    ).collect()
+    assert all(r.iso_rate == r.raw_rate for r in out)

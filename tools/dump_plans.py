@@ -147,6 +147,7 @@ NOTES = {
     "q236_spearman": "two distinct-value collapses + two-phase midranks (never a data-sized single-task window); two equi-join rank attachments; one 6-sum moment reduce",
     "q237_cross_corr_lags": "all 25 lag leads in ONE window exec over the metadata-sized hour grid; one 150-sum reduce; best lag via struct-max on the 25-row frame",
     "q238_haar_energy": "level l = one combinable groupBy on i div 2 over a frame that HALVES per level; integer folds; per-level frames localCheckpointed for their two consumers",
+    "q239_isotonic_calibration": "one binning pass; the PAV fit is O(bins^3) nested-HOF codegen on ONE metadata row — a sequential merge algorithm with no sequential plan",
 }
 
 
