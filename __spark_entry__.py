@@ -5259,6 +5259,20 @@ def q239_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
     return evaluation.isotonic_calibration(scored, prob_col="p", label_col="y", bins=60)
 
 
+def q240_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value feature scoring
+    (evaluation.woe_iv): does the value decile separate purchases from
+    non-purchases — the credit-scoring feature-selection readout,
+    algebraically the q224 PSI applied class-conditionally (exact
+    type-7 decile cuts, add-one smoothing, DECIMAL(28,12)-quantized ln
+    terms). One WOE row per decile plus the corpus IV."""
+    ev = load(spark, sf, "events")
+    labeled = ev.select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    return evaluation.woe_iv(labeled, value_col="value", label_col="y", n_buckets=10)
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5332,7 +5346,7 @@ _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
     224, 225, 226, 227, 228, 229, 230, 231, 232, 233, 234, 235, 236,
-    237, 238, 239,
+    237, 238, 239, 240,
 }
 
 
@@ -5606,6 +5620,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_cross_corr_lags": q237_cross_corr_lags,
         "q238_haar_energy": q238_haar_energy,
         "q239_isotonic_calibration": q239_isotonic_calibration,
+        "q240_woe_iv": q240_woe_iv,
     }
 
 
@@ -11138,5 +11153,42 @@ SELECT UNNEST(bins) AS bin, UNNEST(w) AS n, UNNEST(sy) AS n_pos,
        ROUND(CAST(UNNEST(sy) AS DOUBLE) / UNNEST(w), 6) AS raw_rate,
        ROUND(UNNEST(fit), 6) AS iso_rate
 FROM iso ORDER BY bin
+"""
+    # q240: the PSI algebra class-conditionally — identical cuts,
+    # smoothing, quantization; WOE per bucket + windowed IV total.
+    oracles["q240_woe_iv"] = """
+WITH cuts AS (
+  SELECT quantile_cont(CAST(value AS DOUBLE),
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+  FROM events WHERE value IS NOT NULL
+),
+bucketed AS (
+  SELECT 1 + list_sum(list_transform(c.cuts,
+           x -> CASE WHEN CAST(e.value AS DOUBLE) > x THEN 1 ELSE 0 END)) AS bucket,
+         CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events e, cuts c WHERE e.value IS NOT NULL
+),
+counts AS (
+  SELECT bucket, CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM bucketed GROUP BY 1
+),
+scored AS (
+  SELECT bucket, n_pos, n_neg,
+         ln((CAST(n_pos + 1 AS DOUBLE) / CAST(SUM(n_pos) OVER () + 10 AS DOUBLE))
+            / (CAST(n_neg + 1 AS DOUBLE) / CAST(SUM(n_neg) OVER () + 10 AS DOUBLE)))
+           AS woe,
+         CAST((CAST(n_pos + 1 AS DOUBLE) / CAST(SUM(n_pos) OVER () + 10 AS DOUBLE)
+               - CAST(n_neg + 1 AS DOUBLE) / CAST(SUM(n_neg) OVER () + 10 AS DOUBLE))
+              * ln((CAST(n_pos + 1 AS DOUBLE) / CAST(SUM(n_pos) OVER () + 10 AS DOUBLE))
+                   / (CAST(n_neg + 1 AS DOUBLE) / CAST(SUM(n_neg) OVER () + 10 AS DOUBLE)))
+           AS DECIMAL(28,12)) AS term
+  FROM counts
+)
+SELECT bucket, n_pos, n_neg,
+       ROUND(woe, 6) AS woe,
+       ROUND(CAST(term AS DOUBLE), 6) AS iv_term,
+       ROUND(CAST(SUM(term) OVER () AS DOUBLE), 6) AS iv
+FROM scored ORDER BY bucket
 """
     return oracles

@@ -192,6 +192,7 @@ HEADLINE = [
     "q237_cross_corr_lags",
     "q238_haar_energy",
     "q239_isotonic_calibration",
+    "q240_woe_iv",
 ]
 
 

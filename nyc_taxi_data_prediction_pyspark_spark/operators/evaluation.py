@@ -468,3 +468,74 @@ def isotonic_calibration(
         ),
         F.round(F.col("__z.iso"), 6).alias("iso_rate"),
     ).orderBy("bin")
+
+
+def woe_iv(
+    df: DataFrame,
+    *,
+    value_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Weight-of-Evidence / Information-Value feature scoring (the
+    credit-scoring feature-selection classic; Siddiqi 2006): bucket a
+    numeric feature into its exact global deciles and ask how well the
+    buckets separate positives from negatives.
+
+        WOE_b = ln( p_b / q_b ),   IV = sum_b (p_b - q_b) * WOE_b
+
+    with p/q the add-one-smoothed positive/negative bucket shares —
+    IV is exactly the q224 PSI algebra applied class-conditionally
+    instead of across time, so it inherits the whole determinism
+    contract: exact type-7 decile cuts (the q152 percentile contract),
+    in-row comparison-fold bucketing, ln terms quantized to
+    DECIMAL(28,12) before the distributed sum, round 6. (IV < 0.02
+    useless, > 0.3 strong — the industry reading.)
+
+    Scale: one 1-row percentile broadcast, one bucket-count
+    aggregation (n_buckets rows), everything after on that metadata
+    frame (the IV total rides a metadata-window sum). Returns per
+    bucket: bucket, n_pos, n_neg, woe, iv_term, iv.
+    """
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    v = F.col(value_col).cast("double")
+    y = F.col(label_col).cast("bigint")
+    cuts = df.where(v.isNotNull()).agg(
+        F.percentile(v, F.array(*[F.lit(f) for f in fracs])).alias("__cuts")
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.transform(F.col("__cuts"), lambda c: (F.col("__v") > c).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    counts = (
+        df.where(v.isNotNull())
+        .select(v.alias("__v"), y.alias("__y"))
+        .crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "__y")
+        .groupBy("bucket")
+        .agg(
+            F.sum("__y").cast("bigint").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("__y")).cast("bigint").alias("n_neg"),
+        )
+    )
+    wt = W.partitionBy()  # n_buckets-row frame — metadata-sized
+    tp = F.sum("n_pos").over(wt)
+    tn = F.sum("n_neg").over(wt)
+    p = (F.col("n_pos") + 1).cast("double") / (tp + n_buckets).cast("double")
+    q = (F.col("n_neg") + 1).cast("double") / (tn + n_buckets).cast("double")
+    scored = counts.select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        F.log(p / q).alias("__woe"),
+        ((p - q) * F.log(p / q)).cast("decimal(28,12)").alias("__term"),
+    )
+    return scored.select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        F.round("__woe", 6).alias("woe"),
+        F.round(F.col("__term").cast("double"), 6).alias("iv_term"),
+        F.round(F.sum("__term").over(wt).cast("double"), 6).alias("iv"),
+    ).orderBy("bucket")

@@ -483,3 +483,31 @@ def test_isotonic_already_monotone_is_identity(spark):
         spark.createDataFrame(rows), prob_col="p", label_col="y", bins=4
     ).collect()
     assert all(r.iso_rate == r.raw_rate for r in out)
+
+
+# ----------------------------------------------------------------- woe_iv
+
+
+def test_woe_iv_uninformative_feature_is_zero(spark):
+    """Equal pos/neg in every bucket -> every WOE = 0, IV = 0."""
+    rows = []
+    for b in range(4):
+        v = float(b)  # 4 distinct values -> cuts split them apart
+        rows += [Row(value=v, y=1), Row(value=v, y=0)]
+    out = evaluation.woe_iv(
+        spark.createDataFrame(rows), value_col="value", label_col="y", n_buckets=4
+    ).collect()
+    assert all(r.woe == 0.0 and r.iv == 0.0 for r in out)
+
+
+def test_woe_iv_separating_feature_signs_and_monotone_iv(spark):
+    """Positives live in high values: WOE negative in low buckets,
+    positive in high ones; IV comfortably above the 0.3 'strong' bar."""
+    rows = [Row(value=float(i), y=int(i >= 50)) for i in range(100)]
+    out = evaluation.woe_iv(
+        spark.createDataFrame(rows), value_col="value", label_col="y", n_buckets=10
+    ).collect()
+    by = {r.bucket: r for r in out}
+    assert by[1].woe < 0 < by[10].woe
+    assert all(r.iv == out[0].iv for r in out)
+    assert out[0].iv > 0.3

@@ -148,6 +148,7 @@ NOTES = {
     "q237_cross_corr_lags": "all 25 lag leads in ONE window exec over the metadata-sized hour grid; one 150-sum reduce; best lag via struct-max on the 25-row frame",
     "q238_haar_energy": "level l = one combinable groupBy on i div 2 over a frame that HALVES per level; integer folds; per-level frames localCheckpointed for their two consumers",
     "q239_isotonic_calibration": "one binning pass; the PAV fit is O(bins^3) nested-HOF codegen on ONE metadata row — a sequential merge algorithm with no sequential plan",
+    "q240_woe_iv": "1-row decile-cuts broadcast; in-row comparison-fold bucketing; the WOE/IV algebra lives on the 10-row bucket frame (metadata windows)",
 }
 
 
