@@ -5273,6 +5273,45 @@ def q240_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
     return evaluation.woe_iv(labeled, value_col="value", label_col="y", n_buckets=10)
 
 
+def q241_deletion_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance-1 customer-name pairs via SymSpell deletion
+    neighborhoods (linkage.deletion_neighborhood_pairs): one variant
+    equi-join is a COMPLETE lev<=1 candidate generator — no name
+    cross-join, no banded scan. Rolled up to the neighbor-count
+    histogram (zero bucket included). Oracle replays the identical
+    variant generation with list comprehensions."""
+    c = load(spark, sf, "customer")
+    from nyc_taxi_data_prediction_pyspark_spark.operators import linkage
+
+    pairs = linkage.deletion_neighborhood_pairs(
+        c, id_col="c_custkey", name_col="c_name"
+    )
+    both = pairs.select(F.col("id_a").alias("k")).unionAll(
+        pairs.select(F.col("id_b").alias("k"))
+    )
+    per = both.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    counts = (
+        c.select(F.col("c_custkey").alias("k"))
+        .join(per, "k", "left")
+        .select(F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_neighbors"))
+    )
+    return (
+        counts.groupBy("n_neighbors")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("n_neighbors")
+    )
+
+
+def q242_grouped_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-shape profile per event type
+    (aggregates.grouped_moments): exact skewness / excess kurtosis
+    from DECIMAL(38,10)-quantized power sums — deterministic where the
+    built-in skewness/kurtosis aggregates are partition-order-
+    dependent. The oracle replays the identical raw-moment algebra."""
+    ev = load(spark, sf, "events")
+    return agg.grouped_moments(ev, group_keys=["event_type"], value_col="value")
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5346,7 +5385,7 @@ _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
     224, 225, 226, 227, 228, 229, 230, 231, 232, 233, 234, 235, 236,
-    237, 238, 239, 240,
+    237, 238, 239, 240, 241, 242,
 }
 
 
@@ -5621,6 +5660,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q238_haar_energy": q238_haar_energy,
         "q239_isotonic_calibration": q239_isotonic_calibration,
         "q240_woe_iv": q240_woe_iv,
+        "q241_deletion_neighborhood": q241_deletion_neighborhood,
+        "q242_grouped_moments": q242_grouped_moments,
     }
 
 
@@ -11190,5 +11231,66 @@ SELECT bucket, n_pos, n_neg,
        ROUND(CAST(term AS DOUBLE), 6) AS iv_term,
        ROUND(CAST(SUM(term) OVER () AS DOUBLE), 6) AS iv
 FROM scored ORDER BY bucket
+"""
+    # q241: the deletion-neighborhood generator replayed with a list
+    # comprehension; exact levenshtein verification; zero bucket from
+    # the left join back to the full customer set.
+    oracles["q241_deletion_neighborhood"] = """
+WITH vars AS (
+  SELECT c_custkey AS id, c_name AS nm,
+         UNNEST([c_name] || [substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+                 FOR i IN range(1, length(c_name) + 1)]) AS var
+  FROM customer
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS name_a, b.nm AS name_b
+  FROM vars a JOIN vars b ON a.var = b.var AND a.id < b.id
+),
+pairs AS (
+  SELECT id_a, id_b FROM cand WHERE levenshtein(name_a, name_b) <= 1
+),
+dirs AS (
+  SELECT id_a AS k FROM pairs UNION ALL SELECT id_b AS k FROM pairs
+),
+per AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM dirs GROUP BY 1),
+counts AS (
+  SELECT COALESCE(per.n, 0) AS n_neighbors
+  FROM customer c LEFT JOIN per ON c.c_custkey = per.k
+)
+SELECT CAST(n_neighbors AS BIGINT) AS n_neighbors,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM counts GROUP BY 1 ORDER BY 1
+"""
+    # q242: identical raw-moment algebra — quantized power sums, the
+    # same fixed parenthesization, sqrt not pow.
+    oracles["q242_grouped_moments"] = """
+WITH m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(38,10))) AS s1,
+         SUM(CAST(value * value AS DECIMAL(38,10))) AS s2,
+         SUM(CAST(value * value * value AS DECIMAL(38,10))) AS s3,
+         SUM(CAST(value * value * value * value AS DECIMAL(38,10))) AS s4
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM m
+),
+cm AS (
+  SELECT event_type, n, mean,
+         r2 - mean * mean AS m2,
+         r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+         r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+            - 3.0 * mean * mean * mean * mean AS m4
+  FROM c
+)
+SELECT event_type, n, ROUND(mean, 6) AS mean, ROUND(m2, 6) AS variance,
+       ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+FROM cm ORDER BY event_type
 """
     return oracles

@@ -193,6 +193,8 @@ HEADLINE = [
     "q238_haar_energy",
     "q239_isotonic_calibration",
     "q240_woe_iv",
+    "q241_deletion_neighborhood",
+    "q242_grouped_moments",
 ]
 
 

@@ -951,3 +951,64 @@ def cross_corr_lags(
     return lags.select(
         "lag", "n_overlap", "rho", (-best.getField("nl")).cast("int").alias("best_lag")
     ).orderBy("lag")
+
+
+def grouped_moments(
+    df: DataFrame,
+    *,
+    group_keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group skewness and excess kurtosis from exact raw moments —
+    the distribution-shape profile beyond q158's entropy and q168's
+    MAD (heavy tail? asymmetric?), deterministic where the built-in
+    ``skewness``/``kurtosis`` aggregates are not (their float update
+    order is partition-dependent).
+
+    Raw power sums S1..S4 are per-row IEEE products quantized to
+    DECIMAL(38,10) before the distributed sum (the grouped_entropy
+    rule), central moments assembled by fixed-parenthesization
+    arithmetic on the exact sums:
+
+        m2 = S2/n - mean^2
+        m3 = S3/n - 3*mean*(S2/n) + 2*mean^3
+        m4 = S4/n - 4*mean*(S3/n) + 6*mean^2*(S2/n) - 3*mean^4
+        skewness = m3 / (m2 * sqrt(m2)),  kurtosis_excess = m4/m2^2 - 3
+
+    (sqrt is IEEE-correctly-rounded; no pow). One combinable
+    aggregation pass; everything after lives on the #groups frame.
+    """
+    dec = lambda c: c.cast("decimal(38,10)")  # noqa: E731
+    x = F.col(value_col).cast("double")
+    m = (
+        df.where(x.isNotNull())
+        .groupBy(*group_keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(dec(x)).alias("__s1"),
+            F.sum(dec(x * x)).alias("__s2"),
+            F.sum(dec(x * x * x)).alias("__s3"),
+            F.sum(dec(x * x * x * x)).alias("__s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("__s1").cast("double") / n
+    r2 = F.col("__s2").cast("double") / n
+    r3 = F.col("__s3").cast("double") / n
+    r4 = F.col("__s4").cast("double") / n
+    m2 = r2 - mean * mean
+    m3 = r3 - F.lit(3.0) * mean * r2 + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        r4
+        - F.lit(4.0) * mean * r3
+        + F.lit(6.0) * mean * mean * r2
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return m.select(
+        *group_keys,
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(m2, 6).alias("variance"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
+    ).orderBy(*group_keys)

@@ -139,3 +139,57 @@ def link_records_multiblock(
             F.col("__m.dist").alias("dist"),
         )
     )
+
+
+def deletion_neighborhood_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    name_col: str,
+) -> DataFrame:
+    """Edit-distance-1 pair discovery via SymSpell-style DELETION
+    NEIGHBORHOODS (Garbe's symmetric-delete indexing): each string
+    posts itself plus its |w| single-deletion variants; two strings
+    within Levenshtein 1 are GUARANTEED to share a posting (deletion:
+    del(a)=b; insertion: a=del(b); substitution: del(a)=del(b) at the
+    differing position), so one variant equi-join is a complete
+    candidate generator — no quadratic name cross-join, no banded
+    scan. Candidates verify with the exact levenshtein filter.
+
+    Scale: postings are |rows| x (len+1); the join keys on the variant
+    string (hot variants are bounded by how many strings share a
+    near-identical form — the data's own dup structure); verification
+    is in-row codegen. Returns distinct (id_a < id_b) pairs with both
+    names.
+    """
+    base = df.select(F.col(id_col).alias("__id"), F.col(name_col).alias("__nm"))
+    variants = base.select(
+        "__id",
+        "__nm",
+        F.explode(
+            F.concat(
+                F.array(F.col("__nm")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__nm")),
+                    lambda i: F.concat(
+                        F.substring(F.col("__nm"), F.lit(1), i - 1),
+                        F.col("__nm").substr(i + 1, F.length("__nm")),
+                    ),
+                ),
+            )
+        ).alias("__var"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, "__var")
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__nm").alias("name_a"),
+            F.col("b.__nm").alias("name_b"),
+        )
+        .distinct()
+    )
+    return cand.where(F.levenshtein("name_a", "name_b") <= 1)

@@ -511,3 +511,73 @@ def test_woe_iv_separating_feature_signs_and_monotone_iv(spark):
     assert by[1].woe < 0 < by[10].woe
     assert all(r.iv == out[0].iv for r in out)
     assert out[0].iv > 0.3
+
+
+# ----------------------------------------------- deletion_neighborhood_pairs
+
+
+def test_deletion_neighborhood_complete_for_lev1(spark):
+    """Substitution, deletion, and insertion neighbors are all found;
+    distance-2 strings are not."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.linkage import (
+        deletion_neighborhood_pairs,
+    )
+
+    rows = [
+        Row(id=1, nm="abc"),
+        Row(id=2, nm="abd"),   # substitution of 1
+        Row(id=3, nm="abcd"),  # insertion into 1
+        Row(id=4, nm="ab"),    # deletion of 1
+        Row(id=5, nm="xyz"),   # far from everything
+        Row(id=6, nm="azd"),   # distance 2 from 1, distance 1 from 2
+    ]
+    out = deletion_neighborhood_pairs(
+        spark.createDataFrame(rows), id_col="id", name_col="nm"
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    assert {(1, 2), (1, 3), (1, 4), (2, 6)} <= got
+    assert all((5 not in p) for p in got)
+    assert (1, 6) not in got  # lev("abc","azd") = 2
+    # everything reported really is within distance 1
+    assert all(
+        sum(a != b for a, b in zip(r.name_a, r.name_b))
+        + abs(len(r.name_a) - len(r.name_b))
+        <= 1
+        or abs(len(r.name_a) - len(r.name_b)) == 1
+        for r in out
+    )
+
+
+def test_grouped_moments_match_bruteforce(spark):
+    vals = [1.5, 2.0, 2.0, 3.25, 7.0, 7.0, 9.5, 10.0, 0.25, 4.0]
+    rows = [Row(g="a", v=v) for v in vals]
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        grouped_moments,
+    )
+
+    r = grouped_moments(
+        spark.createDataFrame(rows), group_keys=["g"], value_col="v"
+    ).collect()[0]
+    import math
+
+    n = len(vals)
+    mean = sum(vals) / n
+    m2 = sum((v - mean) ** 2 for v in vals) / n
+    m3 = sum((v - mean) ** 3 for v in vals) / n
+    m4 = sum((v - mean) ** 4 for v in vals) / n
+    assert abs(r.mean - round(mean, 6)) < 1e-9
+    assert abs(r.variance - m2) < 1e-6
+    assert abs(r.skewness - m3 / (m2 * math.sqrt(m2))) < 1e-5
+    assert abs(r.kurtosis_excess - (m4 / m2**2 - 3)) < 1e-5
+
+
+def test_grouped_moments_symmetric_data_zero_skew(spark):
+    rows = [Row(g="s", v=float(v)) for v in (1, 3, 5, 7, 9, 1, 3, 5, 7, 9)]
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        grouped_moments,
+    )
+
+    r = grouped_moments(
+        spark.createDataFrame(rows), group_keys=["g"], value_col="v"
+    ).collect()[0]
+    assert r.skewness == 0.0

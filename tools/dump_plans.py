@@ -149,6 +149,8 @@ NOTES = {
     "q238_haar_energy": "level l = one combinable groupBy on i div 2 over a frame that HALVES per level; integer folds; per-level frames localCheckpointed for their two consumers",
     "q239_isotonic_calibration": "one binning pass; the PAV fit is O(bins^3) nested-HOF codegen on ONE metadata row — a sequential merge algorithm with no sequential plan",
     "q240_woe_iv": "1-row decile-cuts broadcast; in-row comparison-fold bucketing; the WOE/IV algebra lives on the 10-row bucket frame (metadata windows)",
+    "q241_deletion_neighborhood": "variant explode (|rows| x len+1) + ONE equi-join on the variant string — a complete lev<=1 candidate set with no cross-join; in-row levenshtein verify",
+    "q242_grouped_moments": "one combinable aggregation pass (quantized power sums); moment assembly on the #groups frame",
 }
 
 
