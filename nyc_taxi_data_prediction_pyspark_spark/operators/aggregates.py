@@ -936,7 +936,11 @@ def cross_corr_lags(
             F.struct(
                 F.lit(k).alias("lag"),
                 F.col(f"__n{k}").alias("n_overlap"),
-                F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("rho"),
+                # constant overlap segment -> NULL, not an ANSI error
+                F.when(
+                    (dx > 0) & (dy > 0),
+                    F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6),
+                ).alias("rho"),
             )
         )
     lags = m.select(F.explode(F.array(*lag_rows)).alias("__l")).select(
@@ -1009,6 +1013,10 @@ def grouped_moments(
         "n",
         F.round(mean, 6).alias("mean"),
         F.round(m2, 6).alias("variance"),
-        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
-        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
+        # constant group: zero variance -> NULL shape stats, not an
+        # ANSI divide-by-zero error
+        F.when(m2 > 0, F.round(m3 / (m2 * F.sqrt(m2)), 6)).alias("skewness"),
+        F.when(m2 > 0, F.round(m4 / (m2 * m2) - F.lit(3.0), 6)).alias(
+            "kurtosis_excess"
+        ),
     ).orderBy(*group_keys)

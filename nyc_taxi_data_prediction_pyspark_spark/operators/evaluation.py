@@ -77,10 +77,15 @@ def roc_auc(
         "n_pos",
         "n_neg",
         "auc_num2",
-        F.round(
-            F.col("auc_num2").cast("double")
-            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
-            6,
+        # guard: a single-class input has no ranking to score (and
+        # ANSI mode turns the 0-denominator into an error, not a NaN)
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("auc_num2").cast("double")
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ),
         ).alias("auc"),
     )
 
@@ -142,9 +147,13 @@ def ks_two_sample(
         "n_a",
         "n_b",
         F.col("__m.d").alias("d_scaled"),
-        F.round(
-            F.col("__m.d").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double"),
-            6,
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("__m.d").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ),
         ).alias("ks_d"),
         (-F.col("__m.nv")).alias("ks_at"),
     )
@@ -290,15 +299,19 @@ def gini_lorenz(
     ).cast("double") / (
         F.col("n").cast("decimal(38,0)") * F.col("__tot")
     ).cast("double")
+    pos_total = F.col("__tot") > 0
     return out.select(
         *gk,
         "decile",
         "n",
         F.col("__tot").cast("double").alias("total_scaled"),
-        F.round(F.col("__cum").cast("double") / F.col("__tot").cast("double"), 6).alias(
-            "cum_share"
-        ),
-        F.round(gini, 6).alias("gini"),
+        F.when(
+            pos_total,
+            F.round(
+                F.col("__cum").cast("double") / F.col("__tot").cast("double"), 6
+            ),
+        ).alias("cum_share"),
+        F.when(pos_total, F.round(gini, 6)).alias("gini"),
     ).orderBy(*gk, "decile")
 
 
@@ -370,7 +383,11 @@ def spearman_rho(
     return m.select(
         *gk,
         "n",
-        F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6).alias("spearman_rho"),
+        # constant x or y has no rank variance — NULL, not an ANSI error
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6),
+        ).alias("spearman_rho"),
     ).orderBy(*gk)
 
 
