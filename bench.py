@@ -195,6 +195,7 @@ HEADLINE = [
     "q240_woe_iv",
     "q241_deletion_neighborhood",
     "q242_grouped_moments",
+    "q243_temporal_reachability",
 ]
 
 

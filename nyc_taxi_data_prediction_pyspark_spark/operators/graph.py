@@ -615,3 +615,74 @@ def ra_link_prediction(
     return pairs.orderBy(
         F.col("ra_score_scaled").desc(), F.col("node_a").asc(), F.col("node_b").asc()
     ).limit(k)
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    *,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    t: str = "t",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Time-respecting reachability (Kempe, Kleinberg & Kumar STOC'00
+    temporal-path semantics): a node is reached only through edge
+    sequences whose timestamps never DECREASE along the path —
+    information flow, contagion tracing, supply-chain propagation.
+
+    State = earliest temporal arrival per node (BIGINT time units);
+    round r applies one Bellman relaxation
+
+        arr(v) <- min( arr(v), min over edges (u,v,te), te >= arr(u) of te )
+
+    so after ``max_hops`` rounds every <= max_hops-edge time-respecting
+    path is accounted for. Sources enter at arrival 0 (reachable from
+    the epoch). All integer arithmetic — the oracle unrolls the SAME
+    rounds as CTEs (the q109/q162 contract).
+
+    Per-round plan cost: one |arrival|⋈edges equi-join on the node key
+    + one min-combine groupBy; the arrival frame is localCheckpointed
+    per round (double consumer + lineage truncation). Returns one row
+    per round: round, n_reached, min/max/sum of arrival times — the
+    propagation wavefront profile.
+    """
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), F.col(t).cast("bigint").alias("__t")
+    ).distinct()
+    e = e.repartition("__s").cache()
+    arr = sources.select(
+        F.col(sources.columns[0]).alias("node"), F.lit(0).cast("bigint").alias("arr")
+    ).distinct()
+    stats = []
+    for rnd in range(1, max_hops + 1):
+        relax = (
+            arr.join(e, arr.node == e.__s)
+            .where(F.col("__t") >= F.col("arr"))
+            .select(F.col("__d").alias("node"), F.col("__t").alias("arr"))
+        )
+        arr = (
+            arr.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("arr").alias("arr"))
+            .localCheckpoint(eager=False)
+        )
+        stats.append(
+            arr.agg(
+                F.lit(rnd).alias("round"),
+                F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+                F.min("arr").cast("bigint").alias("min_arrival"),
+                F.max("arr").cast("bigint").alias("max_arrival"),
+                F.sum(F.col("arr").cast("decimal(38,0)")).alias("sum_arrival"),
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        "round",
+        "n_reached",
+        "min_arrival",
+        "max_arrival",
+        F.col("sum_arrival").cast("double").alias("sum_arrival"),
+    ).orderBy("round")

@@ -731,11 +731,14 @@ def mutual_nn_pairs(
             F.struct(F.col("__cos").alias("c"), (-F.col("__b")).alias("nb"))
         ).alias("__m")
     )
+    # |V|-row frame consumed twice (forward + reversed side of the
+    # mutuality join): materialize once or BOTH sides re-evaluate the
+    # full bucket-pair + argmax lineage (measured 2x wall)
     edges = best.select(
         F.col("__a"),
         (-F.col("__m.nb")).alias("__best"),
         F.col("__m.c").alias("cos"),
-    )
+    ).localCheckpoint(eager=False)
     rev = edges.select(
         F.col("__a").alias("__best"), F.col("__best").alias("__a")
     )

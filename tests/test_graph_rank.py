@@ -332,3 +332,50 @@ def test_ra_link_prediction_brute_force_and_cap(spark):
     }
     assert full[(1, 4)] == 250_000_000
     assert full[(1, 2)] == 500_000_000 + 333_333_333 + 250_000_000
+
+
+# -------------------------------------------------------- temporal_reachability
+
+
+def test_temporal_reachability_blocks_backward_time_paths(spark):
+    """1-(t5)->2-(t3)->3 is NOT time-respecting (3 < 5), so 3 stays
+    unreachable; 2-(t7)->4 is."""
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.graph import (
+        temporal_reachability,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2, t=5), Row(src=2, dst=3, t=3), Row(src=2, dst=4, t=7)]
+    )
+    seeds = spark.createDataFrame([Row(node=1)])
+    out = {r.round: r for r in temporal_reachability(
+        edges, sources=seeds, max_hops=3
+    ).collect()}
+    assert (out[1].n_reached, out[1].max_arrival) == (2, 5)   # {1@0, 2@5}
+    assert (out[2].n_reached, out[2].max_arrival) == (3, 7)   # +{4@7}
+    assert out[3].n_reached == 3                               # 3 never reached
+    assert out[2].sum_arrival == 12.0
+
+
+def test_temporal_reachability_takes_earliest_valid_edge(spark):
+    """With 2->3 at t=3 (invalid, 3 < arr(2)=5) AND t=9 (valid), node
+    3 arrives at 9 — the min over VALID edges, not the min edge."""
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.graph import (
+        temporal_reachability,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            Row(src=1, dst=2, t=5),
+            Row(src=2, dst=3, t=3),
+            Row(src=2, dst=3, t=9),
+            Row(src=2, dst=3, t=11),
+        ]
+    )
+    seeds = spark.createDataFrame([Row(node=1)])
+    out = {r.round: r for r in temporal_reachability(
+        edges, sources=seeds, max_hops=2
+    ).collect()}
+    assert out[2].n_reached == 3 and out[2].max_arrival == 9

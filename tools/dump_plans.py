@@ -151,6 +151,7 @@ NOTES = {
     "q240_woe_iv": "1-row decile-cuts broadcast; in-row comparison-fold bucketing; the WOE/IV algebra lives on the 10-row bucket frame (metadata windows)",
     "q241_deletion_neighborhood": "variant explode (|rows| x len+1) + ONE equi-join on the variant string — a complete lev<=1 candidate set with no cross-join; in-row levenshtein verify",
     "q242_grouped_moments": "one combinable aggregation pass (quantized power sums); moment assembly on the #groups frame",
+    "q243_temporal_reachability": "per round ONE arrival-x-edges equi-join (time residual post-probe) + min-combine groupBy; arrival frame localCheckpointed per round",
 }
 
 
