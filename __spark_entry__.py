@@ -5155,7 +5155,10 @@ def q234_mutual_nn_pairs(spark: SparkSession, sf: str) -> DataFrame:
     oracle bakes the seeded hyperplanes in as literals (the q28
     precedent) and replays the identical struct-max + mutuality join."""
     emb = load(spark, sf, "embeddings")
-    planes = similarity.random_hyperplanes(64, 4, seed=42)
+    # 6 planes = 64 blocks: bucket population (the only quadratic
+    # term) stays bounded as the corpus grows; n_planes is the width
+    # knob a 100 TB run raises further (log2(n / target_block))
+    planes = similarity.random_hyperplanes(64, 6, seed=42)
     return similarity.mutual_nn_pairs(emb, planes)
 
 
@@ -10594,7 +10597,7 @@ ORDER BY sp.phrase
     oracles["q234_mutual_nn_pairs"] = f"""
 WITH b AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-         {_lsh_bucket_sql('embedding::DOUBLE[]', n_planes=4, seed=42, dim=64)} AS bucket
+         {_lsh_bucket_sql('embedding::DOUBLE[]', n_planes=6, seed=42, dim=64)} AS bucket
   FROM embeddings
 ),
 pairs AS (
