@@ -5344,6 +5344,33 @@ def q243_temporal_reachability(spark: SparkSession, sf: str) -> DataFrame:
     return graph.temporal_reachability(edges, sources=seeds, max_hops=3)
 
 
+def q244_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Kendall tau-b of quantity vs discount per return flag
+    (evaluation.kendall_tau_b): concordant/discordant pair counts from
+    the joint-distribution GRID via chained 1-D cumulative windows —
+    an O(n^2)-pairs statistic at O(|X|x|Y|) cells, never a pair join.
+    Completes the correlation family (q169 Pearson, q236 Spearman).
+    The oracle replays the identical grid prefix algebra."""
+    li = load(spark, sf, "lineitem")
+    return evaluation.kendall_tau_b(
+        li, x_col="l_quantity", y_col="l_discount", group_keys=["l_returnflag"]
+    )
+
+
+def q245_streaming_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming HLL cardinality ingest (stream.hll_streaming_ingest):
+    events fold into a per-group register store by register-wise MAX —
+    the mergeable-sketch property as a streaming invariant, so
+    arrival order and at-least-once redelivery land EXACTLY on the
+    batch fixpoint. The oracle is q147's batch HLL SQL (sketch side):
+    a streaming-vs-batch parity check the driver value-hashes."""
+    pin_session(spark)
+    work = os.path.join(tempfile.gettempdir(), f"hllstream_{uuid.uuid4().hex[:8]}")
+    return stream.hll_streaming_ingest(
+        spark, sf, work, group_keys=("event_type",), value_col="user_id", p=9
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5417,7 +5444,7 @@ _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
     224, 225, 226, 227, 228, 229, 230, 231, 232, 233, 234, 235, 236,
-    237, 238, 239, 240, 241, 242, 243,
+    237, 238, 239, 240, 241, 242, 243, 244, 245,
 }
 
 
@@ -5695,6 +5722,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q241_deletion_neighborhood": q241_deletion_neighborhood,
         "q242_grouped_moments": q242_grouped_moments,
         "q243_temporal_reachability": q243_temporal_reachability,
+        "q244_kendall_tau": q244_kendall_tau,
+        "q245_streaming_hll": q245_streaming_hll,
     }
 
 
@@ -6195,6 +6224,34 @@ FROM summ s JOIN ex e USING (event_type)
 ORDER BY s.event_type
 """
 
+
+def _hll_sql_sketch_only(p: int = 9) -> str:
+    """q147's batch HLL SQL without the exact-count rider — the
+    streaming-ingest parity oracle (q245)."""
+    m = 1 << p
+    s_ = 60 - p + 1
+    num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << s_)
+    h = _MD5_INT60.format(col="CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hv AS (
+  SELECT event_type, {h} AS h FROM events
+),
+rb AS (
+  SELECT event_type, h % {m} AS bkt, h // {m} AS rest FROM hv
+),
+regs AS (
+  SELECT event_type, bkt,
+         MAX(CASE WHEN rest = 0 THEN {s_} ELSE {s_} - length(bin(rest)) END) AS r
+  FROM rb GROUP BY event_type, bkt
+)
+SELECT event_type, COUNT(*) AS n_used,
+       CAST(({m} - COUNT(*)) * (1::BIGINT << {s_})
+            + SUM(1::BIGINT << ({s_} - r)) AS BIGINT) AS d_scaled,
+       {num!r} / CAST(({m} - COUNT(*)) * (1::BIGINT << {s_})
+            + SUM(1::BIGINT << ({s_} - r)) AS DOUBLE) AS hll_estimate
+FROM regs GROUP BY event_type
+ORDER BY event_type
+"""
 
 def _zorder_sql() -> str:
     from nyc_taxi_data_prediction_pyspark_spark.functions.zorder import zorder_key_sql
@@ -11386,4 +11443,62 @@ a3 AS (
   FROM a3
 ORDER BY round
 """
+    # q244: the grid prefix algebra replayed — cells, across-x
+    # cumulative per y, across-y cumulatives per x, tie marginals,
+    # the identical 2x-scaled rational and sqrt parenthesization.
+    oracles["q244_kendall_tau"] = """
+WITH cells AS (
+  SELECT l_returnflag AS g, l_quantity AS x, l_discount AS y,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+dense AS (
+  SELECT xs.g, xs.x, ys.y, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT g, x FROM cells) xs
+  JOIN (SELECT DISTINCT g, y FROM cells) ys ON xs.g = ys.g
+  LEFT JOIN cells c ON c.g = xs.g AND c.x = xs.x AND c.y = ys.y
+),
+a AS (
+  SELECT g, x, y, n,
+         CAST(COALESCE(SUM(n) OVER (PARTITION BY g, y ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS av
+  FROM dense
+),
+pq AS (
+  SELECT g, x, y, n,
+         CAST(COALESCE(SUM(av) OVER (PARTITION BY g, x ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p,
+         CAST(COALESCE(SUM(av) OVER (PARTITION BY g, x ORDER BY y
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS BIGINT) AS q
+  FROM a
+),
+m AS (
+  SELECT g, CAST(SUM(n) AS BIGINT) AS n,
+         SUM(CAST(n AS HUGEINT) * p) AS c, SUM(CAST(n AS HUGEINT) * q) AS d
+  FROM pq GROUP BY 1
+),
+tx AS (
+  SELECT g, SUM(CAST(t AS HUGEINT) * (t - 1)) AS tx2 FROM (
+    SELECT g, x, CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY 1, 2
+  ) GROUP BY 1
+),
+ty AS (
+  SELECT g, SUM(CAST(t AS HUGEINT) * (t - 1)) AS ty2 FROM (
+    SELECT g, y, CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT m.g AS l_returnflag, m.n,
+       CAST(m.c AS DOUBLE) AS concordant,
+       CAST(m.d AS DOUBLE) AS discordant,
+       ROUND(CAST(2 * (m.c - m.d) AS DOUBLE)
+             / (sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) - tx.tx2 AS DOUBLE))
+                * sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) - ty.ty2 AS DOUBLE))), 6)
+         AS tau_b
+FROM m JOIN tx ON m.g = tx.g JOIN ty ON m.g = ty.g
+ORDER BY l_returnflag
+"""
+    # q245: the streaming register store must land exactly on the
+    # batch HLL — q147's sketch algebra without the exact-join rider.
+    oracles["q245_streaming_hll"] = _hll_sql_sketch_only(p=9)
     return oracles

@@ -196,6 +196,8 @@ HEADLINE = [
     "q241_deletion_neighborhood",
     "q242_grouped_moments",
     "q243_temporal_reachability",
+    "q244_kendall_tau",
+    "q245_streaming_hll",
 ]
 
 

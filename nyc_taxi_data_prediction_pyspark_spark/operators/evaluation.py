@@ -556,3 +556,114 @@ def woe_iv(
         F.round(F.col("__term").cast("double"), 6).alias("iv_term"),
         F.round(F.sum("__term").over(wt).cast("double"), 6).alias("iv"),
     ).orderBy("bucket")
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    group_keys: list[str] | None = None,
+) -> DataFrame:
+    """Exact Kendall tau-b rank correlation over DISCRETE-domain
+    columns, computed on the joint-distribution GRID instead of row
+    pairs: with cell counts n(x,y),
+
+        C = sum_cell n(x,y) * P(x,y)   (P = # points strictly less in both)
+        D = sum_cell n(x,y) * Q(x,y)   (Q = # points x' < x, y' > y)
+        tau_b = (C - D) / ( sqrt(n0 - tx) * sqrt(n0 - ty) )
+
+    where n0 = n(n-1)/2 and tx/ty are the tied-pair counts from the
+    marginals. P and Q come from two chained one-dimensional
+    cumulative windows over the grid (across x per y, then across y
+    per x) — never a pair self-join, never a data-sized window: every
+    frame after the first aggregation is |X|x|Y| cells (metadata for
+    discrete/quantized features; quantize continuous columns first).
+    All counts BIGINT (DECIMAL(38,0) where products can pass 2^63);
+    ONE division with IEEE-correctly-rounded sqrt, round 6.
+    """
+    gk = list(group_keys or [])
+    if not gk:
+        raise ValueError("kendall_tau_b needs group_keys (the dense grid "
+                         "join is keyed on them; wrap an ungrouped input "
+                         "in a constant group)")
+    cells = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(*gk, x_col, y_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    # DENSIFY: the chained 1-D prefixes below are only a 2-D dominance
+    # count when every (x, y) grid point exists — a sparse cell frame
+    # would skip the A-values of absent grid points. |X|x|Y| rows per
+    # group (metadata for discrete domains).
+    cells = cells.localCheckpoint(eager=False)  # 4 consumers below
+    xs = cells.select(*gk, x_col).distinct()
+    ys = cells.select(*gk, y_col).distinct()
+    dense = (
+        xs.join(ys, gk)
+        .join(cells, [*gk, x_col, y_col], "left")
+        .withColumn("__n", F.coalesce("__n", F.lit(0)).cast("bigint"))
+    )
+    wx = (
+        W.partitionBy(*gk, y_col)
+        .orderBy(F.col(x_col).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    a = dense.withColumn(
+        "__a", F.coalesce(F.sum("__n").over(wx), F.lit(0)).cast("bigint")
+    )
+    wy_below = (
+        W.partitionBy(*gk, x_col)
+        .orderBy(F.col(y_col).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wy_above = (
+        W.partitionBy(*gk, x_col)
+        .orderBy(F.col(y_col).asc())
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    pq = a.select(
+        *gk,
+        x_col,
+        y_col,
+        "__n",
+        F.coalesce(F.sum("__a").over(wy_below), F.lit(0)).cast("bigint").alias("__p"),
+        F.coalesce(F.sum("__a").over(wy_above), F.lit(0)).cast("bigint").alias("__q"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = pq.groupBy(*gk).agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum(dec(F.col("__n") * F.col("__p"))).alias("__c"),
+        F.sum(dec(F.col("__n") * F.col("__q"))).alias("__d"),
+    )
+    tx = (
+        cells.groupBy(*gk, x_col)
+        .agg(F.sum("__n").cast("bigint").alias("__t"))
+        .groupBy(*gk)
+        .agg(F.sum(dec(F.col("__t") * (F.col("__t") - 1))).alias("__tx2"))
+    )
+    ty = (
+        cells.groupBy(*gk, y_col)
+        .agg(F.sum("__n").cast("bigint").alias("__t"))
+        .groupBy(*gk)
+        .agg(F.sum(dec(F.col("__t") * (F.col("__t") - 1))).alias("__ty2"))
+    )
+    joined = m.join(tx, gk) if gk else m.crossJoin(F.broadcast(tx))
+    joined = joined.join(ty, gk) if gk else joined.crossJoin(F.broadcast(ty))
+    n = F.col("n").cast("decimal(38,0)")
+    n02 = n * (n - 1)  # 2*n0, matching the 2x-scaled tie sums
+    denx = (n02 - F.col("__tx2")).cast("double")
+    deny = (n02 - F.col("__ty2")).cast("double")
+    num = (F.lit(2).cast("decimal(38,0)") * (F.col("__c") - F.col("__d"))).cast(
+        "double"
+    )
+    return joined.select(
+        *gk,
+        "n",
+        F.col("__c").cast("double").alias("concordant"),
+        F.col("__d").cast("double").alias("discordant"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6),
+        ).alias("tau_b"),
+    ).orderBy(*gk)

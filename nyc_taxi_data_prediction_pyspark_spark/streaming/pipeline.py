@@ -811,3 +811,72 @@ def holt_state_stream(
             + F.when(F.col("n_events") == 1, F.lit(0.0)).otherwise(F.col("b"))
         ).alias("forecast_1"),
     )
+
+
+def hll_streaming_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    *,
+    group_keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "user_id",
+    p: int = 9,
+    n_arrival_files: int = 4,
+) -> DataFrame:
+    """Streaming cardinality ingest: events arrive in micro-batches
+    and fold into a per-group HLL REGISTER store by register-wise MAX
+    — the mergeable-sketch property (aggregates.hll_registers) used as
+    a streaming invariant.
+
+    Invariance argument (the T3/T6 discipline): MAX is idempotent,
+    commutative and monotone, and each event's (bucket, rank)
+    contribution is recomputed identically on every delivery — so ANY
+    arrival split, reordering, or at-least-once redelivery converges
+    to the register store of the batch computation, and the final
+    estimate lands EXACTLY on the batch fixpoint (the oracle is q147's
+    batch HLL SQL). This is the sketch whose streaming form needs no
+    dedup at all — unlike counters (CMS adds double-count on
+    redelivery), registers only ratchet.
+
+    Per-batch cost: one register aggregation of the batch (m rows per
+    group) + one store max-merge rewrite (store size = groups x m,
+    INDEPENDENT of stream length — the bounded-state contract).
+    Returns the final per-group estimate frame (n_used, d_scaled,
+    hll_estimate)."""
+    import os
+    import shutil
+    import uuid
+
+    from ..catalog import load
+    from ..operators.aggregates import hll_from_registers, hll_registers
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)  # deterministic re-runs
+    arrivals = os.path.join(work_dir, "arrivals")
+    store = os.path.join(work_dir, "store")
+    ckpt = os.path.join(work_dir, "ckpt")
+
+    gk = list(group_keys)
+    ev = load(spark, sf_dir, "events").select(*gk, value_col)
+    ev.repartition(n_arrival_files).write.mode("overwrite").parquet(arrivals)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+    )
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        ss = batch.sparkSession
+        regs_b = hll_registers(batch, group_keys=gk, value_col=value_col, p=p)
+        if os.path.exists(store):
+            regs_b = ss.read.parquet(store).unionByName(regs_b)
+        merged = regs_b.groupBy(*gk, "__bkt").agg(F.max("__r").alias("__r"))
+        tmp = f"{store}_tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        _swap_store(store, tmp)
+
+    foreach_batch_merge(stream, checkpoint=ckpt, merge_fn=merge)
+    return hll_from_registers(
+        spark.read.parquet(store), group_keys=gk, p=p
+    ).orderBy(*gk)

@@ -581,3 +581,53 @@ def test_grouped_moments_symmetric_data_zero_skew(spark):
         spark.createDataFrame(rows), group_keys=["g"], value_col="v"
     ).collect()[0]
     assert r.skewness == 0.0
+
+
+# -------------------------------------------------------------- kendall_tau_b
+
+
+def test_kendall_matches_bruteforce_pairs(spark):
+    """Tie-heavy fixture cross-checked against the O(n^2) pair
+    definition of tau-b."""
+    import math
+
+    xs = [1, 2, 2, 3, 3, 3, 4, 1, 2, 4]
+    ys = [1, 1, 2, 2, 3, 1, 3, 2, 3, 3]
+    n = len(xs)
+    C = D = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = xs[i] - xs[j], ys[i] - ys[j]
+            if dx == 0 and dy == 0:
+                tx += 1
+                ty += 1
+            elif dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif dx * dy > 0:
+                C += 1
+            else:
+                D += 1
+    n0 = n * (n - 1) / 2
+    expected = round((C - D) / (math.sqrt(n0 - tx) * math.sqrt(n0 - ty)), 6)
+
+    rows = [Row(g="a", x=x, y=y) for x, y in zip(xs, ys)]
+    out = evaluation.kendall_tau_b(
+        spark.createDataFrame(rows), x_col="x", y_col="y", group_keys=["g"]
+    ).collect()[0]
+    assert out.concordant == C and out.discordant == D
+    assert abs(out.tau_b - expected) < 2e-6
+
+
+def test_kendall_perfect_orders(spark):
+    rows = [Row(g="a", x=i, y=i * 2) for i in range(10)]
+    out = evaluation.kendall_tau_b(
+        spark.createDataFrame(rows), x_col="x", y_col="y", group_keys=["g"]
+    ).collect()[0]
+    assert out.tau_b == 1.0
+    rows = [Row(g="a", x=i, y=-i) for i in range(10)]
+    out = evaluation.kendall_tau_b(
+        spark.createDataFrame(rows), x_col="x", y_col="y", group_keys=["g"]
+    ).collect()[0]
+    assert out.tau_b == -1.0

@@ -51,6 +51,7 @@ BNL_ALLOWED = {
     "q228_ks_two_sample": "1-row sample-size broadcast onto the distinct-value ECDF frame",
     "q230_ri_audit": "per-edge 1-row stats x 1-row orphan-counts crossed (8 edges)",
     "q232_seasonal_decompose": "hour spine x #event-types frame (both metadata-sized) crossed — the q181 shape",
+    "q240_woe_iv": "1-row decile-cuts broadcast onto the value stream (the q224 bucketing shape)",
 }
 
 

@@ -288,3 +288,25 @@ def test_streaming_holt_bit_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want  # exact, every user, every field
+
+
+def test_hll_streaming_ingest_lands_on_batch_fixpoint(spark, tmp_path):
+    """Register-wise MAX is idempotent/commutative/monotone: the
+    streamed store's estimate must EQUAL the batch sketch exactly,
+    whatever the arrival split."""
+    from nyc_taxi_data_prediction_pyspark_spark.catalog import load
+    from nyc_taxi_data_prediction_pyspark_spark.operators import aggregates as agg
+    from nyc_taxi_data_prediction_pyspark_spark.streaming import pipeline as stream
+
+    sf = "/root/testdata/sf0.001"
+    streamed = stream.hll_streaming_ingest(
+        spark, sf, str(tmp_path / "hll"), group_keys=("event_type",),
+        value_col="user_id", p=9, n_arrival_files=3,
+    ).collect()
+    ev = load(spark, sf, "events")
+    batch = (
+        agg.hll_distinct(ev, group_keys=["event_type"], value_col="user_id", p=9)
+        .orderBy("event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]

@@ -152,6 +152,8 @@ NOTES = {
     "q241_deletion_neighborhood": "variant explode (|rows| x len+1) + ONE equi-join on the variant string — a complete lev<=1 candidate set with no cross-join; in-row levenshtein verify",
     "q242_grouped_moments": "one combinable aggregation pass (quantized power sums); moment assembly on the #groups frame",
     "q243_temporal_reachability": "per round ONE arrival-x-edges equi-join (time residual post-probe) + min-combine groupBy; arrival frame localCheckpointed per round",
+    "q244_kendall_tau": "an O(n^2)-pairs statistic at O(|X|x|Y|) cells: densified grid (equi-joins on the group key) + two chained 1-D cumulative windows — never a pair join",
+    "q245_streaming_hll": "per-batch register agg + store max-merge rewrite; store size = groups x m, independent of stream length; register MAX makes redelivery a no-op",
 }
 
 
