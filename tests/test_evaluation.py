@@ -631,3 +631,100 @@ def test_kendall_perfect_orders(spark):
         spark.createDataFrame(rows), x_col="x", y_col="y", group_keys=["g"]
     ).collect()[0]
     assert out.tau_b == -1.0
+
+
+# ------------------------------------------------------ hypothesis properties
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.booleans()), min_size=3, max_size=40
+    ).filter(lambda xs: any(y for _, y in xs) and any(not y for _, y in xs))
+)
+def test_roc_auc_equals_bruteforce_pair_count(spark, data):
+    """AUC must equal the pairwise win-rate (ties half-credit) on
+    arbitrary tie-heavy inputs — the Mann-Whitney definition."""
+    pos = [s for s, y in data if y]
+    neg = [s for s, y in data if not y]
+    num2 = 0
+    for a in pos:
+        for b in neg:
+            num2 += 2 if a > b else (1 if a == b else 0)
+    rows = [Row(s=float(s), y=int(y)) for s, y in data]
+    out = evaluation.roc_auc(
+        spark.createDataFrame(rows), score_col="s", label_col="y"
+    ).collect()[0]
+    assert out.auc_num2 == num2
+    assert out.auc == round(num2 / (2 * len(pos) * len(neg)), 6)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(-5, 5), st.booleans()), min_size=2, max_size=40
+    ).filter(lambda xs: any(y for _, y in xs) and any(not y for _, y in xs))
+)
+def test_ks_equals_bruteforce_ecdf_gap(spark, data):
+    a = sorted(v for v, t in data if t)
+    b = sorted(v for v, t in data if not t)
+    vals = sorted(set(v for v, _ in data))
+    best = 0
+    for v in vals:
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        best = max(best, abs(ca * len(b) - cb * len(a)))
+    rows = [Row(v=float(v), t=bool(t)) for v, t in data]
+    out = evaluation.ks_two_sample(
+        spark.createDataFrame(rows), value_col="v", sample_col="t"
+    ).collect()[0]
+    assert out.d_scaled == best
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)), min_size=2, max_size=40
+    )
+)
+def test_kendall_tau_equals_bruteforce_pairs(spark, data):
+    """The grid prefix algebra must equal the O(n^2) pair definition
+    on arbitrary tie-heavy inputs (this property caught the sparse-
+    grid undercount the oracle mirror could not)."""
+    n = len(data)
+    C = D = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = data[i][0] - data[j][0]
+            dy = data[i][1] - data[j][1]
+            if dx != 0 and dy != 0:
+                if dx * dy > 0:
+                    C += 1
+                else:
+                    D += 1
+    rows = [Row(g="a", x=x, y=y) for x, y in data]
+    out = evaluation.kendall_tau_b(
+        spark.createDataFrame(rows), x_col="x", y_col="y", group_keys=["g"]
+    ).collect()[0]
+    assert (out.concordant, out.discordant) == (C, D)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(1, 9), st.integers(0, 1)), min_size=4, max_size=30)
+)
+def test_isotonic_fit_is_monotone_and_weighted_mean_preserving(spark, data):
+    """Two PAV invariants on arbitrary inputs: the fit is monotone
+    non-decreasing, and the weighted mean of the fit equals the
+    weighted mean of the raw rates (PAV projects onto the monotone
+    cone without moving total mass)."""
+    rows = [Row(p=(b - 0.5) / 9, y=y) for b, y in data]
+    out = evaluation.isotonic_calibration(
+        spark.createDataFrame(rows), prob_col="p", label_col="y", bins=9
+    ).collect()
+    fits = [r.iso_rate for r in out]
+    assert fits == sorted(fits)
+    total_mass = sum(r.n * r.iso_rate for r in out)
+    assert abs(total_mass - sum(y for _, y in data)) < 1e-3
