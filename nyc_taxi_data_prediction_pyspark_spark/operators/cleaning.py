@@ -259,7 +259,7 @@ def ri_audit(
         # nulls natively — one pass for the child-side stats
         stats = keyed.agg(
             F.count("__k").cast("bigint").alias("child_rows"),
-            F.sum(F.col("__k").isNull().cast("bigint"))
+            F.coalesce(F.sum(F.col("__k").isNull().cast("bigint")), F.lit(0))
             .cast("bigint")
             .alias("null_keys"),
             F.countDistinct("__k").cast("bigint").alias("distinct_keys"),
