@@ -728,3 +728,27 @@ def test_isotonic_fit_is_monotone_and_weighted_mean_preserving(spark, data):
     assert fits == sorted(fits)
     total_mass = sum(r.n * r.iso_rate for r in out)
     assert abs(total_mass - sum(y for _, y in data)) < 1e-3
+
+
+def test_deletion_neighborhood_hostile_hot_variant(spark):
+    """Worst case: N strings all within distance 1 of one center (a
+    degenerate dup cluster). The candidate set is inherently O(N^2) —
+    that's the TRUE OUTPUT (they really are all pairwise-near), not a
+    plan defect; verify completeness and exactness under it."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.linkage import (
+        deletion_neighborhood_pairs,
+    )
+
+    # 11 names: 'center' + 10 single-substitutions at position 0
+    names = ["center"] + [c + "enter" for c in "abdefghijk"]
+    rows = [Row(id=i, nm=nm) for i, nm in enumerate(names)]
+    out = deletion_neighborhood_pairs(
+        spark.createDataFrame(rows), id_col="id", name_col="nm"
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    # every pair differs only at position 0 -> all C(11,2) pairs are
+    # within distance 1 and ALL must be found (completeness), exactly
+    # once (the distinct)
+    import itertools
+
+    assert got == set(itertools.combinations(range(11), 2))
