@@ -5371,6 +5371,26 @@ def q245_streaming_hll(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q246_interval_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum non-overlapping booking selection per user
+    (windows.greedy_interval_schedule): events become intervals
+    [ts, ts + value minutes]; the earliest-end-first greedy — provably
+    count-optimal — runs as a per-user integer fold (the q128/q173
+    sequential-fold class). The oracle replays the fold as a recursive
+    CTE over the identical (end, start, id) order."""
+    ev = load(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        "user_id",
+        us.alias("s"),
+        (us + F.round(F.col("value") * 60000000).cast("bigint")).alias("e"),
+        "event_id",
+    )
+    return windows.greedy_interval_schedule(
+        iv, partition=["user_id"], start_col="s", end_col="e", tiebreak_col="event_id"
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5444,7 +5464,7 @@ _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
     224, 225, 226, 227, 228, 229, 230, 231, 232, 233, 234, 235, 236,
-    237, 238, 239, 240, 241, 242, 243, 244, 245,
+    237, 238, 239, 240, 241, 242, 243, 244, 245, 246,
 }
 
 
@@ -5724,6 +5744,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q243_temporal_reachability": q243_temporal_reachability,
         "q244_kendall_tau": q244_kendall_tau,
         "q245_streaming_hll": q245_streaming_hll,
+        "q246_interval_schedule": q246_interval_schedule,
     }
 
 
@@ -11501,4 +11522,33 @@ ORDER BY l_returnflag
     # q245: the streaming register store must land exactly on the
     # batch HLL — q147's sketch algebra without the exact-join rider.
     oracles["q245_streaming_hll"] = _hll_sql_sketch_only(p=9)
+    # q246: the greedy fold replayed as a recursive CTE over the
+    # identical (end, start, id) total order — the q173 fold contract.
+    oracles["q246_interval_schedule"] = """
+WITH RECURSIVE iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(ROUND(value * 60000000) AS BIGINT) AS e,
+         event_id
+  FROM events
+),
+r AS (
+  SELECT user_id, s, e,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY e, s, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM iv
+),
+fold(user_id, rn, n, last_e, kept, dur) AS (
+  SELECT user_id, rn, n, e, 1::BIGINT, e - s FROM r WHERE rn = 1
+  UNION ALL
+  SELECT f.user_id, r.rn, f.n,
+         CASE WHEN r.s >= f.last_e THEN r.e ELSE f.last_e END,
+         f.kept + CASE WHEN r.s >= f.last_e THEN 1 ELSE 0 END,
+         f.dur + CASE WHEN r.s >= f.last_e THEN r.e - r.s ELSE 0 END
+  FROM fold f JOIN r ON r.user_id = f.user_id AND r.rn = f.rn + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_intervals,
+       CAST(kept AS BIGINT) AS n_kept, CAST(dur AS BIGINT) AS kept_dur
+FROM fold WHERE rn = n ORDER BY user_id
+"""
     return oracles

@@ -198,6 +198,7 @@ HEADLINE = [
     "q243_temporal_reachability",
     "q244_kendall_tau",
     "q245_streaming_hll",
+    "q246_interval_schedule",
 ]
 
 

@@ -1142,3 +1142,58 @@ def haar_energy(
             6,
         ).alias("energy_share"),
     ).orderBy("level")
+
+
+def greedy_interval_schedule(
+    df: DataFrame,
+    *,
+    partition: Sequence[str],
+    start_col: str,
+    end_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Maximum non-overlapping interval selection per group — the
+    earliest-end-first greedy, which is PROVABLY optimal for count
+    (the exchange argument; CLRS §16.1): sort by (end, start, tie),
+    keep an interval iff its start is at or after the last kept end.
+    The scheduling/booking/dedup-by-time primitive.
+
+    Sequential-fold class (q128/q173): one groupBy shuffle; the
+    greedy is a per-group in-row fold over the sorted interval array
+    (state = last kept end + counters, all BIGINT) — no window, no
+    UDF, and the oracle replays it as a recursive CTE. Touching
+    intervals (start == previous end) are compatible.
+
+    Returns per group: n_intervals, n_kept, kept_dur (sum of kept
+    interval lengths, BIGINT time units)."""
+    gcols = list(partition)
+    item = F.struct(
+        F.col(end_col).cast("bigint").alias("e"),
+        F.col(start_col).cast("bigint").alias("s"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    grouped = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.array_sort(F.collect_list(item)).alias("__iv"),
+    )
+    init = F.struct(
+        F.lit(None).cast("bigint").alias("last_e"),
+        F.lit(0).cast("bigint").alias("kept"),
+        F.lit(0).cast("bigint").alias("dur"),
+    )
+
+    def step(acc, x):
+        take = acc["last_e"].isNull() | (x["s"] >= acc["last_e"])
+        return F.struct(
+            F.when(take, x["e"]).otherwise(acc["last_e"]).alias("last_e"),
+            (acc["kept"] + take.cast("bigint")).alias("kept"),
+            (acc["dur"] + F.when(take, x["e"] - x["s"]).otherwise(0)).alias("dur"),
+        )
+
+    folded = F.aggregate(F.col("__iv"), init, step)
+    return grouped.select(
+        *gcols,
+        "n_intervals",
+        folded["kept"].alias("n_kept"),
+        folded["dur"].alias("kept_dur"),
+    ).orderBy(*gcols)

@@ -752,3 +752,49 @@ def test_deletion_neighborhood_hostile_hot_variant(spark):
     import itertools
 
     assert got == set(itertools.combinations(range(11), 2))
+
+
+# -------------------------------------------------- greedy_interval_schedule
+
+
+def test_interval_schedule_hand_traced(spark):
+    """Classic fixture: [1,4) [3,5) [0,6) [5,7) [3,9) [6,10) [8,11) —
+    earliest-end-first keeps [1,4), [5,7), [8,11) -> 3 kept."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.windows import (
+        greedy_interval_schedule,
+    )
+
+    ivs = [(1, 4), (3, 5), (0, 6), (5, 7), (3, 9), (6, 10), (8, 11)]
+    rows = [Row(g="u", s=s, e=e, k=i) for i, (s, e) in enumerate(ivs)]
+    out = greedy_interval_schedule(
+        spark.createDataFrame(rows), partition=["g"], start_col="s",
+        end_col="e", tiebreak_col="k",
+    ).collect()[0]
+    assert out.n_intervals == 7 and out.n_kept == 3
+    assert out.kept_dur == (4 - 1) + (7 - 5) + (11 - 8)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 10)), min_size=1, max_size=25
+    )
+)
+def test_interval_schedule_matches_bruteforce_greedy(spark, data):
+    """The fold must equal the sequential earliest-end-first greedy on
+    arbitrary inputs (including touching and nested intervals)."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.windows import (
+        greedy_interval_schedule,
+    )
+
+    ivs = [(s, s + d, i) for i, (s, d) in enumerate(data)]
+    last_e, kept, dur = None, 0, 0
+    for e, s, _ in sorted((e, s, i) for s, e, i in ivs):
+        if last_e is None or s >= last_e:
+            last_e, kept, dur = e, kept + 1, dur + (e - s)
+    rows = [Row(g="u", s=s, e=e, k=i) for s, e, i in ivs]
+    out = greedy_interval_schedule(
+        spark.createDataFrame(rows), partition=["g"], start_col="s",
+        end_col="e", tiebreak_col="k",
+    ).collect()[0]
+    assert (out.n_kept, out.kept_dur) == (kept, dur)

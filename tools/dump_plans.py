@@ -154,6 +154,7 @@ NOTES = {
     "q243_temporal_reachability": "per round ONE arrival-x-edges equi-join (time residual post-probe) + min-combine groupBy; arrival frame localCheckpointed per round",
     "q244_kendall_tau": "an O(n^2)-pairs statistic at O(|X|x|Y|) cells: densified grid (equi-joins on the group key) + two chained 1-D cumulative windows — never a pair join",
     "q245_streaming_hll": "per-batch register agg + store max-merge rewrite; store size = groups x m, independent of stream length; register MAX makes redelivery a no-op",
+    "q246_interval_schedule": "sequential-fold class (q128/q173): one groupBy shuffle, greedy as an in-row fold over the sorted interval array — no window, no UDF",
 }
 
 
