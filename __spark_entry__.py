@@ -5391,6 +5391,20 @@ def q246_interval_schedule(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q247_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document 3-gram novelty of the odd-id shard against the
+    even-id reference shard (dedup.ngram_novelty): the memorization /
+    contamination readout — what fraction of each candidate document's
+    n-grams exists nowhere in the reference corpus. Exact integers,
+    one division; the oracle replays the q17 shingle CTE with the
+    identical parity split."""
+    docs = load(spark, sf, "documents")
+    return dedup.ngram_novelty(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5464,7 +5478,7 @@ _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
     224, 225, 226, 227, 228, 229, 230, 231, 232, 233, 234, 235, 236,
-    237, 238, 239, 240, 241, 242, 243, 244, 245, 246,
+    237, 238, 239, 240, 241, 242, 243, 244, 245, 246, 247,
 }
 
 
@@ -5745,6 +5759,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_kendall_tau": q244_kendall_tau,
         "q245_streaming_hll": q245_streaming_hll,
         "q246_interval_schedule": q246_interval_schedule,
+        "q247_ngram_novelty": q247_ngram_novelty,
     }
 
 
@@ -11550,5 +11565,28 @@ fold(user_id, rn, n, last_e, kept, dur) AS (
 SELECT user_id, CAST(n AS BIGINT) AS n_intervals,
        CAST(kept AS BIGINT) AS n_kept, CAST(dur AS BIGINT) AS kept_dur
 FROM fold WHERE rn = n ORDER BY user_id
+"""
+    # q247: the q17 shingle construction with the parity split —
+    # reference = DISTINCT even-id shingles, novelty per odd-id doc.
+    oracles["q247_ngram_novelty"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, ' ') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM toks WHERE len(w) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+),
+ref AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+cand AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM cand c LEFT JOIN ref r ON c.shingle = r.shingle
+GROUP BY c.doc_id ORDER BY c.doc_id
 """
     return oracles

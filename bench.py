@@ -199,6 +199,7 @@ HEADLINE = [
     "q244_kendall_tau",
     "q245_streaming_hll",
     "q246_interval_schedule",
+    "q247_ngram_novelty",
 ]
 
 

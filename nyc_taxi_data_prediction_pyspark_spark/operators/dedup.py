@@ -1037,3 +1037,58 @@ def semdedup(
             F.coalesce("__dropped", F.lit(False)).alias("dropped"),
         )
     )
+
+
+def ngram_novelty(
+    candidates: DataFrame,
+    reference: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus — the
+    memorization/contamination readout (what fraction of a candidate
+    document's n-grams exist nowhere in the reference?), the
+    doc-granular complement of the pairwise dedup family: q17 asks
+    "which documents are near-copies of each other", this asks "how
+    much of THIS document is new text at all" (the Lee et al. '22
+    dedup-analysis lens; also the novelty gate of eval-set curation).
+
+    novelty = |doc shingles \\ reference shingles| / |doc shingles|
+    over DISTINCT in-row word n-grams (shingle_array). Exact integers,
+    ONE division.
+
+    Scale: the reference collapses to its DISTINCT shingle set once
+    (map-side combinable); membership is one LEFT join keyed on the
+    shingle (hash-partitioned both sides — at petabyte scale pass
+    hashed shingles through the same plan: shingle_array(hashed=True)
+    makes the join key a constant-width bigint); the per-doc rollup
+    map-side combines. Documents shorter than ``n`` tokens have no
+    n-grams and are excluded (mirrored in the oracle).
+    """
+    ref = word_shingles(reference, text_col=text_col, id_col=id_col, n=n).select(
+        "shingle"
+    ).distinct()
+    cand = word_shingles(candidates, text_col=text_col, id_col=id_col, n=n)
+    flagged = cand.join(
+        ref.withColumn("__seen", F.lit(True)), "shingle", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.col("__seen").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+        .orderBy(id_col)
+    )

@@ -798,3 +798,25 @@ def test_interval_schedule_matches_bruteforce_greedy(spark, data):
         end_col="e", tiebreak_col="k",
     ).collect()[0]
     assert (out.n_kept, out.kept_dur) == (kept, dur)
+
+
+# ------------------------------------------------------------- ngram_novelty
+
+
+def test_ngram_novelty_extremes(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.dedup import ngram_novelty
+
+    ref = spark.createDataFrame([Row(doc_id=0, text="a b c d e")])
+    cands = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e"),          # fully seen -> 0.0
+            Row(doc_id=2, text="x y z w"),            # fully novel -> 1.0
+            Row(doc_id=3, text="a b c x y z"),        # 'a b c' seen, 3 novel
+            Row(doc_id=4, text="too short"),          # < 3 tokens: excluded
+        ]
+    )
+    out = {r.doc_id: r for r in ngram_novelty(cands, ref).collect()}
+    assert out[1].novelty == 0.0
+    assert out[2].novelty == 1.0
+    assert (out[3].n_shingles, out[3].n_novel) == (4, 3)
+    assert 4 not in out

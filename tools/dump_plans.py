@@ -155,6 +155,7 @@ NOTES = {
     "q244_kendall_tau": "an O(n^2)-pairs statistic at O(|X|x|Y|) cells: densified grid (equi-joins on the group key) + two chained 1-D cumulative windows — never a pair join",
     "q245_streaming_hll": "per-batch register agg + store max-merge rewrite; store size = groups x m, independent of stream length; register MAX makes redelivery a no-op",
     "q246_interval_schedule": "sequential-fold class (q128/q173): one groupBy shuffle, greedy as an in-row fold over the sorted interval array — no window, no UDF",
+    "q247_ngram_novelty": "reference collapses to its DISTINCT shingle set once; membership = ONE left join keyed on the shingle; per-doc rollup map-side combines",
 }
 
 
