@@ -10767,11 +10767,13 @@ picks AS (
 ),
 logs AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_log FROM base GROUP BY 1),
 pol AS (
+  -- logged_arm aliased BEFORE grouping so no identifier is shadowed
+  -- by the pick->arm output alias
   SELECT pick AS arm,
          CAST(COUNT(*) AS BIGINT) AS n_policy,
-         CAST(SUM(CASE WHEN pick = arm THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-         CAST(SUM(CASE WHEN pick = arm THEN r ELSE 0 END) AS BIGINT) AS matched_reward
-  FROM picks GROUP BY 1
+         CAST(SUM(CASE WHEN pick = logged_arm THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         CAST(SUM(CASE WHEN pick = logged_arm THEN r ELSE 0 END) AS BIGINT) AS matched_reward
+  FROM (SELECT arm AS logged_arm, r, pick FROM picks) GROUP BY 1
 )
 SELECT COALESCE(logs.arm, pol.arm) AS arm,
        COALESCE(n_log, 0) AS n_log,
