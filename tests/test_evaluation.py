@@ -820,3 +820,55 @@ def test_ngram_novelty_extremes(spark):
     assert out[2].novelty == 1.0
     assert (out[3].n_shingles, out[3].n_novel) == (4, 3)
     assert 4 not in out
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C"]), st.booleans()),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bandit_replay_matches_sequential_simulation(spark, seq):
+    """The windowed replay must equal a straight sequential simulation
+    of the greedy policy (unseen-first by name, exact-rational mean
+    argmax, name ties) on arbitrary arm/reward sequences."""
+    import datetime
+    from fractions import Fraction
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators.mining import bandit_replay
+
+    arms = ["A", "B", "C"]
+    stats = {a: [0, 0] for a in arms}  # n, s
+    agg = {a: [0, 0, 0, 0] for a in arms}  # n_log, n_policy, n_matched, reward
+    for arm, r in seq:
+        unseen = [a for a in arms if stats[a][0] == 0]
+        if unseen:
+            pick = min(unseen)
+        else:
+            # exact-rational argmax with name tie -> smallest name among maxima
+            best = max(Fraction(stats[a][1], stats[a][0]) for a in arms)
+            pick = min(a for a in arms if Fraction(stats[a][1], stats[a][0]) == best)
+        agg[arm][0] += 1
+        agg[pick][1] += 1
+        if pick == arm:
+            agg[pick][2] += 1
+            agg[pick][3] += int(r)
+        stats[arm][0] += 1
+        stats[arm][1] += int(r)
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        Row(ts=t0 + datetime.timedelta(seconds=i), event_id=i, event_type=a,
+            reward=int(r))
+        for i, (a, r) in enumerate(seq)
+    ]
+    out = {r.arm: r for r in bandit_replay(spark.createDataFrame(rows), arms).collect()}
+    for a in arms:
+        got = out.get(a)
+        exp = agg[a]
+        if got is None:
+            assert exp == [0, 0, 0, 0]
+        else:
+            assert (got.n_log, got.n_policy, got.n_matched, got.matched_reward) == tuple(exp)
