@@ -872,3 +872,37 @@ def test_bandit_replay_matches_sequential_simulation(spark, seq):
             assert exp == [0, 0, 0, 0]
         else:
             assert (got.n_log, got.n_policy, got.n_matched, got.matched_reward) == tuple(exp)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(0, 8), st.integers(1, 5)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),  # one row per (group, key) — the
+        # callers' pre-collapsed-distinct-keys contract
+    )
+)
+def test_grouped_cumsum_two_phase_matches_python_prefix(spark, data):
+    """The shared two-phase engine vs a plain Python prefix sum on
+    random pre-collapsed inputs, inclusive and exclusive, with a
+    partition count that forces multi-partition ranges."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.windows import (
+        grouped_cumsum_two_phase,
+    )
+
+    rows = [Row(g=g, k=k, c=c) for g, k, c in data]
+    df = spark.createDataFrame(rows)
+    for excl in (False, True):
+        out = grouped_cumsum_two_phase(
+            df, ["g"], ["k"], ["c"], exclusive=excl, two_phase=True,
+            num_partitions=5,
+        ).collect()
+        got = {(r.g, r.k): r["__cum_c"] for r in out}
+        for g in ("g1", "g2"):
+            run = 0
+            for k, c in sorted((k, c) for gg, k, c in data if gg == g):
+                expected = run if excl else run + c
+                assert got[(g, k)] == expected
+                run += c
