@@ -283,6 +283,69 @@ class Warehouse:
 
         return len(_glob.glob(os.path.join(self.path(table), "part-*")))
 
+    # ---- multi-table atomic snapshot transactions -----------------
+    #
+    # Cross-table consistency (the warehouse property a fact+dim
+    # refresh needs: nobody may ever see new facts with old dims).
+    # Per-table _current pointers cannot be advanced atomically
+    # TOGETHER, so transactional readers resolve versions through ONE
+    # root manifest committed by a single os.replace — the same
+    # publish-the-pointer-LAST ordering as the staged 2PC sink
+    # (pysource.StagedJsonSinkDataSource): data first, invisible;
+    # manifest rename is the commit point; a crash anywhere before it
+    # leaves every table's previous contents fully intact.
+
+    def multi_snapshot_write(self, writes: dict[str, DataFrame]) -> dict[str, int]:
+        """Atomically publish new versions of SEVERAL tables: write
+        each table's next version directory (invisible — no pointer
+        moves), then commit a root transaction manifest naming every
+        (table, version) with ONE atomic rename. ``read_txn`` sees
+        either every table's old version or every table's new version,
+        never a mix. The per-table ``_current`` pointers advance AFTER
+        the commit point as a convenience for non-transactional
+        readers (a crash in that window cannot break ``read_txn``).
+        Returns {table: new_version}."""
+        import json
+
+        staged: dict[str, int] = {}
+        for table, df in sorted(writes.items()):
+            base = os.path.join(self.root, table, "_v")
+            os.makedirs(base, exist_ok=True)
+            existing = sorted(int(d) for d in os.listdir(base) if d.isdigit())
+            v = (existing[-1] + 1) if existing else 1
+            df.write.mode("overwrite").parquet(os.path.join(base, f"{v:06d}"))
+            staged[table] = v
+        manifest = dict(self._txn_manifest())
+        manifest.update(staged)
+        tmp = os.path.join(self.root, "_txn.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.root, "_txn"))  # the commit point
+        for table, v in staged.items():  # post-commit convenience pointers
+            ptmp = os.path.join(self.root, table, "_current.tmp")
+            with open(ptmp, "w") as f:
+                f.write(str(v))
+            os.replace(ptmp, os.path.join(self.root, table, "_current"))
+        return staged
+
+    def _txn_manifest(self) -> dict[str, int]:
+        import json
+
+        path = os.path.join(self.root, "_txn")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def read_txn(self, table: str) -> DataFrame:
+        """Read ``table`` at its version in the LAST COMMITTED
+        transaction (cross-table consistent); tables never written
+        transactionally fall back to their own current pointer."""
+        v = self._txn_manifest().get(table)
+        if v is None:
+            return self.read_snapshot(table)
+        return self.read_snapshot(table, v)
+
     def _swap_write(self, table: str, df: DataFrame) -> None:
         tmp = self.path(f"_tmp_{table}_{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(tmp)

@@ -145,3 +145,104 @@ def test_snapshot_versioning_time_travel_and_vacuum(spark, tmp_path):
     assert dropped == [1, 2]
     assert wh.snapshot_versions("t") == [3]
     assert wh.read_snapshot("t").count() == 3
+
+
+# ---------------------------------------------- multi-table txn snapshots
+
+
+def _mk_wh(spark, tmp_path):
+    from nyc_taxi_data_prediction_pyspark_spark.sources.warehouse import Warehouse
+
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def test_multi_snapshot_write_is_cross_table_consistent(spark, tmp_path):
+    wh = _mk_wh(spark, tmp_path)
+    f1 = spark.range(3).withColumnRenamed("id", "k")
+    d1 = spark.range(2).withColumnRenamed("id", "dim")
+    vs = wh.multi_snapshot_write({"fact": f1, "dim": d1})
+    assert vs == {"fact": 1, "dim": 1}
+    assert wh.read_txn("fact").count() == 3 and wh.read_txn("dim").count() == 2
+
+    f2 = spark.range(10).withColumnRenamed("id", "k")
+    d2 = spark.range(5).withColumnRenamed("id", "dim")
+    vs = wh.multi_snapshot_write({"fact": f2, "dim": d2})
+    assert vs == {"fact": 2, "dim": 2}
+    assert wh.read_txn("fact").count() == 10 and wh.read_txn("dim").count() == 5
+    # time travel to the pre-txn versions still works per table
+    assert wh.read_snapshot("fact", 1).count() == 3
+
+
+def test_multi_snapshot_crash_before_commit_leaves_old_state(spark, tmp_path, monkeypatch):
+    """Crash injected at the commit point (the _txn rename): both
+    tables' data directories exist but read_txn must still see the
+    OLD consistent pair — the publish-pointer-LAST contract."""
+    import os as _os
+
+    wh = _mk_wh(spark, tmp_path)
+    wh.multi_snapshot_write(
+        {"fact": spark.range(3).withColumnRenamed("id", "k"),
+         "dim": spark.range(2).withColumnRenamed("id", "dim")}
+    )
+
+    real_replace = _os.replace
+
+    def exploding_replace(src, dst):
+        if dst.endswith("_txn"):
+            raise OSError("injected crash at the commit point")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", exploding_replace)
+    try:
+        wh.multi_snapshot_write(
+            {"fact": spark.range(99).withColumnRenamed("id", "k"),
+             "dim": spark.range(99).withColumnRenamed("id", "dim")}
+        )
+    except OSError:
+        pass
+    monkeypatch.undo()
+    # staged v2 directories exist, but the committed view is intact
+    assert wh.snapshot_versions("fact") == [1, 2]
+    assert wh.read_txn("fact").count() == 3
+    assert wh.read_txn("dim").count() == 2
+    # retry after the crash commits cleanly (next free version)
+    vs = wh.multi_snapshot_write(
+        {"fact": spark.range(7).withColumnRenamed("id", "k"),
+         "dim": spark.range(4).withColumnRenamed("id", "dim")}
+    )
+    assert wh.read_txn("fact").count() == 7 and wh.read_txn("dim").count() == 4
+    assert vs == {"fact": 3, "dim": 3}
+
+
+def test_multi_snapshot_crash_after_commit_still_consistent(spark, tmp_path, monkeypatch):
+    """Crash between the txn commit and the per-table convenience
+    pointers: read_txn sees the NEW pair (the commit happened)."""
+    import os as _os
+
+    wh = _mk_wh(spark, tmp_path)
+    wh.multi_snapshot_write(
+        {"fact": spark.range(3).withColumnRenamed("id", "k"),
+         "dim": spark.range(2).withColumnRenamed("id", "dim")}
+    )
+    real_replace = _os.replace
+    state = {"committed": False}
+
+    def crash_after_txn(src, dst):
+        if dst.endswith("_txn"):
+            real_replace(src, dst)
+            state["committed"] = True
+            raise OSError("injected crash right after the commit point")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", crash_after_txn)
+    try:
+        wh.multi_snapshot_write(
+            {"fact": spark.range(8).withColumnRenamed("id", "k"),
+             "dim": spark.range(6).withColumnRenamed("id", "dim")}
+        )
+    except OSError:
+        pass
+    monkeypatch.undo()
+    assert state["committed"]
+    assert wh.read_txn("fact").count() == 8
+    assert wh.read_txn("dim").count() == 6
