@@ -5405,6 +5405,48 @@ def q247_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q248_txn_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table consistent fact+dim refresh
+    (Warehouse.multi_snapshot_write / read_txn): a stale v1 pair is
+    published, then the full v2 pair lands in ONE transaction (root
+    manifest rename — the publish-pointer-LAST rule); the readout
+    joins fact and dim THROUGH read_txn, so it is only right if both
+    tables resolved to the same transaction. The oracle recomputes the
+    v2 state directly; any torn fact/dim pairing hash-mismatches."""
+    from nyc_taxi_data_prediction_pyspark_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix=f"txn_{uuid.uuid4().hex[:8]}_"))
+    ev = load(spark, sf, "events")
+    half = ev.where(F.col("event_id") % 2 == 0)
+
+    def pair(src: DataFrame) -> dict[str, DataFrame]:
+        fact = src.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+        dim = src.groupBy("event_type").agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users")
+        )
+        return {"fact_rollup": fact, "type_dim": dim}
+
+    wh.multi_snapshot_write(pair(half))  # stale v1 pair
+    vs = wh.multi_snapshot_write(pair(ev))  # the committed v2 pair
+    fact = wh.read_txn("fact_rollup")
+    dim = wh.read_txn("type_dim")
+    return (
+        fact.join(dim, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+            "n_users",
+            F.lit(vs["fact_rollup"]).cast("int").alias("fact_version"),
+            F.lit(vs["type_dim"]).cast("int").alias("dim_version"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # Driver-slot rotation (round 6): the correctness driver hard-checks
 # the FIRST 50 registry entries only. Round 5 left every one of the
 # 181 then-registered queries with at least one driver row; the
@@ -5478,7 +5520,7 @@ _R7_DEFERRED_NEW = {
     195, 196, 197, 198, 199, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209,
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
     224, 225, 226, 227, 228, 229, 230, 231, 232, 233, 234, 235, 236,
-    237, 238, 239, 240, 241, 242, 243, 244, 245, 246, 247,
+    237, 238, 239, 240, 241, 242, 243, 244, 245, 246, 247, 248,
 }
 
 
@@ -5760,6 +5802,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q245_streaming_hll": q245_streaming_hll,
         "q246_interval_schedule": q246_interval_schedule,
         "q247_ngram_novelty": q247_ngram_novelty,
+        "q248_txn_refresh": q248_txn_refresh,
     }
 
 
@@ -11590,5 +11633,25 @@ SELECT c.doc_id,
              / COUNT(*), 6) AS novelty
 FROM cand c LEFT JOIN ref r ON c.shingle = r.shingle
 GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+    # q248: the committed v2 state recomputed directly — a torn
+    # fact/dim pairing (one table at v1) would hash-mismatch.
+    oracles["q248_txn_refresh"] = """
+SELECT f.event_type,
+       f.n_events,
+       f.sum_value,
+       d.n_users,
+       CAST(2 AS INT) AS fact_version,
+       CAST(2 AS INT) AS dim_version
+FROM (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1
+) f
+JOIN (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1
+) d USING (event_type)
+ORDER BY f.event_type
 """
     return oracles

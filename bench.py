@@ -200,6 +200,7 @@ HEADLINE = [
     "q245_streaming_hll",
     "q246_interval_schedule",
     "q247_ngram_novelty",
+    "q248_txn_refresh",
 ]
 
 

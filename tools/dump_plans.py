@@ -156,6 +156,7 @@ NOTES = {
     "q245_streaming_hll": "per-batch register agg + store max-merge rewrite; store size = groups x m, independent of stream length; register MAX makes redelivery a no-op",
     "q246_interval_schedule": "sequential-fold class (q128/q173): one groupBy shuffle, greedy as an in-row fold over the sorted interval array — no window, no UDF",
     "q247_ngram_novelty": "reference collapses to its DISTINCT shingle set once; membership = ONE left join keyed on the shingle; per-doc rollup map-side combines",
+    "q248_txn_refresh": "two snapshot writes + ONE root-manifest rename (commit cost O(pointer)); the readout joins fact and dim THROUGH read_txn — torn pairings hash-mismatch",
 }
 
 
