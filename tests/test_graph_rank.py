@@ -379,3 +379,49 @@ def test_temporal_reachability_takes_earliest_valid_edge(spark):
         edges, sources=seeds, max_hops=2
     ).collect()}
     assert out[2].n_reached == 3 and out[2].max_arrival == 9
+
+
+def test_temporal_reachability_matches_bruteforce_on_random_graphs(spark):
+    """Hypothesis-style sweep (fixed seeds, no Spark-fixture clash):
+    the per-round wavefront must equal a brute-force Bellman
+    simulation of earliest temporal arrival on random small DAG-ish
+    edge sets."""
+    import random
+
+    from pyspark.sql import Row
+    from nyc_taxi_data_prediction_pyspark_spark.operators.graph import (
+        temporal_reachability,
+    )
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n_nodes = 8
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes), rng.randrange(1, 20))
+            for _ in range(18)
+        ]
+        seeds = [0, 1]
+        # brute force: arr via 3 relaxation rounds
+        arr = {s: 0 for s in seeds}
+        snapshots = []
+        for _ in range(3):
+            # one Bellman relaxation: min over valid (t >= arr[src])
+            # incoming edge times, never worse than the previous arr
+            cand = dict(arr)
+            for u, v, t in edges:
+                if u in arr and t >= arr[u]:
+                    if v not in cand or t < cand[v]:
+                        cand[v] = t
+            arr = cand
+            snapshots.append(
+                (len(arr), min(arr.values()), max(arr.values()), sum(arr.values()))
+            )
+
+        e = spark.createDataFrame([Row(src=u, dst=v, t=t) for u, v, t in edges])
+        s = spark.createDataFrame([Row(node=x) for x in seeds])
+        out = temporal_reachability(e, sources=s, max_hops=3).collect()
+        got = [
+            (r.n_reached, r.min_arrival, r.max_arrival, int(r.sum_arrival))
+            for r in sorted(out, key=lambda r: r.round)
+        ]
+        assert got == snapshots, f"seed {seed}: {got} != {snapshots}"
