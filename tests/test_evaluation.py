@@ -906,3 +906,47 @@ def test_grouped_cumsum_two_phase_matches_python_prefix(spark, data):
                 expected = run if excl else run + c
                 assert got[(g, k)] == expected
                 run += c
+
+
+
+def test_seasonal_decompose_ramp_goes_to_trend_not_seasonality(spark):
+    """Linear trend + one hot slot: the centered MA must absorb the
+    ramp completely (a linear function is its own centered average),
+    leaving the hot slot as the only seasonal signal."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.windows import (
+        seasonal_decompose,
+    )
+
+    rows = [
+        Row(g="a", i=i, slot=i % 24, c=100 + i + (240 if i % 24 == 7 else 0))
+        for i in range(24 * 8)
+    ]
+    out = {r.slot: r for r in seasonal_decompose(
+        spark.createDataFrame(rows),
+        group_cols=["g"], order_col="i", hod_col="slot", value_col="c",
+    ).collect()}
+    assert out[7].s_index == max(r.s_index for r in out.values())
+    assert out[7].s_index > 200
+    # the ramp contributes NOTHING to the other slots' indices
+    assert all(abs(out[s].s_index) < 15 for s in range(24) if s != 7)
+
+
+def test_seasonal_decompose_outlier_shows_in_residuals_and_index(spark):
+    """Classical (non-robust) decomposition: a one-off spike inflates
+    BOTH its slot's residual and — by design — its slot's mean index
+    (the documented reason robust STL uses loess/medians). Assert the
+    spike's slot carries the corpus-max residual."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.windows import (
+        seasonal_decompose,
+    )
+
+    rows = []
+    for i in range(24 * 8):
+        c = 500 + (5000 if i == 24 * 4 + 3 else 0)
+        rows.append(Row(g="a", i=i, slot=i % 24, c=c))
+    out = {r.slot: r for r in seasonal_decompose(
+        spark.createDataFrame(rows),
+        group_cols=["g"], order_col="i", hod_col="slot", value_col="c",
+    ).collect()}
+    assert out[3].max_abs_resid == max(r.max_abs_resid for r in out.values())
+    assert out[3].max_abs_resid > 1000
