@@ -9958,7 +9958,9 @@ FROM agg, nr
     oracles["q211_length_bucket_padding"] = f"""
 WITH t AS (SELECT CAST(len({_TOKENS}) AS BIGINT) AS nt FROM documents),
 b AS (
-  SELECT GREATEST(CAST(16 AS BIGINT), CAST(1 AS BIGINT) << length(bin(nt - 1))) AS bucket_tokens,
+  SELECT GREATEST(CAST(16 AS BIGINT),
+                  CASE WHEN nt <= 1 THEN CAST(1 AS BIGINT)
+                       ELSE CAST(1 AS BIGINT) << length(bin(nt - 1)) END) AS bucket_tokens,
          nt
   FROM t
 )
@@ -10138,7 +10140,7 @@ WITH toks AS (
 ),
 uc AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS c
-  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1
+  FROM (SELECT unnest(ts) AS w FROM toks) WHERE w <> '' GROUP BY 1
 ),
 nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
 bc AS (
@@ -10401,7 +10403,13 @@ SELECT c.event_type,
               / (CAST(c.c2 + 1 AS DOUBLE) / CAST(t.n2 + 10 AS DOUBLE)))
          AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
 FROM counts c JOIN totals t USING (event_type)
-GROUP BY 1 ORDER BY 1
+GROUP BY 1
+UNION ALL
+SELECT m.event_type, CAST(0 AS BIGINT) AS n_first,
+       CAST(COUNT(*) AS BIGINT) AS n_second, CAST(NULL AS DOUBLE) AS psi
+FROM marked m ANTI JOIN cuts c USING (event_type)
+GROUP BY 1
+ORDER BY 1
 """
     # q225: the q16 marker scoring replayed, then the identical exact
     # rationals (kappa = (agree*N - S)/(N^2 - S), F1 harmonic form).

@@ -823,6 +823,13 @@ def population_stability(
     metadata-sized), the PSI fold on that. Raw rows are scanned twice
     (boundary + bucketing); no data-sized window, no cross join.
 
+    Brand-new groups — zero rows in the first time half, so no decile
+    cuts exist — are the purest drift signal a PSI monitor exists to
+    flag, so they are EMITTED, not dropped (round-6 advice): they come
+    back with n_first=0 and psi NULL (PSI against an empty expected
+    distribution is undefined; NULL is the honest score and the
+    monitor alerts on n_first=0 directly).
+
     Returns per group: (…, n_first, n_second, psi).
     """
     us = F.unix_micros(F.col(ts_col))
@@ -862,15 +869,22 @@ def population_stability(
     p = (F.col("__c1") + 1).cast("double") / (F.col("__n1") + n_buckets).cast("double")
     q = (F.col("__c2") + 1).cast("double") / (F.col("__n2") + n_buckets).cast("double")
     term = ((p - q) * F.log(p / q)).cast("decimal(28,12)")
-    return (
-        j.groupBy(*group_keys)
-        .agg(
-            F.max("__n1").alias("n_first"),
-            F.max("__n2").alias("n_second"),
-            F.round(F.sum(term).cast("double"), 6).alias("psi"),
-        )
-        .orderBy(*group_keys)
+    present = j.groupBy(*group_keys).agg(
+        F.max("__n1").alias("n_first"),
+        F.max("__n2").alias("n_second"),
+        F.round(F.sum(term).cast("double"), 6).alias("psi"),
     )
+    # groups with no first-half rows have no cuts row: surface them
+    new_groups = (
+        marked.join(F.broadcast(cuts.select(*group_keys)), group_keys, "left_anti")
+        .groupBy(*group_keys)
+        .agg(
+            F.lit(0).cast("bigint").alias("n_first"),
+            F.count(F.lit(1)).cast("bigint").alias("n_second"),
+            F.lit(None).cast("double").alias("psi"),
+        )
+    )
+    return present.unionByName(new_groups).orderBy(*group_keys)
 
 
 def cross_corr_lags(

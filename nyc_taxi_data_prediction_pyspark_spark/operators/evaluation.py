@@ -331,10 +331,12 @@ def spearman_rho(
     rho = (n * Sxy - Sx * Sy)
           / (sqrt(n * Sxx - Sx^2) * sqrt(n * Syy - Sy^2))
 
-    over the 2x ranks — the 2x factors cancel. Products are summed as
-    DECIMAL(38,0) (a bigint sum of rank products wraps at ~1e9-row
-    groups); sqrt is IEEE-correctly-rounded, the final expression is
-    ONE fixed parenthesization, round 6.
+    over the 2x ranks — the 2x factors cancel. Each rank FACTOR is
+    cast to DECIMAL(19,0) before the multiply and the products are
+    summed as DECIMAL(38,0) (a bigint rank product wraps int64 at
+    ~1.5e9-row groups, so the decimal cast must precede the multiply,
+    not just the sum); sqrt is IEEE-correctly-rounded, the final
+    expression is ONE fixed parenthesization, round 6.
 
     Scale shape: two distinct-value collapses (one per axis), midranks
     via the two-phase exclusive prefix sum (never a data-sized
@@ -368,13 +370,18 @@ def spearman_rho(
         .join(ry, [*gk, y_col])
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # each FACTOR is cast to decimal BEFORE the multiply (the
+    # gini_lorenz rank-product pattern): a BIGINT product of 2x-ranks
+    # wraps int64 at ~1.5e9-row groups, so the overflow must be kept
+    # out of the per-row multiply, not just the sum
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     m = rows.groupBy(*gk).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(dec(F.col("__rx"))).alias("__sx"),
         F.sum(dec(F.col("__ry"))).alias("__sy"),
-        F.sum(dec(F.col("__rx") * F.col("__ry"))).alias("__sxy"),
-        F.sum(dec(F.col("__rx") * F.col("__rx"))).alias("__sxx"),
-        F.sum(dec(F.col("__ry") * F.col("__ry"))).alias("__syy"),
+        F.sum(d19(F.col("__rx")) * d19(F.col("__ry"))).cast("decimal(38,0)").alias("__sxy"),
+        F.sum(d19(F.col("__rx")) * d19(F.col("__rx"))).cast("decimal(38,0)").alias("__sxx"),
+        F.sum(d19(F.col("__ry")) * d19(F.col("__ry"))).cast("decimal(38,0)").alias("__syy"),
     )
     n = F.col("n").cast("decimal(38,0)")
     num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
@@ -630,23 +637,34 @@ def kendall_tau_b(
         F.coalesce(F.sum("__a").over(wy_below), F.lit(0)).cast("bigint").alias("__p"),
         F.coalesce(F.sum("__a").over(wy_above), F.lit(0)).cast("bigint").alias("__q"),
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # factors decimal-cast BEFORE the multiply (the gini_lorenz
+    # pattern): __n * __p in BIGINT wraps int64 long before the
+    # decimal sum would — the overflow lives in the per-row product
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     m = pq.groupBy(*gk).agg(
         F.sum("__n").cast("bigint").alias("n"),
-        F.sum(dec(F.col("__n") * F.col("__p"))).alias("__c"),
-        F.sum(dec(F.col("__n") * F.col("__q"))).alias("__d"),
+        F.sum(d19(F.col("__n")) * d19(F.col("__p"))).cast("decimal(38,0)").alias("__c"),
+        F.sum(d19(F.col("__n")) * d19(F.col("__q"))).cast("decimal(38,0)").alias("__d"),
     )
     tx = (
         cells.groupBy(*gk, x_col)
         .agg(F.sum("__n").cast("bigint").alias("__t"))
         .groupBy(*gk)
-        .agg(F.sum(dec(F.col("__t") * (F.col("__t") - 1))).alias("__tx2"))
+        .agg(
+            F.sum(d19(F.col("__t")) * d19(F.col("__t") - 1))
+            .cast("decimal(38,0)")
+            .alias("__tx2")
+        )
     )
     ty = (
         cells.groupBy(*gk, y_col)
         .agg(F.sum("__n").cast("bigint").alias("__t"))
         .groupBy(*gk)
-        .agg(F.sum(dec(F.col("__t") * (F.col("__t") - 1))).alias("__ty2"))
+        .agg(
+            F.sum(d19(F.col("__t")) * d19(F.col("__t") - 1))
+            .cast("decimal(38,0)")
+            .alias("__ty2")
+        )
     )
     joined = m.join(tx, gk) if gk else m.crossJoin(F.broadcast(tx))
     joined = joined.join(ty, gk) if gk else joined.crossJoin(F.broadcast(ty))

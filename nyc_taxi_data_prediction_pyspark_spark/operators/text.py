@@ -1301,7 +1301,11 @@ def length_bucket_padding(
     The bucket is the next power of two ≥ n_tokens (floored at
     ``min_bucket``), computed as 2^length(bin(n-1)) — pure integer/
     string ops on BOTH engines (the HLL rank discipline: no float
-    log2, whose libm rounding at 2^k boundaries diverges).
+    log2, whose libm rounding at 2^k boundaries diverges). The
+    formula is guarded at the edges (round-6 advice): n ≤ 1 maps to
+    bucket 1 explicitly — 2^length(bin(0)) would give 2 for n=1, and
+    n=0 would evaluate bin(-1) (64 ones) where only Java's 64&63
+    shift masking lands on 1 by accident.
 
     One narrow map + one map-side-combinable groupBy; utilization is
     one division of exact BIGINTs. Returns (bucket_tokens, n_docs,
@@ -1309,7 +1313,9 @@ def length_bucket_padding(
     t = token_count(text_col).cast("bigint")
     # F.shiftleft needs a literal shift amount; the column-valued shift
     # goes through expr
-    pow2 = F.expr("shiftleft(cast(1 as bigint), length(bin(__t - 1)))")
+    pow2 = F.when(F.col("__t") <= 1, F.lit(1).cast("bigint")).otherwise(
+        F.expr("shiftleft(cast(1 as bigint), length(bin(__t - 1)))")
+    )
     bucket = F.greatest(F.lit(min_bucket).cast("bigint"), pow2)
     return (
         df.select(t.alias("__t"))
@@ -1363,6 +1369,11 @@ def pmi_collocations(
     cnt = F.size(toks) - 1
     uni = (
         df.select(F.explode(toks).alias("w"))
+        # empty/whitespace-only docs normalize to '' and split to
+        # [''] — drop the phantom token so it can't inflate the
+        # unigram table or the N total (the vocab_coverage /
+        # bm25_scores / dsir_importance convention)
+        .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )

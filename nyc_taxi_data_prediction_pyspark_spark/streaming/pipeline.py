@@ -658,8 +658,15 @@ def holt_state_stream(
     driver-side applied-batch watermark INSIDE the store swap (the
     rollup_merge_fn ledger discipline, collapsed to one integer
     because file-source batch ids are sequential): a redelivered
-    batch_id <= watermark is a no-op. Crash-safe via the same
-    rename-aside ``_swap_store``.
+    batch_id <= watermark is a no-op. The watermark file is staged
+    INTO the tmp store directory before ``_swap_store`` — the single
+    directory rename publishes data and watermark atomically, so a
+    crash at any instant leaves (store, watermark) consistent and the
+    checkpoint's redelivery is correctly skipped. (A separate
+    post-swap ledger rename would leave a window where the store is
+    advanced but the watermark is stale — redelivery would then
+    double-apply the fold.) Crash-safe via the same rename-aside
+    ``_swap_store``.
 
     Per-batch cost is O(|store| + |batch|) (store re-write per
     trigger, the q104 compaction-cadence contract); per-key state is
@@ -726,10 +733,15 @@ def holt_state_stream(
         .parquet(arrivals)
     )
 
-    ledger = os.path.join(work_dir, "applied.json")
+    # watermark lives INSIDE the store dir (underscore prefix: Spark's
+    # file listing skips `_`/`.` names, so it is invisible to the
+    # parquet reader) — published by the same rename that publishes the
+    # data, never by a second post-swap rename
+    _LEDGER = "_applied.json"
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         watermark = -1
+        ledger = os.path.join(store, _LEDGER)
         if os.path.exists(ledger):
             with open(ledger) as fh:
                 watermark = json.load(fh)["watermark"]
@@ -792,12 +804,13 @@ def holt_state_stream(
         merged = untouched.unionByName(upd)
         tmp = f"{store}_tmp_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
-        # ledger rides inside the swap: write it before the rename so a
-        # crash cannot commit data without the watermark that guards it
-        with open(ledger + ".tmp", "w") as fh:
+        # stage the watermark into the tmp store BEFORE the swap: the
+        # one directory rename is the commit point for data+watermark
+        # together, so no crash ordering can advance one without the
+        # other
+        with open(os.path.join(tmp, _LEDGER), "w") as fh:
             json.dump({"watermark": batch_id}, fh)
         _swap_store(store, tmp)
-        os.replace(ledger + ".tmp", ledger)
 
     foreach_batch_merge(stream, checkpoint=ckpt, merge_fn=merge)
     out = spark.read.parquet(store)

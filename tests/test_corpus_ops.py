@@ -660,6 +660,24 @@ def test_length_bucket_padding_toy_parity(spark):
     }
 
 
+def test_length_bucket_padding_edge_tokens(spark):
+    """n<=1 edge guard (round-6 advice): with min_bucket=1, a 1-token
+    doc must land in bucket 1 (2^length(bin(0)) would say 2) and an
+    empty doc must not evaluate bin(-1)."""
+    rows = [
+        (1, ""),         # empty string counts as 1 token -> bucket 1
+        (2, "w"),        # 1 token  -> bucket 1 (the bin() formula said 2)
+        (3, "w w"),      # 2 tokens -> bucket 2
+        (4, "w w w"),    # 3 tokens -> bucket 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["bucket_tokens"]: (r["n_docs"], r["sum_tokens"])
+        for r in textops.length_bucket_padding(df, min_bucket=1).collect()
+    }
+    assert got == {1: (2, 2), 2: (1, 2), 4: (1, 3)}
+
+
 def test_pmi_collocations_hand_computed(spark):
     from nyc_taxi_data_prediction_pyspark_spark.operators.text import pmi_collocations
 
@@ -678,6 +696,17 @@ def test_pmi_collocations_hand_computed(spark):
     # min_count filters the tail
     filtered = pmi_collocations(df, text_col="text", min_count=3, k=10).collect()
     assert [(r.w1, r.w2) for r in filtered] == [("a", "b")]
+
+    # empty/whitespace-only docs must NOT shift any lift (round-6
+    # advice: '' split yields [''] — a phantom unigram that inflated N)
+    df2 = spark.createDataFrame(
+        docs + [(7, ""), (8, "   ")], "doc_id long, text string"
+    )
+    out2 = {
+        (r.w1, r.w2): (r.pair_count, r.lift)
+        for r in pmi_collocations(df2, text_col="text", min_count=1, k=10).collect()
+    }
+    assert out2 == out
 
 
 def test_linear_attribution_quota_and_direct(spark):

@@ -1160,6 +1160,46 @@ def test_psi_drift_zero_when_identical_and_large_when_shifted(spark):
     assert out["shifted"].psi > 1.0       # total bucket displacement
 
 
+def test_psi_drift_surfaces_brand_new_group(spark):
+    """A group with ZERO first-half rows (brand-new in the second
+    half — the purest drift signal) must be EMITTED with n_first=0
+    and NULL psi, not silently dropped by the cuts join (round-6
+    advice)."""
+    import datetime as dt
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        population_stability,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for half in (0, 1):
+        for i in range(100):
+            eid += 1
+            ts = base + dt.timedelta(hours=half * 1000 + i)
+            rows.append((eid, ts, "old", float(i % 50)))
+    # "novel" appears strictly AFTER every old row — the global type-7
+    # median (300 rows -> inside old's second block) leaves it with
+    # zero first-half rows
+    for i in range(100):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(hours=3000 + i), "novel", float(i)))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r.event_type: r for r in population_stability(
+        df, group_keys=["event_type"], value_col="value", ts_col="ts", n_buckets=10
+    ).collect()}
+    assert set(out) == {"old", "novel"}
+    assert out["novel"].n_first == 0
+    assert out["novel"].n_second == 100
+    assert out["novel"].psi is None
+    # the pre-existing group still scores normally (the global median
+    # shifts because of the novel rows, so only shape is asserted)
+    assert out["old"].n_first > 0 and out["old"].psi is not None
+
+
 # ---------------------------------------------------------------- ri_audit
 
 

@@ -289,6 +289,25 @@ def test_streaming_holt_bit_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == want  # exact, every user, every field
 
+    # Atomic-commit contract (round-6 advice): the applied-batch
+    # watermark must live INSIDE the store directory — published by
+    # the same rename as the data — never as a separate post-swap
+    # file (a crash between two renames would advance the store with
+    # a stale watermark and the non-idempotent fold would double-
+    # apply the redelivered batch).
+    import json as _json
+    import os as _os
+
+    store = str(tmp_path / "holt" / "store")
+    ledger = _os.path.join(store, "_applied.json")
+    assert _os.path.exists(ledger), "watermark must ride inside the store dir"
+    with open(ledger) as fh:
+        wm = _json.load(fh)["watermark"]
+    assert wm == 3  # 4 arrival files -> last batch id 3
+    assert not _os.path.exists(str(tmp_path / "holt" / "applied.json"))
+    # and the underscore name is invisible to the parquet reader
+    assert spark.read.parquet(store).count() > 0
+
 
 def test_hll_streaming_ingest_lands_on_batch_fixpoint(spark, tmp_path):
     """Register-wise MAX is idempotent/commutative/monotone: the
