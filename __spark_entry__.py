@@ -5447,37 +5447,29 @@ def q248_txn_refresh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Driver-slot rotation (round 6): the correctness driver hard-checks
-# the FIRST 50 registry entries only. Round 5 left every one of the
-# 181 then-registered queries with at least one driver row; the
-# round-5 verdict's ask is to rotate BY EVIDENCE AGE, not by number.
-# Evidence ages entering round 6 (newest driver-green per query):
-#   - r5: q17 q20 q21 q38 q58* q75-q77 q109 q140 q142-q181 (49)
-#     (*q58's r5 row was the no-oracle rows-only record)
-#   - r4: q13 q36 q89 q92 q100 q105 q108 q114 + q119-q141 band (47)
-#   - r3: q51-q118 remainder (40)
-#   - r2: q01-q50 remainder (42)  <- the oldest third
-#   - never hash-green: q29 q39 q58 (no_oracle until this round)
-# This round's 50 slots:
-#   - q29/q39/q58 (3): first-ever value-hash evidence — all three now
-#     emit deterministic acceptance rows (exact aggregates + error-
-#     bound/contract booleans) with full oracles;
-#   - q153 (1): prefix_filter_pairs gained the PPJoin positional
-#     filter this round — re-confirm the rewritten operator;
-#   - q174 (1): nb_predict gained the empty-document prior fallback
-#     (oracle updated to match) — re-confirm;
-#   - the 42 r2-evidence queries (the whole q01-q50 band minus
-#     q13/q17/q20/q21/q36/q38 which hold r4/r5 rows): every query
-#     whose newest evidence predates round 3;
-#   - q182-q184 (3): new this round (personalized PageRank, frequent
-#     triples, sliding HLL distinct).
-# Oldest evidence after this round's head lands: r3 (the 40-query
-# q51-q118 remainder, 3 rounds old) — they are round 7's head, and
-# they fit (40 < 50, leaving ~10 slots for round-7 additions: q185-
-# q194 — deterministic shuffle, bigram NLL, mixture interleave,
-# duplicate-span coverage, DSIR, HITS, label propagation, SemDeDup,
-# C4/Gopher gate stack, winnowing fingerprints — registered
-# with full oracles this round, first driver rows next).
+# Driver-slot rotation (round 7): the correctness driver hard-checks
+# the FIRST 50 registry entries only; rotation is BY EVIDENCE AGE
+# (the round-5 verdict's standing rule).  Evidence ages entering
+# round 7 (newest driver-green per query, from CORRECTNESS_r01-r06):
+#   - r6: the q01-q50 band + q58/q153/q174 + q182-q184 (50)
+#   - r5: q75-q77 q109 q140 q142-q181 remainder (47)
+#   - r4: q89 q92 q100 q105 q108 q114 + q119-q141 band (47)
+#   - r3: q51-q118 remainder (40)  <- the oldest band
+#   - never driver-checked: q185-q248 (registered after earlier heads
+#     filled; all hold full oracles + local check_oracle evidence)
+# This round's 50 slots (exactly the round-6 verdict's schedule):
+#   - the 40-query r3 band (q51/q55/q56/q67/q68/q74/q78-q88/q90/q91/
+#     q93-q99/q101-q104/q106/q107/q110-q113/q115-q118);
+#   - q185-q194 (10): first driver rows for the round-6 additions
+#     (deterministic shuffle, bigram NLL, mixture interleave,
+#     duplicate-span coverage, DSIR, HITS, label propagation,
+#     SemDeDup, C4/Gopher gate stack, winnowing fingerprints).
+# Oldest evidence after this head lands: r4 (47 queries) — round 8's
+# head, with the remaining 3 slots starting on _R7_DEFERRED_NEW (54
+# queries, q195-q248); round 9 takes the r5 band (47) + 3 more; round
+# 10 the remaining 48 deferred + the oldest of the r6 band — every
+# query stays within the ceil(248/50)=5-round freshness bound (the
+# rotation test's feasibility check).
 # Every query stays registered and oracle-checked locally regardless
 # of position (tools/check_oracle.py runs all).
 _DRIVER_RECONFIRM_R04 = [  # kept for the rotation test's history
@@ -5522,6 +5514,18 @@ _R7_DEFERRED_NEW = {
     224, 225, 226, 227, 228, 229, 230, 231, 232, 233, 234, 235, 236,
     237, 238, 239, 240, 241, 242, 243, 244, 245, 246, 247, 248,
 }
+# Round-7 head, exactly as the round-6 verdict scheduled it: the
+# 40-query r3-evidence band (q51-q118 minus the members that picked up
+# r4/r5/r6 rows — computed from CORRECTNESS_r01..r06 and frozen here;
+# the rotation test recomputes it from the records) plus the ten
+# deferred round-6 additions taking their FIRST driver rows.  40 + 10
+# = exactly 50.  After this head lands, the oldest evidence anywhere
+# is r4 — rounds 8-9 absorb the r4/r5 bands plus _R7_DEFERRED_NEW.
+_R7_R3_BAND = {
+    51, 55, 56, 67, 68, 74, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87, 88,
+    90, 91, 93, 94, 95, 96, 97, 98, 99, 101, 102, 103, 104, 106, 107,
+    110, 111, 112, 113, 115, 116, 117, 118,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5531,20 +5535,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    """First-50 = round-6 rotation targets, chosen by EVIDENCE AGE
-    (r2-era band + newly-checkable + rewritten + new); the rest,
-    holding r3+ evidence, follow in number order (r3 band = round 7's
-    head)."""
+    """First-50 = round-7 rotation targets, chosen by EVIDENCE AGE:
+    the r3-evidence band (oldest driver rows in the registry after
+    round 6 re-greened the whole q01-q50 band) plus the ten round-6
+    additions (q185-q194) whose first driver rows were deferred when
+    round 6's head filled.  The rest, holding r4+ evidence, follow in
+    number order (r4 band = round 8's head)."""
 
     def num(n: str) -> int:
         return int(n[1:].split("_", 1)[0])
 
-    head_nums = (
-        (set(range(1, 51)) - _R6_FRESH_EVIDENCE_LE_Q50)
-        | _R6_NEWLY_CHECKABLE
-        | _R6_REWRITTEN
-        | _R6_NEW
-    )
+    head_nums = _R7_R3_BAND | _R6_DEFERRED_NEW
     head = [n for n in names if num(n) in head_nums]
     tail = [n for n in names if num(n) not in head_nums]
     out = sorted(head, key=num) + sorted(tail, key=num)

@@ -5,11 +5,15 @@ Runs the headline queries from ``__spark_entry__.queries()`` at
 ``local[$SPARK_GRAFT_CPUS]``.  Stdout ends with ONE compact JSON line
 (the driver-parsed record):
     {"metric": ..., "value": total_sec, "unit": "sec",
-     "queries": {qNN: sec, ...}, "sf": ...}
-preceded by a ``BENCH_DETAIL {...}`` line carrying the full query
-names plus per-table data stats (kept off the final line so it stays
-inside the driver's tail-capture window — see BENCH_r04's
-``parsed: null``).
+     "n_queries": N, "queries": {qNN: sec, ... top-20 slowest},
+     "detail_file": ..., "sf": ...}
+The FULL per-query record (all timings, long names, per-table data
+stats, canary) is written to ``BENCH_DETAIL_sf{sf}_latest.json`` in
+the repo root — committed per round as the self-contained artifact.
+At 169+ queries even a compact full per-query dict outgrows the
+driver's tail-capture window (BENCH_r04 and BENCH_r06 both lost
+their parsed tails), so the final line carries a digest + top-20
+only, guaranteed to fit.
 
 Each query is executed to completion (count() action — results are
 small aggregates or bounded top-k frames; the count forces the full
@@ -203,6 +207,94 @@ HEADLINE = [
     "q248_txn_refresh",
 ]
 
+# Registered queries deliberately NOT in HEADLINE, each with its
+# reason — almost always a shape-duplicate: an in-HEADLINE sibling
+# times the identical physical-plan shape, so benching both would
+# double-count the same cost curve without adding signal.  The
+# coverage guard (tests/test_docs.py) asserts HEADLINE ∪ this map ==
+# the full registry and that every named sibling is itself benched.
+HEADLINE_SKIP = {
+    "q02_count_orders": "COUNT(*) scalar; scan-agg shape timed by q01",
+    "q03_order_date_range": "MIN/MAX scalar; scan-agg shape timed by q01",
+    "q04_topk_latest_events": "global sort-limit; TakeOrdered shape timed by q25",
+    "q10_user_gap_stats": "per-user lag window; shape timed by q09",
+    "q11_setops": "set-op pair; diff shape timed by q118",
+    "q14_fingerprint": "per-doc hash map; doc-scan shape timed by q13",
+    "q15_text_quality": "per-doc token ratios; doc token scan timed by q40",
+    "q16_lang_id": "per-doc marker counts; doc token scan timed by q40",
+    "q18_embedding_dupes": "pairwise cosine dedup; embedding shape timed by q19",
+    "q20_minhash_lsh_dedup": "shingle band join; dedup shape timed by q17",
+    "q21_simhash": "shingle sketch dedup; shape timed by q17",
+    "q22_streaming_hourly": "availableNow micro-batch; streaming shape timed by q104",
+    "q23_media_stats": "mapInPandas codec; Arrow batch shape timed by q197",
+    "q26_hour_bucket_join": "hour-bucket enrichment; join shape timed by q24",
+    "q27_json_typed_stats": "JSON path extraction; shape timed by q12",
+    "q28_lsh_ann": "sign-LSH ANN; cell-pruned shape timed by q19",
+    "q29_ml_forecast": "closed-form regression; shape timed by q68",
+    "q30_text_embed": "Arrow pandas_udf embed; vectorized-Python cost timed by q197",
+    "q32_pivot": "pivot agg; grouping-sets shape timed by q31",
+    "q33_distinct_aggs": "multi-distinct agg; shuffle-agg shape timed by q07",
+    "q34_median_stddev": "exact percentile agg; shape timed by q152",
+    "q35_running_sum": "running window sum; frame shape timed by q66",
+    "q37_ngram_topk": "ngram explode count; token scan timed by q40",
+    "q38_dedup_clusters": "CC over dup pairs; dedup family timed by q17",
+    "q39_brp_lsh_simjoin": "BRP LSH simjoin; ANN shape timed by q19",
+    "q42_stateful_user_totals": "applyInPandasWithState; streaming state timed by q126",
+    "q43_profile": "column profiler; stats-agg shape timed by q131",
+    "q44_semi_join": "LEFT SEMI; semi-join shape timed by q117",
+    "q45_rollup": "ROLLUP agg; grouping-sets shape timed by q31",
+    "q46_outer_join": "outer shuffle join; join-agg shape timed by q07",
+    "q47_string_funcs": "scalar-function batch; codegen projection timed by q05",
+    "q48_date_funcs": "scalar-function batch; codegen projection timed by q05",
+    "q49_math_funcs": "scalar-function batch; codegen projection timed by q05",
+    "q50_window_zscore": "per-key window stats; shape timed by q113",
+    "q51_embedding_dupes_lsh": "LSH-blocked dupes; ANN shape timed by q19",
+    "q52_sql_api_pricing": "q01 via spark.sql API; identical plan to q01",
+    "q53_seeded_sample": "hash-seeded sample; sampling shape timed by q157",
+    "q55_minhash_native": "native minhash agg; dedup family timed by q17",
+    "q56_simhash_stable": "stable simhash; dedup family timed by q17",
+    "q57_sliding_window": "sliding range frame; shape timed by q66",
+    "q58_approx_stats": "sketch estimate batch; HLL shape timed by q147",
+    "q61_rich_inactive_customers": "NOT EXISTS; anti-join shape timed by q60",
+    "q64_window_ranks": "rank/dense_rank; window shape timed by q09",
+    "q65_array_funcs": "array higher-order batch; codegen projection timed by q05",
+    "q67_pysource_weather": "constant-size REST fixture; no data-scale component",
+    "q69_udtf_tokenize": "UDTF explode; token stream shape timed by q40",
+    "q70_pandas_udaf": "Arrow UDAF; vectorized-Python cost timed by q197",
+    "q71_promo_revenue_share": "conditional scan agg; shape timed by q07",
+    "q72_small_qty_revenue": "filtered scan agg; shape timed by q07",
+    "q73_value_windows": "value-range frames; shape timed by q66",
+    "q74_salted_agg": "salted skew agg; skew shape timed by q107",
+    "q75_token_budget": "prefix-sum budget cut; packing family timed by q41",
+    "q76_pretrain_packing": "two-phase pack; packing family timed by q41",
+    "q77_training_pipeline": "chunk+pack+shard composite; stages timed by q41",
+    "q78_feed_enrichment": "stream enrichment join; shape timed by q24",
+    "q79_stratified_sample": "per-stratum sample; sampling shape timed by q157",
+    "q80_disjunctive_join": "OR-split join union; range shape timed by q59",
+    "q81_unpivot_metrics": "stack projection; codegen shape timed by q05",
+    "q82_price_histogram": "width-bucket counts; binned shape timed by q124",
+    "q83_levenshtein": "edit-distance pairs; linkage shape timed by q146",
+    "q84_bitwise_aggs": "bit_and/or/xor agg; shuffle-agg shape timed by q07",
+    "q85_session_funnel": "ordered-step funnel; session shape timed by q36",
+    "q86_custdist": "join + count-distribution; shape timed by q07",
+    "q90_market_share": "multi-join share agg; shape timed by q89",
+    "q91_retention_cohorts": "cohort window counts; shape timed by q134",
+    "q92_merge_prune_partitioned": "partition-pruned merge; merge shape timed by q06",
+    "q93_decontamination": "ngram overlap join; shingle shape timed by q17",
+    "q94_repetition_signals": "in-row ngram ratios; token scan timed by q40",
+    "q95_pii_redaction": "regex scan + redact; projection timed by q40",
+    "q96_mixture_sample": "weighted source sample; sampling shape timed by q157",
+    "q97_shard_manifest": "shard writer manifest; packing family timed by q41",
+    "q98_returned_customers": "EXISTS subquery; semi-join shape timed by q60",
+    "q99_min_cost_supplier": "correlated min; struct-argmax shape timed by q111",
+    "q100_revenue_share_threshold": "group share filter; argmax shape timed by q111",
+    "q101_nation_year_profit": "multi-join profit agg; shape timed by q89",
+    "q102_top_supplier": "grouped max join-back; argmax shape timed by q111",
+    "q103_dominant_suppliers": "share-threshold argmax; shape timed by q111",
+    "q105_ivf_ann": "IVF ANN; cell-pruned shape timed by q19",
+    "q106_zorder_clustering": "interleaved-bit layout; locality join timed by q135",
+}
+
 
 def run_canary(spark) -> dict:
     """Pinned micro-canary (round-3 verdict ask): two fixed workloads
@@ -346,31 +438,48 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # Full record (long query names, per-table data stats) as its OWN
-    # stdout line: round 4's single-line record outgrew the driver's
-    # tail-capture window and BENCH_r04 recorded `parsed: null`.
-    print(
-        "BENCH_DETAIL "
-        + json.dumps(
-            {
-                "queries": timings,
-                "stat": "min_of_passes",
-                "passes": n_passes,
-                "sf_tables": tables,
-                "canary": canary,
-            }
-        )
+    # Full record (every per-query timing, long names, per-table data
+    # stats) is COMMITTED TO A FILE, not trusted to stdout: at 169
+    # headline queries even the compact per-query dict outgrew the
+    # driver's tail-capture window (BENCH_r04 and BENCH_r06 both
+    # recorded `parsed: null` / truncated tails). The file is the
+    # self-contained record; the final stdout line is a digest whose
+    # total must match it.
+    detail = {
+        "queries": timings,
+        "total_sec": total,
+        "n_queries": len(timings),
+        "stat": "min_of_passes",
+        "passes": n_passes,
+        "sf": sf_val,
+        "sf_tables": tables,
+        "canary": canary,
+        "cpus": os.cpu_count(),
+    }
+    detail_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_DETAIL_sf{sf}_latest.json",
     )
+    with open(detail_file, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print("BENCH_DETAIL written to " + detail_file)
     # Driver contract: the LAST stdout line is ONE compact JSON object,
-    # sized well under the tail-capture window (short qNN keys, no
-    # per-table stats — those live in the detail line above).
+    # GUARANTEED to fit the tail-capture window: digest fields plus
+    # only the top-20 slowest per-query timings (the full dict lives
+    # in the detail file above).
+    top20 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": {n.split("_", 1)[0]: v for n, v in timings.items()},
+                "n_queries": len(timings),
+                "queries": {n.split("_", 1)[0]: v for n, v in top20.items()},
+                "queries_note": "top-20 slowest; full set in detail_file",
+                "detail_file": os.path.basename(detail_file),
                 "passes": n_passes,
                 "sf": sf_val,
                 "canary": canary,

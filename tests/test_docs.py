@@ -60,15 +60,64 @@ def test_every_oracle_query_exists():
     assert set(o) <= set(q), f"oracles without queries: {sorted(set(o) - set(q))}"
 
 
+def test_bench_headline_covers_registry_or_names_reason():
+    """Round-6 verdict item 7: HEADLINE covers 169 of 248 registered
+    queries; the exclusion rule must be an explicit per-query map, not
+    prose.  Every registered query is either benched or in
+    HEADLINE_SKIP with a reason — and when the reason names a sibling
+    query as the shape's timer, that sibling must itself be benched."""
+    import re as _re
+
+    import __spark_entry__ as entry
+    import bench
+
+    reg = set(entry.queries())
+    hl = set(bench.HEADLINE)
+    skip = bench.HEADLINE_SKIP
+    assert hl <= reg, sorted(hl - reg)
+    assert hl.isdisjoint(skip), sorted(hl & set(skip))
+    assert hl | set(skip) == reg, {
+        "unaccounted": sorted(reg - hl - set(skip)),
+        "stale_skip": sorted(set(skip) - reg),
+    }
+    hl_nums = {n.split("_", 1)[0] for n in hl}
+    for name, reason in skip.items():
+        assert reason.strip(), name
+        for ref in _re.findall(r"\bq\d+\b", reason):
+            assert ref in hl_nums, (name, ref, "names an un-benched sibling")
+
+
+def test_every_expensive_bench_query_has_scale_probe():
+    """README claims every query ≥2 s at the latest official record
+    carries an isolated 10× scale probe in docs/SCALING.md — round-6
+    verdict found three missing (q182/q183/q220).  Guard the claim:
+    read the committed sf0.1 bench detail, find every ≥2 s query, and
+    require a SCALING.md mention."""
+    import json
+
+    detail_path = ROOT / "BENCH_DETAIL_sf0.1_latest.json"
+    if not detail_path.exists():
+        import pytest
+
+        pytest.skip("no committed sf0.1 bench detail yet")
+    detail = json.loads(detail_path.read_text())
+    scaling = (ROOT / "docs" / "SCALING.md").read_text()
+    missing = [
+        name
+        for name, sec in detail["queries"].items()
+        if sec >= 2.0 and name.split("_", 1)[0] not in scaling
+    ]
+    assert not missing, missing
+
+
 def test_driver_slot_rotation_covers_unproven_queries():
     """The correctness driver hard-checks only the first 50 registry
-    entries.  Round-6 invariant (rotate by EVIDENCE AGE — the round-5
-    verdict ask): the first 50 must contain (a) every query whose
-    newest hash-green driver row predates round 3 (the r2-era q01-q50
-    band), (b) the three newly-checkable queries q29/q39/q58 (first-
-    ever value-hash evidence) and the two operators rewritten this
-    round (q153 positional filter, q174 empty-doc fallback), and (c)
-    every query never driver-checked at all (the q182+ additions)."""
+    entries.  Round-7 invariant (rotate by EVIDENCE AGE — the round-5
+    verdict's standing rule, scheduled by the round-6 verdict): the
+    first 50 must be exactly (a) every query whose newest hash-green
+    driver row is round 3 — the oldest band after round 6 re-greened
+    the whole q01-q50 band — plus (b) the ten round-6 additions
+    (q185-q194) taking their first-ever driver rows."""
     import json
 
     import __spark_entry__ as entry
@@ -81,7 +130,7 @@ def test_driver_slot_rotation_covers_unproven_queries():
 
     # newest hash-green round per query across the recorded history
     newest_green: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         d = json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text())
         for k, v in d.items():
             if v.get("hash_match"):
@@ -89,44 +138,35 @@ def test_driver_slot_rotation_covers_unproven_queries():
 
     first50 = set(names[:50])
     assert len(first50) == 50
-    # (a) everything whose newest evidence is r2 or older is in the head
-    stale = {n for n in names if newest_green.get(n, 0) <= 2 and n in newest_green}
+    # (a) the r3 band IS the oldest evidence and ALL of it is in the
+    # head — recomputed from the records, not trusted from the frozen
+    # set in the entry module...
+    stale = {n for n in names if newest_green.get(n, 9) <= 3 and n in newest_green}
     assert stale <= first50, sorted(stale - first50)
-    # (b) newly-checkable + rewritten-this-round slots
-    assert {num(n) for n in first50} >= (
-        entry._R6_NEWLY_CHECKABLE | entry._R6_REWRITTEN
-    )
-    # (c) never-driver-checked queries (no row in any recorded round)
-    # must be in the head — except those registered after the head
-    # filled, which defer: _R6_DEFERRED_NEW to round 7's head,
-    # _R7_DEFERRED_NEW (registered after THAT filled too) to rounds 8-9
+    # ...and the frozen set matches the recomputation exactly
+    assert {num(n) for n in stale} == entry._R7_R3_BAND
+    # (b) the ten deferred round-6 additions take their first rows now
+    deferred_r7 = {n for n in names if num(n) in entry._R6_DEFERRED_NEW}
+    assert deferred_r7 <= first50
+    assert first50 == stale | deferred_r7
+    # never-driver-checked queries are exactly q185-q194 (in the head)
+    # plus _R7_DEFERRED_NEW (registered after this head filled too —
+    # rounds 8-10 absorb them; they hold full oracles + local
+    # check_oracle evidence meanwhile)
     recorded = set()
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         recorded |= set(json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text()))
     never = {n for n in names if n not in recorded}
-    deferred = {n for n in names if num(n) in entry._R6_DEFERRED_NEW}
     deferred_r8 = {n for n in names if num(n) in entry._R7_DEFERRED_NEW}
-    assert never <= first50 | deferred | deferred_r8, sorted(
-        never - first50 - deferred - deferred_r8
+    assert never == deferred_r7 | deferred_r8, sorted(
+        never ^ (deferred_r7 | deferred_r8)
     )
-    assert deferred.isdisjoint(first50) and deferred_r8.isdisjoint(first50)
-    # after this head lands, nothing in the tail holds pre-r3 evidence:
-    # the tail's oldest band is r3 (round 7's head) and it — plus the
-    # round-7 deferred new queries, which also need round-7 slots —
-    # fits in 50
-    tail = [n for n in names[50:]]
-    assert all(
-        newest_green.get(n, 9) >= 3 for n in tail if n not in deferred | deferred_r8
-    ), [n for n in tail if newest_green.get(n, 9) < 3 and n not in deferred | deferred_r8]
-    assert (
-        sum(1 for n in tail if newest_green.get(n) == 3) + len(deferred) <= 50
-    )
-    # schedule feasibility beyond round 7: a greedy oldest-first sweep
-    # at 50 slots/round must keep every query within the sustainable
-    # freshness bound ceil(N/50) rounds (N=225 -> 5).  Rounds 8-10 must
-    # absorb the r4 band, the r5 band, and the round-8-deferred new
-    # queries (which hold full oracles + local check_oracle evidence
-    # meanwhile).
+    assert deferred_r8.isdisjoint(first50)
+    # schedule feasibility beyond round 7: after this head lands the
+    # oldest band is r4.  Rounds 8-10 must absorb the r4 band, the r5
+    # band, and the deferred q195-q248 within 150 slots, keeping every
+    # query inside the sustainable ceil(N/50)-round freshness bound
+    # (N=248 -> 5).
     r4_band = sum(1 for n in names if newest_green.get(n) == 4 and n not in first50)
     r5_band = sum(1 for n in names if newest_green.get(n) == 5 and n not in first50)
     assert r4_band + r5_band + len(deferred_r8) <= 150, (
