@@ -5155,9 +5155,13 @@ def q234_mutual_nn_pairs(spark: SparkSession, sf: str) -> DataFrame:
     oracle bakes the seeded hyperplanes in as literals (the q28
     precedent) and replays the identical struct-max + mutuality join."""
     emb = load(spark, sf, "embeddings")
-    # 6 planes = 64 blocks: bucket population (the only quadratic
-    # term) stays bounded as the corpus grows; n_planes is the width
-    # knob a 100 TB run raises further (log2(n / target_block))
+    # width rule, picked by measurement (docs/SCALING.md "q234
+    # block-width trade-off"): n_planes = ceil(log2(n/32)) pins block
+    # population at ~32 — at this corpus (2000 vectors) it evaluates
+    # to 6 planes / 64 blocks. Rule-applied 10x probe: 1.19x (fixed
+    # width reads 7.0x — pure in-block pair volume). The registered
+    # query keeps the rule's sf0.1 evaluation FIXED so the oracle's
+    # baked 6-plane literals stay exact.
     planes = similarity.random_hyperplanes(64, 6, seed=42)
     return similarity.mutual_nn_pairs(emb, planes)
 

@@ -341,6 +341,98 @@ def test_duplicate_span_coverage_crafted_corpus(spark):
     assert (out[5]["n_tokens"], out[5]["n_spans"], out[5]["dup_coverage"]) == (1, 0, 0.0)
 
 
+def test_semdedup_matches_python_bruteforce(spark):
+    """Independent reference (the q244 mirror-bug rule: query and
+    oracle could share wrong algebra and still hash-green — only an
+    implementation-independent replay catches it): the full SemDeDup
+    pipeline — integer Lloyd k-means (quantize, lowest-id seeds,
+    argmin ties to lowest cid, pmod floor-division centroids, empty
+    clusters keep their centroid) then cluster-local lower-id cosine
+    drop — replayed in pure Python on pseudo-random vectors with
+    planted near-duplicates."""
+    import math
+
+    k, iters, quant, thr, dim = 4, 2, 1_000_000, 0.92, 6
+
+    # deterministic pseudo-random corpus (LCG — no global RNG state),
+    # with planted near-duplicates every 5th vector
+    def lcg(seed):
+        s = seed
+        while True:
+            s = (s * 6364136223846793005 + 1442695040888963407) % 2**63
+            yield (s >> 20) / float(2**43)
+
+    g = lcg(7)
+    rows = []
+    for i in range(1, 41):
+        if i % 5 == 0 and rows:
+            basev = rows[-1][1]
+            v = [x + 0.01 * next(g) for x in basev]
+        else:
+            v = [2.0 * next(g) - 1.0 for _ in range(dim)]
+        rows.append((i, v))
+
+    # ---- pure-Python replay -------------------------------------
+    qv = {i: [math.floor(x * quant) for x in v] for i, v in rows}
+    ids = sorted(qv)
+    cent = {cid: qv[pid] for cid, pid in enumerate(ids[:k])}
+
+    def assign(cent):
+        asg = {}
+        for pid in ids:
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(qv[pid], cent[c])), c)
+                for c in sorted(cent)
+            )
+            asg[pid] = best[1]
+        return asg
+
+    for _ in range(iters):
+        asg = assign(cent)
+        for c in sorted(cent):
+            members = [pid for pid in ids if asg[pid] == c]
+            if not members:
+                continue  # empty cluster keeps its centroid
+            nv = []
+            for pos in range(dim):
+                s, n = sum(qv[p][pos] for p in members), len(members)
+                nv.append((s - s % n) // n)  # pmod floor division
+            cent[c] = nv
+    asg = assign(cent)
+
+    def cos(a, b):
+        d = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    vec = dict(rows)
+    want = {}
+    for pid in ids:
+        want[pid] = any(
+            q < pid and asg[q] == asg[pid] and cos(vec[q], vec[pid]) >= thr
+            for q in ids
+        )
+
+    # ---- operator ------------------------------------------------
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["pid"]: (r["cluster"], r["dropped"])
+        for r in dedup.semdedup(
+            df, k=k, iters=iters, threshold=thr, quant=quant
+        ).collect()
+    }
+    assert {p: c for p, (c, _) in out.items()} == asg
+    assert {p: d for p, (_, d) in out.items()} == want
+    assert any(want.values())  # the planted near-dupes actually drop
+
+
 def test_semdedup_drops_higher_id_near_duplicates(spark):
     # 1 and 2 are near-identical directions; 3 is orthogonal-ish.
     # With k=2 the pair clusters together: 2 (higher id) must drop.
