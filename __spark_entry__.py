@@ -5451,6 +5451,41 @@ def q248_txn_refresh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q249_grouped_ols2(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type TWO-feature OLS (forecast.grouped_linear_fit2):
+    value ~ b0 + b1·hour + b2·(day-of-week), solved in closed form by
+    Cramer's rule over exact sufficient statistics — integer-feature
+    moment matrix in BIGINT, cofactors as decimal-cast products (the
+    spearman factor-cast rule), y-moments decimal-quantized, three
+    fixed-parenthesization double expansions at the end. The multiple-
+    regression step up from q68, still one shuffle and no solver. The
+    oracle replays the identical cofactor algebra (DuckDB dayofweek is
+    0-based — the oracle adds 1 to match Spark's 1-based)."""
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.hour("ts").alias("x_hour"),
+        F.dayofweek("ts").alias("x_dow"),
+        "value",
+    )
+    return forecast.grouped_linear_fit2(
+        ev, group="event_type", x1="x_hour", x2="x_dow", y="value"
+    )
+
+
+def q250_jl_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection retrieval audit
+    (similarity.jl_recall): recall@10 of cosine rankings in seeded
+    4/8/16-dim random projections against the exact 64-dim ranking —
+    the transform-axis serving-cost audit next to q221's truncation
+    axis and q201's precision axis. Probe and corpus are both
+    projected in-engine from stored doubles (no Python floats in the
+    comparison); the oracle bakes the same plane literals and replays
+    the identical fold + (cos DESC, id ASC) order."""
+    emb = load(spark, sf, "embeddings")
+    planes = similarity.random_hyperplanes(64, 16, seed=137)
+    return similarity.jl_recall(emb, planes, dims=(4, 8, 16), k=10)
+
+
 # Driver-slot rotation (round 7): the correctness driver hard-checks
 # the FIRST 50 registry entries only; rotation is BY EVIDENCE AGE
 # (the round-5 verdict's standing rule).  Evidence ages entering
@@ -5469,11 +5504,11 @@ def q248_txn_refresh(spark: SparkSession, sf: str) -> DataFrame:
 #     duplicate-span coverage, DSIR, HITS, label propagation,
 #     SemDeDup, C4/Gopher gate stack, winnowing fingerprints).
 # Oldest evidence after this head lands: r4 (47 queries) — round 8's
-# head, with the remaining 3 slots starting on _R7_DEFERRED_NEW (54
-# queries, q195-q248); round 9 takes the r5 band (47) + 3 more; round
-# 10 the remaining 48 deferred + the oldest of the r6 band — every
-# query stays within the ceil(248/50)=5-round freshness bound (the
-# rotation test's feasibility check).
+# head, with the remaining 3 slots starting on _R7_DEFERRED_NEW (56
+# queries, q195-q250); round 9 takes the r5 band (47) + 3 more; round
+# 10 the remaining 50 deferred — every query stays within the
+# ceil(250/50)=5-round freshness bound (the rotation test's
+# feasibility check).
 # Every query stays registered and oracle-checked locally regardless
 # of position (tools/check_oracle.py runs all).
 _DRIVER_RECONFIRM_R04 = [  # kept for the rotation test's history
@@ -5517,6 +5552,11 @@ _R7_DEFERRED_NEW = {
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
     224, 225, 226, 227, 228, 229, 230, 231, 232, 233, 234, 235, 236,
     237, 238, 239, 240, 241, 242, 243, 244, 245, 246, 247, 248,
+    # round-7 additions (registered after round 7's head filled):
+    # exactly the 2 spare slots the rounds-8-10 sweep has left
+    # (47 r4 + 47 r5 + 56 deferred = 150), feasibility-checked by the
+    # rotation test
+    249, 250,
 }
 # Round-7 head, exactly as the round-6 verdict scheduled it: the
 # 40-query r3-evidence band (q51-q118 minus the members that picked up
@@ -5808,6 +5848,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q246_interval_schedule": q246_interval_schedule,
         "q247_ngram_novelty": q247_ngram_novelty,
         "q248_txn_refresh": q248_txn_refresh,
+        "q249_grouped_ols2": q249_grouped_ols2,
+        "q250_jl_recall": q250_jl_recall,
     }
 
 
@@ -11666,5 +11708,121 @@ JOIN (
   FROM events GROUP BY 1
 ) d USING (event_type)
 ORDER BY f.event_type
+"""
+    # q249: the identical Cramer cofactor algebra — integer moment
+    # sums, DECIMAL(19,0)-cast factors before every cofactor product,
+    # decimal-quantized y-moments, the same fixed-parenthesization
+    # double expansions. DuckDB dayofweek is 0-based (Sunday=0) vs
+    # Spark's 1-based — the +1 aligns them.
+    oracles["q249_grouped_ols2"] = """
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS sa,
+         CAST(SUM(x2) AS BIGINT) AS sb,
+         CAST(SUM(x1 * x1) AS BIGINT) AS sc,
+         CAST(SUM(x1 * x2) AS BIGINT) AS sd,
+         CAST(SUM(x2 * x2) AS BIGINT) AS se,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 * value AS DECIMAL(28,8))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 * value AS DECIMAL(28,8))) AS DOUBLE) AS s2y,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS syy
+  FROM (
+    SELECT event_type,
+           CAST(hour(ts) AS BIGINT) AS x1,
+           CAST(dayofweek(ts) + 1 AS BIGINT) AS x2,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+  ) GROUP BY 1
+),
+cof AS (
+  SELECT *,
+    CAST(CAST(sc AS DECIMAL(19,0)) * CAST(se AS DECIMAL(19,0))
+         - CAST(sd AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0)) AS DOUBLE) AS c00,
+    CAST(CAST(sb AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0))
+         - CAST(sa AS DECIMAL(19,0)) * CAST(se AS DECIMAL(19,0)) AS DOUBLE) AS c10,
+    CAST(CAST(sa AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0))
+         - CAST(sb AS DECIMAL(19,0)) * CAST(sc AS DECIMAL(19,0)) AS DOUBLE) AS c20,
+    CAST(CAST(n AS DECIMAL(19,0)) * CAST(se AS DECIMAL(19,0))
+         - CAST(sb AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0)) AS DOUBLE) AS c11,
+    CAST(CAST(sa AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0))
+         - CAST(n AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0)) AS DOUBLE) AS c21,
+    CAST(CAST(n AS DECIMAL(19,0)) * CAST(sc AS DECIMAL(19,0))
+         - CAST(sa AS DECIMAL(19,0)) * CAST(sa AS DECIMAL(19,0)) AS DOUBLE) AS c22
+  FROM s
+),
+d AS (
+  SELECT *,
+    (CAST(n AS DOUBLE) * c00 + CAST(sa AS DOUBLE) * c10) + CAST(sb AS DOUBLE) * c20 AS det,
+    (sy * c00 + s1y * c10) + s2y * c20 AS det0,
+    (sy * c10 + s1y * c11) + s2y * c21 AS det1,
+    (sy * c20 + s1y * c21) + s2y * c22 AS det2
+  FROM cof
+)
+SELECT event_type, n AS n_obs,
+  CASE WHEN det <> 0 THEN ROUND(det0 / det, 6) END AS b0,
+  CASE WHEN det <> 0 THEN ROUND(det1 / det, 6) END AS b1,
+  CASE WHEN det <> 0 THEN ROUND(det2 / det, 6) END AS b2,
+  CASE WHEN det <> 0
+        AND (syy - sy * sy / CAST(n AS DOUBLE)) > 0
+       THEN ROUND(1.0 - (syy - (((det0 / det) * sy + (det1 / det) * s1y)
+                                 + (det2 / det) * s2y))
+                        / (syy - sy * sy / CAST(n AS DOUBLE)), 6)
+  END AS r2
+FROM d ORDER BY event_type
+"""
+    # q250: the same seeded plane literals, both sides projected
+    # in-SQL with list_dot_product (the sequential-fold parity of
+    # _COS), 6-rounded (cos DESC, id ASC) rankings, overlap counts.
+    from nyc_taxi_data_prediction_pyspark_spark.operators.similarity import (
+        random_hyperplanes as _rh,
+    )
+
+    _jl_planes = _rh(64, 16, seed=137)
+
+    def _jl_proj(src: str, d: int) -> str:
+        dots = ", ".join(
+            "list_dot_product({}, [{}])".format(
+                src, ", ".join(repr(float(x)) for x in _jl_planes[j])
+            )
+            for j in range(d)
+        )
+        return f"[{dots}]::DOUBLE[]"
+
+    _jl_tops = "\n".join(
+        f"""t{d} AS (
+  SELECT pv.vec_id FROM pv, q
+  WHERE pv.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+  ORDER BY ROUND({_COS.format(a=f'pv.p[1:{d}]', b=f'q.pq[1:{d}]')}, 6) DESC,
+           pv.vec_id ASC
+  LIMIT 10
+),"""
+        for d in (4, 8, 16)
+    )
+    _jl_rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS INTEGER) AS dim, CAST(10 AS INTEGER) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ex JOIN t{d} USING (vec_id)) AS n_overlap,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ex JOIN t{d} USING (vec_id)) / CAST(10 AS DOUBLE) AS recall"""
+        for d in (4, 8, 16)
+    )
+    oracles["q250_jl_recall"] = f"""
+WITH pv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_jl_proj('embedding::DOUBLE[]', 16)} AS p
+  FROM embeddings
+),
+q AS (
+  SELECT v AS qv, p AS pq FROM pv
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+ex AS (
+  SELECT pv.vec_id FROM pv, q
+  WHERE pv.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+  ORDER BY ROUND({_COS.format(a='pv.v', b='q.qv')}, 6) DESC, pv.vec_id ASC
+  LIMIT 10
+),
+{_jl_tops}
+_last AS (SELECT 1)
+{_jl_rows}
+ORDER BY dim
 """
     return oracles

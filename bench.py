@@ -205,6 +205,8 @@ HEADLINE = [
     "q246_interval_schedule",
     "q247_ngram_novelty",
     "q248_txn_refresh",
+    "q249_grouped_ols2",
+    "q250_jl_recall",
 ]
 
 # Registered queries deliberately NOT in HEADLINE, each with its

@@ -145,6 +145,110 @@ def grouped_linear_fit(
     )
 
 
+def grouped_linear_fit2(
+    df: DataFrame, *, group: str, x1: str, x2: str, y: str
+) -> DataFrame:
+    """Per-group TWO-feature OLS (y ~ b0 + b1·x1 + b2·x2), closed form
+    — the multiple-regression step up from ``grouped_linear_fit``'s
+    single feature, still one shuffle and zero iterative solving: the
+    normal-equation system A·β = b (A the symmetric 3×3 raw-moment
+    matrix) is solved by CRAMER'S RULE on exact sufficient statistics.
+
+    Exactness discipline (the spearman/kendall rank-product lesson):
+    x1/x2 are INTEGER features, so the six A-entries (n, Σx1, Σx2,
+    Σx1², Σx1x2, Σx2²) are exact BIGINTs; every cofactor is a
+    difference of two products whose FACTORS are cast to
+    DECIMAL(19,0) before multiplying (2-product terms stay well inside
+    DECIMAL(38,0) — exact for per-group n up to ~1e9 with day/hour-
+    class features, documented bound). The y-moments (Σy, Σx1y, Σx2y,
+    Σy²) are decimal-quantized sums (order-independent across any
+    partitioning — the dsum rationale). Only the final 3-term Cramer
+    expansions and divisions run in IEEE doubles, each with ONE fixed
+    parenthesization, so both engines round identically and the fit
+    value-hash checks.
+
+    Degenerate groups (collinear features, n too small → det = 0)
+    yield NULL coefficients, not an error; zero-variance y yields
+    NULL r2.
+
+    Scale: one map-side-combined groupBy computing 10 statistics —
+    the same cost class as any grouped agg; no matrix library, no
+    per-group collect, no UDF. Returns (group, n_obs, b0, b1, b2,
+    r2), coefficients rounded 6.
+    """
+    x1c = F.col(x1).cast("long")
+    x2c = F.col(x2).cast("long")
+    yv = F.col(y).cast("double")
+    stats = df.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1c).alias("sa"),
+        F.sum(x2c).alias("sb"),
+        F.sum(x1c * x1c).alias("sc"),
+        F.sum(x1c * x2c).alias("sd"),
+        F.sum(x2c * x2c).alias("se"),
+        F.sum(yv.cast("decimal(18,4)")).cast("double").alias("sy"),
+        F.sum((x1c * yv).cast("decimal(28,8)")).cast("double").alias("s1y"),
+        F.sum((x2c * yv).cast("decimal(28,8)")).cast("double").alias("s2y"),
+        F.sum((yv * yv).cast("decimal(28,8)")).cast("double").alias("syy"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    # signed cofactors of the symmetric moment matrix
+    # A = [[n, a, b], [a, c, d], [b, d, e]] — exact decimal arithmetic
+    c00 = d19("sc") * d19("se") - d19("sd") * d19("sd")
+    c10 = d19("sb") * d19("sd") - d19("sa") * d19("se")  # = C01 (symmetry)
+    c20 = d19("sa") * d19("sd") - d19("sb") * d19("sc")  # = C02
+    c11 = d19("n") * d19("se") - d19("sb") * d19("sb")
+    c21 = d19("sa") * d19("sb") - d19("n") * d19("sd")   # = C12
+    c22 = d19("n") * d19("sc") - d19("sa") * d19("sa")
+    dn = F.col("n").cast("double")
+    m = stats.select(
+        group,
+        "n",
+        F.col("sa").cast("double").alias("da"),
+        F.col("sb").cast("double").alias("db"),
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        dbl(c00).alias("c00"),
+        dbl(c10).alias("c10"),
+        dbl(c20).alias("c20"),
+        dbl(c11).alias("c11"),
+        dbl(c21).alias("c21"),
+        dbl(c22).alias("c22"),
+    )
+    det = (dn * F.col("c00") + F.col("da") * F.col("c10")) + F.col("db") * F.col(
+        "c20"
+    )
+    det0 = (F.col("sy") * F.col("c00") + F.col("s1y") * F.col("c10")) + F.col(
+        "s2y"
+    ) * F.col("c20")
+    det1 = (F.col("sy") * F.col("c10") + F.col("s1y") * F.col("c11")) + F.col(
+        "s2y"
+    ) * F.col("c21")
+    det2 = (F.col("sy") * F.col("c20") + F.col("s1y") * F.col("c21")) + F.col(
+        "s2y"
+    ) * F.col("c22")
+    b0 = det0 / det
+    b1 = det1 / det
+    b2 = det2 / det
+    sse = F.col("syy") - (
+        (b0 * F.col("sy") + b1 * F.col("s1y")) + b2 * F.col("s2y")
+    )
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / dn
+    return m.select(
+        group,
+        F.col("n").alias("n_obs"),
+        F.when(det != 0, F.round(b0, 6)).alias("b0"),
+        F.when(det != 0, F.round(b1, 6)).alias("b1"),
+        F.when(det != 0, F.round(b2, 6)).alias("b2"),
+        F.when((det != 0) & (sst > 0), F.round(F.lit(1.0) - sse / sst, 6)).alias(
+            "r2"
+        ),
+    ).orderBy(group)
+
+
 def grouped_linear_fit_pandas(
     df: DataFrame, *, group: str, x: str, y: str
 ) -> DataFrame:

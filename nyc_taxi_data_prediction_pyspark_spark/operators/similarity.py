@@ -687,6 +687,88 @@ def matryoshka_recall(
     return out.orderBy("dim")
 
 
+def jl_recall(
+    emb: DataFrame,
+    planes: list[list[float]],
+    dims: tuple[int, ...] = (4, 8, 16),
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection retrieval audit: rank
+    the corpus against the lowest-id probe by cosine in a d-dim
+    RANDOM PROJECTION (v → [v·p₁ … v·p_d], seeded Gaussian planes —
+    Dasgupta & Gupta 2003's JL regime; Achlioptas JCSS'03 for the
+    database-friendly variants) and report overlap/recall@k against
+    the exact full-dimension ranking, for each d in ``dims``. The
+    transform-axis sibling of q221's truncation audit
+    (matryoshka_recall) and q201's precision audit (SQ8): together
+    they price the three cheap-serving axes — fewer dims by prefix,
+    fewer dims by projection, fewer bits per dim.
+
+    Determinism/parity: the planes are seeded driver-side literals
+    (the q234 convention); BOTH the corpus and the probe are projected
+    IN-ENGINE from the stored doubles with the identical dot-fold, so
+    no Python float arithmetic enters the comparison; projected
+    cosines round to 6 with (cos DESC, id ASC) total order (the q19
+    convention); recall is one IEEE division of exact counts.
+
+    Scale shape: the projection is |dims_max| in-row dot folds — one
+    narrow map over the corpus, materialized once (localCheckpoint)
+    for the |dims|+1 rankings; each ranking is a TakeOrdered top-k
+    (per-partition heaps, k rows shuffle); the probe row broadcasts.
+    At serving scale the projected scan reads d/D of the vector
+    bytes — the same point as q221, without requiring the embedding
+    model to have been Matryoshka-trained.
+    """
+    maxd = max(dims)
+    assert len(planes) >= maxd, "need a plane per projected dimension"
+    v = as_double(vec_col)
+    proj = F.array(*[dot(v, _query_lit(planes[j])) for j in range(maxd)])
+    pts = emb.select(
+        F.col(id_col), v.alias("__v"), proj.alias("__pv")
+    ).localCheckpoint(eager=False)
+    probe_id = pts.agg(F.min(id_col)).first()[0]  # 1-value metadata collect
+    probe = pts.where(F.col(id_col) == probe_id).select(
+        F.col("__v").alias("__qv"), F.col("__pv").alias("__pq")
+    )
+    corpus = pts.where(F.col(id_col) != probe_id).crossJoin(F.broadcast(probe))
+    exact = (
+        corpus.select(
+            F.col(id_col), F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("__c")
+        )
+        .orderBy(F.col("__c").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col).alias("__e"))
+    )
+    out = None
+    for d in dims:
+        topd = (
+            corpus.select(
+                F.col(id_col),
+                F.round(
+                    cosine(F.slice("__pv", 1, d), F.slice("__pq", 1, d)), 6
+                ).alias("__c"),
+            )
+            .orderBy(F.col("__c").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(F.col(id_col).alias("__a"))
+        )
+        row = (
+            exact.join(topd, exact["__e"] == topd["__a"], "inner")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+            .select(
+                F.lit(d).cast("int").alias("dim"),
+                F.lit(k).cast("int").alias("k"),
+                "n_overlap",
+                (F.col("n_overlap").cast("double") / k).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dim")
+
+
 def mutual_nn_pairs(
     emb: DataFrame,
     planes: list[list[float]],

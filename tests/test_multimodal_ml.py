@@ -148,6 +148,122 @@ def test_grouped_linear_fit_closed_form_matches_numpy(spark, sf_dir):
         assert math.isclose(p["intercept"], e["intercept"], rel_tol=1e-6, abs_tol=1e-9)
 
 
+def test_grouped_ols2_matches_numpy_lstsq(spark):
+    """Independent reference for the two-feature Cramer closed form
+    (q249): numpy lstsq on the same rows — a wholly different
+    algorithm (QR/SVD vs cofactor expansion), so a shared-algebra
+    mirror bug cannot pass both."""
+    import math
+
+    import numpy as np
+
+    from nyc_taxi_data_prediction_pyspark_spark.ml import forecast
+
+    # deterministic pseudo-random data with a real planted signal
+    def lcg(seed):
+        s = seed
+        while True:
+            s = (s * 6364136223846793005 + 1442695040888963407) % 2**63
+            yield (s >> 20) / float(2**43)
+
+    g = lcg(11)
+    rows = []
+    for grp, (a0, a1, a2) in [("g1", (5.0, 2.0, -3.0)), ("g2", (-1.0, 0.5, 4.0))]:
+        for _ in range(300):
+            x1 = int(next(g) * 24)
+            x2 = int(next(g) * 7) + 1
+            y = a0 + a1 * x1 + a2 * x2 + (next(g) - 0.5) * 2.0
+            rows.append((grp, x1, x2, float(y)))
+    df = spark.createDataFrame(rows, "grp string, x1 long, x2 long, y double")
+    got = {
+        r["grp"]: r
+        for r in forecast.grouped_linear_fit2(
+            df, group="grp", x1="x1", x2="x2", y="y"
+        ).collect()
+    }
+    for grp in ("g1", "g2"):
+        sub = [(x1, x2, y) for g2_, x1, x2, y in rows if g2_ == grp]
+        A = np.array([[1.0, x1, x2] for x1, x2, _ in sub])
+        yv = np.array([y for *_, y in sub])
+        beta, *_ = np.linalg.lstsq(A, yv, rcond=None)
+        pred = A @ beta
+        ss_res = float(((yv - pred) ** 2).sum())
+        ss_tot = float(((yv - yv.mean()) ** 2).sum())
+        r = got[grp]
+        assert r["n_obs"] == len(sub)
+        assert math.isclose(r["b0"], beta[0], rel_tol=1e-4, abs_tol=1e-5)
+        assert math.isclose(r["b1"], beta[1], rel_tol=1e-4, abs_tol=1e-5)
+        assert math.isclose(r["b2"], beta[2], rel_tol=1e-4, abs_tol=1e-5)
+        assert math.isclose(r["r2"], 1.0 - ss_res / ss_tot, rel_tol=1e-4)
+        assert r["r2"] > 0.9  # the planted signal is actually recovered
+
+
+def test_grouped_ols2_collinear_features_yield_null(spark):
+    """x2 = 2*x1 makes the moment matrix singular: det = 0 must
+    surface as NULL coefficients, never an ANSI divide error."""
+    from nyc_taxi_data_prediction_pyspark_spark.ml import forecast
+
+    rows = [("g", i % 5, 2 * (i % 5), float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, x1 long, x2 long, y double")
+    out = forecast.grouped_linear_fit2(
+        df, group="grp", x1="x1", x2="x2", y="y"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["b0"] is None and r["b1"] is None and r["b2"] is None and r["r2"] is None
+
+
+def test_jl_recall_matches_numpy_replay(spark):
+    """Independent reference for the JL projection audit (q250): the
+    exact and projected top-k rankings replayed with numpy float64
+    (matrix ops, different summation order) — ranking positions are
+    robust to fold-order ulps except at exact round-6 ties, which the
+    (cos, id) total order resolves identically."""
+    import numpy as np
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators import similarity
+
+    rng_rows = []
+
+    def lcg(seed):
+        s = seed
+        while True:
+            s = (s * 6364136223846793005 + 1442695040888963407) % 2**63
+            yield (s >> 20) / float(2**43)
+
+    g = lcg(23)
+    for i in range(1, 101):
+        rng_rows.append((i, [2.0 * next(g) - 1.0 for _ in range(16)]))
+    df = spark.createDataFrame(rng_rows, ["vec_id", "embedding"])
+    planes = similarity.random_hyperplanes(16, 8, seed=137)
+    got = {
+        r["dim"]: (r["n_overlap"], r["recall"])
+        for r in similarity.jl_recall(df, planes, dims=(2, 4, 8), k=5).collect()
+    }
+
+    V = np.array([v for _, v in rng_rows])
+    ids = np.array([i for i, _ in rng_rows])
+    P = np.array(planes)  # (8, 16)
+    proj = V @ P.T  # (100, 8)
+    q_full, q_proj = V[0], proj[0]
+
+    def topk(mat, qv, k):
+        cos = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+        order = sorted(
+            range(1, len(mat)), key=lambda j: (-round(cos[j], 6), ids[j])
+        )
+        return [ids[j] for j in order[:k]]
+
+    exact = set(topk(V, q_full, 5))
+    for d in (2, 4, 8):
+        want = set(topk(proj[:, :d], q_proj[:d], 5))
+        n_overlap = len(exact & want)
+        assert got[d] == (n_overlap, n_overlap / 5), (d, got[d], n_overlap)
+    # the full-width projection of a 16-dim space by 8 planes is still
+    # lossy; sanity: overlap counts are within [0, 5] and not all zero
+    assert any(n for n, _ in got.values())
+
+
 def _srv0(frames, w, h, fps=10):
     import struct
 

@@ -52,6 +52,7 @@ BNL_ALLOWED = {
     "q230_ri_audit": "per-edge 1-row stats x 1-row orphan-counts crossed (8 edges)",
     "q232_seasonal_decompose": "hour spine x #event-types frame (both metadata-sized) crossed — the q181 shape",
     "q240_woe_iv": "1-row decile-cuts broadcast onto the value stream (the q224 bucketing shape)",
+    "q250_jl_recall": "1-row projected-probe broadcast onto the corpus rankings",
 }
 
 
