@@ -269,7 +269,15 @@ def prefix_filter_pairs(
 
     Verified-exact output: (id_a, id_b, jaccard >= t), identical to
     the all-pairs answer (oracle-checked against unfiltered DuckDB
-    all-pairs in q153)."""
+    all-pairs in q153).
+
+    PPJoin+ suffix filter (Xiao WWW'08 §4): measured and deliberately
+    NOT implemented — at the bench corpus the length+positional stack
+    already prunes ~1M in-row posting checks down to a candidate set
+    that EQUALS the verified output (256/256, 100% precision), so a
+    suffix filter has zero candidates left to remove; the remaining
+    wall is fixed DAG overhead, not filtering (profiling +
+    re-baseline: docs/BENCH_NOTES.md round 7)."""
     thr = F.lit(float(threshold))
     n_part = df.sparkSession.sparkContext.defaultParallelism
     base = (
