@@ -438,7 +438,11 @@ def main() -> None:
         timings[name] = min(timings[name], dt)
 
     total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # label from the BASENAME only (a dir without "sf" in its name —
+    # e.g. the 10x scale replica — must not leak path separators into
+    # the detail filename)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    sf = base.rsplit("sf", 1)[-1] if "sf" in base else base
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full record (every per-query timing, long names, per-table data
     # stats) is COMMITTED TO A FILE, not trusted to stdout: at 169
