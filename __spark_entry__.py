@@ -30,6 +30,7 @@ from nyc_taxi_data_prediction_pyspark_spark.operators import (
     joins,
     merge,
     mining,
+    privacy,
     setops,
     similarity,
     text as textops,
@@ -5486,6 +5487,184 @@ def q250_jl_recall(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.jl_recall(emb, planes, dims=(4, 8, 16), k=10)
 
 
+def q251_window_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Strictly-ordered first-touch conversion funnel
+    (windows.ordered_funnel): view -> click -> purchase per user,
+    anchored at the user's FIRST view and bounded by a 72 h horizon
+    from that anchor. Per-step readout: completing users, conversion
+    from the anchor step (one IEEE division), and the exact BIGINT
+    total microsecond latency-to-step of the completers. GIVEN the
+    first-touch anchor the earliest-completion greedy fold is exact
+    (exchange argument, see the operator docstring); the oracle
+    replays the same chained min-CTEs."""
+    ev = load(spark, sf, "events")
+    horizon = 72 * 3600 * 1_000_000
+    fun = windows.ordered_funnel(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        steps=["view", "click", "purchase"],
+        horizon_us=horizon,
+    )
+    fun = fun.localCheckpoint(eager=False)  # three aggregations consume it
+    steps = ["view", "click", "purchase"]
+    rows = []
+    for k, name in enumerate(steps):
+        rows.append(
+            fun.agg(
+                F.lit(k).cast("int").alias("step_idx"),
+                F.lit(name).alias("step_name"),
+                F.count(F.col(f"t{k}")).cast("bigint").alias("n_users"),
+                (
+                    F.count(F.col(f"t{k}")).cast("double")
+                    / F.count(F.col("t0")).cast("double")
+                ).alias("conversion"),
+                F.sum(F.col(f"t{k}") - F.col("t0")).cast("bigint").alias("latency_us"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step_idx")
+
+
+def q252_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention triangle (agg.cohort_retention) over
+    events to offset 4: each acquisition week's decay curve — the
+    longitudinal companion to q179's growth accounting. Exact BIGINT
+    active/cohort counts (week = Monday-truncated DATE on both
+    engines; the offset division is exact because active-week minus
+    cohort-week is always a multiple of 7 days), one IEEE division."""
+    ev = load(spark, sf, "events")
+    return agg.cohort_retention(
+        ev, user_col="user_id", ts_col="ts", max_offset=4
+    ).orderBy("cohort_week", "week_offset")
+
+
+def q253_weighted_sssp(spark: SparkSession, sf: str) -> DataFrame:
+    """Hop-bounded weighted shortest paths (graph.weighted_sssp,
+    Bellman-Ford, 4 relaxation rounds) over the q109/q162 trade graph
+    with BIGINT quantity edge weights (parallel edges pre-collapsed to
+    their min) from the lowest-keyed customer: the cheapest-routing
+    upgrade of q162's unweighted BFS. Readout: per final hop-bounded
+    distance map, the reach profile (n_reached, min/max dist, exact
+    decimal sum, node-weighted checksum) — all integer algebra; the
+    oracle unrolls the same 4 rounds as min-combine CTEs."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import graph
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("bigint")).alias("w"))
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    seed = pairs.agg(F.min("c").alias("node"))  # 1-row frame, no collect
+    dist = graph.weighted_sssp(edges, sources=seed, weight="w", max_hops=4)
+    return dist.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        F.min("dist").cast("bigint").alias("min_dist"),
+        F.max("dist").cast("bigint").alias("max_dist"),
+        F.sum(F.col("dist").cast("decimal(38,0)")).cast("double").alias("sum_dist"),
+        F.sum((F.col("node") % 97) * F.col("dist")).cast("bigint").alias("checksum"),
+    )
+
+
+def q254_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity / distinct-l-diversity release audit
+    (privacy.k_anonymity_audit) on customers under the quasi-identifier
+    (nation, market segment, 1000-unit balance bucket) with the exact
+    balance as the sensitive attribute: the class-size histogram with
+    per-size minimum l-diversity and the k=5 violation flag — the
+    gate a pipeline runs before exporting customer-grained training
+    rows. Exact BIGINTs + one share division."""
+    cust = load(spark, sf, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    )
+    return privacy.k_anonymity_audit(
+        cust,
+        quasi_cols=["c_nationkey", "c_mktsegment", "bal_bucket"],
+        sensitive_col="c_acctbal",
+        k=5,
+    ).orderBy("class_size")
+
+
+def q255_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed association rules from q154's frequent pairs
+    (mining.association_rules, Agrawal & Srikant VLDB'94): confidence
+    and lift for both directions of every pair shipping together in
+    >= 3 orders — exact BIGINT supports, decimal-factored lift
+    product, one IEEE division per measure, identical
+    parenthesization in the oracle."""
+    li = load(spark, sf, "lineitem")
+    return mining.association_rules(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_support=3
+    ).orderBy("antecedent", "consequent")
+
+
+def q256_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type Welch two-sample t statistic
+    (evaluation.welch_ttest): did mean event value move between the
+    first half of the month (day <= 15, arm 0) and the rest (arm 1) —
+    the continuous-metric A/B readout beside q223's Wilson (binary)
+    and q228's KS (distribution-free). Exact decimal-quantized
+    sufficient statistics, fixed-parenthesization Welch algebra,
+    Welch-Satterthwaite df; the oracle replays the identical
+    operation order."""
+    ev = load(spark, sf, "events").withColumn(
+        "arm", F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1)
+    )
+    return evaluation.welch_ttest(
+        ev, group_keys=["event_type"], value_col="value", arm_col="arm"
+    ).orderBy("event_type")
+
+
+def q257_postings_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index postings profile (textops.postings_stats): for
+    the 100 highest-df terms, posting-list delta-gap statistics
+    (df, max gap, total bit_length of gaps, avg gap) — the
+    index-codec-sizing readout (Zobel & Moffat 2006). Term-partitioned
+    lag window (never global), exact BIGINT gap algebra with the
+    first gap measured from -1, one IEEE division per term."""
+    docs = load(spark, sf, "documents")
+    return textops.postings_stats(docs, top_terms=100).orderBy(
+        F.col("df_docs").desc(), F.col("term").asc()
+    )
+
+
+def q258_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex PII scrub audit (privacy.redact_pii): each document is
+    augmented with a deterministic synthetic contact block (one email,
+    one NNN-NNN-NNNN phone, one 13-19 digit card-plausible run — the
+    q196 fixture convention, so every category and boundary length is
+    exercised), scrubbed with the shared RE2-and-Java-compatible
+    patterns (emails -> phones -> bare digit runs), and verified by
+    EXACT REWRITTEN BYTES: the md5 of the redacted text rides in the
+    output, so the oracle confirms the scrub itself, not just the
+    counts. Pure projection, no shuffle."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('doc ', cast(doc_id as string), ' contact user', "
+            "cast(doc_id as string), '@example.com tel ', "
+            "lpad(cast(pmod(doc_id, 1000) as string), 3, '0'), '-', "
+            "lpad(cast(pmod(doc_id * 7, 1000) as string), 3, '0'), '-', "
+            "lpad(cast(pmod(doc_id * 13, 10000) as string), 4, '0'), ' card ', "
+            "lpad(cast((doc_id + 1) * 2654435761 % 10000000000000 as string), "
+            "13 + cast(pmod(doc_id, 7) as int), '5'), ' end')"
+        ).alias("text"),
+    )
+    return privacy.redact_pii(aug, text_col="text").orderBy("doc_id")
+
+
 # Driver-slot rotation (round 7): the correctness driver hard-checks
 # the FIRST 50 registry entries only; rotation is BY EVIDENCE AGE
 # (the round-5 verdict's standing rule).  Evidence ages entering
@@ -5552,11 +5731,13 @@ _R7_DEFERRED_NEW = {
     210, 211, 212, 213, 214, 215, 216, 217, 218, 219, 220, 221, 222, 223,
     224, 225, 226, 227, 228, 229, 230, 231, 232, 233, 234, 235, 236,
     237, 238, 239, 240, 241, 242, 243, 244, 245, 246, 247, 248,
-    # round-7 additions (registered after round 7's head filled):
-    # exactly the 2 spare slots the rounds-8-10 sweep has left
-    # (47 r4 + 47 r5 + 56 deferred = 150), feasibility-checked by the
-    # rotation test
-    249, 250,
+    # round-7 additions (registered after round 7's head filled).
+    # q249-q250 fill the 2 spare slots of the rounds-8-10 sweep
+    # (47 r4 + 47 r5 + 56 deferred = 150); q251-q258 overflow into a
+    # round-11 head (the sweep becomes rounds 8-11, still inside the
+    # ceil(N/50)-round freshness bound for N=258 -> 6 rounds), and the
+    # rotation test's feasibility check covers the extended window.
+    249, 250, 251, 252, 253, 254, 255, 256, 257, 258,
 }
 # Round-7 head, exactly as the round-6 verdict scheduled it: the
 # 40-query r3-evidence band (q51-q118 minus the members that picked up
@@ -5850,6 +6031,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_txn_refresh": q248_txn_refresh,
         "q249_grouped_ols2": q249_grouped_ols2,
         "q250_jl_recall": q250_jl_recall,
+        "q251_window_funnel": q251_window_funnel,
+        "q252_cohort_retention": q252_cohort_retention,
+        "q253_weighted_sssp": q253_weighted_sssp,
+        "q254_k_anonymity": q254_k_anonymity,
+        "q255_association_rules": q255_association_rules,
+        "q256_welch_ttest": q256_welch_ttest,
+        "q257_postings_stats": q257_postings_stats,
+        "q258_pii_redaction": q258_pii_redaction,
     }
 
 
@@ -11824,5 +12013,239 @@ ex AS (
 _last AS (SELECT 1)
 {_jl_rows}
 ORDER BY dim
+"""
+    # q251: the chained-min CTE replay of the first-touch funnel fold
+    # (anchor = first 'view'; each later step the min qualifying event
+    # after the previous step inside the 72h anchor window).
+    oracles["q251_window_funnel"] = """
+WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS e FROM events),
+s0 AS (SELECT u, MIN(t) AS t0 FROM ev WHERE e = 'view' GROUP BY u),
+s1 AS (
+  SELECT ev.u, MIN(ev.t) AS t1 FROM ev JOIN s0 ON ev.u = s0.u
+  WHERE ev.e = 'click' AND ev.t > s0.t0 AND ev.t <= s0.t0 + 259200000000
+  GROUP BY ev.u),
+s2 AS (
+  SELECT ev.u, MIN(ev.t) AS t2 FROM ev JOIN s0 ON ev.u = s0.u JOIN s1 ON ev.u = s1.u
+  WHERE ev.e = 'purchase' AND ev.t > s1.t1 AND ev.t <= s0.t0 + 259200000000
+  GROUP BY ev.u),
+f AS (
+  SELECT s0.u, s0.t0, s1.t1, s2.t2
+  FROM s0 LEFT JOIN s1 ON s0.u = s1.u LEFT JOIN s2 ON s0.u = s2.u)
+SELECT CAST(0 AS INTEGER) AS step_idx, 'view' AS step_name,
+       CAST(COUNT(t0) AS BIGINT) AS n_users,
+       CAST(COUNT(t0) AS DOUBLE) / CAST(COUNT(t0) AS DOUBLE) AS conversion,
+       CAST(SUM(t0 - t0) AS BIGINT) AS latency_us FROM f
+UNION ALL
+SELECT CAST(1 AS INTEGER), 'click', CAST(COUNT(t1) AS BIGINT),
+       CAST(COUNT(t1) AS DOUBLE) / CAST(COUNT(t0) AS DOUBLE),
+       CAST(SUM(t1 - t0) AS BIGINT) FROM f
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'purchase', CAST(COUNT(t2) AS BIGINT),
+       CAST(COUNT(t2) AS DOUBLE) / CAST(COUNT(t0) AS DOUBLE),
+       CAST(SUM(t2 - t0) AS BIGINT) FROM f
+ORDER BY step_idx
+"""
+    # q252: Monday-truncated DATE weeks on both engines; the offset
+    # division is exact (active minus cohort week is a multiple of 7).
+    oracles["q252_cohort_retention"] = """
+WITH firsts AS (
+  SELECT user_id AS u, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS aw
+  FROM events),
+j AS (
+  SELECT a.u, f.cw, CAST(date_diff('day', f.cw, a.aw) // 7 AS INTEGER) AS off
+  FROM active a JOIN firsts f ON a.u = f.u),
+cells AS (
+  SELECT cw, off, CAST(COUNT(DISTINCT u) AS BIGINT) AS n_active
+  FROM j WHERE off <= 4 GROUP BY cw, off),
+sizes AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM firsts GROUP BY cw)
+SELECT c.cw AS cohort_week, c.off AS week_offset, c.n_active, s.n_cohort,
+       CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
+FROM cells c JOIN sizes s ON c.cw = s.cw
+ORDER BY cohort_week, week_offset
+"""
+    # q253: 4 unrolled Bellman-Ford min-combine rounds over the q162
+    # trade graph with min-quantity edge weights (the q109/q162
+    # iterative-CTE contract).
+    oracles["q253_weighted_sssp"] = """
+WITH pairs AS (
+  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+         MIN(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+edges AS (
+  SELECT c AS src, s AS dst, w FROM pairs
+  UNION ALL SELECT s, c, w FROM pairs),
+d0 AS (SELECT (SELECT MIN(c) FROM pairs) AS node, CAST(0 AS BIGINT) AS dist),
+d1 AS (SELECT node, MIN(dist) AS dist FROM (
+         SELECT node, dist FROM d0
+         UNION ALL
+         SELECT e.dst AS node, d0.dist + e.w AS dist
+         FROM d0 JOIN edges e ON d0.node = e.src) GROUP BY node),
+d2 AS (SELECT node, MIN(dist) AS dist FROM (
+         SELECT node, dist FROM d1
+         UNION ALL
+         SELECT e.dst AS node, d1.dist + e.w AS dist
+         FROM d1 JOIN edges e ON d1.node = e.src) GROUP BY node),
+d3 AS (SELECT node, MIN(dist) AS dist FROM (
+         SELECT node, dist FROM d2
+         UNION ALL
+         SELECT e.dst AS node, d2.dist + e.w AS dist
+         FROM d2 JOIN edges e ON d2.node = e.src) GROUP BY node),
+d4 AS (SELECT node, MIN(dist) AS dist FROM (
+         SELECT node, dist FROM d3
+         UNION ALL
+         SELECT e.dst AS node, d3.dist + e.w AS dist
+         FROM d3 JOIN edges e ON d3.node = e.src) GROUP BY node)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(MIN(dist) AS BIGINT) AS min_dist,
+       CAST(MAX(dist) AS BIGINT) AS max_dist,
+       CAST(SUM(dist) AS DOUBLE) AS sum_dist,
+       CAST(SUM((node % 97) * dist) AS BIGINT) AS checksum
+FROM d4
+"""
+    # q254: classes -> histogram -> 1-row total, exactly the Spark
+    # shape; violates_k is a plain boolean column.
+    oracles["q254_k_anonymity"] = """
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket, c_acctbal
+  FROM customer),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS class_size,
+         CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS l_div
+  FROM cust GROUP BY 1, 2, 3),
+hist AS (
+  SELECT class_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(class_size) AS BIGINT) AS n_rows,
+         MIN(l_div) AS min_l_diversity
+  FROM classes GROUP BY class_size),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cust)
+SELECT class_size, n_classes, n_rows, min_l_diversity,
+       class_size < 5 AS violates_k,
+       CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE) AS row_share
+FROM hist, tot ORDER BY class_size
+"""
+    # q255: q154's pair CTE extended with the rule-generation joins;
+    # the lift product uses the same DECIMAL(19,0) factor casts.
+    oracles["q255_association_rules"] = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM bi),
+sup AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS item_support FROM bi GROUP BY i),
+freq AS (SELECT i FROM sup WHERE item_support >= 3),
+fb AS (SELECT b, i FROM bi JOIN freq USING (i)),
+fp AS (
+  SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS support
+  FROM fb a JOIN fb b USING (b) WHERE a.i < b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+dir AS (
+  SELECT item_a AS antecedent, item_b AS consequent, support AS pair_support FROM fp
+  UNION ALL SELECT item_b, item_a, support FROM fp)
+SELECT d.antecedent, d.consequent, d.pair_support,
+       sa.item_support AS ante_support, sc.item_support AS cons_support,
+       CAST(d.pair_support AS DOUBLE) / CAST(sa.item_support AS DOUBLE) AS confidence,
+       CAST(CAST(d.pair_support AS DECIMAL(19,0)) * CAST(nb.n AS DECIMAL(19,0)) AS DOUBLE)
+         / CAST(CAST(sa.item_support AS DECIMAL(19,0)) * CAST(sc.item_support AS DECIMAL(19,0)) AS DOUBLE)
+         AS lift
+FROM dir d
+JOIN sup sa ON d.antecedent = sa.i
+JOIN sup sc ON d.consequent = sc.i, nb
+ORDER BY antecedent, consequent
+"""
+    # q256: identical decimal quantization of the sufficient
+    # statistics and identical Welch parenthesization (va computed,
+    # then divided by n — fused here as ((S2-S1^2/n)/(n-1))/n which is
+    # the same operation ORDER the Spark column tree executes).
+    oracles["q256_welch_ttest"] = """
+WITH ev AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS x,
+         CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 0 ELSE 1 END AS arm
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         SUM(CASE WHEN arm = 0 THEN CAST(x AS DECIMAL(38,10)) END) AS s1a,
+         SUM(CASE WHEN arm <> 0 THEN CAST(x AS DECIMAL(38,10)) END) AS s1b,
+         SUM(CASE WHEN arm = 0 THEN CAST(x * x AS DECIMAL(38,10)) END) AS s2a,
+         SUM(CASE WHEN arm <> 0 THEN CAST(x * x AS DECIMAL(38,10)) END) AS s2b
+  FROM ev GROUP BY event_type),
+c AS (
+  SELECT event_type, n_a, n_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(s1a AS DOUBLE) AS f1a, CAST(s1b AS DOUBLE) AS f1b,
+         CAST(s2a AS DOUBLE) AS f2a, CAST(s2b AS DOUBLE) AS f2b
+  FROM m),
+v AS (
+  SELECT event_type, n_a, n_b, na, nb,
+         f1a / na AS ma, f1b / nb AS mb,
+         ((f2a - (f1a * f1a) / na) / (na - 1.0)) / na AS se2a,
+         ((f2b - (f1b * f1b) / nb) / (nb - 1.0)) / nb AS se2b
+  FROM c)
+SELECT event_type, n_a, n_b,
+       ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND (se2a + se2b) > 0
+            THEN ROUND((ma - mb) / SQRT(se2a + se2b), 6) END AS t_stat,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND (se2a + se2b) > 0
+            THEN ROUND(((se2a + se2b) * (se2a + se2b))
+                       / ((se2a * se2a) / (na - 1.0) + (se2b * se2b) / (nb - 1.0)), 4)
+            END AS df_welch
+FROM v ORDER BY event_type
+"""
+    # q257: q199's tokenization, a term-partitioned LAG for the gaps
+    # (first gap from -1), bin() bit lengths, (df DESC, term) top-100.
+    oracles["q257_postings_stats"] = f"""
+WITH raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS d,
+         unnest(regexp_split_to_array({_NORM_TEXT}, ' ')) AS tok
+  FROM documents),
+tk AS (SELECT DISTINCT d, tok FROM raw WHERE tok <> ''),
+g AS (
+  SELECT tok, d,
+         d - COALESCE(LAG(d) OVER (PARTITION BY tok ORDER BY d), -1) AS gap
+  FROM tk),
+per AS (
+  SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS df_docs,
+         CAST(MAX(gap) AS BIGINT) AS max_gap,
+         CAST(SUM(LENGTH(bin(gap))) AS BIGINT) AS gap_bits,
+         CAST(SUM(gap) AS BIGINT) AS sum_gaps
+  FROM g GROUP BY tok)
+SELECT term, df_docs, max_gap, gap_bits,
+       CAST(sum_gaps AS DOUBLE) / CAST(df_docs AS DOUBLE) AS avg_gap
+FROM per ORDER BY df_docs DESC, term ASC LIMIT 100
+"""
+    # q258: the q196 fixture extended with email+phone fields; the
+    # oracle rewrites the SAME bytes (email -> phone -> card order)
+    # and md5-verifies the redacted text.
+    oracles["q258_pii_redaction"] = """
+WITH aug AS (
+  SELECT doc_id,
+         concat('doc ', CAST(doc_id AS VARCHAR), ' contact user',
+                CAST(doc_id AS VARCHAR), '@example.com tel ',
+                lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+                lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0'), '-',
+                lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0'), ' card ',
+                lpad(CAST((doc_id + 1) * 2654435761 % 10000000000000 AS VARCHAR),
+                     CAST(13 + doc_id % 7 AS INT), '5'), ' end') AS text
+  FROM documents),
+red AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+           '[0-9]{13,19}', '[CARD]', 'g') AS rtext
+  FROM aug)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '[0-9]{13,19}')) AS BIGINT) AS n_card,
+       CAST(length(rtext) AS BIGINT) AS redacted_len,
+       md5(rtext) AS redacted_md5
+FROM red ORDER BY doc_id
 """
     return oracles

@@ -207,6 +207,14 @@ HEADLINE = [
     "q248_txn_refresh",
     "q249_grouped_ols2",
     "q250_jl_recall",
+    "q251_window_funnel",
+    "q252_cohort_retention",
+    "q253_weighted_sssp",
+    "q254_k_anonymity",
+    "q255_association_rules",
+    "q256_welch_ttest",
+    "q257_postings_stats",
+    "q258_pii_redaction",
 ]
 
 # Registered queries deliberately NOT in HEADLINE, each with its

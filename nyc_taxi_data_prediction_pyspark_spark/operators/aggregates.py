@@ -1034,3 +1034,68 @@ def grouped_moments(
             "kurtosis_excess"
         ),
     ).orderBy(*group_keys)
+
+
+def cohort_retention(
+    df: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    max_offset: int = 4,
+) -> DataFrame:
+    """Weekly cohort retention triangle: users are assigned to the ISO
+    week of their FIRST event (the cohort), and each later active week
+    counts them as retained at offset = (active_week - cohort_week) in
+    weeks — the standard growth/retention matrix (the longitudinal
+    companion to q179's period-over-period growth accounting: q179
+    says how many users churned this week; the triangle says how each
+    ACQUISITION WEEK decays over its lifetime).
+
+    Exact semantics: week = date_trunc('week', ts) as DATE (Monday
+    start on both engines); a user is active at offset k for cohort c
+    iff they have >= 1 event in week c+k; offset 0 is the cohort size
+    by construction (retention 1.0 — kept in the output as the
+    self-check row). Offsets beyond ``max_offset`` are dropped (the
+    triangle is reported over a fixed horizon).
+
+    Shape: first-event agg (one combinable min per user), a distinct
+    (user, week) projection, one user-keyed equi-join (AQE
+    shuffle-or-broadcast), then a (cohort, offset) count-distinct —
+    no window, no self-join of the fact table. Counts are exact
+    BIGINTs; retention is the single IEEE division.
+
+    Returns (cohort_week, week_offset, n_active, n_cohort, retention)."""
+    firsts = (
+        df.groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(F.col(ts_col)).alias("__first_ts"))
+        .select(
+            "__u", F.date_trunc("week", F.col("__first_ts")).cast("date").alias("__cw")
+        )
+    )
+    active = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("__aw"),
+        )
+        .distinct()
+    )
+    joined = active.join(firsts, "__u").withColumn(
+        "__off", (F.datediff(F.col("__aw"), F.col("__cw")) / F.lit(7)).cast("int")
+    )
+    cells = (
+        joined.where(F.col("__off") <= max_offset)
+        .groupBy("__cw", "__off")
+        .agg(F.countDistinct("__u").cast("bigint").alias("n_active"))
+    )
+    sizes = firsts.groupBy("__cw").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    return cells.join(sizes, "__cw").select(
+        F.col("__cw").alias("cohort_week"),
+        F.col("__off").alias("week_offset"),
+        "n_active",
+        "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort").cast("double")).alias(
+            "retention"
+        ),
+    )

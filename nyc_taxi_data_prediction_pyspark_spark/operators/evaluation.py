@@ -685,3 +685,86 @@ def kendall_tau_b(
             F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6),
         ).alias("tau_b"),
     ).orderBy(*gk)
+
+
+def welch_ttest(
+    df: DataFrame,
+    *,
+    group_keys: list[str],
+    value_col: str,
+    arm_col: str,
+) -> DataFrame:
+    """Per-group Welch two-sample t statistic (unequal variances) with
+    the Welch-Satterthwaite effective degrees of freedom — the
+    continuous-metric A/B readout next to q223's Wilson interval
+    (binary) and q228's KS (distribution-free): did the treatment arm
+    move the mean, scaled by how precisely each arm's mean is known?
+
+        se2_a = v_a / n_a            (v = unbiased sample variance)
+        t     = (m_a - m_b) / sqrt(se2_a + se2_b)
+        df    = (se2_a + se2_b)^2
+                / (se2_a^2/(n_a-1) + se2_b^2/(n_b-1))
+
+    Determinism contract: per-arm sufficient statistics (n, S1, S2)
+    are exact — per-row IEEE x*x quantized to DECIMAL(38,10) before
+    the distributed sum (the grouped_moments rule), so partition order
+    cannot move them; every IEEE step after lives on the #groups frame
+    with fixed parenthesization (v = (S2 - S1^2/n)/(n-1) in doubles,
+    then the formulas above), sqrt being correctly rounded. No libm.
+    Arms with n < 2 or a zero pooled standard error yield NULL t/df
+    rather than an ANSI division error.
+
+    Scale shape: ONE combinable conditional aggregation over the fact
+    table (each arm's sums via sum(CASE) — no self-join, no second
+    scan); everything downstream is per-group scalar algebra.
+
+    Returns (group_keys..., n_a, n_b, mean_a, mean_b, t_stat, df_welch).
+    """
+    dec = lambda c: c.cast("decimal(38,10)")  # noqa: E731
+    x = F.col(value_col).cast("double")
+    a = F.col(arm_col) == 0
+    m = (
+        df.where(x.isNotNull())
+        .groupBy(*group_keys)
+        .agg(
+            F.sum(F.when(a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+            F.sum(F.when(~a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+            F.sum(F.when(a, dec(x))).alias("__s1a"),
+            F.sum(F.when(~a, dec(x))).alias("__s1b"),
+            F.sum(F.when(a, dec(x * x))).alias("__s2a"),
+            F.sum(F.when(~a, dec(x * x))).alias("__s2b"),
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    s1a = F.col("__s1a").cast("double")
+    s1b = F.col("__s1b").cast("double")
+    s2a = F.col("__s2a").cast("double")
+    s2b = F.col("__s2b").cast("double")
+    ma = s1a / na
+    mb = s1b / nb
+    va = (s2a - (s1a * s1a) / na) / (na - F.lit(1.0))
+    vb = (s2b - (s1b * s1b) / nb) / (nb - F.lit(1.0))
+    se2a = va / na
+    se2b = vb / nb
+    se2 = se2a + se2b
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return m.select(
+        *group_keys,
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.when(ok & (se2 > 0), F.round((ma - mb) / F.sqrt(se2), 6)).alias("t_stat"),
+        F.when(
+            ok & (se2 > 0),
+            F.round(
+                (se2 * se2)
+                / (
+                    (se2a * se2a) / (na - F.lit(1.0))
+                    + (se2b * se2b) / (nb - F.lit(1.0))
+                ),
+                4,
+            ),
+        ).alias("df_welch"),
+    )

@@ -686,3 +686,64 @@ def temporal_reachability(
         "max_arrival",
         F.col("sum_arrival").cast("double").alias("sum_arrival"),
     ).orderBy("round")
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    *,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Hop-bounded single-source shortest paths over NON-NEGATIVE
+    integer edge weights (Bellman-Ford, distributed relaxation) — the
+    weighted upgrade of bfs_levels: cheapest routing cost, weakest-link
+    supply path, minimum-latency reach.
+
+    State = best known distance per node (BIGINT); round r applies one
+    Bellman relaxation
+
+        dist(v) <- min( dist(v), min over edges (u,v,w) of dist(u)+w )
+
+    so after ``max_hops`` rounds every path of <= max_hops edges is
+    accounted for — the exact hop-bounded shortest-path semantics (NOT
+    an approximation of the unbounded problem; the bound is the
+    contract, as in bfs_levels/temporal_reachability). All integer
+    arithmetic, so the oracle unrolls the SAME rounds as CTEs and
+    value-hash-matches (the q109/q162 contract).
+
+    Scale shape: per round one |dist|⋈edges equi-join on the node key
+    plus one min-combine groupBy (map-side combined); the dist frame is
+    localCheckpointed per round (double consumer + lineage truncation).
+    The edge list is repartitioned by source node once and cached, so
+    every round's join reuses the same layout. Never materializes
+    paths — only the monotone distance map, |V|-bounded.
+
+    Returns (node, dist), one row per reached node."""
+    e = edges.select(
+        F.col(src).alias("__s"),
+        F.col(dst).alias("__d"),
+        F.col(weight).cast("bigint").alias("__w"),
+    )
+    # parallel edges: only the cheapest can ever win a relaxation
+    e = e.groupBy("__s", "__d").agg(F.min("__w").alias("__w"))
+    e = e.repartition("__s").cache()
+    dist = sources.select(
+        F.col(sources.columns[0]).alias("node"), F.lit(0).cast("bigint").alias("dist")
+    ).distinct()
+    for _ in range(max_hops):
+        relax = (
+            dist.join(e, dist.node == e.__s)
+            .select(F.col("__d").alias("node"), (F.col("dist") + F.col("__w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    out = dist.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

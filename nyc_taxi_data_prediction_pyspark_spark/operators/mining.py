@@ -775,3 +775,96 @@ def bandit_replay(
         )
         .orderBy("arm")
     )
+
+
+def association_rules(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+) -> DataFrame:
+    """Association rules from frequent pairs (Agrawal & Srikant
+    VLDB'94 rule-generation step): for every frequent pair {A,B},
+    both directed rules A=>B and B=>A with exact support counts and
+    the classic quality measures
+
+        confidence(A=>B) = supp(AB) / supp(A)
+        lift(A=>B)       = confidence / P(B)
+                         = (supp(AB) * n_baskets) / (supp(A) * supp(B))
+
+    Every numerator/denominator is an exact BIGINT (pair support from
+    frequent_pairs, item supports from the pass-1 frame, n_baskets a
+    1-row count broadcast), so the only IEEE operations are the final
+    divisions — one per reported measure, same parenthesization in the
+    oracle (the repo determinism contract). The lift product
+    supp(AB)*n_baskets stays far inside BIGINT (both <= n_baskets,
+    which would need ~3e9 baskets squared to wrap — a DECIMAL cast
+    guards it anyway, the spearman factor-cast rule).
+
+    Scale shape: frequent_pairs does the heavy lifting (downward
+    closure — nothing quadratic in the corpus); rule generation is a
+    linear explode of the pair frame plus two equi-joins against the
+    item-support frame (AQE broadcasts it when small) and one
+    broadcast of the 1-row basket count.
+
+    Returns (antecedent, consequent, pair_support, ante_support,
+    cons_support, confidence, lift)."""
+    pairs_src = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_baskets = pairs_src.agg(
+        F.countDistinct("b").cast("bigint").alias("__n")
+    )  # 1-row frame, no collect
+    support = pairs_src.groupBy("i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("item_support")
+    )
+    fp = frequent_pairs(
+        df, basket_col=basket_col, item_col=item_col, min_support=min_support
+    )
+    directed = fp.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        F.col("support").cast("bigint").alias("pair_support"),
+    ).unionByName(
+        fp.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            F.col("support").cast("bigint").alias("pair_support"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731  (factor cast: 19,0 x 19,0 -> 38,0 exact)
+    return (
+        directed.join(
+            support.select(
+                F.col("i").alias("antecedent"),
+                F.col("item_support").alias("ante_support"),
+            ),
+            "antecedent",
+        )
+        .join(
+            support.select(
+                F.col("i").alias("consequent"),
+                F.col("item_support").alias("cons_support"),
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_support",
+            "ante_support",
+            "cons_support",
+            (
+                F.col("pair_support").cast("double")
+                / F.col("ante_support").cast("double")
+            ).alias("confidence"),
+            (
+                (dec(F.col("pair_support")) * dec(F.col("__n"))).cast("double")
+                / (dec(F.col("ante_support")) * dec(F.col("cons_support"))).cast(
+                    "double"
+                )
+            ).alias("lift"),
+        )
+    )

@@ -1576,3 +1576,71 @@ def phrase_search(
         )
         .orderBy("phrase")
     )
+
+
+def postings_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_terms: int = 100,
+) -> DataFrame:
+    """Inverted-index postings profile: for the ``top_terms``
+    highest-document-frequency terms, the delta-gap statistics of
+    their sorted posting lists — the index-sizing readout a retrieval
+    layer runs before choosing a postings codec (Elias/varint bits are
+    a direct function of the gap distribution; Zobel & Moffat, ACM
+    Comp. Surv. 2006).
+
+    Per term over its sorted distinct doc-id postings:
+      * df_docs      — posting-list length (document frequency);
+      * max_gap      — largest doc-id delta (first posting's delta is
+                       measured from -1, so a list starting at 0 has a
+                       first gap of 1 — every gap is >= 1 and
+                       bit_length is well-defined);
+      * gap_bits     — sum over gaps of bit_length(gap) = length of
+                       the binary expansion, the canonical
+                       codec-agnostic size lower bound;
+      * avg_gap      — ONE IEEE division (sum_gaps/df_docs) where
+                       sum_gaps = last_doc_id + 1 telescopes exactly.
+
+    Shape: token explode -> distinct (term, doc) -> per-term lag
+    window PARTITIONED BY term (bounded by the term's posting length,
+    never a global window) -> map-side-combinable per-term
+    aggregation -> TakeOrdered(top_terms) by (df DESC, term ASC).
+    bit_length(g) = length(bin(g)) on BIGINT — integer-exact, the
+    length_bucket_padding rule. Returns (term, df_docs, max_gap,
+    gap_bits, avg_gap)."""
+    from pyspark.sql import Window as W
+
+    toks = (
+        df.select(
+            F.col(id_col).cast("bigint").alias("__d"),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("__t"),
+        )
+        .where(F.col("__t") != "")
+        .distinct()
+    )
+    w = W.partitionBy("__t").orderBy("__d")
+    gaps = toks.withColumn(
+        "__gap", F.col("__d") - F.coalesce(F.lag("__d").over(w), F.lit(-1).cast("bigint"))
+    )
+    per_term = gaps.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_docs"),
+        F.max("__gap").cast("bigint").alias("max_gap"),
+        F.sum(F.length(F.bin(F.col("__gap"))).cast("bigint")).alias("gap_bits"),
+        F.sum("__gap").cast("bigint").alias("__sum_gaps"),
+    )
+    return (
+        per_term.select(
+            F.col("__t").alias("term"),
+            "df_docs",
+            "max_gap",
+            "gap_bits",
+            (F.col("__sum_gaps").cast("double") / F.col("df_docs").cast("double")).alias(
+                "avg_gap"
+            ),
+        )
+        .orderBy(F.col("df_docs").desc(), F.col("term").asc())
+        .limit(top_terms)
+    )

@@ -1197,3 +1197,64 @@ def greedy_interval_schedule(
         folded["kept"].alias("n_kept"),
         folded["dur"].alias("kept_dur"),
     ).orderBy(*gcols)
+
+
+def ordered_funnel(
+    df: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    horizon_us: int,
+) -> DataFrame:
+    """Strictly-ordered FIRST-TOUCH conversion funnel: per user, the
+    earliest completion time of each funnel step, where the funnel is
+    anchored at the user's FIRST step-0 event and step k counts only
+    if it happens STRICTLY AFTER the user's step-(k-1) completion and
+    within ``horizon_us`` microseconds of that anchor — the
+    time-to-convert-from-first-touch semantics of product analytics.
+
+    The first-touch anchor is the CONTRACT, not an approximation
+    shortcut: a user who re-enters later and converts inside the
+    re-entry's window but not the first entry's is counted as NOT
+    converted (this differs from ClickHouse windowFunnel's
+    any-qualifying-window maximum). GIVEN the fixed anchor and
+    deadline, earliest-completion greedy at every later step is exact:
+    taking the minimum qualifying timestamp can only enlarge the
+    residual window for subsequent steps, so it dominates any other
+    witness sequence (exchange argument — if any assignment completes
+    step k inside the window, the greedy one does too).
+
+    Plan shape: one conditional-aggregation groupBy per step, each a
+    map-side-combined min on the SAME user key (k small and fixed —
+    funnel definitions are 3-5 steps), joined user-to-user so AQE can
+    pick shuffle or broadcast; timestamps are BIGINT microseconds
+    end-to-end, so the whole fold is integer-exact and the oracle
+    replays it as k chained CTEs.
+
+    Returns one row per user that completed step 0:
+    (user, t_step0 .. t_step{k-1}) with NULL for uncompleted steps."""
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+        F.col(type_col).alias("__e"),
+    )
+    cur = (
+        ev.where(F.col("__e") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__t").alias("t0"))
+    )
+    for k in range(1, len(steps)):
+        nxt = (
+            ev.where(F.col("__e") == steps[k])
+            .join(cur.select("__u", "t0", F.col(f"t{k-1}").alias("__prev")), "__u")
+            .where(
+                (F.col("__t") > F.col("__prev"))
+                & (F.col("__t") <= F.col("t0") + F.lit(int(horizon_us)))
+            )
+            .groupBy("__u")
+            .agg(F.min("__t").alias(f"t{k}"))
+        )
+        cur = cur.join(nxt, "__u", "left")
+    return cur.withColumnRenamed("__u", user_col)

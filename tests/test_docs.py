@@ -163,13 +163,15 @@ def test_driver_slot_rotation_covers_unproven_queries():
     )
     assert deferred_r8.isdisjoint(first50)
     # schedule feasibility beyond round 7: after this head lands the
-    # oldest band is r4.  Rounds 8-10 must absorb the r4 band, the r5
-    # band, and the deferred q195-q248 within 150 slots, keeping every
-    # query inside the sustainable ceil(N/50)-round freshness bound
-    # (N=248 -> 5).
+    # oldest band is r4.  The greedy oldest-first sweep over rounds
+    # 8-11 (200 slots) must absorb the r4 band, the r5 band, and every
+    # deferred registration q195-q258, keeping each query inside the
+    # ceil(N/50)-round freshness bound (N=258 -> 6 rounds; a deferred
+    # query registered in round 7 gets its first row by round 11 at
+    # the latest — 4 rounds after registration, inside the bound).
     r4_band = sum(1 for n in names if newest_green.get(n) == 4 and n not in first50)
     r5_band = sum(1 for n in names if newest_green.get(n) == 5 and n not in first50)
-    assert r4_band + r5_band + len(deferred_r8) <= 150, (
+    assert r4_band + r5_band + len(deferred_r8) <= 200, (
         r4_band,
         r5_band,
         len(deferred_r8),

@@ -53,6 +53,8 @@ BNL_ALLOWED = {
     "q232_seasonal_decompose": "hour spine x #event-types frame (both metadata-sized) crossed — the q181 shape",
     "q240_woe_iv": "1-row decile-cuts broadcast onto the value stream (the q224 bucketing shape)",
     "q250_jl_recall": "1-row projected-probe broadcast onto the corpus rankings",
+    "q254_k_anonymity": "1-row row-total broadcast onto the class-size histogram (the q100 shape)",
+    "q255_association_rules": "1-row basket-count broadcast onto the rule frame (the q100 shape)",
 }
 
 

@@ -1,0 +1,399 @@
+"""Round-7 operator batch: ordered funnel, cohort retention, weighted
+SSSP, k-anonymity, association rules, Welch t, postings stats, PII
+redaction.
+
+Novel-algebra entries carry their INDEPENDENT reference test (the
+q244-lesson checklist rule: the oracle replays the same algebra, so a
+mirror-symmetric bug would hash green — only a from-scratch
+reimplementation catches it):
+  * weighted_sssp  -> brute-force synchronous Bellman-Ford on random
+    graphs (plain Python dicts);
+  * ordered_funnel -> brute-force first-touch funnel fold on random
+    event streams;
+  * association_rules -> brute-force Counter-based supports on random
+    baskets;
+  * welch_ttest    -> from-scratch Decimal-quantized Welch algebra.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from datetime import datetime, timedelta
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import Row, functions as F
+
+from nyc_taxi_data_prediction_pyspark_spark.operators import (
+    aggregates as agg,
+    evaluation,
+    mining,
+    privacy,
+    text as textops,
+    windows,
+)
+from nyc_taxi_data_prediction_pyspark_spark.operators.graph import weighted_sssp
+
+
+# ----------------------------------------------------- weighted SSSP
+
+def test_weighted_sssp_minimal_semantics(spark):
+    """Parallel edges collapse to min weight; the hop bound excludes
+    longer-but-cheaper paths until enough rounds; unreached nodes are
+    absent."""
+    edges = spark.createDataFrame(
+        [
+            Row(src=1, dst=2, w=10),
+            Row(src=1, dst=2, w=4),   # parallel: min wins
+            Row(src=2, dst=3, w=1),
+            Row(src=1, dst=3, w=100),  # direct but expensive
+            Row(src=9, dst=1, w=1),    # wrong direction from seed
+        ]
+    )
+    seeds = spark.createDataFrame([Row(node=1)])
+    d1 = {r.node: r.dist for r in weighted_sssp(edges, sources=seeds, max_hops=1).collect()}
+    assert d1 == {1: 0, 2: 4, 3: 100}  # one hop: direct edge only
+    d2 = {r.node: r.dist for r in weighted_sssp(edges, sources=seeds, max_hops=2).collect()}
+    assert d2 == {1: 0, 2: 4, 3: 5}  # two hops find 1->2->3
+    assert 9 not in d2  # never reached
+
+
+def test_weighted_sssp_matches_bruteforce_on_random_graphs(spark):
+    """Hop-bounded distances must equal a from-scratch synchronous
+    Bellman-Ford (each round relaxes from the PREVIOUS round's map —
+    the operator's union-then-min semantics)."""
+    for seed in (3, 11, 23):
+        rng = random.Random(seed)
+        n_nodes = 9
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes), rng.randrange(1, 15))
+            for _ in range(22)
+        ]
+        seeds = [0, 4]
+        dist = {s: 0 for s in seeds}
+        for _ in range(3):
+            new = dict(dist)
+            for u, v, w in edges:
+                if u in dist and dist[u] + w < new.get(v, math.inf):
+                    new[v] = dist[u] + w
+            dist = new
+        e = spark.createDataFrame([Row(src=u, dst=v, w=w) for u, v, w in edges])
+        s = spark.createDataFrame([Row(node=x) for x in seeds])
+        got = {
+            r.node: r.dist
+            for r in weighted_sssp(e, sources=s, max_hops=3).collect()
+        }
+        assert got == dist, f"seed {seed}: {got} != {dist}"
+
+
+# ----------------------------------------------------- ordered funnel
+
+BASE = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(u, minutes, e):
+    return Row(user_id=u, ts=BASE + timedelta(minutes=minutes), event_type=e)
+
+
+def test_ordered_funnel_first_touch_anchor_contract(spark):
+    """The documented contract: a user whose SECOND entry would
+    convert inside its own window is still NOT converted, because the
+    horizon anchors at the FIRST step-0 event."""
+    h = 60 * 60 * 1_000_000  # 60 minutes
+    df = spark.createDataFrame(
+        [
+            _ev(1, 0, "A"),    # first anchor at t=0, window ends t=60m
+            _ev(1, 120, "A"),  # re-entry (ignored as anchor)
+            _ev(1, 130, "B"),  # inside re-entry window, outside first
+        ]
+    )
+    out = windows.ordered_funnel(
+        df, user_col="user_id", ts_col="ts", type_col="event_type",
+        steps=["A", "B"], horizon_us=h,
+    ).collect()
+    assert len(out) == 1 and out[0].t1 is None
+
+
+def test_ordered_funnel_strict_order_and_horizon_edges(spark):
+    """Simultaneous step-1 does not count (strictly after); an event
+    exactly AT the horizon boundary counts (<=)."""
+    h = 60 * 60 * 1_000_000
+    df = spark.createDataFrame(
+        [
+            _ev(1, 0, "A"), _ev(1, 0, "B"),    # same instant: no
+            _ev(2, 0, "A"), _ev(2, 60, "B"),   # exactly t0+H: yes
+            _ev(3, 0, "A"), _ev(3, 61, "B"),   # past horizon: no
+        ]
+    )
+    out = {
+        r.user_id: r.t1
+        for r in windows.ordered_funnel(
+            df, user_col="user_id", ts_col="ts", type_col="event_type",
+            steps=["A", "B"], horizon_us=h,
+        ).collect()
+    }
+    assert out[1] is None and out[3] is None and out[2] is not None
+
+
+def test_ordered_funnel_matches_bruteforce_on_random_streams(spark):
+    """Independent reference: a plain-Python first-touch greedy fold
+    over random event streams must produce the same per-user step
+    completion offsets."""
+    steps = ["A", "B", "C"]
+    h_min = 50
+    for seed in (2, 9, 31):
+        rng = random.Random(seed)
+        events = [
+            (rng.randrange(6), rng.randrange(200), rng.choice(["A", "B", "C", "X"]))
+            for _ in range(120)
+        ]
+        # brute force (minutes domain)
+        expected = {}
+        by_user: dict[int, list[tuple[int, str]]] = {}
+        for u, m, e in events:
+            by_user.setdefault(u, []).append((m, e))
+        for u, evs in by_user.items():
+            anchors = [m for m, e in evs if e == steps[0]]
+            if not anchors:
+                continue
+            t0 = min(anchors)
+            times = [t0]
+            prev = t0
+            for k in range(1, len(steps)):
+                cand = [
+                    m for m, e in evs
+                    if e == steps[k] and m > prev and m <= t0 + h_min
+                ]
+                if not cand:
+                    times += [None] * (len(steps) - k)
+                    break
+                prev = min(cand)
+                times.append(prev)
+            expected[u] = times
+
+        df = spark.createDataFrame([_ev(u, m, e) for u, m, e in events])
+        got_rows = windows.ordered_funnel(
+            df, user_col="user_id", ts_col="ts", type_col="event_type",
+            steps=steps, horizon_us=h_min * 60 * 1_000_000,
+        ).collect()
+        base_us = {r.user_id: r.t0 for r in got_rows}
+        got = {}
+        for r in got_rows:
+            t0m = expected[r.user_id][0]  # offsets are relative; t0 pins them
+            got[r.user_id] = [
+                None if t is None else t0m + (t - base_us[r.user_id]) // 60_000_000
+                for t in (r.t0, r.t1, r.t2)
+            ]
+        assert got == expected, f"seed {seed}"
+
+
+# ------------------------------------------------- association rules
+
+def test_association_rules_matches_bruteforce(spark):
+    """Independent reference: Counter-based supports over random
+    baskets; confidence and lift compared at 1e-12 relative."""
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        rows = [
+            (b, rng.randrange(8))
+            for b in range(30)
+            for _ in range(rng.randrange(1, 6))
+        ]
+        baskets: dict[int, set[int]] = {}
+        for b, i in rows:
+            baskets.setdefault(b, set()).add(i)
+        sup: dict[int, int] = {}
+        pair: dict[tuple[int, int], int] = {}
+        for items in baskets.values():
+            for i in items:
+                sup[i] = sup.get(i, 0) + 1
+        frequent = {i for i, c in sup.items() if c >= 3}
+        for items in baskets.values():
+            fi = sorted(i for i in items if i in frequent)
+            for x in range(len(fi)):
+                for y in range(x + 1, len(fi)):
+                    pair[(fi[x], fi[y])] = pair.get((fi[x], fi[y]), 0) + 1
+        n = len(baskets)
+        expected = {}
+        for (a, b), ps in pair.items():
+            if ps < 3:
+                continue
+            for ante, cons in ((a, b), (b, a)):
+                expected[(ante, cons)] = (
+                    ps, sup[ante], sup[cons],
+                    ps / sup[ante], ps * n / (sup[ante] * sup[cons]),
+                )
+
+        df = spark.createDataFrame([Row(b=b, i=i) for b, i in rows])
+        got_rows = mining.association_rules(
+            df, basket_col="b", item_col="i", min_support=3
+        ).collect()
+        got = {
+            (r.antecedent, r.consequent): (
+                r.pair_support, r.ante_support, r.cons_support,
+                r.confidence, r.lift,
+            )
+            for r in got_rows
+        }
+        assert set(got) == set(expected), f"seed {seed}"
+        for k, (ps, sa, sc, conf, lift) in expected.items():
+            g = got[k]
+            assert g[:3] == (ps, sa, sc)
+            assert abs(g[3] - conf) <= 1e-12 * max(1.0, conf)
+            assert abs(g[4] - lift) <= 1e-12 * max(1.0, lift)
+
+
+# ------------------------------------------------------ Welch t-test
+
+def test_welch_ttest_matches_independent_algebra(spark):
+    """From-scratch Decimal-quantized Welch computation (exact sums
+    emulating the DECIMAL(38,10) quantization, then IEEE algebra in
+    the same order); 1e-6 absolute agreement post-rounding."""
+    rng = random.Random(13)
+    rows = [
+        Row(g="g1", x=round(rng.uniform(0, 100), 2), arm=rng.randrange(2))
+        for _ in range(200)
+    ] + [Row(g="g2", x=round(rng.uniform(50, 60), 2), arm=rng.randrange(2))
+         for _ in range(50)]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.g: r
+        for r in evaluation.welch_ttest(
+            df, group_keys=["g"], value_col="x", arm_col="arm"
+        ).collect()
+    }
+
+    q = Decimal("1e-10")
+    for g in ("g1", "g2"):
+        sel = [(r.x, r.arm) for r in rows if r.g == g]
+        s1 = {0: Decimal(0), 1: Decimal(0)}
+        s2 = {0: Decimal(0), 1: Decimal(0)}
+        cnt = {0: 0, 1: 0}
+        for x, arm in sel:
+            xf = float(x)
+            cnt[arm] += 1
+            s1[arm] += Decimal(xf).quantize(q, ROUND_HALF_UP)
+            s2[arm] += Decimal(xf * xf).quantize(q, ROUND_HALF_UP)
+        na, nb = float(cnt[0]), float(cnt[1])
+        f1a, f1b, f2a, f2b = float(s1[0]), float(s1[1]), float(s2[0]), float(s2[1])
+        ma, mb = f1a / na, f1b / nb
+        va = (f2a - (f1a * f1a) / na) / (na - 1.0)
+        vb = (f2b - (f1b * f1b) / nb) / (nb - 1.0)
+        se2a, se2b = va / na, vb / nb
+        t = (ma - mb) / math.sqrt(se2a + se2b)
+        dfw = ((se2a + se2b) * (se2a + se2b)) / (
+            (se2a * se2a) / (na - 1.0) + (se2b * se2b) / (nb - 1.0)
+        )
+        r = out[g]
+        assert (r.n_a, r.n_b) == (cnt[0], cnt[1])
+        assert abs(r.mean_a - ma) <= 1e-6 and abs(r.mean_b - mb) <= 1e-6
+        assert abs(r.t_stat - t) <= 1e-6
+        assert abs(r.df_welch - dfw) <= 1e-3  # rounded to 4 dp
+
+
+def test_welch_ttest_small_arm_yields_null(spark):
+    df = spark.createDataFrame(
+        [Row(g="g", x=1.0, arm=0), Row(g="g", x=2.0, arm=1), Row(g="g", x=3.0, arm=1)]
+    )
+    r = evaluation.welch_ttest(
+        df, group_keys=["g"], value_col="x", arm_col="arm"
+    ).collect()[0]
+    assert r.t_stat is None and r.df_welch is None and r.n_a == 1
+
+
+# ------------------------------------------------------- k-anonymity
+
+def test_k_anonymity_audit_histogram_and_l_diversity(spark):
+    df = spark.createDataFrame(
+        [
+            Row(qa="x", qb=1, s="s1"),
+            Row(qa="x", qb=1, s="s1"),
+            Row(qa="x", qb=1, s="s2"),  # class (x,1): size 3, l=2
+            Row(qa="y", qb=2, s="s3"),  # class (y,2): size 1, l=1
+        ]
+    )
+    out = {
+        r.class_size: r
+        for r in privacy.k_anonymity_audit(
+            df, quasi_cols=["qa", "qb"], sensitive_col="s", k=5
+        ).collect()
+    }
+    assert out[3].n_classes == 1 and out[3].min_l_diversity == 2
+    assert out[1].n_classes == 1 and out[1].min_l_diversity == 1
+    assert out[1].violates_k and out[3].violates_k  # both below k=5
+    assert abs(out[3].row_share - 0.75) < 1e-12
+
+
+# -------------------------------------------------- cohort retention
+
+def test_cohort_retention_triangle(spark):
+    W0, W1 = datetime(2024, 1, 1, 12), datetime(2024, 1, 8, 12)  # Mondays
+    W6 = datetime(2024, 2, 12, 12)
+    df = spark.createDataFrame(
+        [
+            Row(u=1, ts=W0), Row(u=1, ts=W1),          # cohort W0, active offsets 0,1
+            Row(u=2, ts=W0 + timedelta(days=2)),       # cohort W0, offset 0 only
+            Row(u=3, ts=W1), Row(u=3, ts=W6),          # cohort W1; offset 5 dropped
+        ]
+    )
+    out = {
+        (str(r.cohort_week), r.week_offset): (r.n_active, r.n_cohort, r.retention)
+        for r in agg.cohort_retention(df, user_col="u", ts_col="ts", max_offset=4).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert len(out) == 3  # the offset-5 activity is dropped
+
+
+# ---------------------------------------------------- postings stats
+
+def test_postings_stats_gap_algebra(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b"),
+            Row(doc_id=1, text="a"),
+            Row(doc_id=2, text="a  c"),  # double space: empty token filtered
+        ]
+    )
+    out = {r.term: r for r in textops.postings_stats(df, top_terms=10).collect()}
+    # 'a' postings [0,1,2]: gaps from -1 are 1,1,1 -> bits 3, max 1
+    assert (out["a"].df_docs, out["a"].max_gap, out["a"].gap_bits) == (3, 1, 3)
+    assert abs(out["a"].avg_gap - 1.0) < 1e-12
+    # 'c' postings [2]: single gap 3 -> bin '11' -> 2 bits
+    assert (out["c"].df_docs, out["c"].max_gap, out["c"].gap_bits) == (1, 3, 2)
+    assert abs(out["c"].avg_gap - 3.0) < 1e-12
+    assert "" not in out
+
+
+# ----------------------------------------------------- PII redaction
+
+def test_redact_pii_hostile_adjacency_and_lengths(spark):
+    """Boundary lengths (12 no / 13 yes / 19 yes / 20 -> greedy 19+1),
+    multiple categories per row, and exact rewritten text."""
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a@b.co 123-456-7890 1234567890123 x1@y.io"),
+            Row(doc_id=2, text="123456789012 no card"),        # 12 digits: not a card
+            Row(doc_id=3, text="12345678901234567890 tail"),   # 20: greedy 19 + '0'
+        ]
+    )
+    out = {r.doc_id: r for r in privacy.redact_pii(df, text_col="text").collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_card) == (2, 1, 1)
+    assert out[2].n_card == 0
+    assert out[3].n_card == 1  # one greedy 19-digit match
+    # exact rewritten bytes for the multi-category row
+    red1 = spark.createDataFrame([Row(t="a@b.co 123-456-7890 1234567890123 x1@y.io")])
+    got = red1.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), privacy.EMAIL_RE, "[EMAIL]"),
+                privacy.PHONE_RE, "[PHONE]",
+            ),
+            privacy.CARD_RE, "[CARD]",
+        ).alias("r")
+    ).collect()[0].r
+    assert got == "[EMAIL] [PHONE] [CARD] [EMAIL]"
+    import hashlib
+
+    assert out[1].redacted_md5 == hashlib.md5(got.encode()).hexdigest()
