@@ -5665,6 +5665,92 @@ def q258_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
     return privacy.redact_pii(aug, text_col="text").orderBy("doc_id")
 
 
+def q259_mahalanobis2(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type bivariate Mahalanobis outlier audit
+    (agg.grouped_mahalanobis2) over the integer (hour, day-of-month)
+    feature pair: closed-form 2x2 covariance inverse (the q249 Cramer
+    idiom), exact BIGINT moments, one fixed-parenthesization d^2 per
+    row, 3-sigma-ellipse outlier counts. The oracle replays the same
+    algebra; the unit test verifies d^2 against numpy-free hand
+    linear algebra."""
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.hour("ts").alias("x1"),
+        F.dayofmonth("ts").alias("x2"),
+    )
+    return agg.grouped_mahalanobis2(
+        ev, group_keys=["event_type"], x1_col="x1", x2_col="x2", cutoff=9.0
+    ).orderBy("event_type")
+
+
+def q260_sequential_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-25 ordered event-type trigrams by distinct-user support
+    (mining.sequential_trigrams): second-order behavioral paths the
+    q170/q208 one-step transition matrix cannot express, counted
+    per-user-distinct so a single hyperactive user cannot dominate
+    the pattern ranking. Per-user lead windows, in-row triple
+    projection, TakeOrdered(25) with a full-column tiebreak."""
+    ev = load(spark, sf, "events")
+    return mining.sequential_trigrams(
+        ev,
+        seq_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        item_col="event_type",
+        top_k=25,
+    )
+
+
+def q261_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (evaluation.runs_test) on each event
+    type's above/below-100 value sequence in (ts, event_id) order —
+    the sequence-randomness audit next to q213's CUSUM (is the value
+    stream i.i.d.-like, or do highs/lows cluster?). The run count is
+    assembled day-bucketed two-phase (never a per-group single-task
+    window — see the operator docstring; the unit property test
+    proves equality with the plain fold), and the oracle uses the
+    equivalent single-window formulation DuckDB can run."""
+    ev = load(spark, sf, "events")
+    return evaluation.runs_test(
+        ev,
+        group_keys=["event_type"],
+        value_col="value",
+        ts_col="ts",
+        id_col="event_id",
+        threshold=100.0,
+    ).orderBy("event_type")
+
+
+def q262_wasserstein1(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 distance (evaluation.wasserstein_1)
+    between the two half-month arms' value distributions per event
+    type — the effect-MAGNITUDE companion to q228's KS and q256's
+    Welch t: how much probability mass moved, and how far, in value
+    units. Decimal-exact gap x BIGINT-bridge summands (immune to
+    float summation order), one final division; the oracle replays
+    the identical decimal algebra."""
+    ev = load(spark, sf, "events").withColumn(
+        "arm", F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1)
+    )
+    return evaluation.wasserstein_1(
+        ev, group_keys=["event_type"], value_col="value", arm_col="arm",
+        value_scale=2,
+    ).orderBy("event_type")
+
+
+def q263_ess_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Kish effective sample size (agg.effective_sample_size) of
+    length-weighted document sampling per (lang, source): how many
+    uniform draws a char-weighted corpus mixture is really worth —
+    the weighting-skew diagnostic a sampler runs next to q189's DSIR
+    importance scores. Exact decimal-factored sums, two IEEE
+    divisions."""
+    docs = load(spark, sf, "documents")
+    return agg.effective_sample_size(
+        docs, group_keys=["lang", "source"], weight_col="n_chars"
+    ).orderBy("lang", "source")
+
+
 # Driver-slot rotation (round 7): the correctness driver hard-checks
 # the FIRST 50 registry entries only; rotation is BY EVIDENCE AGE
 # (the round-5 verdict's standing rule).  Evidence ages entering
@@ -5738,6 +5824,7 @@ _R7_DEFERRED_NEW = {
     # ceil(N/50)-round freshness bound for N=258 -> 6 rounds), and the
     # rotation test's feasibility check covers the extended window.
     249, 250, 251, 252, 253, 254, 255, 256, 257, 258,
+    259, 260, 261, 262, 263,
 }
 # Round-7 head, exactly as the round-6 verdict scheduled it: the
 # 40-query r3-evidence band (q51-q118 minus the members that picked up
@@ -6039,6 +6126,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q256_welch_ttest": q256_welch_ttest,
         "q257_postings_stats": q257_postings_stats,
         "q258_pii_redaction": q258_pii_redaction,
+        "q259_mahalanobis2": q259_mahalanobis2,
+        "q260_sequential_trigrams": q260_sequential_trigrams,
+        "q261_runs_test": q261_runs_test,
+        "q262_wasserstein1": q262_wasserstein1,
+        "q263_ess_weights": q263_ess_weights,
     }
 
 
@@ -12247,5 +12339,146 @@ SELECT doc_id,
        CAST(length(rtext) AS BIGINT) AS redacted_len,
        md5(rtext) AS redacted_md5
 FROM red ORDER BY doc_id
+"""
+    # q259: exact integer moments -> identical double algebra (the
+    # q249 Cramer replay contract), NULL stats for degenerate groups.
+    oracles["q259_mahalanobis2"] = """
+WITH ev AS (
+  SELECT event_type AS g,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x1,
+         CAST(EXTRACT(day FROM ts) AS BIGINT) AS x2
+  FROM events),
+m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12
+  FROM ev GROUP BY g),
+s AS (
+  SELECT g, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+         CAST(s11 AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS c11,
+         CAST(s22 AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) AS c22,
+         CAST(s12 AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) AS c12
+  FROM m),
+sd AS (SELECT g, n, m1, m2, c11, c22, c12, c11 * c22 - c12 * c12 AS det FROM s),
+rowd AS (
+  SELECT ev.g, sd.n, sd.det,
+         CASE WHEN sd.det > 0 THEN
+           ((CAST(ev.x1 AS DOUBLE) - sd.m1) * (sd.c22 * (CAST(ev.x1 AS DOUBLE) - sd.m1) - sd.c12 * (CAST(ev.x2 AS DOUBLE) - sd.m2))
+            + (CAST(ev.x2 AS DOUBLE) - sd.m2) * (sd.c11 * (CAST(ev.x2 AS DOUBLE) - sd.m2) - sd.c12 * (CAST(ev.x1 AS DOUBLE) - sd.m1)))
+           / sd.det END AS d2
+  FROM ev JOIN sd ON ev.g = sd.g)
+SELECT g AS event_type, MAX(n) AS n, ROUND(MAX(det), 6) AS det,
+       CAST(SUM(CASE WHEN d2 > 9.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(MAX(d2), 6) AS max_d2
+FROM rowd GROUP BY g ORDER BY event_type
+"""
+    # q260: per-user LEAD windows, DISTINCT (user, path), support
+    # count, full-column tiebreak at the LIMIT.
+    oracles["q260_sequential_trigrams"] = """
+WITH s AS (
+  SELECT user_id AS u, event_type AS i1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i3
+  FROM events),
+tri AS (
+  SELECT DISTINCT u, i1, i2, i3 FROM s WHERE i2 IS NOT NULL AND i3 IS NOT NULL)
+SELECT i1 AS item_1, i2 AS item_2, i3 AS item_3,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM tri GROUP BY 1, 2, 3
+ORDER BY support DESC, item_1 ASC, item_2 ASC, item_3 ASC
+LIMIT 25
+"""
+    # q261: the SINGLE-WINDOW formulation — equal to the Spark side's
+    # day-bucketed two-phase assembly by adjacent-pair associativity
+    # (the operator's property test proves the equality; the moments
+    # replay the identical fixed parenthesization).
+    oracles["q261_runs_test"] = """
+WITH ev AS (
+  SELECT event_type AS g, ts, event_id,
+         CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS s
+  FROM events WHERE value IS NOT NULL),
+lagged AS (
+  SELECT g, s, LAG(s) OVER (PARTITION BY g ORDER BY ts, event_id) AS p FROM ev),
+m AS (
+  SELECT g,
+         CAST(1 + SUM(CASE WHEN p IS NOT NULL AND s <> p THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS n1
+  FROM lagged GROUP BY g),
+x AS (
+  SELECT g, runs, n, n1, CAST(n - n1 AS BIGINT) AS n0,
+         CAST(n AS DOUBLE) AS nf, CAST(n1 AS DOUBLE) AS n1f,
+         CAST(n - n1 AS DOUBLE) AS n0f
+  FROM m),
+y AS (SELECT *, 2.0 * n1f * n0f AS a2 FROM x)
+SELECT g AS event_type, runs, n, n1, n0,
+       CASE WHEN n1 > 0 AND n0 > 0 AND n >= 2
+            THEN ROUND(1.0 + a2 / nf, 6) END AS expected_runs,
+       CASE WHEN n1 > 0 AND n0 > 0 AND n >= 2
+                 AND (a2 * (a2 - nf)) / ((nf * nf) * (nf - 1.0)) > 0
+            THEN ROUND((CAST(runs AS DOUBLE) - (1.0 + a2 / nf))
+                       / SQRT((a2 * (a2 - nf)) / ((nf * nf) * (nf - 1.0))), 6)
+            END AS z_stat
+FROM y ORDER BY event_type
+"""
+    # q262: decimal-exact gap x BIGINT bridge summands — the same
+    # DECIMAL(9,2) x DECIMAL(28,0) width budget as the Spark plan.
+    oracles["q262_wasserstein1"] = """
+WITH ev AS (
+  SELECT event_type AS g, CAST(value AS DECIMAL(18,2)) AS v,
+         CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 0 ELSE 1 END AS arm
+  FROM events WHERE value IS NOT NULL),
+d AS (
+  SELECT g, v,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM ev GROUP BY g, v),
+c AS (
+  SELECT g, v, a, b,
+         SUM(a) OVER (PARTITION BY g ORDER BY v) AS ca,
+         SUM(b) OVER (PARTITION BY g ORDER BY v) AS cb,
+         LEAD(v) OVER (PARTITION BY g ORDER BY v) AS nv
+  FROM d),
+t AS (SELECT g, CAST(MAX(ca) AS BIGINT) AS na, CAST(MAX(cb) AS BIGINT) AS nb
+      FROM c GROUP BY g),
+s AS (
+  SELECT c.g, t.na, t.nb,
+         SUM(CAST(c.nv - c.v AS DECIMAL(9,2))
+             * CAST(ABS(CAST(c.ca AS DECIMAL(19,0)) * CAST(t.nb AS DECIMAL(19,0))
+                        - CAST(c.cb AS DECIMAL(19,0)) * CAST(t.na AS DECIMAL(19,0)))
+                    AS DECIMAL(28,0))) AS num
+  FROM c JOIN t ON c.g = t.g
+  WHERE c.nv IS NOT NULL
+  GROUP BY c.g, t.na, t.nb)
+SELECT g AS event_type, na AS n_a, nb AS n_b,
+       CAST(num AS DOUBLE) AS w1_num,
+       CASE WHEN na > 0 AND nb > 0
+            THEN CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+            END AS w1
+FROM s ORDER BY event_type
+"""
+    # q263: exact decimal-factored Kish sums, two IEEE divisions.
+    oracles["q263_ess_weights"] = """
+WITH m AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(n_chars AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sw,
+         SUM(CAST(n_chars AS DECIMAL(19,0)) * CAST(n_chars AS DECIMAL(19,0))) AS sw2
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2)
+SELECT lang, source, n, CAST(sw AS DOUBLE) AS sum_w,
+       CASE WHEN sw2 > 0
+            THEN (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) / CAST(sw2 AS DOUBLE)
+            END AS ess,
+       CASE WHEN sw2 > 0 AND n > 0
+            THEN (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) / CAST(sw2 AS DOUBLE)
+                 / CAST(n AS DOUBLE)
+            END AS ess_ratio
+FROM m ORDER BY lang, source
 """
     return oracles

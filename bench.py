@@ -215,6 +215,11 @@ HEADLINE = [
     "q256_welch_ttest",
     "q257_postings_stats",
     "q258_pii_redaction",
+    "q259_mahalanobis2",
+    "q260_sequential_trigrams",
+    "q261_runs_test",
+    "q262_wasserstein1",
+    "q263_ess_weights",
 ]
 
 # Registered queries deliberately NOT in HEADLINE, each with its

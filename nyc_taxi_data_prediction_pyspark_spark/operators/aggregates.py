@@ -1099,3 +1099,130 @@ def cohort_retention(
             "retention"
         ),
     )
+
+
+def grouped_mahalanobis2(
+    df: DataFrame,
+    *,
+    group_keys: list[str],
+    x1_col: str,
+    x2_col: str,
+    cutoff: float = 9.0,
+) -> DataFrame:
+    """Per-group bivariate Mahalanobis outlier audit over two INTEGER
+    features: squared Mahalanobis distance of every point from the
+    group mean under the group's own (population) covariance, solved
+    closed-form via the 2x2 inverse — no linear-algebra library, the
+    q249/grouped_ols2 Cramer idiom applied to anomaly detection.
+
+        cov   = [[s11, s12], [s12, s22]]   (biased /n moments)
+        d^2   = (dx1*(s22*dx1 - s12*dx2) + dx2*(s11*dx2 - s12*dx1))
+                / det
+
+    Sufficient statistics (S1, S2, S11, S22, S12) are exact BIGINTs
+    (integer features), so the IEEE stage starts from identical inputs
+    on both engines and runs one fixed-parenthesization expression per
+    row. Degenerate groups (det <= 0: a constant or perfectly
+    collinear feature pair) report NULL outlier stats rather than a
+    division error.
+
+    Scale: one combinable aggregation for the moments (#groups frame),
+    one equi-join back onto the rows (AQE broadcasts the tiny stats
+    frame), one final per-group aggregation. Returns (group_keys...,
+    n, det, n_outliers, max_d2) where n_outliers counts d^2 >
+    ``cutoff`` (the 3-sigma ellipse at the default 9.0)."""
+    gk = list(group_keys)
+    x1 = F.col(x1_col).cast("bigint")
+    x2 = F.col(x2_col).cast("bigint")
+    m = (
+        df.groupBy(*gk)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(x1).cast("bigint").alias("__s1"),
+            F.sum(x2).cast("bigint").alias("__s2"),
+            F.sum(x1 * x1).cast("bigint").alias("__s11"),
+            F.sum(x2 * x2).cast("bigint").alias("__s22"),
+            F.sum(x1 * x2).cast("bigint").alias("__s12"),
+        )
+    )
+    nf = F.col("n").cast("double")
+    m1 = F.col("__s1").cast("double") / nf
+    m2 = F.col("__s2").cast("double") / nf
+    s11 = F.col("__s11").cast("double") / nf - m1 * m1
+    s22 = F.col("__s22").cast("double") / nf - m2 * m2
+    s12 = F.col("__s12").cast("double") / nf - m1 * m2
+    stats = m.select(
+        *gk,
+        "n",
+        m1.alias("__m1"),
+        m2.alias("__m2"),
+        s11.alias("__c11"),
+        s22.alias("__c22"),
+        s12.alias("__c12"),
+        (s11 * s22 - s12 * s12).alias("__det"),
+    )
+    dx1 = F.col(x1_col).cast("double") - F.col("__m1")
+    dx2 = F.col(x2_col).cast("double") - F.col("__m2")
+    d2 = (
+        dx1 * (F.col("__c22") * dx1 - F.col("__c12") * dx2)
+        + dx2 * (F.col("__c11") * dx2 - F.col("__c12") * dx1)
+    ) / F.col("__det")
+    return (
+        df.join(stats, gk)
+        .withColumn("__d2", F.when(F.col("__det") > 0, d2))
+        .groupBy(*gk)
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("__det"), 6).alias("det"),
+            F.sum(F.when(F.col("__d2") > F.lit(float(cutoff)), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.max("__d2"), 6).alias("max_d2"),
+        )
+    )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    *,
+    group_keys: list[str],
+    weight_col: str,
+) -> DataFrame:
+    """Kish effective sample size of INTEGER-weighted sampling per
+    group: ESS = (sum w)^2 / (sum w^2) — the importance-weighting
+    diagnostic next to q189's DSIR weights (how many "real" samples a
+    weighted corpus is worth; ESS/n near 1 = uniform, near 1/n = one
+    document dominates).
+
+    Exact BIGINT sums with DECIMAL(19,0) factor casts for the squares
+    (the spearman rule — w^2 and (sum w)^2 both overflow int64 well
+    inside real corpus sizes), one IEEE division for the ratio.
+    Returns (group_keys..., n, sum_w, ess, ess_ratio)."""
+    gk = list(group_keys)
+    w = F.col(weight_col).cast("bigint")
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    m = (
+        df.where(w.isNotNull())
+        .groupBy(*gk)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(d19(w)).cast("decimal(38,0)").alias("__sw"),
+            F.sum(d19(w) * d19(w)).alias("__sw2"),
+        )
+    )
+    return m.select(
+        *gk,
+        "n",
+        F.col("__sw").cast("double").alias("sum_w"),
+        F.when(
+            F.col("__sw2") > 0,
+            (F.col("__sw").cast("double") * F.col("__sw").cast("double"))
+            / F.col("__sw2").cast("double"),
+        ).alias("ess"),
+        F.when(
+            (F.col("__sw2") > 0) & (F.col("n") > 0),
+            (F.col("__sw").cast("double") * F.col("__sw").cast("double"))
+            / F.col("__sw2").cast("double")
+            / F.col("n").cast("double"),
+        ).alias("ess_ratio"),
+    )

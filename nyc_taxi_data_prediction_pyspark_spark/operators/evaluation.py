@@ -768,3 +768,190 @@ def welch_ttest(
             ),
         ).alias("df_welch"),
     )
+
+
+def wasserstein_1(
+    df: DataFrame,
+    *,
+    group_keys: list[str],
+    value_col: str,
+    arm_col: str,
+    value_scale: int = 2,
+    two_phase: bool = True,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between the two
+    arms' empirical value distributions per group — the MAGNITUDE
+    companion to q228's KS (KS asks "how far apart do the CDFs get",
+    W1 asks "how much probability mass must move, and how far"):
+
+        W1 = integral |F_a(v) - F_b(v)| dv
+           = sum over sorted distinct values v_i of
+             (v_{i+1} - v_i) * |F_a(v_i) - F_b(v_i)|
+
+    kept exact until ONE final division: values are quantized to
+    DECIMAL(18, value_scale) (exact for data produced at that scale),
+    so gaps are exact decimals; |F_a - F_b| is carried as the BIGINT
+    bridge |cum_a * n_b - cum_b * n_a|; each summand
+    gap * bridge is DECIMAL x BIGINT = exact DECIMAL, summed exactly,
+    then divided once by (n_a * n_b) — immune to float summation
+    order (the repo determinism contract; a naive double cdf-diff sum
+    would be partition-order-dependent).
+
+    Scale: one distinct-value aggregation (frame bounded by VALUE
+    CARDINALITY, not rows — the evaluation-family bound), the
+    two-phase prefix sum for cumulative counts, and one lead window
+    ON THE DISTINCT frame for the adjacent-value gap. Returns per
+    group (n_a, n_b, w1_num as double of the exact decimal, w1)."""
+    dval = F.col(value_col).cast(f"decimal(18,{value_scale})")
+    a = F.col(arm_col) == 0
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_keys, dval.alias("__v"))
+        .agg(
+            F.sum(F.when(a, 1).otherwise(0)).cast("bigint").alias("__a"),
+            F.sum(F.when(~a, 1).otherwise(0)).cast("bigint").alias("__b"),
+        )
+    )
+    c = grouped_cumsum_two_phase(
+        g, list(group_keys), ["__v"], ["__a", "__b"], exclusive=False,
+        two_phase=two_phase,
+    )
+    w = W.partitionBy(*group_keys).orderBy("__v")
+    d19 = lambda c_: c_.cast("decimal(19,0)")  # noqa: E731
+    stepped = c.withColumn("__nextv", F.lead("__v").over(w))
+    tot = stepped.groupBy(*group_keys).agg(
+        F.max("__cum___a").alias("__na"), F.max("__cum___b").alias("__nb")
+    )
+    return (
+        stepped.join(tot, list(group_keys))
+        .where(F.col("__nextv").isNotNull())
+        .withColumn(
+            "__bridge",
+            F.abs(
+                d19(F.col("__cum___a")) * d19(F.col("__nb"))
+                - d19(F.col("__cum___b")) * d19(F.col("__na"))
+            # width budget: gap DECIMAL(9,s) x bridge DECIMAL(28,0)
+            # multiplies inside DuckDB's 38-digit cap (18+38 would
+            # not); the bridge bound is n_a*n_b <= 1e28 — far past any
+            # per-group row count — and the gap bound 1e7 covers the
+            # value domain at scale 2
+            ).cast("decimal(28,0)"),
+        )
+        .groupBy(*group_keys)
+        .agg(
+            F.max("__na").cast("bigint").alias("n_a"),
+            F.max("__nb").cast("bigint").alias("n_b"),
+            F.sum(
+                (F.col("__nextv") - F.col("__v")).cast(f"decimal(9,{value_scale})")
+                * F.col("__bridge")
+            ).alias("__num"),
+        )
+        .select(
+            *group_keys,
+            "n_a",
+            "n_b",
+            F.col("__num").cast("double").alias("w1_num"),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.col("__num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            ).alias("w1"),
+        )
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    *,
+    group_keys: list[str],
+    value_col: str,
+    ts_col: str,
+    id_col: str,
+    threshold: float,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for sequence randomness per group: is
+    the above/below-``threshold`` sign sequence (in (ts, id) order)
+    clustered, alternating, or random?  R = number of runs; under H0
+
+        E[R]   = 1 + 2 n1 n0 / n
+        Var[R] = (2 n1 n0) (2 n1 n0 - n) / (n^2 (n - 1))
+        z      = (R - E[R]) / sqrt(Var[R])
+
+    R, n1, n0 are exact BIGINTs; the moments are IEEE with the exact
+    counts as inputs and fixed parenthesization (2.0*n1*n0 is exact in
+    doubles far beyond any realistic group size), sqrt correctly
+    rounded — the welch_ttest contract.
+
+    Scale shape — the run count is computed WITHOUT a per-group
+    single-task window: rows are bucketed (default: by calendar day),
+    sign changes are counted inside each (group, bucket) with a
+    bucket-local lag, each bucket emits its boundary signs via
+    bucket-local row_number, and consecutive buckets are stitched on
+    the #buckets-sized frame (a metadata window). R = 1 + within-bucket
+    changes + boundary changes — exactly the single-window value
+    (associativity of adjacent-pair counting), test-verified against
+    the plain fold."""
+    gk = list(group_keys)
+    sign = (F.col(value_col) > F.lit(float(threshold))).cast("int")
+    b = bucket_expr if bucket_expr is not None else F.to_date(F.col(ts_col))
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        *gk,
+        b.alias("__bkt"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        sign.alias("__s"),
+    )
+    wloc = W.partitionBy(*gk, "__bkt").orderBy("__ts", "__id")
+    flagged = rows.withColumn("__prev", F.lag("__s").over(wloc)).withColumn(
+        "__rn", F.row_number().over(wloc)
+    )
+    per_bucket = flagged.groupBy(*gk, "__bkt").agg(
+        F.sum(
+            F.when(
+                F.col("__prev").isNotNull() & (F.col("__s") != F.col("__prev")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("__chg"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__s").cast("bigint").alias("__n1"),
+        F.max(F.when(F.col("__rn") == 1, F.col("__s"))).alias("__first"),
+        F.max_by(F.col("__s"), F.col("__rn")).alias("__last"),
+    )
+    wseq = W.partitionBy(*gk).orderBy("__bkt")  # #buckets frame — metadata
+    stitched = per_bucket.withColumn(
+        "__prev_last", F.lag("__last").over(wseq)
+    ).withColumn(
+        "__bchg",
+        F.when(
+            F.col("__prev_last").isNotNull()
+            & (F.col("__first") != F.col("__prev_last")),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint"),
+    )
+    m = stitched.groupBy(*gk).agg(
+        (F.lit(1) + F.sum("__chg") + F.sum("__bchg")).cast("bigint").alias("runs"),
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum("__n1").cast("bigint").alias("n1"),
+    )
+    nf = F.col("n").cast("double")
+    n1f = F.col("n1").cast("double")
+    n0f = (F.col("n") - F.col("n1")).cast("double")
+    a2 = F.lit(2.0) * n1f * n0f
+    er = F.lit(1.0) + a2 / nf
+    vr = (a2 * (a2 - nf)) / ((nf * nf) * (nf - F.lit(1.0)))
+    ok = (F.col("n1") > 0) & (F.col("n") - F.col("n1") > 0) & (F.col("n") >= 2)
+    return m.select(
+        *gk,
+        "runs",
+        "n",
+        "n1",
+        (F.col("n") - F.col("n1")).cast("bigint").alias("n0"),
+        F.when(ok, F.round(er, 6)).alias("expected_runs"),
+        F.when(ok & (vr > 0), F.round((F.col("runs").cast("double") - er) / F.sqrt(vr), 6)).alias(
+            "z_stat"
+        ),
+    )

@@ -868,3 +868,55 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def sequential_trigrams(
+    df: DataFrame,
+    *,
+    seq_col: str,
+    ts_col: str,
+    id_col: str,
+    item_col: str,
+    top_k: int = 25,
+) -> DataFrame:
+    """Top-k ORDERED consecutive item trigrams across sequences: for
+    every sequence (user), each run of three consecutive items in
+    (ts, id) order is a pattern occurrence; patterns are ranked by
+    DISTINCT-SEQUENCE support (how many users exhibit the path, not
+    how often) — the sequential-pattern step past q154/q183's
+    unordered baskets and q170/q208's one-step Markov transitions
+    (a trigram captures second-order structure a bigram matrix cannot).
+
+    Plan: one per-sequence lead window (bounded by the sequence's own
+    length — the q36/q172 per-user window class), an in-row triple
+    projection, then a distinct + count aggregation and
+    TakeOrdered(top_k) by (support DESC, pattern ASC) — only k rows
+    reach the driver. All counts exact.
+
+    Returns (item_1, item_2, item_3, support)."""
+    w = W.partitionBy(seq_col).orderBy(ts_col, id_col)
+    tri = (
+        df.select(
+            F.col(seq_col).alias("__seq"),
+            F.col(item_col).alias("i1"),
+            F.lead(item_col, 1).over(w).alias("i2"),
+            F.lead(item_col, 2).over(w).alias("i3"),
+        )
+        .where(F.col("i2").isNotNull() & F.col("i3").isNotNull())
+        .distinct()
+    )
+    return (
+        tri.groupBy(
+            F.col("i1").alias("item_1"),
+            F.col("i2").alias("item_2"),
+            F.col("i3").alias("item_3"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .orderBy(
+            F.col("support").desc(),
+            F.col("item_1").asc(),
+            F.col("item_2").asc(),
+            F.col("item_3").asc(),
+        )
+        .limit(top_k)
+    )

@@ -397,3 +397,142 @@ def test_redact_pii_hostile_adjacency_and_lengths(spark):
     import hashlib
 
     assert out[1].redacted_md5 == hashlib.md5(got.encode()).hexdigest()
+
+
+# ------------------------------------------------- batch 2 (q259-263)
+
+def test_grouped_mahalanobis2_matches_hand_algebra(spark):
+    """Independent reference: plain-Python 2x2 covariance inverse and
+    per-point d^2 on random integer features."""
+    rng = random.Random(41)
+    rows = [Row(g="a", x1=rng.randrange(24), x2=rng.randrange(1, 31)) for _ in range(300)]
+    df = spark.createDataFrame(rows)
+    r = agg.grouped_mahalanobis2(
+        df, group_keys=["g"], x1_col="x1", x2_col="x2", cutoff=9.0
+    ).collect()[0]
+
+    xs = [(float(q.x1), float(q.x2)) for q in rows]
+    n = len(xs)
+    m1 = sum(x for x, _ in xs) / n
+    m2 = sum(y for _, y in xs) / n
+    c11 = sum(x * x for x, _ in xs) / n - m1 * m1
+    c22 = sum(y * y for _, y in xs) / n - m2 * m2
+    c12 = sum(x * y for x, y in xs) / n - m1 * m2
+    det = c11 * c22 - c12 * c12
+    d2s = [
+        ((x - m1) * (c22 * (x - m1) - c12 * (y - m2))
+         + (y - m2) * (c11 * (y - m2) - c12 * (x - m1))) / det
+        for x, y in xs
+    ]
+    assert r.n == n
+    assert abs(r.det - det) <= 1e-4 * max(1.0, abs(det))
+    assert r.n_outliers == sum(1 for d in d2s if d > 9.0)
+    assert abs(r.max_d2 - max(d2s)) <= 1e-4
+
+
+def test_grouped_mahalanobis2_degenerate_group_is_null(spark):
+    df = spark.createDataFrame([Row(g="c", x1=5, x2=7)] * 4)  # constant: det 0
+    r = agg.grouped_mahalanobis2(
+        df, group_keys=["g"], x1_col="x1", x2_col="x2"
+    ).collect()[0]
+    assert r.max_d2 is None and r.n_outliers == 0
+
+
+def test_sequential_trigrams_counts_distinct_users(spark):
+    df = spark.createDataFrame(
+        [
+            # user 1 repeats A,B,C twice -> support contribution 1
+            _ev(1, 0, "A"), _ev(1, 1, "B"), _ev(1, 2, "C"),
+            _ev(1, 3, "A"), _ev(1, 4, "B"), _ev(1, 5, "C"),
+            # user 2 has one A,B,C
+            _ev(2, 0, "A"), _ev(2, 1, "B"), _ev(2, 2, "C"),
+        ]
+    )
+    # windows over (ts, event_id): synthesize unique ids via row index
+    df = df.withColumn("event_id", F.monotonically_increasing_id())
+    out = mining.sequential_trigrams(
+        df, seq_col="user_id", ts_col="ts", id_col="event_id",
+        item_col="event_type", top_k=10,
+    ).collect()
+    got = {(r.item_1, r.item_2, r.item_3): r.support for r in out}
+    assert got[("A", "B", "C")] == 2  # distinct users, not occurrences
+    assert got[("B", "C", "A")] == 1  # user 1's wrap path
+
+
+def test_runs_test_two_phase_equals_plain_fold(spark):
+    """The operator's bucketed-stitched run count must equal the
+    single-pass fold for random sequences spanning many buckets."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.evaluation import runs_test
+
+    for seed in (7, 29):
+        rng = random.Random(seed)
+        rows = [
+            Row(
+                g="g",
+                ts=BASE + timedelta(days=rng.randrange(10), minutes=i),
+                event_id=i,
+                value=rng.uniform(0, 200),
+            )
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows)
+        r = runs_test(
+            df, group_keys=["g"], value_col="value", ts_col="ts",
+            id_col="event_id", threshold=100.0,
+        ).collect()[0]
+        seq = [q.value > 100.0 for q in sorted(rows, key=lambda q: (q.ts, q.event_id))]
+        runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+        n1 = sum(seq)
+        n0 = len(seq) - n1
+        nf, a2 = float(len(seq)), 2.0 * n1 * n0
+        er = 1.0 + a2 / nf
+        vr = (a2 * (a2 - nf)) / ((nf * nf) * (nf - 1.0))
+        z = (runs - er) / math.sqrt(vr)
+        assert (r.runs, r.n1, r.n0) == (runs, n1, n0)
+        assert abs(r.expected_runs - er) <= 1e-6
+        assert abs(r.z_stat - z) <= 1e-6
+
+
+def test_wasserstein1_matches_exact_fraction_computation(spark):
+    """Independent reference: exact-rational W1 via Fractions over the
+    pooled distinct values."""
+    from fractions import Fraction
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators.evaluation import wasserstein_1
+
+    rng = random.Random(19)
+    rows = [
+        Row(g="g", v=round(rng.uniform(0, 50), 2), arm=rng.randrange(2))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+    r = wasserstein_1(
+        df, group_keys=["g"], value_col="v", arm_col="arm", value_scale=2
+    ).collect()[0]
+
+    # exact reference on the cent grid
+    a = sorted(round(q.v * 100) for q in rows if q.arm == 0)
+    b = sorted(round(q.v * 100) for q in rows if q.arm == 1)
+    vals = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    w1 = Fraction(0)
+    for v, nv in zip(vals, vals[1:]):
+        fa = Fraction(sum(1 for x in a if x <= v), na)
+        fb = Fraction(sum(1 for x in b if x <= v), nb)
+        w1 += Fraction(nv - v, 100) * abs(fa - fb)
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.w1 - float(w1)) <= 1e-9
+
+
+def test_effective_sample_size_bounds_and_exactness(spark):
+    df = spark.createDataFrame(
+        [Row(g="u", w=5), Row(g="u", w=5), Row(g="u", w=5),   # uniform: ESS = n
+         Row(g="s", w=1000), Row(g="s", w=1), Row(g="s", w=1)]  # skewed: ESS ~ 1
+    )
+    out = {r.g: r for r in agg.effective_sample_size(
+        df, group_keys=["g"], weight_col="w"
+    ).collect()}
+    assert abs(out["u"].ess - 3.0) <= 1e-12 and abs(out["u"].ess_ratio - 1.0) <= 1e-12
+    exp = (1002.0 ** 2) / (1000.0 ** 2 + 1 + 1)
+    assert abs(out["s"].ess - exp) <= 1e-9
+    assert out["s"].ess_ratio < 0.45
