@@ -220,6 +220,9 @@ HEADLINE = [
     "q261_runs_test",
     "q262_wasserstein1",
     "q263_ess_weights",
+    "q264_stream_funnel",
+    "q265_zone_map_audit",
+    "q266_compaction_plan",
 ]
 
 # Registered queries deliberately NOT in HEADLINE, each with its

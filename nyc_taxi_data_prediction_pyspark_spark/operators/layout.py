@@ -1,0 +1,181 @@
+"""Physical-layout advisors (100 TB posture, the q106/q231 family):
+what would this table's file layout do to a real predicate, and how
+should its small files be compacted — the two questions an OPTIMIZE /
+maintenance scheduler answers before touching 100 TB of parquet
+(reference parity anchor: the reference stages and bulk-loads into a
+warehouse whose pruning and file sizing it never audits —
+etl_spark_historical.py:210-230's blind COPY INTO; these operators are
+that audit).
+
+Everything is exact integer/bool algebra plus one or two final IEEE
+divisions, so the DuckDB oracle value-hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def zone_map_skip_audit(
+    df: DataFrame,
+    *,
+    order_col: str,
+    predicate_col: str,
+    lo,
+    hi,
+    bucket_rows: int,
+) -> DataFrame:
+    """Zone-map (min/max row-group statistics) skipping audit: lay the
+    table out in ``order_col`` order, cut it into files of
+    ``bucket_rows`` rows, record each file's (min, max) of
+    ``predicate_col``, and measure how much of the table the band
+    predicate ``lo <= predicate_col <= hi`` could SKIP — the
+    data-skipping readout behind every "should we sort by this
+    column" layout decision (the q106 z-order audit asks about
+    locality of a chosen key; this asks about PRUNING for a concrete
+    predicate under the natural/physical order).
+
+    A file is skippable iff its zone [min, max] misses [lo, hi]
+    entirely — exactly parquet row-group pruning semantics. Buckets
+    are defined arithmetically (bucket = floor(rank/bucket_rows) over
+    a dense ``order_col`` rank) so both engines cut identical files;
+    the rank uses the two-phase grouped machinery's contract (dense
+    integer division of a globally-orderable key, not a physical
+    row order that differs per engine).
+
+    Returns ONE row: (n_files, n_skipped, rows_total, rows_scanned,
+    rows_matching, skip_ratio, scan_amplification) where
+    scan_amplification = rows_scanned / rows_matching (1.0 = perfect
+    layout; the IEEE divisions are the only non-integer steps)."""
+    # dense arithmetic bucketing on the ORDER key itself: files are
+    # contiguous key ranges, the layout a sort-by-order_col produces
+    keyed = df.select(
+        F.col(order_col).alias("__k"), F.col(predicate_col).alias("__p")
+    )
+    # rank via distinct-key frame: exact, engine-independent
+    from .windows import grouped_cumsum_two_phase
+
+    per_key = keyed.groupBy("__k").agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    ranked = grouped_cumsum_two_phase(
+        per_key, [], ["__k"], ["__c"], exclusive=True
+    ).select("__k", F.col("__cum___c").alias("__start"))
+    zones = (
+        keyed.join(ranked, "__k")
+        .withColumn("__file", (F.col("__start") / F.lit(int(bucket_rows))).cast("bigint"))
+        .groupBy("__file")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__rows"),
+            F.min("__p").alias("__zmin"),
+            F.max("__p").alias("__zmax"),
+            F.sum(
+                F.when(
+                    (F.col("__p") >= F.lit(lo)) & (F.col("__p") <= F.lit(hi)), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("__match"),
+        )
+        .withColumn(
+            "__skip",
+            (F.col("__zmax") < F.lit(lo)) | (F.col("__zmin") > F.lit(hi)),
+        )
+    )
+    return zones.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(F.when(F.col("__skip"), 1).otherwise(0)).cast("bigint").alias("n_skipped"),
+        F.sum("__rows").cast("bigint").alias("rows_total"),
+        F.sum(F.when(~F.col("__skip"), F.col("__rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_scanned"),
+        F.sum("__match").cast("bigint").alias("rows_matching"),
+    ).select(
+        "n_files",
+        "n_skipped",
+        "rows_total",
+        "rows_scanned",
+        "rows_matching",
+        (F.col("n_skipped").cast("double") / F.col("n_files").cast("double")).alias(
+            "skip_ratio"
+        ),
+        F.when(
+            F.col("rows_matching") > 0,
+            F.col("rows_scanned").cast("double") / F.col("rows_matching").cast("double"),
+        ).alias("scan_amplification"),
+    )
+
+
+def compaction_plan_next_fit(
+    files: DataFrame,
+    *,
+    partition_col: str,
+    size_col: str,
+    id_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planner, next-fit-decreasing: within each
+    partition, walk the files in (size DESC, id ASC) order and start a
+    new output bin whenever the current one would overflow
+    ``target_bytes`` — the maintenance pass that turns a
+    streaming-ingested thousand-file partition back into
+    near-target-size objects (Warehouse.compact's sizing step,
+    planned before any data moves).
+
+    Next-fit-decreasing is the deliberately chosen variant: its fold
+    state is TWO integers (bins so far, current bin load), so the
+    whole plan is one in-row F.aggregate over the partition's sorted
+    file array — deterministic, oracle-replayable as a recursive CTE
+    over the (size DESC, id) rank (NOT DuckDB list_reduce, whose
+    grouped lambda fold measured nondeterministic under parallel
+    aggregation), and within 2x of optimal bin count (the classical
+    NF bound; FFD's 11/9 needs per-bin state a set-based oracle could
+    not replay exactly).
+    Oversized single files (> target) get a bin of their own, exactly
+    like OPTIMIZE leaves them alone.
+
+    Per-partition state is the partition's FILE LIST — bounded by file
+    counts (thousands), not rows; the fold never leaves the executor.
+    Returns per partition: (n_files, total_bytes, n_bins,
+    avg_bin_fill) with one IEEE division."""
+    f = files.select(
+        F.col(partition_col).alias("__pt"),
+        F.col(size_col).cast("bigint").alias("__sz"),
+        F.col(id_col).alias("__id"),
+    )
+    packed = (
+        f.groupBy("__pt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("__sz").cast("bigint").alias("total_bytes"),
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("__sz")).alias("negsz"), F.col("__id"), F.col("__sz")))
+            ).alias("__sorted"),
+        )
+        .withColumn(
+            "__fold",
+            F.aggregate(
+                F.col("__sorted"),
+                F.struct(
+                    F.lit(0).cast("bigint").alias("bins"),
+                    F.lit(0).cast("bigint").alias("load"),
+                ),
+                lambda acc, x: F.when(
+                    (acc["bins"] == 0) | (acc["load"] + x["__sz"] > F.lit(int(target_bytes))),
+                    F.struct(
+                        (acc["bins"] + 1).alias("bins"), x["__sz"].alias("load")
+                    ),
+                ).otherwise(
+                    F.struct(acc["bins"].alias("bins"), (acc["load"] + x["__sz"]).alias("load"))
+                ),
+            ),
+        )
+    )
+    return packed.select(
+        F.col("__pt").alias(partition_col),
+        "n_files",
+        "total_bytes",
+        F.col("__fold.bins").cast("bigint").alias("n_bins"),
+        (
+            F.col("total_bytes").cast("double")
+            / (F.col("__fold.bins").cast("double") * F.lit(float(target_bytes)))
+        ).alias("avg_bin_fill"),
+    )

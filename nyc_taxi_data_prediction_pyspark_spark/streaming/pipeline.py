@@ -893,3 +893,140 @@ def hll_streaming_ingest(
     return hll_from_registers(
         spark.read.parquet(store), group_keys=gk, p=p
     ).orderBy(*gk)
+
+
+def funnel_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    *,
+    steps: Sequence[str],
+    horizon_us: int,
+    n_arrival_files: int = 4,
+) -> DataFrame:
+    """Streaming first-touch conversion funnel: events arrive in
+    micro-batches and fold into a per-user candidate store whose final
+    replay EQUALS the batch funnel (windows.ordered_funnel) no matter
+    how arrivals are split, ordered, or redelivered — the q104/q200
+    batch-fixpoint contract applied to funnel state.
+
+    Why naive funnel state (just the per-step minima) is WRONG under
+    out-of-order arrival: step k's qualifying window depends on the
+    anchor t0, and a later batch can deliver an EARLIER step-0 event,
+    retroactively re-qualifying a step-k event that looked invalid
+    (and DIS-qualifying one past the new t0+H). The store therefore
+    keeps, per user:
+      * kind 0 — the anchor candidate, folded by idempotent MIN;
+      * kind k>=1 — every step-k event time still potentially
+        qualifying, i.e. t <= t0_current + H (users with no anchor
+        yet keep all candidates — nothing is decidable for them).
+    The single prune is SAFE BY MONOTONICITY: t0 only decreases, so
+    t0+H only decreases, so an event above the current window can
+    never re-enter any future window; everything else is kept, so the
+    retained set is always a superset of the finally-qualifying one.
+    Union + MIN + monotone prune are idempotent and commutative —
+    at-least-once redelivery converges to the exactly-once answer.
+
+    State is bounded by per-user activity inside the anchor horizon
+    (plus any not-yet-anchored candidates — a production deployment
+    would watermark those out; kept here for exact batch equality).
+    One store directory, one atomic swap per batch (_swap_store).
+
+    Returns the per-user funnel frame (user_id, t0..t{k-1}) computed
+    from the final store through the SAME batch operator."""
+    import os
+    import shutil
+    import uuid
+
+    from ..catalog import load
+    from ..operators.windows import ordered_funnel
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)  # deterministic re-runs
+    arrivals = os.path.join(work_dir, "arrivals")
+    store = os.path.join(work_dir, "store")
+    ckpt = os.path.join(work_dir, "ckpt")
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    ev.repartition(n_arrival_files).write.mode("overwrite").parquet(arrivals)
+
+    step_of = {s: k for k, s in enumerate(steps)}
+    kind_expr = F.coalesce(
+        *[
+            F.when(F.col("event_type") == s, F.lit(k).cast("int"))
+            for s, k in step_of.items()
+        ]
+    )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+    )
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        rows = (
+            batch.withColumn("kind", kind_expr)
+            .where(F.col("kind").isNotNull())
+            .select("user_id", "kind", F.unix_micros("ts").alias("t"))
+        )
+        if os.path.exists(store):
+            prev = batch.sparkSession.read.parquet(store)
+            rows = prev.unionByName(rows)
+        folded = funnel_state_fold(rows, horizon_us=horizon_us)
+        tmp = f"{store}_tmp_{uuid.uuid4().hex[:8]}"
+        folded.write.mode("overwrite").parquet(tmp)
+        _swap_store(store, tmp)
+
+    foreach_batch_merge(stream, checkpoint=ckpt, merge_fn=merge)
+
+    final = spark.read.parquet(store)
+    replay = final.select(
+        "user_id",
+        F.timestamp_micros(F.col("t")).alias("ts"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in steps]), F.col("kind") + 1
+        ).alias("event_type"),
+    )
+    return ordered_funnel(
+        replay,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        steps=list(steps),
+        horizon_us=horizon_us,
+    )
+
+
+def funnel_state_fold(rows: DataFrame, *, horizon_us: int) -> DataFrame:
+    """The pure per-batch funnel-state fold (factored out of
+    funnel_stream's merge closure so its algebraic invariants are
+    directly unit-testable): given (user_id, kind, t) candidate rows
+    (store ∪ batch), collapse anchors to their MIN and prune step
+    candidates above the current anchor window.
+
+    Invariants the tests pin down (the batch-fixpoint proof obligations):
+      * idempotent — fold(fold(S)) = fold(S), and re-folding a
+        redelivered batch changes nothing;
+      * monotone-safe prune — a candidate above t0+H can never
+        re-qualify (t0 only decreases), everything else is KEPT, so
+        the state is always a superset of the finally-qualifying
+        events;
+      * split-invariant — any batch partitioning folds to the same
+        final state as one batch."""
+    anchors = (
+        rows.where(F.col("kind") == 0).groupBy("user_id").agg(F.min("t").alias("t0"))
+    )
+    return (
+        rows.where(F.col("kind") == 0)
+        .groupBy("user_id", "kind")
+        .agg(F.min("t").alias("t"))
+    ).unionByName(
+        rows.where(F.col("kind") > 0)
+        .join(anchors, "user_id", "left")
+        .where(
+            F.col("t0").isNull() | (F.col("t") <= F.col("t0") + F.lit(int(horizon_us)))
+        )
+        .select("user_id", "kind", "t")
+        .distinct()
+    )

@@ -536,3 +536,137 @@ def test_effective_sample_size_bounds_and_exactness(spark):
     exp = (1002.0 ** 2) / (1000.0 ** 2 + 1 + 1)
     assert abs(out["s"].ess - exp) <= 1e-9
     assert out["s"].ess_ratio < 0.45
+
+
+# ---------------------------------------- batch 3 (q264-q266)
+
+def test_funnel_state_fold_late_anchor_requalifies_and_disqualifies(spark):
+    """The reason naive per-step minima are wrong: a late, EARLIER
+    anchor shrinks the window — candidates above the new t0+H are
+    pruned; candidates at/below the old anchor stay (they may qualify
+    against the new one)."""
+    from nyc_taxi_data_prediction_pyspark_spark.streaming.pipeline import (
+        funnel_state_fold,
+    )
+
+    h = 50
+    s1 = spark.createDataFrame(
+        [Row(user_id=1, kind=0, t=100), Row(user_id=1, kind=1, t=140),
+         Row(user_id=1, kind=1, t=90)]  # below anchor: KEPT (may requalify)
+    )
+    f1 = funnel_state_fold(s1, horizon_us=h)
+    assert {(r.kind, r.t) for r in f1.collect()} == {(0, 100), (1, 140), (1, 90)}
+    # late batch delivers the TRUE anchor t=60: window becomes [.., 110]
+    s2 = f1.unionByName(
+        spark.createDataFrame([Row(user_id=1, kind=0, t=60)])
+    )
+    f2 = funnel_state_fold(s2, horizon_us=h)
+    got = {(r.kind, r.t) for r in f2.collect()}
+    # 140 pruned forever (above every future window); 90 — rejected by
+    # the OLD anchor (not > 100) — is now the qualifying click
+    assert got == {(0, 60), (1, 90)}
+    # idempotence: re-folding (redelivery) changes nothing
+    f3 = funnel_state_fold(f2, horizon_us=h)
+    assert {(r.kind, r.t) for r in f3.collect()} == got
+
+
+def test_funnel_state_fold_split_invariance(spark):
+    """Random event stream, random batch split: incremental folding
+    must land on the same state as one batch, and the replayed funnel
+    must equal the batch funnel."""
+    from nyc_taxi_data_prediction_pyspark_spark.streaming.pipeline import (
+        funnel_state_fold,
+    )
+
+    for seed in (4, 21):
+        rng = random.Random(seed)
+        rows = [
+            Row(user_id=rng.randrange(5), kind=rng.randrange(3),
+                t=rng.randrange(1000))
+            for _ in range(150)
+        ]
+        h = 200
+        batch = funnel_state_fold(spark.createDataFrame(rows), horizon_us=h)
+        expected = {(r.user_id, r.kind, r.t) for r in batch.collect()}
+        cut1, cut2 = sorted(rng.sample(range(1, len(rows) - 1), 2))
+        state = None
+        for part in (rows[:cut1], rows[cut1:cut2], rows[cut2:], rows[cut1:cut2]):
+            inc = spark.createDataFrame(part)  # 4th part = redelivery
+            s = inc if state is None else state.unionByName(inc)
+            state = funnel_state_fold(s, horizon_us=h).localCheckpoint()
+        got = {(r.user_id, r.kind, r.t) for r in state.collect()}
+        assert got == expected, f"seed {seed}"
+
+
+def test_zone_map_skip_audit_hand_case(spark):
+    """3-row files over a sorted key; band [20, 29] hits only the
+    middle file's zone."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.layout import (
+        zone_map_skip_audit,
+    )
+
+    rows = [Row(k=i, p=i * 10) for i in range(9)]  # p: 0..80
+    df = spark.createDataFrame(rows)
+    r = zone_map_skip_audit(
+        df, order_col="k", predicate_col="p", lo=20, hi=29, bucket_rows=3
+    ).collect()[0]
+    # files: p in {0,10,20}, {30,40,50}, {60,70,80}; only file 0's zone
+    # [0,20] intersects [20,29]
+    assert (r.n_files, r.n_skipped, r.rows_total) == (3, 2, 9)
+    assert (r.rows_scanned, r.rows_matching) == (3, 1)
+    assert abs(r.skip_ratio - 2 / 3) < 1e-12
+    assert abs(r.scan_amplification - 3.0) < 1e-12
+
+
+def test_compaction_plan_matches_python_next_fit(spark):
+    """Independent reference: plain-Python next-fit-decreasing over
+    random file sizes; also the lower bound bins >= ceil(total/target)
+    cannot be violated from below by more than NF's 2x factor."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.layout import (
+        compaction_plan_next_fit,
+    )
+
+    for seed in (6, 13):
+        rng = random.Random(seed)
+        rows = [
+            Row(pt=p, fid=i, sz=rng.randrange(10, 120))
+            for p in ("a", "b") for i in range(40)
+        ]
+        df = spark.createDataFrame(rows)
+        out = {
+            r.pt: r
+            for r in compaction_plan_next_fit(
+                df, partition_col="pt", size_col="sz", id_col="fid",
+                target_bytes=100,
+            ).collect()
+        }
+        for p in ("a", "b"):
+            sizes = sorted(
+                ((r.sz, r.fid) for r in rows if r.pt == p),
+                key=lambda x: (-x[0], x[1]),
+            )
+            bins, load = 0, 0
+            for s, _ in sizes:
+                if bins == 0 or load + s > 100:
+                    bins, load = bins + 1, s
+                else:
+                    load += s
+            total = sum(s for s, _ in sizes)
+            r = out[p]
+            assert (r.n_files, r.total_bytes, r.n_bins) == (len(sizes), total, bins)
+            lower = -(-total // 100)  # ceil
+            assert lower <= bins <= 2 * lower + 1
+
+
+def test_compaction_plan_oversized_file_gets_own_bin(spark):
+    from nyc_taxi_data_prediction_pyspark_spark.operators.layout import (
+        compaction_plan_next_fit,
+    )
+
+    df = spark.createDataFrame(
+        [Row(pt="x", fid=1, sz=500), Row(pt="x", fid=2, sz=30), Row(pt="x", fid=3, sz=30)]
+    )
+    r = compaction_plan_next_fit(
+        df, partition_col="pt", size_col="sz", id_col="fid", target_bytes=100
+    ).collect()[0]
+    assert r.n_bins == 2  # [500], [30, 30]
