@@ -5835,6 +5835,41 @@ def q266_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("pt")
 
 
+def q267_stationary_markov(spark: SparkSession, sf: str) -> DataFrame:
+    """Stationary distribution of the q170 event-type Markov chain
+    (mining.stationary_distribution, 8 power iterations): the long-run
+    traffic mix, with the L1 delta of the final step as the
+    convergence readout. Per-edge IEEE products quantized to
+    DECIMAL(38,18) before every per-state sum (partition-order-free);
+    the oracle unrolls the same 8 rounds as CTEs (the q109/q162
+    iterative contract)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return mining.stationary_distribution(
+        counts, from_col="from_type", to_col="to_type", count_col="n", iterations=8
+    ).orderBy("state")
+
+
+def q268_term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Term burstiness audit (textops.term_burstiness, Church & Gale
+    1995): variance-to-mean ratio of per-document counts over
+    containing documents for the top-50 burstiest terms — the
+    topicality/keyword-stuffing signal next to q40's tf-idf and
+    q158's entropy. Exact BIGINT sufficient statistics, two IEEE
+    divisions, deterministic (vmr DESC, term) top-k."""
+    docs = load(spark, sf, "documents")
+    return textops.term_burstiness(docs, min_df=5, top_terms=50)
+
+
 # Driver-slot rotation (round 7): the correctness driver hard-checks
 # the FIRST 50 registry entries only; rotation is BY EVIDENCE AGE
 # (the round-5 verdict's standing rule).  Evidence ages entering
@@ -5908,7 +5943,7 @@ _R7_DEFERRED_NEW = {
     # ceil(N/50)-round freshness bound for N=258 -> 6 rounds), and the
     # rotation test's feasibility check covers the extended window.
     249, 250, 251, 252, 253, 254, 255, 256, 257, 258,
-    259, 260, 261, 262, 263, 264, 265, 266,
+    259, 260, 261, 262, 263, 264, 265, 266, 267, 268,
 }
 # Round-7 head, exactly as the round-6 verdict scheduled it: the
 # 40-query r3-evidence band (q51-q118 minus the members that picked up
@@ -6218,6 +6253,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q264_stream_funnel": q264_stream_funnel,
         "q265_zone_map_audit": q265_zone_map_audit,
         "q266_compaction_plan": q266_compaction_plan,
+        "q267_stationary_markov": q267_stationary_markov,
+        "q268_term_burstiness": q268_term_burstiness,
     }
 
 
@@ -12641,5 +12678,59 @@ SELECT t.pt, t.n_files, t.total_bytes, CAST(l.bins AS BIGINT) AS n_bins,
        CAST(t.total_bytes AS DOUBLE) / (CAST(l.bins AS DOUBLE) * 400000.0) AS avg_bin_fill
 FROM tot t JOIN last l ON t.pt = l.pt
 ORDER BY t.pt
+"""
+    # q267: 8 unrolled power-iteration rounds with the identical
+    # per-edge DECIMAL(38,18) quantization before each state sum.
+    _pi_round = """
+pi{k} AS (
+  SELECT e.j AS state,
+         CAST(SUM(CAST(p.pi * e.p AS DECIMAL(38,18))) AS DOUBLE) AS pi
+  FROM edges e JOIN pi{km1} p ON e.i = p.state GROUP BY e.j)"""
+    _pi_rounds = ",".join(_pi_round.format(k=k, km1=k - 1) for k in range(1, 9))
+    oracles["q267_stationary_markov"] = f"""
+WITH lagged AS (
+  SELECT event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+  FROM events),
+counts AS (
+  SELECT from_type AS i, to_type AS j, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lagged WHERE from_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT i, CAST(SUM(n) AS BIGINT) AS t FROM counts GROUP BY i),
+edges AS (
+  SELECT c.i, c.j, CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+  FROM counts c JOIN tot t ON c.i = t.i),
+states AS (SELECT DISTINCT i AS state FROM edges
+           UNION SELECT DISTINCT j FROM edges),
+k AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk FROM states),
+pi0 AS (SELECT state, 1.0 / CAST(nk AS DOUBLE) AS pi FROM states, k),
+{_pi_rounds},
+delta AS (
+  SELECT CAST(SUM(CAST(ABS(COALESCE(a.pi, 0.0) - COALESCE(b.pi, 0.0))
+                       AS DECIMAL(38,18))) AS DOUBLE) AS l1_delta
+  FROM pi8 a FULL OUTER JOIN pi7 b ON a.state = b.state)
+SELECT a.state, ROUND(a.pi, 9) AS pi, d.l1_delta
+FROM pi8 a, delta d ORDER BY a.state
+"""
+    # q268: exact integer (df, S1, S2) per term; biased variance and
+    # VMR with identical parenthesization; (vmr DESC, term) top-50.
+    oracles["q268_term_burstiness"] = f"""
+WITH raw AS (
+  SELECT doc_id AS d, unnest(regexp_split_to_array({_NORM_TEXT}, ' ')) AS tok
+  FROM documents),
+pd AS (
+  SELECT tok, d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM raw WHERE tok <> '' GROUP BY tok, d),
+m AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df_docs,
+         CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM pd GROUP BY tok HAVING COUNT(*) >= 5)
+SELECT tok AS term, df_docs, s1 AS total_count,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(df_docs AS DOUBLE), 6) AS mean_count,
+       ROUND((CAST(s2 AS DOUBLE) / CAST(df_docs AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(df_docs AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(df_docs AS DOUBLE)))
+             / (CAST(s1 AS DOUBLE) / CAST(df_docs AS DOUBLE)), 6) AS vmr
+FROM m
+ORDER BY vmr DESC, term ASC LIMIT 50
 """
     return oracles

@@ -223,6 +223,8 @@ HEADLINE = [
     "q264_stream_funnel",
     "q265_zone_map_audit",
     "q266_compaction_plan",
+    "q267_stationary_markov",
+    "q268_term_burstiness",
 ]
 
 # Registered queries deliberately NOT in HEADLINE, each with its

@@ -920,3 +920,82 @@ def sequential_trigrams(
         )
         .limit(top_k)
     )
+
+
+def stationary_distribution(
+    transitions: DataFrame,
+    *,
+    from_col: str,
+    to_col: str,
+    count_col: str,
+    iterations: int = 8,
+) -> DataFrame:
+    """Stationary distribution of a first-order Markov chain by power
+    iteration over its exact transition COUNTS — where does the
+    process spend its time in the long run (the q170/q208 transition
+    matrix pushed to its fixpoint; for the event-type chain this is
+    the long-run traffic mix a capacity planner keys on).
+
+    Determinism contract: P's entries are count ratios, so each update
+    term pi(i) * n_ij / tot_i is ONE fixed-parenthesization IEEE
+    product per edge, quantized to DECIMAL(38,18) BEFORE the per-state
+    sum — the grouped_moments rule, making the distributed sum exact
+    and partition-order-free. pi_0 is uniform (1/#states). The L1
+    delta between the last two iterates rides along as the
+    convergence readout (ergodic chains converge geometrically; the
+    readout makes "did 8 iterations suffice" a checkable value, not a
+    hope).
+
+    Scale: the state frame is #states rows (domain-sized), each round
+    one edge⋈pi join + one map-side-combinable sum over the EDGE
+    frame (#states² at worst). Rounds are fixed — the q109 class with
+    metadata-sized state. Returns (state, pi, l1_delta)."""
+    dec = lambda c: c.cast("decimal(38,18)")  # noqa: E731
+    e = transitions.select(
+        F.col(from_col).alias("__i"),
+        F.col(to_col).alias("__j"),
+        F.col(count_col).cast("bigint").alias("__n"),
+    )
+    tot = e.groupBy("__i").agg(F.sum("__n").cast("bigint").alias("__tot"))
+    edges = e.join(tot, "__i").select(
+        "__i", "__j",
+        (F.col("__n").cast("double") / F.col("__tot").cast("double")).alias("__p"),
+    )
+    edges = edges.localCheckpoint(eager=False)  # reused every round
+    states = edges.select(F.col("__i").alias("state")).unionByName(
+        edges.select(F.col("__j").alias("state"))
+    ).distinct()
+    n_states = states.agg(F.count(F.lit(1)).alias("__k"))  # 1-row, no collect
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "state", (F.lit(1.0) / F.col("__k").cast("double")).alias("pi")
+    )
+    prev = pi
+    for _ in range(iterations):
+        prev = pi
+        pi = (
+            edges.join(pi.withColumnRenamed("state", "__i"), "__i")
+            .groupBy(F.col("__j").alias("state"))
+            .agg(F.sum(dec(F.col("pi") * F.col("__p"))).alias("__acc"))
+            .select("state", F.col("__acc").cast("double").alias("pi"))
+            .localCheckpoint(eager=False)
+        )
+    # full outer + coalesce: a state with no incoming edges leaves the
+    # pi frame (its mass is exactly 0) — the delta must still count it
+    delta = (
+        pi.withColumnRenamed("pi", "__new")
+        .join(prev.withColumnRenamed("pi", "__old"), "state", "full_outer")
+        .agg(
+            F.sum(
+                dec(
+                    F.abs(
+                        F.coalesce(F.col("__new"), F.lit(0.0))
+                        - F.coalesce(F.col("__old"), F.lit(0.0))
+                    )
+                )
+            ).alias("__d")
+        )
+        .select(F.col("__d").cast("double").alias("l1_delta"))
+    )
+    return pi.crossJoin(F.broadcast(delta)).select(
+        "state", F.round(F.col("pi"), 9).alias("pi"), "l1_delta"
+    )

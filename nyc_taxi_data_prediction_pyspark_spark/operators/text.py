@@ -1644,3 +1644,59 @@ def postings_stats(
         .orderBy(F.col("df_docs").desc(), F.col("term").asc())
         .limit(top_terms)
     )
+
+
+def term_burstiness(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    top_terms: int = 50,
+) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): the variance-to-mean
+    ratio of a term's per-document count OVER THE DOCUMENTS THAT
+    CONTAIN IT — content words burst (VMR >> 1: when they appear,
+    they appear repeatedly), function words don't (VMR ~ 1, Poisson).
+    The topicality signal tf-idf's df alone misses, and a quality
+    gate for keyword-stuffed documents (pathological VMR).
+
+    Exact sufficient statistics: per-(term, doc) BIGINT counts, then
+    per-term (df, sum c, sum c^2) — all integer; mean and the BIASED
+    (population) variance are fixed-parenthesization doubles from
+    those integers (var = S2/df - mean^2), one more division for the
+    VMR. Terms in fewer than ``min_df`` docs are dropped (their VMR
+    is noise), TakeOrdered(top_terms) by (vmr DESC, term ASC) returns
+    only the readout rows.
+
+    Scale: one token explode, two map-side-combinable aggs, a
+    TakeOrdered — the q40/q199 token-scan budget."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("__d"),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("__t"),
+        )
+        .where(F.col("__t") != "")
+    )
+    per_doc = toks.groupBy("__t", "__d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    m = per_doc.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_docs"),
+        F.sum("__c").cast("bigint").alias("__s1"),
+        F.sum(F.col("__c") * F.col("__c")).cast("bigint").alias("__s2"),
+    ).where(F.col("df_docs") >= min_df)
+    dfd = F.col("df_docs").cast("double")
+    mean = F.col("__s1").cast("double") / dfd
+    var = F.col("__s2").cast("double") / dfd - mean * mean
+    return (
+        m.select(
+            F.col("__t").alias("term"),
+            "df_docs",
+            F.col("__s1").alias("total_count"),
+            F.round(mean, 6).alias("mean_count"),
+            F.round(var / mean, 6).alias("vmr"),
+        )
+        .orderBy(F.col("vmr").desc(), F.col("term").asc())
+        .limit(top_terms)
+    )

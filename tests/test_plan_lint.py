@@ -54,6 +54,7 @@ BNL_ALLOWED = {
     "q240_woe_iv": "1-row decile-cuts broadcast onto the value stream (the q224 bucketing shape)",
     "q250_jl_recall": "1-row projected-probe broadcast onto the corpus rankings",
     "q254_k_anonymity": "1-row row-total broadcast onto the class-size histogram (the q100 shape)",
+    "q267_stationary_markov": "two 1-row broadcasts (state count for the uniform start; L1 delta onto the #states-row output)",
     "q255_association_rules": "1-row basket-count broadcast onto the rule frame (the q100 shape)",
 }
 

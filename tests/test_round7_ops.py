@@ -670,3 +670,57 @@ def test_compaction_plan_oversized_file_gets_own_bin(spark):
         df, partition_col="pt", size_col="sz", id_col="fid", target_bytes=100
     ).collect()[0]
     assert r.n_bins == 2  # [500], [30, 30]
+
+
+# ---------------------------------------- batch 4 (q267-q268)
+
+def test_stationary_distribution_matches_numpy_power_iteration(spark):
+    """Independent reference: numpy float64 power iteration from the
+    uniform start on a random strongly-connected chain (different
+    algorithm path entirely — matmul, no quantization; 1e-6 after 8
+    rounds)."""
+    import numpy as np
+
+    rng = random.Random(8)
+    k = 4
+    counts = [
+        (i, j, rng.randrange(1, 20)) for i in range(k) for j in range(k)
+    ]
+    df = spark.createDataFrame([Row(i=i, j=j, n=n) for i, j, n in counts])
+    out = {
+        r.state: r
+        for r in mining.stationary_distribution(
+            df, from_col="i", to_col="j", count_col="n", iterations=8
+        ).collect()
+    }
+    P = np.zeros((k, k))
+    for i, j, n in counts:
+        P[i, j] = n
+    P = P / P.sum(axis=1, keepdims=True)
+    pi = np.full(k, 1.0 / k)
+    prev = pi
+    for _ in range(8):
+        prev = pi
+        pi = pi @ P
+    for s in range(k):
+        assert abs(out[s].pi - pi[s]) <= 1e-6
+    assert abs(out[0].l1_delta - float(np.abs(pi - prev).sum())) <= 1e-6
+    assert abs(sum(r.pi for r in out.values()) - 1.0) <= 1e-6  # mass conserved
+
+
+def test_term_burstiness_hand_case(spark):
+    """'bursty' appears 4+4 in two docs (VMR: mean 4, var 0 -> 0);
+    'spread' appears 1,7 (mean 4, var 9 -> 2.25)."""
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="bursty " * 4 + "spread"),
+            Row(doc_id=2, text="bursty " * 4 + "spread " * 7),
+        ]
+    )
+    out = {
+        r.term: r
+        for r in textops.term_burstiness(df, min_df=2, top_terms=10).collect()
+    }
+    assert out["bursty"].vmr == 0.0 and out["bursty"].mean_count == 4.0
+    assert abs(out["spread"].vmr - 2.25) <= 1e-9
+    assert out["spread"].df_docs == 2 and out["spread"].total_count == 8
