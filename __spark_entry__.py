@@ -5810,9 +5810,12 @@ def q266_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
     price sum as the byte size, packed next-fit-decreasing into
     400k-byte target objects per month partition — the maintenance
     plan Warehouse.compact would execute. The fold state is two
-    integers, so the whole plan is one in-row F.aggregate the oracle
-    replays with DuckDB's list_reduce; the unit test checks the NF
-    bound and a Python replay."""
+    integers, so the whole plan is one in-row F.aggregate; the oracle
+    replays the fold as a RECURSIVE CTE over the (size DESC, fid)
+    rank — NOT list_reduce, whose grouped lambda folds were measured
+    nondeterministic in DuckDB (see layout.py compaction_plan_next_fit
+    docstring); the unit test checks the NF bound and a Python
+    replay."""
     from nyc_taxi_data_prediction_pyspark_spark.operators import layout
 
     li = load(spark, sf, "lineitem")

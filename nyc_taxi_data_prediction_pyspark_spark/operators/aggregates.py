@@ -1123,8 +1123,12 @@ def grouped_mahalanobis2(
     (integer features), so the IEEE stage starts from identical inputs
     on both engines and runs one fixed-parenthesization expression per
     row. Degenerate groups (det <= 0: a constant or perfectly
-    collinear feature pair) report NULL outlier stats rather than a
-    division error.
+    collinear feature pair) report NULL ``det``-derived stats
+    (``max_d2`` is NULL) rather than a division error — but
+    ``n_outliers`` comes back 0, not NULL: the per-row
+    when(d2 > cutoff, 1).otherwise(0) counts a NULL d2 as "not an
+    outlier", and the q259 oracle mirrors that 0. Consumers must key
+    degeneracy off ``det``/``max_d2``, never off n_outliers == 0.
 
     Scale: one combinable aggregation for the moments (#groups frame),
     one equi-join back onto the rows (AQE broadcasts the tiny stats

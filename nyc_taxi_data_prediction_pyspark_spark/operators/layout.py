@@ -61,7 +61,16 @@ def zone_map_skip_audit(
     ).select("__k", F.col("__cum___c").alias("__start"))
     zones = (
         keyed.join(ranked, "__k")
-        .withColumn("__file", (F.col("__start") / F.lit(int(bucket_rows))).cast("bigint"))
+        .withColumn(
+            # exact bigint floor-division (``div``), NOT double ``/``:
+            # double rounding diverges from integer division once
+            # cumulative row starts exceed 2^53, and the DuckDB oracle
+            # uses exact integer ``//`` — both engines must cut the
+            # identical file id at any scale (__start >= 0, so div ==
+            # floor division)
+            "__file",
+            F.expr(f"__start div {int(bucket_rows)}").cast("bigint"),
+        )
         .groupBy("__file")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("__rows"),

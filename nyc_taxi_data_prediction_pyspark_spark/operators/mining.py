@@ -946,6 +946,17 @@ def stationary_distribution(
     readout makes "did 8 iterations suffice" a checkable value, not a
     hope).
 
+    NON-ERGODIC CAVEAT — dangling states LEAK MASS: a state that
+    appears only as a destination has no outgoing edges (no row in P),
+    so whatever mass flows into it vanishes on the NEXT update and
+    sum(pi) drifts below 1 round over round (this is power iteration
+    on a SUB-stochastic matrix, not a teleporting PageRank). The
+    docstring's convergence story assumes an ergodic chain; on inputs
+    with absorbing/dangling states, consumers should sum the returned
+    pi column — sum(pi) << 1 is the detection signal — or pre-filter
+    to the largest strongly-connected component. The oracle replays
+    the identical sub-stochastic algebra, so parity holds either way.
+
     Scale: the state frame is #states rows (domain-sized), each round
     one edge⋈pi join + one map-side-combinable sum over the EDGE
     frame (#states² at worst). Rounds are fixed — the q109 class with
