@@ -5873,6 +5873,40 @@ def q268_term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
     return textops.term_burstiness(docs, min_df=5, top_terms=50)
 
 
+def _nn_width_rule(n: int) -> int:
+    """Deployment block-width rule from the q234 trade-off study
+    (docs/SCALING.md "q234 block-width trade-off"): n_planes =
+    ceil(log2(n/32)) pins expected sign-LSH block population at ~32
+    vectors, clamped to [1, 16].  Exact-IEEE mirror of the oracle's
+    GREATEST(1, LEAST(16, CEIL(LOG2(n/32.0)))) — n/32.0 is exact
+    (power-of-two divisor) and log2 is exact on powers of two, so
+    ceil never straddles an ulp across engines."""
+    import math
+
+    if n <= 1:
+        return 1
+    return max(1, min(16, math.ceil(math.log2(n / 32.0))))
+
+
+def q269_mutual_nn_rule(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs under the deployment WIDTH
+    RULE (similarity.mutual_nn_pairs with n_planes = _nn_width_rule(
+    |corpus|)): the configuration a 100 TB deployment would run —
+    the round-7 verdict asked for this as a benched sibling so the
+    suite times the rule path (10x probe 1.19x) instead of only
+    q234's pinned 6-plane width (7.0x at 10x, pure in-block pair
+    volume; kept for oracle-literal determinism).  The corpus count
+    is one driver-side scalar (the kmeans_centroids precedent); the
+    oracle recomputes the SAME rule from COUNT(*) and folds the
+    matching PREFIX of a 16-plane seeded bank — numpy's row-major
+    standard_normal makes width-k planes a prefix of the width-16
+    draw (test-asserted, tests/test_evaluation.py)."""
+    emb = load(spark, sf, "embeddings")
+    k = _nn_width_rule(emb.count())
+    planes = similarity.random_hyperplanes(64, k, seed=42)
+    return similarity.mutual_nn_pairs(emb, planes)
+
+
 # Driver-slot rotation (round 7): the correctness driver hard-checks
 # the FIRST 50 registry entries only; rotation is BY EVIDENCE AGE
 # (the round-5 verdict's standing rule).  Evidence ages entering
@@ -5960,6 +5994,25 @@ _R7_R3_BAND = {
     90, 91, 93, 94, 95, 96, 97, 98, 99, 101, 102, 103, 104, 106, 107,
     110, 111, 112, 113, 115, 116, 117, 118,
 }
+# Round-8 head, exactly as the round-7 verdict scheduled it: the
+# 47-query r4-evidence band (now the OLDEST driver evidence anywhere —
+# computed from CORRECTNESS_r01..r07 and frozen here; the rotation
+# test recomputes it from the records) plus the three oldest deferred
+# registrations (q195-q197) taking their FIRST driver rows,
+# greedy-oldest-first.  47 + 3 = exactly 50.  After this head lands
+# the oldest band is r5; rounds 9-11 absorb the r5 band plus the
+# remaining deferrals q198-q268 (47 + 71 = 118 over 150 slots).
+_R8_R4_BAND = {
+    13, 36, 52, 53, 54, 57, 59, 60, 61, 62, 63, 64, 65, 66, 69, 70, 71,
+    72, 73, 89, 92, 100, 105, 108, 114, 119, 120, 121, 122, 123, 124,
+    125, 126, 127, 128, 129, 130, 131, 132, 133, 134, 135, 136, 137,
+    138, 139, 141,
+}
+_R8_DEFERRED_HEAD = {195, 196, 197}
+# Queries registered in round 8, after this head filled: full oracles
+# + local check_oracle evidence at three SFs now; first driver rows
+# scheduled by the rotation test's feasibility arithmetic.
+_R8_DEFERRED_NEW: set[int] = {269}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5969,17 +6022,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    """First-50 = round-7 rotation targets, chosen by EVIDENCE AGE:
-    the r3-evidence band (oldest driver rows in the registry after
-    round 6 re-greened the whole q01-q50 band) plus the ten round-6
-    additions (q185-q194) whose first driver rows were deferred when
-    round 6's head filled.  The rest, holding r4+ evidence, follow in
-    number order (r4 band = round 8's head)."""
+    """First-50 = round-8 rotation targets, chosen by EVIDENCE AGE:
+    the r4-evidence band (oldest driver rows in the registry after
+    round 7's head re-greened the r3 band) plus the three oldest
+    deferred registrations (q195-q197) taking their first driver
+    rows.  The rest, holding r5+ evidence or newer deferrals, follow
+    in number order (r5 band + q198 onward = rounds 9-11 heads)."""
 
     def num(n: str) -> int:
         return int(n[1:].split("_", 1)[0])
 
-    head_nums = _R7_R3_BAND | _R6_DEFERRED_NEW
+    head_nums = _R8_R4_BAND | _R8_DEFERRED_HEAD
     head = [n for n in names if num(n) in head_nums]
     tail = [n for n in names if num(n) not in head_nums]
     out = sorted(head, key=num) + sorted(tail, key=num)
@@ -6258,6 +6311,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q266_compaction_plan": q266_compaction_plan,
         "q267_stationary_markov": q267_stationary_markov,
         "q268_term_burstiness": q268_term_burstiness,
+        "q269_mutual_nn_rule": q269_mutual_nn_rule,
     }
 
 
@@ -6813,6 +6867,26 @@ def _lsh_bucket_sql(vec_expr: str, n_planes: int = 4, seed: int = 42, dim: int =
             f"CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 THEN {1 << b} ELSE 0 END"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_bits_sql(vec_expr: str, bank: int = 16, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB ARRAY of the sign bits for a ``bank``-plane seeded bank
+    (q269): the consumer folds only the first k entries, where k is
+    recomputed in SQL from COUNT(*) via the width rule — valid because
+    numpy's row-major standard_normal makes a width-k draw a PREFIX of
+    the width-``bank`` draw at the same seed (test-asserted)."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(dim, bank, seed)
+    bits = []
+    for plane in planes:
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        bits.append(
+            f"CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 THEN 1 ELSE 0 END"
+        )
+    return "[" + ", ".join(bits) + "]"
 
 
 # md5 first-15-hex-digits → BIGINT, arithmetically (DuckDB side of
@@ -12735,5 +12809,41 @@ SELECT tok AS term, df_docs, s1 AS total_count,
              / (CAST(s1 AS DOUBLE) / CAST(df_docs AS DOUBLE)), 6) AS vmr
 FROM m
 ORDER BY vmr DESC, term ASC LIMIT 50
+"""
+    # q269: q234's mutual-NN algebra under the WIDTH RULE — k is
+    # recomputed from COUNT(*) (GREATEST/LEAST clamp mirrors
+    # _nn_width_rule exactly; log2 is ulp-safe at the only integral
+    # boundaries, powers of two) and the bucket folds the first k
+    # sign bits of the 16-plane seeded bank (prefix property).
+    oracles["q269_mutual_nn_rule"] = f"""
+WITH kk AS (
+  SELECT GREATEST(1, LEAST(16,
+           CAST(CEIL(LOG2(CAST(COUNT(*) AS DOUBLE) / 32.0)) AS INT))) AS k
+  FROM embeddings
+),
+bits AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         {_lsh_bits_sql('embedding::DOUBLE[]', bank=16, seed=42, dim=64)} AS bt
+  FROM embeddings
+),
+b AS (
+  SELECT id, v,
+         CAST(list_sum(list_transform(range((SELECT k FROM kk)),
+              i -> (bt[i + 1]::BIGINT << i))) AS BIGINT) AS bucket
+  FROM bits
+),
+pairs AS (
+  SELECT x.id AS a, y.id AS bb,
+         ROUND({_COS.format(a='x.v', b='y.v')}, 6) AS cos
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.id <> y.id
+),
+best AS (
+  SELECT a, MAX({{'c': cos, 'nb': -bb}}) AS m FROM pairs GROUP BY a
+),
+edges AS (SELECT a, -(m.nb) AS best, m.c AS cos FROM best)
+SELECT e1.a AS vec_id_a, e1.best AS vec_id_b, e1.cos AS cos
+FROM edges e1 JOIN edges e2 ON e2.a = e1.best AND e2.best = e1.a
+WHERE e1.a < e1.best
+ORDER BY vec_id_a
 """
     return oracles

@@ -225,6 +225,7 @@ HEADLINE = [
     "q266_compaction_plan",
     "q267_stationary_markov",
     "q268_term_burstiness",
+    "q269_mutual_nn_rule",
 ]
 
 # Registered queries deliberately NOT in HEADLINE, each with its
@@ -328,6 +329,13 @@ def run_canary(spark) -> dict:
     - ``parquet_scan``: I/O + decode-bound — scan-agg over a parquet
       file GENERATED HERE with fixed content (same rows every round;
       byte size recorded so even an encoder change is visible).
+    - ``sched_20job``: scheduler-fixed-overhead-bound (round-7 verdict
+      ask) — 20 sequential one-row jobs whose work is nil, so the
+      wall is 20× (job submit + DAG build + task launch + result
+      fetch).  The suite is dominated by multi-job queries whose cost
+      is fixed overhead, which ``range_agg`` (one big job) cannot
+      see; with both canaries, scan-speed drift and scheduler-jitter
+      drift are separately normalizable round-over-round.
 
     min-of-3 each, same estimator as the query timings.
     """
@@ -342,6 +350,13 @@ def run_canary(spark) -> dict:
         spark.range(50_000_000).select(F.sum(F.col("id") % 97)).collect()
         dt = round(time.perf_counter() - t0, 3)
         out["range_agg"] = min(out.get("range_agg", dt), dt)
+
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _job in range(20):
+            spark.range(1).count()
+        dt = round(time.perf_counter() - t0, 3)
+        out["sched_20job"] = min(out.get("sched_20job", dt), dt)
 
     tmp = tempfile.mkdtemp(prefix="bench_canary_")
     try:
@@ -407,6 +422,21 @@ def main() -> None:
     from nyc_taxi_data_prediction_pyspark_spark.session import get_spark
 
     spark = get_spark("bench")
+    # Silence the benign DAGScheduler "attempted to access non-existent
+    # accumulator" ERROR (a localCheckpoint/ContextCleaner race on GC'd
+    # stage accumulators; rc stays 0 and results are unaffected): its
+    # multi-page stack otherwise opens the driver's tail-capture window
+    # and crowds out the digest line (round-7 verdict item).  Scoped to
+    # the one logger, bench-process only — library code never touches
+    # log levels.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception as e:  # noqa: BLE001 — cosmetic; never fail the bench
+        print(f"WARNING: could not tune DAGScheduler log level: {e}", file=sys.stderr)
     qs = entry.queries()
 
     # pinned environment canary FIRST (cold-ish host state is part of

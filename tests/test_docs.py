@@ -112,12 +112,13 @@ def test_every_expensive_bench_query_has_scale_probe():
 
 def test_driver_slot_rotation_covers_unproven_queries():
     """The correctness driver hard-checks only the first 50 registry
-    entries.  Round-7 invariant (rotate by EVIDENCE AGE — the round-5
-    verdict's standing rule, scheduled by the round-6 verdict): the
+    entries.  Round-8 invariant (rotate by EVIDENCE AGE — the round-5
+    verdict's standing rule, scheduled by the round-7 verdict): the
     first 50 must be exactly (a) every query whose newest hash-green
-    driver row is round 3 — the oldest band after round 6 re-greened
-    the whole q01-q50 band — plus (b) the ten round-6 additions
-    (q185-q194) taking their first-ever driver rows."""
+    driver row is round 4 — the oldest band after round 7's head
+    re-greened the r3 band — plus (b) the OLDEST deferred
+    registrations (q195 onward, greedy-oldest-first) filling the
+    remaining slots with their first-ever driver rows."""
     import json
 
     import __spark_entry__ as entry
@@ -130,7 +131,7 @@ def test_driver_slot_rotation_covers_unproven_queries():
 
     # newest hash-green round per query across the recorded history
     newest_green: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6):
+    for r in (1, 2, 3, 4, 5, 6, 7):
         d = json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text())
         for k, v in d.items():
             if v.get("hash_match"):
@@ -138,44 +139,33 @@ def test_driver_slot_rotation_covers_unproven_queries():
 
     first50 = set(names[:50])
     assert len(first50) == 50
-    # (a) the r3 band IS the oldest evidence and ALL of it is in the
+    # (a) the r4 band IS the oldest evidence and ALL of it is in the
     # head — recomputed from the records, not trusted from the frozen
     # set in the entry module...
-    stale = {n for n in names if newest_green.get(n, 9) <= 3 and n in newest_green}
+    stale = {n for n in names if newest_green.get(n, 9) <= 4 and n in newest_green}
     assert stale <= first50, sorted(stale - first50)
     # ...and the frozen set matches the recomputation exactly
-    assert {num(n) for n in stale} == entry._R7_R3_BAND
-    # (b) the ten deferred round-6 additions take their first rows now
-    deferred_r7 = {n for n in names if num(n) in entry._R6_DEFERRED_NEW}
-    assert deferred_r7 <= first50
-    assert first50 == stale | deferred_r7
-    # never-driver-checked queries are exactly q185-q194 (in the head)
-    # plus _R7_DEFERRED_NEW (registered after this head filled too —
-    # rounds 8-10 absorb them; they hold full oracles + local
-    # check_oracle evidence meanwhile)
+    assert {num(n) for n in stale} == entry._R8_R4_BAND
+    # (b) the remaining slots go to the OLDEST never-driver-checked
+    # registrations, greedy-oldest-first by query number
     recorded = set()
-    for r in (1, 2, 3, 4, 5, 6):
+    for r in (1, 2, 3, 4, 5, 6, 7):
         recorded |= set(json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text()))
-    never = {n for n in names if n not in recorded}
-    deferred_r8 = {n for n in names if num(n) in entry._R7_DEFERRED_NEW}
-    assert never == deferred_r7 | deferred_r8, sorted(
-        never ^ (deferred_r7 | deferred_r8)
-    )
-    assert deferred_r8.isdisjoint(first50)
-    # schedule feasibility beyond round 7: after this head lands the
-    # oldest band is r4.  The greedy oldest-first sweep over rounds
-    # 8-11 (200 slots) must absorb the r4 band, the r5 band, and every
-    # deferred registration q195-q258, keeping each query inside the
-    # ceil(N/50)-round freshness bound (N=258 -> 6 rounds; a deferred
-    # query registered in round 7 gets its first row by round 11 at
-    # the latest — 4 rounds after registration, inside the bound).
-    r4_band = sum(1 for n in names if newest_green.get(n) == 4 and n not in first50)
+    never = sorted((n for n in names if n not in recorded), key=num)
+    n_fill = 50 - len(stale)
+    fill = set(never[:n_fill])
+    assert {num(n) for n in fill} == entry._R8_DEFERRED_HEAD
+    assert first50 == stale | fill
+    # every never-checked query is a deferred registration q195+
+    assert all(num(n) >= 195 for n in never)
+    # schedule feasibility beyond round 8: after this head lands the
+    # oldest band is r5.  The greedy oldest-first sweep over rounds
+    # 9-11 (150 slots) must absorb the r5 band and every remaining
+    # deferral (q198 onward, incl. round-8 registrations), keeping
+    # each query inside the ceil(N/50)-round freshness bound.
     r5_band = sum(1 for n in names if newest_green.get(n) == 5 and n not in first50)
-    assert r4_band + r5_band + len(deferred_r8) <= 200, (
-        r4_band,
-        r5_band,
-        len(deferred_r8),
-    )
+    remaining_deferred = len(never) - n_fill  # incl. round-8 registrations
+    assert r5_band + remaining_deferred <= 150, (r5_band, remaining_deferred)
     # oracle_sql iterates in the same rotated order (driver zips them)
     o = list(entry.oracle_sql())
     assert o == [n for n in names if n in set(o)]

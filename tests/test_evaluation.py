@@ -286,6 +286,38 @@ def test_mutual_nn_pairs_tie_breaks_to_smallest_id(spark):
     assert all(r.cos == 1.0 for r in out)
 
 
+def test_nn_width_rule_and_plane_prefix():
+    """q269's two cross-engine assumptions, proven independently:
+    (a) the width rule matches its SQL mirror GREATEST(1, LEAST(16,
+    CEIL(LOG2(n/32.0)))) on every n the oracle can see, and (b)
+    numpy's row-major standard_normal makes a width-k plane draw an
+    exact PREFIX of the width-16 bank at the same seed — the property
+    that lets the oracle bake ONE 16-plane bank and fold the first k
+    bits."""
+    import numpy as np
+    import duckdb
+
+    from __spark_entry__ import _nn_width_rule
+    from nyc_taxi_data_prediction_pyspark_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    con = duckdb.connect()
+    for n in [1, 2, 31, 32, 33, 64, 500, 2000, 2048, 20000, 10**7, 10**12]:
+        sql_k = con.execute(
+            "SELECT GREATEST(1, LEAST(16, CAST(CEIL(LOG2(CAST(? AS DOUBLE)"
+            " / 32.0)) AS INT)))",
+            [n],
+        ).fetchone()[0]
+        assert _nn_width_rule(n) == sql_k, (n, _nn_width_rule(n), sql_k)
+
+    bank = np.asarray(random_hyperplanes(64, 16, seed=42))
+    for k in (1, 4, 6, 10):
+        assert np.array_equal(
+            np.asarray(random_hyperplanes(64, k, seed=42)), bank[:k]
+        )
+
+
 # ----------------------------------------------------------- bandit_replay
 
 
