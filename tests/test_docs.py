@@ -110,6 +110,38 @@ def test_every_expensive_bench_query_has_scale_probe():
     assert not missing, missing
 
 
+def test_plans_md_covers_expensive_queries_and_is_current():
+    """PLANS.md staleness guard (round-7 verdict item): every query
+    ≥2 s at the committed sf0.1 record must have plan evidence — a
+    NOTES entry in tools/dump_plans.py (rendered into docs/PLANS.md)
+    or a reasoned PLANS_SKIP entry (streaming store-readout plans).
+    And PLANS.md must actually be regenerated after NOTES grows: every
+    NOTES key must have a '## <name>' section in the committed file."""
+    import json
+
+    sys.path.insert(0, str(ROOT / "tools"))
+    import dump_plans
+
+    detail_path = ROOT / "BENCH_DETAIL_sf0.1_latest.json"
+    if not detail_path.exists():
+        import pytest
+
+        pytest.skip("no committed sf0.1 bench detail yet")
+    detail = json.loads(detail_path.read_text())
+    covered = set(dump_plans.NOTES) | set(dump_plans.PLANS_SKIP)
+    missing = [
+        name
+        for name, sec in detail["queries"].items()
+        if sec >= 2.0 and name not in covered
+    ]
+    assert not missing, missing
+    for name, reason in dump_plans.PLANS_SKIP.items():
+        assert reason.strip(), name
+    plans = (ROOT / "docs" / "PLANS.md").read_text()
+    stale = [n for n in dump_plans.NOTES if f"## {n}" not in plans]
+    assert not stale, f"PLANS.md not regenerated for: {stale}"
+
+
 def test_driver_slot_rotation_covers_unproven_queries():
     """The correctness driver hard-checks only the first 50 registry
     entries.  Round-8 invariant (rotate by EVIDENCE AGE — the round-5

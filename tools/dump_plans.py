@@ -172,6 +172,28 @@ NOTES = {
     "q261_runs_test": "day-bucketed two-phase run count: bucket-local lag windows + a metadata-sized stitch window — never a per-group single-task window",
     "q262_wasserstein1": "distinct-value frame (cardinality-bounded), two-phase prefix sums, decimal-exact summands; one lead window on the distinct frame",
     "q263_ess_weights": "one combinable decimal-factored aggregation; two IEEE divisions on the #groups frame",
+    "q135_bucketed_join": "both sides pre-bucketed on the join key: the join plan carries NO exchange — the bucketing IS the shuffle, paid once at write",
+    "q148_leakage_safe_split": "group-hash split assignment is a pure projection (zero shuffles before the audit agg); doc→group map broadcast",
+    "q149_quality_canonical_dedup": "cluster-keyed struct-max picks the canonical doc in ONE combinable agg — no window over the dup-cluster frame",
+    "q154_frequent_pairs": "downward-closure prune (frequent items first) bounds the per-basket explode; pair counts map-side combine",
+    "q265_zone_map_audit": "distinct-key two-phase rank (range exchange) + exact integer file bucketing; audit collapses to ONE row — no physical-order dependence",
+    "q266_compaction_plan": "per-partition NF-decreasing fold as ONE in-row F.aggregate (two-integer state); file frame bounded at 256/partition by construction",
+    "q267_stationary_markov": "fixed 8 power rounds: edges⋈pi equi-join + decimal-quantized dst-sum per round; state O(#states), localCheckpoint truncates lineage",
+    "q268_term_burstiness": "exact integer (df, S1, S2) per term in one combinable agg; VMR + deterministic top-50 on the #terms frame",
+    "q269_mutual_nn_rule": "width rule pins block population ~32: bucket equi-self-join stays per-block quadratic only; struct-max best edge + one mutuality self-join",
+}
+
+# Streaming/stateful queries whose query() call EXECUTES a stream and
+# returns the store readout: the captured plan would be a bare store
+# scan, not the engineered pipeline — their plan evidence is the
+# operator docstring + docs/SCALING.md row instead.  The staleness
+# guard (tests/test_docs.py) checks every expensive query appears in
+# NOTES or here, with a reason.
+PLANS_SKIP = {
+    "q104_streaming_corpus_ingest": "availableNow stream; plan = store readout; see SCALING 'q104'",
+    "q108_stream_attribution": "stream-stream join via micro-batches; plan = result-store scan",
+    "q114_incremental_rollup": "incremental maintenance loop; plan = rollup-store scan",
+    "q264_stream_funnel": "applyInPandasWithState fold; plan = funnel-store scan",
 }
 
 
