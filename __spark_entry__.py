@@ -5907,6 +5907,161 @@ def q269_mutual_nn_rule(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.mutual_nn_pairs(emb, planes)
 
 
+def q270_local_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node local clustering coefficient (graph.local_clustering,
+    Watts & Strogatz 1998) on the q122 part co-purchase graph (part
+    pairs in >= 2 common orders): which parts sit in tightly-knit
+    co-purchase neighborhoods vs merely popular hubs — the per-node
+    refinement of q122's single triangle count, same degree-ordered
+    orientation so the wedge fan-out cap carries over. Top-100 by
+    (lcc DESC, degree DESC, node)."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import graph
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return graph.local_clustering(pairs, k=100)
+
+
+def q271_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus Zipf rank-frequency fit (textops.zipf_fit): OLS of
+    ln(count) on ln(rank) over the top-200 tokens — the one-number
+    corpus-health slope (natural prose ~ -1; boilerplate flattens
+    it). Exact counts, total-order ranks, DECIMAL(28,12)-quantized
+    OLS summands; slope/intercept/r2 assembled on the 1-row frame."""
+    docs = load(spark, sf, "documents")
+    return textops.zipf_fit(docs, top_terms=200)
+
+
+def q272_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak concurrent user-days (windows.max_concurrency): each
+    user's per-day [first event, last event] interval swept (+1/-1
+    boundary deltas, merged per distinct timestamp, two-phase prefix
+    sum) for the top-20 moments with the most simultaneously-active
+    users — the capacity readout of the q112 interval family without
+    its pairwise join. All-integer sweep, deterministic
+    (concurrent DESC, ts) readout."""
+    ev = load(spark, sf, "events")
+    intervals = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("__day")
+    ).agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    return windows.max_concurrency(
+        intervals, start_col="start_ts", end_col="end_ts", k=20
+    )
+
+
+def q273_decayed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially time-decayed heavy hitters (mining.decayed_topk):
+    top-25 users by half-life-decayed event count (halflife = 7 days,
+    staircase decay) — "trending now", in EXACT integer micro-units
+    (each event contributes the BIGINT 1 << (40 - halvings)), so the
+    distributed sum is partition-order-free with NO floating point;
+    the only IEEE step is the display division on the 25 output
+    rows. Reference time is the data's own max ts (1-row broadcast,
+    allowlisted BNL)."""
+    ev = load(spark, sf, "events")
+    return mining.decayed_topk(
+        ev, key_col="user_id", ts_col="ts", halflife_days=7, k=25
+    )
+
+
+def q274_weighted_reservoir(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement, 5 orders per
+    order-priority ∝ o_totalprice (mining.weighted_reservoir_sample,
+    Efraimidis-Spirakis A-ES): key = -ln(u)/w with u derived from
+    md5(orderkey | seed) — engine-stable randomness, so the oracle
+    reproduces the IDENTICAL sample; ranking via the salted two-phase
+    grouped top-k (q111), never a per-group single task."""
+    o = load(spark, sf, "orders")
+    return mining.weighted_reservoir_sample(
+        o,
+        group_cols=["o_orderpriority"],
+        id_col="o_orderkey",
+        weight_col="o_totalprice",
+        k=5,
+        seed=42,
+    )
+
+
+def q275_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the rest of the
+    corpus (textops.js_source_divergence, Lin 1991): the bounded
+    symmetric drift readout of "which ingest source looks least like
+    the others", over the global-count>=5 vocabulary with the
+    sparse-frame closed form (absent terms contribute 0.5·q·ln2 in
+    aggregate — the #sources x #vocab grid never materializes).
+    DECIMAL(28,12)-quantized summands (q158 rule)."""
+    docs = load(spark, sf, "documents")
+    return textops.js_source_divergence(
+        docs, source_col="source", text_col="text", min_count=5
+    )
+
+
+def q276_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash sketch calibration audit (dedup.minhash_calibration):
+    est-vs-exact Jaccard per signature-agreement level over ALL LSH
+    candidate pairs (threshold 0) — "what does est = 12/16 mean on
+    THIS corpus", the q201/q221 recall-audit pattern applied to the
+    q55 minhash. Exact Jaccard via in-row distinct-shingle set ops,
+    candidate-bounded; per-level means decimal-quantized."""
+    docs = load(spark, sf, "documents")
+    return dedup.minhash_calibration(
+        docs, text_col="text", id_col="doc_id", n=3, k=16, bands=4, seed=42
+    )
+
+
+def q277_streaming_cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING CDC upsert (stream.cdc_upsert_stream): a versioned
+    I/U/D change stream derived from orders, delivered in
+    micro-batches with duplicates and out-of-order versions, folded
+    per batch into a latest-version-wins store (struct-max on
+    version — idempotent + commutative, so redelivery and batch
+    splits converge; tombstones retained in-store, dropped at
+    readout). The oracle is the BATCH latest-per-key apply — the
+    q104/q200/q264 batch-fixpoint contract for a MUTABLE keyed
+    table. Readout: per-status key count + dsum of applied totals."""
+    work = f"/tmp/sparkgraft_q277_{os.path.basename(sf.rstrip('/'))}_{uuid.uuid4().hex[:8]}"
+    applied = stream.cdc_upsert_stream(spark, sf, work, n_arrival_files=4)
+    return (
+        applied.groupBy(F.col("status").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            agg.dsum("totalprice").alias("sum_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q278_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum (evaluation.mann_whitney_u)
+    of l_quantity between returned ('R') and fulfilled ('N') line
+    items — the nonparametric complement to q256's Welch t, with
+    exact doubled-unit midranks over the pooled distinct values
+    (two-phase prefix sum, q228/q262 machinery), DECIMAL(38,0) rank
+    sums, and the tie-corrected normal z assembled on the 1-row
+    frame."""
+    li = load(spark, sf, "lineitem").where(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    return evaluation.mann_whitney_u(
+        li.withColumn("__is_a", F.col("l_returnflag") == "R"),
+        value_col="l_quantity",
+        sample_col="__is_a",
+    )
+
+
 # Driver-slot rotation (round 7): the correctness driver hard-checks
 # the FIRST 50 registry entries only; rotation is BY EVIDENCE AGE
 # (the round-5 verdict's standing rule).  Evidence ages entering
@@ -6012,7 +6167,7 @@ _R8_DEFERRED_HEAD = {195, 196, 197}
 # Queries registered in round 8, after this head filled: full oracles
 # + local check_oracle evidence at three SFs now; first driver rows
 # scheduled by the rotation test's feasibility arithmetic.
-_R8_DEFERRED_NEW: set[int] = {269}
+_R8_DEFERRED_NEW: set[int] = {269, 270, 271, 272, 273, 274, 275, 276, 277, 278}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6312,6 +6467,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q267_stationary_markov": q267_stationary_markov,
         "q268_term_burstiness": q268_term_burstiness,
         "q269_mutual_nn_rule": q269_mutual_nn_rule,
+        "q270_local_clustering": q270_local_clustering,
+        "q271_zipf_fit": q271_zipf_fit,
+        "q272_max_concurrency": q272_max_concurrency,
+        "q273_decayed_topk": q273_decayed_topk,
+        "q274_weighted_reservoir": q274_weighted_reservoir,
+        "q275_js_divergence": q275_js_divergence,
+        "q276_minhash_calibration": q276_minhash_calibration,
+        "q277_streaming_cdc_upsert": q277_streaming_cdc_upsert,
+        "q278_mann_whitney": q278_mann_whitney,
     }
 
 
@@ -12845,5 +13009,293 @@ SELECT e1.a AS vec_id_a, e1.best AS vec_id_b, e1.cos AS cos
 FROM edges e1 JOIN edges e2 ON e2.a = e1.best AND e2.best = e1.a
 WHERE e1.a < e1.best
 ORDER BY vec_id_a
+"""
+    # q270: the q122 co-purchase graph replayed to PER-NODE triangle
+    # counts — each triangle materializes once via the degree-ordered
+    # orientation, then explodes to its three members.
+    oracles["q270_local_clustering"] = """
+WITH e0 AS (
+  SELECT a.l_partkey AS s, b.l_partkey AS t
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+e AS (
+  SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b FROM e0 WHERE s <> t
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+  ) GROUP BY v
+),
+o AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS w
+  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+),
+wed AS (
+  SELECT w1.u AS u, w1.w AS x, w2.w AS y
+  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.w < w2.w
+),
+tri AS (
+  SELECT u, x, y FROM wed JOIN e ON wed.x = e.a AND wed.y = e.b
+),
+pn AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+    SELECT u AS v FROM tri UNION ALL SELECT x AS v FROM tri
+    UNION ALL SELECT y AS v FROM tri
+  ) GROUP BY v
+)
+SELECT d.v AS node, d.deg AS degree,
+       CAST(COALESCE(pn.tri, 0) AS BIGINT) AS triangles,
+       ROUND((2.0 * CAST(COALESCE(pn.tri, 0) AS DOUBLE))
+             / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)), 6) AS lcc
+FROM deg d LEFT JOIN pn ON d.v = pn.v
+WHERE d.deg >= 2
+ORDER BY lcc DESC, degree DESC, node ASC
+LIMIT 100
+"""
+    # q271: total-order top-200 ranks; OLS summands quantized to
+    # DECIMAL(28,12) before the sums (q158 rule); identical
+    # parenthesization in the 1-row assembly.
+    oracles["q271_zipf_fit"] = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array({_NORM_TEXT}, ' ')) AS t FROM documents
+),
+c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks WHERE t <> '' GROUP BY t),
+top AS (SELECT t, c FROM c ORDER BY c DESC, t ASC LIMIT 200),
+r AS (SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS r FROM top),
+pt AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM r),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS DECIMAL(28,12))) AS sx,
+         SUM(CAST(y AS DECIMAL(28,12))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx,
+         SUM(CAST(x * y AS DECIMAL(28,12))) AS sxy,
+         SUM(CAST(y * y AS DECIMAL(28,12))) AS syy
+  FROM pt
+)
+SELECT n AS n_terms,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+  ROUND((CAST(sy AS DOUBLE)
+         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+  ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM s
+"""
+    # q272: the sweep line as a single-window running sum (the engine
+    # runs the two-phase form; exact integers make them bit-equal).
+    oracles["q272_max_concurrency"] = """
+WITH iv AS (
+  SELECT user_id, date_trunc('day', ts) AS d, MIN(ts) AS s, MAX(ts) AS e
+  FROM events GROUP BY 1, 2
+),
+deltas AS (
+  SELECT s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT e + INTERVAL 1 MICROSECOND AS t, -1 AS d FROM iv
+),
+per AS (SELECT t, CAST(SUM(d) AS BIGINT) AS d FROM deltas GROUP BY t),
+cum AS (
+  SELECT t, CAST(SUM(d) OVER (ORDER BY t ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+  FROM per
+)
+SELECT t AS peak_ts, conc AS concurrent
+FROM cum ORDER BY concurrent DESC, peak_ts ASC LIMIT 20
+"""
+    # q273: exact power-of-two micro-units (1 << (40 - halvings)) —
+    # zero floating point before the 25 display divisions.
+    oracles["q273_decayed_topk"] = """
+WITH ref AS (SELECT MAX(ts) AS mref FROM events),
+b AS (
+  SELECT user_id AS k, ts,
+         LEAST((epoch_us(mref) - epoch_us(ts)) // 604800000000,
+               CAST(40 AS BIGINT)) AS h
+  FROM events CROSS JOIN ref
+),
+u AS (
+  SELECT k, ts, CAST(1::BIGINT << CAST(40 - h AS INT) AS BIGINT) AS u FROM b
+),
+a AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(u AS DECIMAL(38,0))) AS units, MAX(ts) AS last_seen
+  FROM u GROUP BY k
+)
+SELECT k AS key, n_events,
+       ROUND(CAST(units AS DOUBLE) / 1099511627776.0, 6) AS score, last_seen
+FROM a ORDER BY score DESC, key ASC LIMIT 25
+"""
+    # q274: the A-ES key replayed from the same md5-derived uniform —
+    # identical sample on any engine; plain per-group ROW_NUMBER
+    # proves the salted two-phase rank selects the same rows (q111).
+    _aes_u = (
+        "((" + _MD5_INT60.format(col="CAST(o_orderkey AS VARCHAR) || '|42'")
+        + ") + 1)::DOUBLE / 1152921504606846976.0"
+    )
+    oracles["q274_weighted_reservoir"] = f"""
+WITH keyed AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         -ln({_aes_u}) / CAST(o_totalprice AS DOUBLE) AS k
+  FROM orders WHERE o_totalprice > 0
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_orderpriority ORDER BY k ASC, o_orderkey ASC) AS draw_rank
+  FROM keyed
+)
+SELECT o_orderpriority, CAST(draw_rank AS INT) AS draw_rank, o_orderkey,
+       o_totalprice, ROUND(k, 9) AS aes_key
+FROM r WHERE draw_rank <= 5
+ORDER BY o_orderpriority, draw_rank
+"""
+    # q275: sparse closed form — absent-term mass via
+    # 0.5·ln2·(1 − Σ_present q); summands DECIMAL(28,12)-quantized.
+    oracles["q275_js_divergence"] = f"""
+WITH toks AS (
+  SELECT source AS s, unnest(regexp_split_to_array({_NORM_TEXT}, ' ')) AS t
+  FROM documents
+),
+st AS (
+  SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c FROM toks WHERE t <> '' GROUP BY s, t
+),
+g AS (
+  SELECT t, CAST(SUM(c) AS BIGINT) AS g FROM st GROUP BY t HAVING SUM(c) >= 5
+),
+sv AS (SELECT st.s, st.t, st.c, g.g FROM st JOIN g USING (t)),
+tv AS (SELECT CAST(SUM(g) AS BIGINT) AS tv FROM g),
+ts_ AS (
+  SELECT s, CAST(SUM(c) AS BIGINT) AS ts, CAST(COUNT(*) AS BIGINT) AS terms_present
+  FROM sv GROUP BY s
+),
+base AS (
+  SELECT sv.s, sv.c, sv.g, ts_.ts, ts_.terms_present, tv.tv,
+         CAST(sv.c AS DOUBLE) / CAST(ts_.ts AS DOUBLE) AS p,
+         (sv.g - sv.c) AS r,
+         (tv.tv - ts_.ts) AS tr
+  FROM sv JOIN ts_ USING (s) CROSS JOIN tv
+),
+rows_ AS (
+  SELECT s, ts, tv, terms_present,
+    CASE WHEN r > 0 THEN
+      0.5 * (p * ln((2.0 * p) / (p + (CAST(r AS DOUBLE) / CAST(tr AS DOUBLE))))
+             + (CAST(r AS DOUBLE) / CAST(tr AS DOUBLE))
+               * ln((2.0 * (CAST(r AS DOUBLE) / CAST(tr AS DOUBLE)))
+                    / (p + (CAST(r AS DOUBLE) / CAST(tr AS DOUBLE)))))
+    ELSE 0.5 * p * ln(2.0) END AS contrib,
+    CASE WHEN r > 0 THEN CAST(r AS DOUBLE) / CAST(tr AS DOUBLE) ELSE 0.0 END AS q
+  FROM base
+),
+per AS (
+  SELECT s, ts, tv, terms_present,
+         SUM(CAST(contrib AS DECIMAL(28,12))) AS jsp,
+         SUM(CAST(q AS DECIMAL(28,12))) AS qpres
+  FROM rows_ GROUP BY s, ts, tv, terms_present
+)
+SELECT s AS source, terms_present,
+       ROUND(CASE WHEN tv > ts THEN
+         CAST(jsp AS DOUBLE) + 0.5 * ln(2.0) * (1.0 - CAST(qpres AS DOUBLE))
+       END, 6) AS js
+FROM per ORDER BY source
+"""
+    # q276: the q55 minhash CTE chain at threshold 0 (all banded
+    # candidates) + exact Jaccard from the DISTINCT shingle lists.
+    oracles["q276_minhash_calibration"] = f"""
+WITH {_minhash_ctes(16, 4, 42, 0.0)},
+ds AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
+ex AS (
+  SELECT p.est_jaccard,
+         CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS inter,
+         CAST(len(a.shs) AS BIGINT) + CAST(len(b.shs) AS BIGINT)
+           - CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS uni
+  FROM mh_pairs p
+  JOIN ds a ON a.doc_id = p.id_a
+  JOIN ds b ON b.doc_id = p.id_b
+),
+per AS (
+  SELECT CAST(ROUND(est_jaccard * 16) AS INT) AS eq_components, est_jaccard,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS DECIMAL(28,12))) AS sx,
+         SUM(CAST(ABS(est_jaccard - CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE))
+                  AS DECIMAL(28,12))) AS sa
+  FROM ex GROUP BY 1, 2
+)
+SELECT eq_components, est_jaccard, n_pairs,
+       ROUND(CAST(sx AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS mean_exact,
+       ROUND(CAST(sa AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS mean_abs_err
+FROM per ORDER BY eq_components DESC
+"""
+    # q277: the BATCH latest-version-per-key apply — the streaming
+    # store must converge to exactly this (batch-fixpoint contract).
+    oracles["q277_streaming_cdc_upsert"] = """
+WITH ch AS (
+  SELECT o_orderkey AS k, 1 AS v, 'I' AS op, o_orderstatus AS st,
+         o_totalprice AS tot FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', o_orderstatus, o_totalprice + 1.0
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+latest AS (
+  SELECT k, v, op, st, tot FROM ch
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1
+)
+SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CAST(tot AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+FROM latest WHERE op <> 'D' GROUP BY st ORDER BY st
+"""
+    # q278: doubled-unit midranks keep every rank sum an exact
+    # integer; the engine's two-phase prefix sum is bit-equal to this
+    # single-window form (exact ints).
+    oracles["q278_mann_whitney"] = """
+WITH v AS (
+  SELECT l_quantity AS val, (l_returnflag = 'R') AS a
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') AND l_quantity IS NOT NULL
+),
+g AS (
+  SELECT val,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM v GROUP BY val
+),
+c AS (
+  SELECT ca, cb, ca + cb AS t,
+         CAST(COALESCE(SUM(ca + cb) OVER (ORDER BY val ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS below
+  FROM g
+),
+s AS (
+  SELECT SUM(CAST(ca AS DECIMAL(38,0))) AS na,
+         SUM(CAST(cb AS DECIMAL(38,0))) AS nb,
+         SUM(CAST(ca * (2 * below + t + 1) AS DECIMAL(38,0))) AS r2a,
+         SUM(CAST(t * t * t - t AS DECIMAL(38,0))) AS ties
+  FROM c
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  ROUND((CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)) / 2.0, 6) AS u_a,
+  ROUND(CASE WHEN (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+                  * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                     - CAST(ties AS DOUBLE)
+                       / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                          * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0))) > 0
+  THEN (((CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)) / 2.0)
+        - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+       / sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+              * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                 - CAST(ties AS DOUBLE)
+                   / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                      * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0))))
+  END, 6) AS z
+FROM s
 """
     return oracles

@@ -226,6 +226,15 @@ HEADLINE = [
     "q267_stationary_markov",
     "q268_term_burstiness",
     "q269_mutual_nn_rule",
+    "q270_local_clustering",
+    "q271_zipf_fit",
+    "q272_max_concurrency",
+    "q273_decayed_topk",
+    "q274_weighted_reservoir",
+    "q275_js_divergence",
+    "q276_minhash_calibration",
+    "q277_streaming_cdc_upsert",
+    "q278_mann_whitney",
 ]
 
 # Registered queries deliberately NOT in HEADLINE, each with its

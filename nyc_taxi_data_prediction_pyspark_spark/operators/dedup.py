@@ -1100,3 +1100,91 @@ def ngram_novelty(
         )
         .orderBy(id_col)
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Sketch-error audit: for every LSH candidate pair, compare the
+    MinHash signature-agreement ESTIMATE against the EXACT Jaccard of
+    the two shingle sets, rolled up per agreement level — the
+    calibration table that answers "what does est = 12/16 actually
+    mean on THIS corpus" before anyone picks a dedup threshold (the
+    SQ8/Matryoshka recall-audit pattern, q201/q221, applied to the
+    minhash sketch).
+
+    Candidates come from ``minhash_native_pairs`` at threshold 0 (all
+    banded collisions — the population a threshold would be applied
+    to); exact Jaccard is computed ONLY for those pairs via in-row
+    set ops on the two docs' DISTINCT shingle arrays (|A∩B| /
+    (|A|+|B|−|A∩B|)) — bounded by candidate volume × doc length,
+    never corpus-quadratic.
+
+    Determinism: est is an exact multiple of 1/k; per-pair exact
+    Jaccard is one IEEE division; per-level means are DECIMAL(28,12)
+    sums over those divided by exact counts (the q158 rule).
+    Returns (eq_components, est_jaccard, n_pairs, mean_exact,
+    mean_abs_err) ordered by eq_components DESC."""
+    cands = minhash_native_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        k=k,
+        bands=bands,
+        jaccard_threshold=0.0,
+        seed=seed,
+    )
+    dsets = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingle_array(text_col, n, hashed=False)).alias("__sh"),
+    ).where(F.size("__sh") > 0)
+    j = (
+        cands.join(
+            dsets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            dsets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("bigint")
+    uni = (
+        F.size("__sa").cast("bigint") + F.size("__sb").cast("bigint") - inter
+    )
+    exact = inter.cast("double") / uni.cast("double")
+    lvl = F.round(F.col("est_jaccard") * k).cast("int")
+    dec = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    per = (
+        j.select(
+            lvl.alias("eq_components"),
+            F.col("est_jaccard"),
+            dec(exact).alias("__ex"),
+            dec(F.abs(F.col("est_jaccard") - exact)).alias("__ae"),
+        )
+        .groupBy("eq_components", "est_jaccard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("__ex").alias("__sx"),
+            F.sum("__ae").alias("__sa"),
+        )
+    )
+    return per.select(
+        "eq_components",
+        "est_jaccard",
+        "n_pairs",
+        F.round(
+            F.col("__sx").cast("double") / F.col("n_pairs").cast("double"), 6
+        ).alias("mean_exact"),
+        F.round(
+            F.col("__sa").cast("double") / F.col("n_pairs").cast("double"), 6
+        ).alias("mean_abs_err"),
+    ).orderBy(F.col("eq_components").desc())

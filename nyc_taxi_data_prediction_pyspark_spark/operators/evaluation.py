@@ -955,3 +955,80 @@ def runs_test(
             "z_stat"
         ),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    *,
+    value_col: str,
+    sample_col: str,
+    two_phase: bool = True,
+) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between the two
+    samples named by boolean ``sample_col`` (True = sample A), with
+    midrank tie handling and the tie-corrected normal approximation —
+    the NONPARAMETRIC complement to q256's Welch t: "are A's values
+    stochastically larger?" with no distributional assumption, the
+    robust A/B readout when value distributions are skewed or
+    heavy-tailed (latency, spend).
+
+    Exactness: ranks live in DOUBLED units so midranks stay integral —
+    2·midrank(v) = 2·cum_below(v) + t(v) + 1 over the pooled distinct
+    values (t(v) = pooled count at v, cum_below = strictly-below
+    pooled count from the exclusive two-phase prefix sum).  The rank
+    sum, U, and the tie term Σ(t³−t) are then exact DECIMAL(38,0)
+    sums of BIGINT rows; the only IEEE steps are the final mean/
+    variance/z assembly on the ONE-row frame:
+
+        U_A = R_A − n_a(n_a+1)/2
+        E[U] = n_a·n_b/2
+        Var  = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1)))
+        z    = (U_A − E[U]) / sqrt(Var)      (NULL when Var = 0)
+
+    Scale: one distinct-value aggregation (value-cardinality frame),
+    one two-phase prefix sum, one metadata reduce — the q228/q262
+    budget; never a data-sized global sort."""
+    a = F.col(sample_col).cast("boolean")
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(
+            F.sum(a.cast("bigint")).cast("bigint").alias("__a"),
+            F.sum((~a).cast("bigint")).cast("bigint").alias("__b"),
+        )
+        .withColumn("__t", (F.col("__a") + F.col("__b")).cast("bigint"))
+    )
+    c = grouped_cumsum_two_phase(
+        g, [], [value_col], ["__t"], exclusive=True, two_phase=two_phase
+    )
+    dec0 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = c.agg(
+        F.sum(dec0(F.col("__a"))).alias("na"),
+        F.sum(dec0(F.col("__b"))).alias("nb"),
+        # R_A in doubled units: Σ n_a(v)·(2·cum_below + t + 1)
+        F.sum(
+            dec0(
+                F.col("__a")
+                * (F.lit(2) * F.col("__cum___t") + F.col("__t") + F.lit(1))
+            )
+        ).alias("r2a"),
+        F.sum(
+            dec0(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+        ).alias("ties"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    n = na + nb
+    u_a = (F.col("r2a").cast("double") - na * (na + F.lit(1.0))) / F.lit(2.0)
+    mean_u = na * nb / F.lit(2.0)
+    var_u = (na * nb / F.lit(12.0)) * (
+        (n + F.lit(1.0)) - F.col("ties").cast("double") / (n * (n - F.lit(1.0)))
+    )
+    return s.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(
+            F.when(var_u > 0, (u_a - mean_u) / F.sqrt(var_u)), 6
+        ).alias("z"),
+    )

@@ -1010,3 +1010,129 @@ def stationary_distribution(
     return pi.crossJoin(F.broadcast(delta)).select(
         "state", F.round(F.col("pi"), 9).alias("pi"), "l1_delta"
     )
+
+
+def decayed_topk(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    halflife_days: int = 7,
+    k: int = 25,
+    max_halvings: int = 40,
+) -> DataFrame:
+    """Exponentially time-decayed heavy hitters in EXACT integer
+    arithmetic: each event contributes weight 2^-h where h =
+    (age_in_days div halflife_days) — a staircase half-life decay
+    (one halving per elapsed half-life) that keeps every weight an
+    exact power of two, so the distributed sum needs NO floating
+    point at all: a row's contribution is the BIGINT
+    1 << (max_halvings - h) "micro-units" (2^-max_halvings of an
+    event), summed as DECIMAL(38,0).  The trending-now readout whose
+    continuous-decay analogue (exp(-λ·age)) would be partition-order
+    IEEE roulette — this formulation is bit-exact on any engine at
+    any parallelism.
+
+    The reference timestamp is data-derived (max ts — one 1-row
+    broadcast, never driver wall-clock), so results are reproducible.
+    Events older than ``max_halvings`` half-lives contribute 0 (below
+    resolution; documented cutoff, not drift).
+
+    Scale: one narrow projection + one map-side-combinable agg +
+    TakeOrdered(k).  Returns (key, n_events, score, last_seen) where
+    score = units / 2^max_halvings rounded to 6 — one IEEE division
+    per OUTPUT row."""
+    ref = df.agg(F.max(ts_col).alias("__ref"))
+    h = F.expr(
+        f"least((unix_micros(__ref) - unix_micros(__ts)) div {86_400_000_000 * int(halflife_days)}, "
+        f"cast({int(max_halvings)} as bigint))"
+    )
+    # shiftleft needs a COLUMN shift amount — expr form (the DataFrame
+    # API's shiftLeft only takes a literal numBits)
+    units = F.expr(
+        f"shiftleft(cast(1 as bigint), cast({int(max_halvings)} - __h as int))"
+    )
+    base = (
+        df.select(F.col(key_col).alias("__k"), F.col(ts_col).alias("__ts"))
+        .crossJoin(F.broadcast(ref))
+        .withColumn("__h", h)
+        .select("__k", "__ts", units.alias("__u"))
+    )
+    agg = base.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("__u").cast("decimal(38,0)")).alias("__units"),
+        F.max("__ts").alias("last_seen"),
+    )
+    return (
+        agg.select(
+            F.col("__k").alias("key"),
+            "n_events",
+            F.round(
+                F.col("__units").cast("double") / F.lit(float(1 << max_halvings)), 6
+            ).alias("score"),
+            "last_seen",
+        )
+        .orderBy(F.col("score").desc(), F.col("key").asc())
+        .limit(k)
+    )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group, via the
+    Efraimidis–Spirakis exponential-clocks formulation (A-ES, IPL
+    2006): draw key(i) = −ln(u_i)/w_i and keep each group's k
+    SMALLEST keys — exactly the distribution of sequential weighted
+    draws without replacement (the min of exponential clocks with
+    rate w is the first arrival).  The training-data primitive behind
+    "sample k docs per source ∝ quality weight".
+
+    Engine-stable randomness: u_i = (md5_int60(id ⊕ seed) + 1)/2^60 ∈
+    (0, 1] — content-derived, no RNG state, so any engine (and the
+    DuckDB oracle) reproduces the identical sample; key(i) is ONE
+    fixed-parenthesization IEEE expression from that exact integer
+    (the ln/division precedent of q186/q158).  Rows with w <= 0 are
+    excluded (they have probability 0; −ln(u)/w would flip sign).
+
+    Scale: a narrow projection + ``grouped_top_k`` — the salted
+    two-phase per-group rank, so a hot group spreads over 64 tasks;
+    never a global sort.  Returns (group_cols..., draw_rank, id,
+    weight, aes_key round 9) ordered by (group, draw_rank)."""
+    from ..functions.hashing import md5_int60
+    from .topk import grouped_top_k
+
+    u = (
+        md5_int60(F.concat(F.col(id_col).cast("string"), F.lit(f"|{int(seed)}")))
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    base = (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            *[F.col(c) for c in group_cols],
+            F.col(id_col),
+            F.col(weight_col),
+            (-F.log(u) / w).alias("__key"),
+        )
+    )
+    ranked = grouped_top_k(
+        base,
+        list(group_cols),
+        k,
+        [F.col("__key").asc(), F.col(id_col).asc()],
+        out_col="draw_rank",
+    )
+    return ranked.select(
+        *[F.col(c) for c in group_cols],
+        F.col("draw_rank"),
+        F.col(id_col),
+        F.col(weight_col),
+        F.round(F.col("__key"), 9).alias("aes_key"),
+    ).orderBy(*group_cols, "draw_rank")

@@ -1700,3 +1700,150 @@ def term_burstiness(
         .orderBy(F.col("vmr").desc(), F.col("term").asc())
         .limit(top_terms)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top_terms: int = 200,
+) -> DataFrame:
+    """Zipf rank-frequency fit (Zipf 1949): OLS of ln(count) on
+    ln(rank) over the corpus's ``top_terms`` most frequent tokens —
+    the one-number corpus-health readout (natural prose slopes ~ -1;
+    template/boilerplate-heavy or synthetic corpora flatten or
+    steepen it) that sits next to q158's entropy and q268's
+    burstiness in a quality dashboard.
+
+    Determinism: counts are exact BIGINTs; the top-``top_terms``
+    selection and ranks are (count DESC, term ASC) — total order, no
+    ties left to the engine.  ln() of identical doubles agrees
+    bit-for-bit across engines (the q158/q186 precedent); each OLS
+    summand is quantized to DECIMAL(28,12) BEFORE the sum (the
+    grouped_moments rule), making the five power sums exact and
+    partition-order-free; slope/intercept/r2 are fixed-
+    parenthesization IEEE expressions over those exact sums.
+
+    Scale: one token explode + one map-side-combinable count, a
+    TakeOrdered(top_terms), then ALL window/fit work happens on the
+    ``top_terms``-row metadata frame.  Returns ONE row
+    (n_terms, slope, intercept, r2)."""
+    toks = df.select(
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__t")
+    ).where(F.col("__t") != "")
+    counts = toks.groupBy("__t").agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    top = counts.orderBy(F.col("__c").desc(), F.col("__t").asc()).limit(top_terms)
+    ranked = top.withColumn(
+        "__r",
+        F.row_number().over(W.orderBy(F.col("__c").desc(), F.col("__t").asc())),
+    )
+    dec = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("__c").cast("double"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x * x)).alias("sxx"),
+        F.sum(dec(x * y)).alias("sxy"),
+        F.sum(dec(y * y)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = nd * sxy - sx * sy
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((sy - (cov / varx) * sx) / nd, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )
+
+
+def js_source_divergence(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-source Jensen–Shannon divergence (Lin 1991) between each
+    source's unigram distribution and the REST of the corpus — the
+    symmetric, bounded ([0, ln 2]) drift readout of "which ingest
+    source looks least like everything else", sitting next to q224's
+    PSI (binned, ordered features) for open-vocabulary text.
+
+    Vocabulary = terms with global count >= ``min_count`` (the df>=5
+    convention of q268); both distributions are renormalized over
+    that vocabulary, so p and q are true distributions and the JS
+    identity Σ_t q_t = 1 holds exactly.
+
+    SPARSITY CLOSED FORM — the key to never densifying: a term absent
+    from source s (p=0, q>0) contributes 0.5·q·ln 2, so the sum over
+    ALL such terms is 0.5·ln 2·(1 − Σ_{present} q_t) — computable
+    from the PRESENT (source, term) frame alone.  Terms present only
+    in s (q=0) contribute 0.5·p·ln 2 (handled per row).  The full
+    #sources × #vocab grid never exists.
+
+    Determinism: counts and totals are exact BIGINTs; each per-row
+    contribution and q_t is ONE fixed-parenthesization IEEE
+    expression quantized to DECIMAL(28,12) BEFORE the per-source sum
+    (the q158 rule); the assembly on the #sources frame is fixed
+    parenthesization.  Returns (source, terms_present, js) round 6,
+    ordered by source."""
+    toks = df.select(
+        F.col(source_col).alias("__s"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__t"),
+    ).where(F.col("__t") != "")
+    st = toks.groupBy("__s", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    g = (
+        st.groupBy("__t")
+        .agg(F.sum("__c").cast("bigint").alias("__g"))
+        .where(F.col("__g") >= min_count)
+    )
+    sv = st.join(g, "__t")
+    tv = g.agg(F.sum("__g").cast("bigint").alias("__tv"))
+    ts = sv.groupBy("__s").agg(
+        F.sum("__c").cast("bigint").alias("__ts"),
+        F.count(F.lit(1)).cast("bigint").alias("terms_present"),
+    )
+    dec = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    ln2 = F.log(F.lit(2.0))
+    base = sv.join(ts, "__s").crossJoin(F.broadcast(tv))
+    p = F.col("__c").cast("double") / F.col("__ts").cast("double")
+    r = (F.col("__g") - F.col("__c")).cast("bigint")
+    tr = (F.col("__tv") - F.col("__ts")).cast("bigint")
+    q = r.cast("double") / tr.cast("double")
+    contrib = F.when(
+        r > 0,
+        F.lit(0.5)
+        * (
+            p * F.log(F.lit(2.0) * p / (p + q))
+            + q * F.log(F.lit(2.0) * q / (p + q))
+        ),
+    ).otherwise(F.lit(0.5) * p * ln2)
+    per_src = base.groupBy("__s", "__ts", "__tv", "terms_present").agg(
+        F.sum(dec(contrib)).alias("__js_present"),
+        F.sum(dec(F.when(r > 0, q).otherwise(F.lit(0.0)))).alias("__qpres"),
+    )
+    js = (
+        F.col("__js_present").cast("double")
+        + F.lit(0.5) * ln2 * (F.lit(1.0) - F.col("__qpres").cast("double"))
+    )
+    return (
+        per_src.select(
+            F.col("__s").alias("source"),
+            "terms_present",
+            F.round(
+                F.when(F.col("__tv") > F.col("__ts"), js), 6
+            ).alias("js"),
+        )
+        .orderBy("source")
+    )

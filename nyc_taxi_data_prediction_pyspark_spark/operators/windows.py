@@ -1258,3 +1258,46 @@ def ordered_funnel(
         )
         cur = cur.join(nxt, "__u", "left")
     return cur.withColumnRenamed("__u", user_col)
+
+
+def max_concurrency(
+    intervals: DataFrame,
+    *,
+    start_col: str,
+    end_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Peak-concurrency sweep line: the top-``k`` moments where the
+    most intervals [start, end] (inclusive) overlap — max concurrent
+    sessions/connections/jobs, the capacity-planning readout of an
+    interval table.
+
+    Classic sweep: +1 at start, -1 at end + 1µs, running sum in time
+    order; the concurrency level at a boundary is the prefix sum
+    through it.  Deltas are merged per DISTINCT timestamp first
+    (groupBy, map-side combinable), so the running sum is over the
+    distinct-boundary frame and ties carry no engine ambiguity; the
+    prefix sum itself is ``grouped_cumsum_two_phase`` — range
+    exchange + partition-local windows, never a single-task global
+    window.  All-integer arithmetic end to end.
+
+    Returns (peak_ts, concurrent) top-``k`` by (concurrent DESC,
+    peak_ts ASC) — deterministic TakeOrdered readout."""
+    deltas = intervals.select(
+        F.col(start_col).alias("__t"), F.lit(1).alias("__d")
+    ).unionAll(
+        intervals.select(
+            (F.col(end_col) + F.expr("INTERVAL 1 MICROSECOND")).alias("__t"),
+            F.lit(-1).alias("__d"),
+        )
+    )
+    per_ts = deltas.groupBy("__t").agg(F.sum("__d").cast("bigint").alias("__d"))
+    cum = grouped_cumsum_two_phase(per_ts, [], ["__t"], ["__d"])
+    return (
+        cum.select(
+            F.col("__t").alias("peak_ts"),
+            F.col("__cum___d").cast("bigint").alias("concurrent"),
+        )
+        .orderBy(F.col("concurrent").desc(), F.col("peak_ts").asc())
+        .limit(k)
+    )

@@ -1030,3 +1030,114 @@ def funnel_state_fold(rows: DataFrame, *, horizon_us: int) -> DataFrame:
         .select("user_id", "kind", "t")
         .distinct()
     )
+
+
+def cdc_upsert_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    *,
+    n_arrival_files: int = 4,
+) -> DataFrame:
+    """Streaming CDC apply with latest-version-wins upsert semantics:
+    a versioned change stream (INSERT / UPDATE / DELETE per key)
+    arrives in micro-batches with DUPLICATED deliveries and
+    OUT-OF-ORDER versions, and each batch folds into a mutable-table
+    store whose final state equals the batch "latest version per key,
+    tombstones dropped" apply (q125's cdc_apply) no matter how
+    arrivals are split, ordered, or redelivered — the q104/q200/q264
+    batch-fixpoint contract extended from append-only corpora to a
+    MUTABLE keyed table, i.e. the streaming half of a lakehouse MERGE.
+
+    The change stream is derived deterministically from orders (no
+    RNG, oracle-replayable):
+      v1 INSERT  every order;
+      v2 UPDATE  (+1.0 totalprice) where o_orderkey % 3 = 0;
+      v3 DELETE  where o_orderkey % 7 = 0.
+    Every change row is emitted TWICE (at-least-once delivery) and
+    arrival files are split by hash((key·31 + version·17)) so a key's
+    versions land in different micro-batches in arbitrary order.
+
+    Fold per batch: union(previous store, batch) → per-key struct-MAX
+    on (version, ...) — versions are unique per key, so the fold is
+    idempotent AND commutative: redelivery is a no-op, a stale UPDATE
+    arriving after the DELETE loses to it, and any batch split
+    converges to the same store.  One atomic _swap_store per batch.
+    DELETE rows stay in the store as TOMBSTONES (so a late lower
+    version can never resurrect the key) and are dropped only at
+    readout — the standard compaction-deferred CDC design.
+
+    Scale: per batch one union + one map-side-combinable struct-max
+    agg over O(|store| + |batch|); state = one row per live key + one
+    per tombstone.  Returns the applied table (key, version, op,
+    status, totalprice), tombstones filtered."""
+    import os
+    import shutil
+    import uuid
+
+    from ..catalog import load
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)  # deterministic re-runs
+    arrivals = os.path.join(work_dir, "arrivals")
+    store = os.path.join(work_dir, "store")
+    ckpt = os.path.join(work_dir, "ckpt")
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    v1 = o.select(
+        "key", F.lit(1).alias("version"), F.lit("I").alias("op"), "status", "totalprice"
+    )
+    v2 = o.where(F.col("key") % 3 == 0).select(
+        "key",
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+        "status",
+        (F.col("totalprice") + F.lit(1.0)).alias("totalprice"),
+    )
+    v3 = o.where(F.col("key") % 7 == 0).select(
+        "key", F.lit(3).alias("version"), F.lit("D").alias("op"), "status", "totalprice"
+    )
+    changes = v1.unionByName(v2).unionByName(v3)
+    redelivered = changes.unionByName(changes)  # at-least-once duplicates
+    (
+        redelivered.repartition(
+            n_arrival_files, F.col("key") * 31 + F.col("version") * 17
+        )
+        .write.mode("overwrite")
+        .parquet(arrivals)
+    )
+
+    stream = (
+        spark.readStream.schema(redelivered.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+    )
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        rows = batch
+        if os.path.exists(store):
+            rows = batch.sparkSession.read.parquet(store).unionByName(rows)
+        latest = (
+            rows.groupBy("key")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("version").alias("version"),
+                        F.col("op").alias("op"),
+                        F.col("status").alias("status"),
+                        F.col("totalprice").alias("totalprice"),
+                    )
+                ).alias("__m")
+            )
+            .select("key", "__m.version", "__m.op", "__m.status", "__m.totalprice")
+        )
+        tmp = f"{store}_tmp_{uuid.uuid4().hex[:8]}"
+        latest.write.mode("overwrite").parquet(tmp)
+        _swap_store(store, tmp)
+
+    foreach_batch_merge(stream, checkpoint=ckpt, merge_fn=merge)
+    return spark.read.parquet(store).where(F.col("op") != "D")

@@ -56,6 +56,8 @@ BNL_ALLOWED = {
     "q254_k_anonymity": "1-row row-total broadcast onto the class-size histogram (the q100 shape)",
     "q267_stationary_markov": "two 1-row broadcasts (state count for the uniform start; L1 delta onto the #states-row output)",
     "q255_association_rules": "1-row basket-count broadcast onto the rule frame (the q100 shape)",
+    "q273_decayed_topk": "1-row data-derived reference-timestamp broadcast onto the event stream (the q166 shape)",
+    "q275_js_divergence": "1-row vocabulary-total broadcast onto the (source, term) frame (the q164 grand-total shape)",
 }
 
 
