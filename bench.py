@@ -235,6 +235,11 @@ HEADLINE = [
     "q276_minhash_calibration",
     "q277_streaming_cdc_upsert",
     "q278_mann_whitney",
+    "q279_grouped_ks_bh",
+    "q280_bootstrap_ci",
+    "q281_dedup_yield_curve",
+    "q282_fightin_words",
+    "q283_embedding_isotropy",
 ]
 
 # Registered queries deliberately NOT in HEADLINE, each with its

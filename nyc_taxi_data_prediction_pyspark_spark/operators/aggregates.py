@@ -1230,3 +1230,93 @@ def effective_sample_size(
             / F.col("n").cast("double"),
         ).alias("ess_ratio"),
     )
+
+
+# Poisson(1) CDF thresholds for the deterministic multinomial-ish
+# bootstrap (weights 0..5 cover 1 - 6e-4 of the mass; the tail is
+# clamped to 5).  Literal doubles so both engines compare against
+# bit-identical constants.
+POISSON1_CDF = (
+    0.36787944117144233,  # P(X <= 0)
+    0.7357588823428847,   # P(X <= 1)
+    0.9196986029286058,   # P(X <= 2)
+    0.9810118431238462,   # P(X <= 3)
+    0.9963401531726563,   # P(X <= 4)
+)
+
+
+def grouped_bootstrap_ci(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    id_col: str,
+    value_col: str,
+    n_resamples: int = 32,
+    seed: int = 42,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the MEAN with
+    DETERMINISTIC, engine-stable resampling — the Poisson bootstrap
+    (each row enters resample b with weight ~ Poisson(1), the
+    standard distributed approximation of multinomial resampling,
+    cf. Chamandy et al., Google 2012): weight_b(row) is derived from
+    md5(id) pushed through the b-th universal-hash permutation
+    (hashing.minhash_params — the q55 machinery reused as a counter-
+    based RNG), compared against baked Poisson(1) CDF literals.  No
+    RNG state, no shuffle of randomness — ANY engine reproduces the
+    identical resample, which is what makes the CI oracle-checkable.
+
+    ALL ``n_resamples`` resample sums run in ONE map-side-combinable
+    aggregation (2·B conditional sums per group: Σw and Σw·v with v
+    DECIMAL-quantized, the dsum rule); the per-group sort of B means
+    happens IN-ROW on a B-length array (array_sort on the #groups
+    frame).  ci = the empirical 1/16 and 15/16 quantiles of the B
+    means (ranks 2 and 31 at B=32).
+
+    Returns (group_cols..., n, mean, ci_lo, ci_hi) round 6."""
+    from ..functions.hashing import MERSENNE_P, md5_int60, minhash_params
+
+    params = minhash_params(n_resamples, seed)
+    h = (md5_int60(F.col(id_col).cast("string")) % F.lit(MERSENNE_P)).alias("__h")
+    v = F.col(value_col).cast(f"decimal(18,{scale})")
+    base = df.select(
+        *[F.col(c) for c in group_cols], h, v.alias("__v")
+    )
+
+    def w_b(a: int, b: int):
+        u = ((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).cast(
+            "double"
+        ) / F.lit(float(MERSENNE_P))
+        w = F.lit(5)
+        for i in range(len(POISSON1_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(POISSON1_CDF[i]), F.lit(i)).otherwise(w)
+        return w
+
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__v").alias("__sv"),
+    ]
+    for j, (a, b) in enumerate(params):
+        w = w_b(a, b)
+        aggs.append(F.sum(w.cast("bigint")).cast("bigint").alias(f"__n{j}"))
+        aggs.append(F.sum(F.col("__v") * w.cast("int")).alias(f"__s{j}"))
+    per = base.groupBy(*group_cols).agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.col(f"__s{j}").cast("double") / F.col(f"__n{j}").cast("double")
+                for j in range(n_resamples)
+            ]
+        )
+    )
+    lo_idx = max(1, round(n_resamples / 16))  # 2 at B=32
+    hi_idx = n_resamples - lo_idx + 1  # 31 at B=32
+    return per.select(
+        *[F.col(c) for c in group_cols],
+        "n",
+        F.round(F.col("__sv").cast("double") / F.col("n").cast("double"), 6).alias(
+            "mean"
+        ),
+        F.round(F.element_at(means, lo_idx), 6).alias("ci_lo"),
+        F.round(F.element_at(means, hi_idx), 6).alias("ci_hi"),
+    ).orderBy(*group_cols)

@@ -22,7 +22,7 @@ constant-factor banding at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .text import normalize_text
 
@@ -1187,4 +1187,81 @@ def minhash_calibration(
         F.round(
             F.col("__sa").cast("double") / F.col("n_pairs").cast("double"), 6
         ).alias("mean_abs_err"),
+    ).orderBy(F.col("eq_components").desc())
+
+
+def dedup_yield_curve(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Dedup-policy yield curve: for every candidate signature-
+    agreement level t (pairs from the q55 banded minhash at threshold
+    0), how many candidate pairs and how many distinct documents
+    would a dedup run at threshold t/k touch — the "what does each
+    threshold cost me in corpus mass" readout a data-curation team
+    reads BEFORE committing to a cutoff (thresholds are usually
+    chosen by folklore; this prices them on the actual corpus).
+
+    pairs_ge(t) = # candidate pairs with est >= t/k (suffix-cumulated
+    over the <= k+1-row level histogram); docs_ge(t) = # distinct
+    docs whose BEST candidate est is >= t/k (per-doc max folded the
+    same way) — i.e. the upper bound on documents a keep-one pass at
+    that threshold could remove or rewrite.
+
+    Scale: one candidate sweep (the q55/q276 budget) + two
+    metadata-frame suffix sums.  Exact integers throughout.  Returns
+    (eq_components, est_jaccard, pairs_ge, docs_ge) for t = k..1,
+    ordered DESC."""
+    cands = minhash_native_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        k=k,
+        bands=bands,
+        jaccard_threshold=0.0,
+        seed=seed,
+    ).select(
+        "id_a", "id_b",
+        F.round(F.col("est_jaccard") * k).cast("int").alias("__lvl"),
+    )
+    lvl_hist = cands.groupBy("__lvl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__pairs")
+    )
+    doc_best = (
+        cands.select(F.col("id_a").alias("__d"), "__lvl")
+        .unionByName(cands.select(F.col("id_b").alias("__d"), "__lvl"))
+        .groupBy("__d")
+        .agg(F.max("__lvl").alias("__lvl"))
+        .groupBy("__lvl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__docs"))
+    )
+    spark = df.sparkSession
+    levels = spark.range(1, k + 1).select(F.col("id").cast("int").alias("__lvl"))
+    # suffix sums on the <= k-row level frame (metadata windows)
+    w = W.orderBy(F.col("__lvl").desc()).rowsBetween(W.unboundedPreceding, 0)
+    out = (
+        levels.join(lvl_hist, "__lvl", "left")
+        .join(doc_best, "__lvl", "left")
+        .select(
+            "__lvl",
+            F.coalesce("__pairs", F.lit(0)).cast("bigint").alias("__p"),
+            F.coalesce("__docs", F.lit(0)).cast("bigint").alias("__dd"),
+        )
+        .withColumn("pairs_ge", F.sum("__p").over(w).cast("bigint"))
+        .withColumn("docs_ge", F.sum("__dd").over(w).cast("bigint"))
+    )
+    return out.select(
+        F.col("__lvl").alias("eq_components"),
+        F.round(F.col("__lvl").cast("double") / F.lit(float(k)), 6).alias(
+            "est_jaccard"
+        ),
+        "pairs_ge",
+        "docs_ge",
     ).orderBy(F.col("eq_components").desc())

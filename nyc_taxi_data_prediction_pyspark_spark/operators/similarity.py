@@ -834,3 +834,66 @@ def mutual_nn_pairs(
         )
         .orderBy("vec_id_a")
     )
+
+
+def embedding_isotropy(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Corpus-level embedding geometry audit WITHOUT any pair join:
+    mean norm, mean squared norm, and the EXACT mean pairwise dot
+    product via the sum-vector identity
+
+        Σ_{i≠j} v_i·v_j  =  ‖Σ v‖² − Σ‖v‖²
+
+    — the anisotropy readout (Ethayarajh EMNLP 2019: contextual
+    embeddings collapse into a cone; mean pairwise similarity near 1
+    means the space is degenerate for cosine retrieval) computed in
+    two linear passes where the naive form is an n² join.  The
+    training-data gate before trusting an embedding column for ANN /
+    SemDeDup.
+
+    Exactness: per-component sums and per-row ‖v‖² are
+    DECIMAL(28,12)-quantized before the distributed sums (q158 rule);
+    ‖Σv‖² assembles on the ``dim``-row component frame; the final
+    identity is fixed-parenthesization IEEE on ONE row.  mean_norm
+    uses sqrt (correctly-rounded primitive) per row, decimal-summed.
+
+    Returns ONE row (n, mean_norm, mean_sq_norm, mean_pairwise_dot)
+    round 6."""
+    from ..functions.vectors import as_double, dot
+
+    dec = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    v = as_double(vec_col)
+    per_row = emb.select(
+        v.alias("__v"),
+        dot(v, v).alias("__sq"),
+    )
+    row_stats = per_row.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("__sq"))).alias("__ssq"),
+        F.sum(dec(F.sqrt(F.col("__sq")))).alias("__snorm"),
+    )
+    comp = (
+        per_row.select(F.posexplode("__v").alias("__p", "__x"))
+        .groupBy("__p")
+        .agg(F.sum(dec(F.col("__x"))).alias("__s"))
+    )
+    sumsq = comp.agg(
+        F.sum(
+            dec(F.col("__s").cast("double") * F.col("__s").cast("double"))
+        ).alias("__normsq")
+    )
+    nd = F.col("n").cast("double")
+    return row_stats.crossJoin(F.broadcast(sumsq)).select(
+        "n",
+        F.round(F.col("__snorm").cast("double") / nd, 6).alias("mean_norm"),
+        F.round(F.col("__ssq").cast("double") / nd, 6).alias("mean_sq_norm"),
+        F.round(
+            (F.col("__normsq").cast("double") - F.col("__ssq").cast("double"))
+            / (nd * (nd - F.lit(1.0))),
+            6,
+        ).alias("mean_pairwise_dot"),
+    )

@@ -1847,3 +1847,81 @@ def js_source_divergence(
         )
         .orderBy("source")
     )
+
+
+def fightin_words(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 5,
+    alpha_frac: float = 0.01,
+    k: int = 8,
+) -> DataFrame:
+    """Distinctive vocabulary per source via the Dirichlet-smoothed
+    log-odds-ratio z-score (Monroe, Colaresi & Quinn, "Fightin'
+    Words", Political Analysis 2008) — the principled replacement for
+    raw tf-idf contrast when comparing corpora: which terms does THIS
+    source use significantly more than the rest, with the variance
+    correction that keeps rare terms from dominating.
+
+        δ_t = ln((c+α_t)/(T_s+A−c−α_t)) − ln((r+α_t)/(T_r+A−r−α_t))
+        σ²_t ≈ 1/(c+α_t) + 1/(r+α_t)
+        z_t  = δ_t / sqrt(σ²_t)
+
+    with the informative prior α_t = ``alpha_frac``·g_t (proportional
+    to the corpus-wide count g_t, the paper's recommended choice) and
+    A = Σα_t = alpha_frac·T_V.  Vocabulary = global count >=
+    ``min_count`` (the q268/q275 convention).
+
+    Only PRESENT (source, term) pairs can win a top-k positive score
+    (absent terms have δ < 0), so the computation stays on the sparse
+    frame — the q275 scale story.  Per-row z is one fixed-
+    parenthesization IEEE expression over exact BIGINTs (ln/sqrt, the
+    proven cross-engine primitives); top-``k`` per source via the
+    salted two-phase grouped rank.  Returns (source, rank, term,
+    z round 6)."""
+    from .topk import grouped_top_k
+
+    toks = df.select(
+        F.col(source_col).alias("__s"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__t"),
+    ).where(F.col("__t") != "")
+    st = toks.groupBy("__s", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    g = (
+        st.groupBy("__t")
+        .agg(F.sum("__c").cast("bigint").alias("__g"))
+        .where(F.col("__g") >= min_count)
+    )
+    sv = st.join(g, "__t")
+    tv = g.agg(F.sum("__g").cast("bigint").alias("__tv"))
+    ts = sv.groupBy("__s").agg(F.sum("__c").cast("bigint").alias("__ts"))
+    base = sv.join(ts, "__s").crossJoin(F.broadcast(tv))
+    af = F.lit(float(alpha_frac))
+    c = F.col("__c").cast("double")
+    r = (F.col("__g") - F.col("__c")).cast("double")
+    t_s = F.col("__ts").cast("double")
+    t_r = (F.col("__tv") - F.col("__ts")).cast("double")
+    a_t = af * F.col("__g").cast("double")
+    big_a = af * F.col("__tv").cast("double")
+    delta = F.log((c + a_t) / (t_s + big_a - c - a_t)) - F.log(
+        (r + a_t) / (t_r + big_a - r - a_t)
+    )
+    var = F.lit(1.0) / (c + a_t) + F.lit(1.0) / (r + a_t)
+    scored = base.select(
+        F.col("__s").alias("source"),
+        F.col("__t").alias("term"),
+        (delta / F.sqrt(var)).alias("__z"),
+    )
+    ranked = grouped_top_k(
+        scored,
+        ["source"],
+        k,
+        [F.col("__z").desc(), F.col("term").asc()],
+        out_col="rank",
+    )
+    return ranked.select(
+        "source", "rank", "term", F.round(F.col("__z"), 6).alias("z")
+    ).orderBy("source", "rank")

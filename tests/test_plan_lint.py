@@ -58,6 +58,8 @@ BNL_ALLOWED = {
     "q255_association_rules": "1-row basket-count broadcast onto the rule frame (the q100 shape)",
     "q273_decayed_topk": "1-row data-derived reference-timestamp broadcast onto the event stream (the q166 shape)",
     "q275_js_divergence": "1-row vocabulary-total broadcast onto the (source, term) frame (the q164 grand-total shape)",
+    "q282_fightin_words": "1-row vocabulary-total broadcast onto the (source, term) frame (the q275 shape)",
+    "q283_embedding_isotropy": "two 1-row frames crossed (row stats x sum-vector norm) — the q163 shape",
 }
 
 

@@ -448,3 +448,228 @@ def test_cdc_upsert_stream_equals_batch_apply(spark, sf_dir, tmp_path):
     all_rows = spark.read.parquet(store).count()
     n_deleted = sum(1 for o in orders if o.o_orderkey % 7 == 0)
     assert all_rows == len(want) + n_deleted
+
+
+# ------------------------------------------------ grouped KS + BH
+
+
+def test_grouped_ks_bh_matches_scipy_free_reference(spark):
+    """Independent reference: per-group KS D computed by brute-force
+    ECDF comparison at every pooled value; BH step-up replayed on
+    exact p-values computed with math.exp (the operator never calls
+    exp — this proves the log-space rewrite is the same decision)."""
+    rng = random.Random(87)
+    rows = []
+    for g, shift in (("a", 0), ("b", 4), ("c", 0)):
+        for i in range(80):
+            rows.append(
+                Row(g=g, v=float(rng.randrange(0, 10) + (shift if i % 2 else 0)),
+                    flag=i % 2 == 0)
+            )
+    out = {
+        r[0]: r
+        for r in evaluation.grouped_ks_bh(
+            spark.createDataFrame(rows), group_col="g", value_col="v",
+            sample_col="flag", q=0.05,
+        ).collect()
+    }
+    # brute force per group
+    stats = {}
+    for g in ("a", "b", "c"):
+        xs = sorted(r.v for r in rows if r.g == g and r.flag)
+        ys = sorted(r.v for r in rows if r.g == g and not r.flag)
+        na, nb = len(xs), len(ys)
+        vals = sorted(set(xs) | set(ys))
+        d = max(
+            abs(
+                sum(1 for x in xs if x <= v) * nb
+                - sum(1 for y in ys if y <= v) * na
+            )
+            for v in vals
+        )
+        dd = d / (na * nb)
+        lam = na * nb / (na + nb)
+        score = 2.0 * lam * dd * dd
+        stats[g] = (na, nb, dd, score, 2.0 * math.exp(-score))
+    # ranks: p ascending == score descending
+    order = sorted(stats, key=lambda g: (-stats[g][3], g))
+    m = len(order)
+    kstar = 0
+    for i, g in enumerate(order, 1):
+        if stats[g][4] <= i * 0.05 / m:
+            kstar = i
+    for i, g in enumerate(order, 1):
+        r = out[g]
+        na, nb, dd, score, _p = stats[g]
+        assert (r.n_a, r.n_b, r.bh_rank) == (na, nb, i)
+        assert abs(r.ks_d - dd) < 1e-6
+        assert abs(r.score - score) < 1e-5
+        assert r.reject == (i <= kstar), g
+
+
+# ------------------------------------------------- bootstrap CI
+
+
+def test_bootstrap_ci_matches_hashlib_replay(spark):
+    """Weights re-derived from scratch (hashlib.md5 + the LCG param
+    expansion) and the whole CI rebuilt in pure Python."""
+    import hashlib
+
+    from nyc_taxi_data_prediction_pyspark_spark.functions.hashing import (
+        MERSENNE_P,
+        minhash_params,
+    )
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        POISSON1_CDF,
+        grouped_bootstrap_ci,
+    )
+
+    rng = random.Random(88)
+    rows = [
+        Row(g=f"g{i % 2}", i=1000 + i, v=float(rng.randrange(0, 100)))
+        for i in range(300)
+    ]
+    out = {
+        r.g: r
+        for r in grouped_bootstrap_ci(
+            spark.createDataFrame(rows), group_cols=["g"], id_col="i",
+            value_col="v", n_resamples=32, seed=42,
+        ).collect()
+    }
+    params = minhash_params(32, 42)
+
+    def weight(i, a, b):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % MERSENNE_P
+        u = ((h * a + b) % MERSENNE_P) / float(MERSENNE_P)
+        for w, t in enumerate(POISSON1_CDF):
+            if u < t:
+                return w
+        return 5
+
+    for g in ("g0", "g1"):
+        grp = [r for r in rows if r.g == g]
+        means = sorted(
+            sum(weight(r.i, a, b) * r.v for r in grp)
+            / sum(weight(r.i, a, b) for r in grp)
+            for a, b in params
+        )
+        got = out[g]
+        assert got.n == len(grp)
+        assert abs(got.mean - sum(r.v for r in grp) / len(grp)) < 1e-6
+        assert abs(got.ci_lo - means[1]) < 1e-6
+        assert abs(got.ci_hi - means[30]) < 1e-6
+        assert got.ci_lo <= got.mean <= got.ci_hi
+
+
+# -------------------------------------------------- yield curve
+
+
+def test_dedup_yield_curve_monotone_and_consistent(spark):
+    """Curve invariants + consistency with the (independently tested)
+    candidate pair frame: suffix sums rebuilt in Python."""
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        3: "alpha beta gamma delta epsilon zeta eta theta mu nu",
+        4: "one two three four five six seven eight nine ten",
+        5: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    }
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in texts.items()])
+    curve = dedup.dedup_yield_curve(
+        df, text_col="text", id_col="doc_id", n=3, k=16, bands=4, seed=42
+    ).collect()
+    pairs = dedup.minhash_native_pairs(
+        df, text_col="text", id_col="doc_id", n=3, k=16, bands=4,
+        jaccard_threshold=0.0, seed=42,
+    ).collect()
+    lv = [round(p.est_jaccard * 16) for p in pairs]
+    best: dict[int, int] = {}
+    for p, l in zip(pairs, lv):
+        best[p.id_a] = max(best.get(p.id_a, 0), l)
+        best[p.id_b] = max(best.get(p.id_b, 0), l)
+    assert len(curve) == 16
+    for r in curve:
+        assert r.pairs_ge == sum(1 for l in lv if l >= r.eq_components)
+        assert r.docs_ge == sum(1 for l in best.values() if l >= r.eq_components)
+    # monotone non-increasing in the threshold
+    seq = sorted(curve, key=lambda r: -r.eq_components)
+    for a, b in zip(seq, seq[1:]):
+        assert a.pairs_ge <= b.pairs_ge and a.docs_ge <= b.docs_ge
+
+
+# ---------------------------------------------- fightin' words
+
+
+def test_fightin_words_matches_dense_python(spark):
+    from collections import Counter
+
+    rng = random.Random(89)
+    docs = []
+    for d in range(30):
+        src = f"s{d % 2}"
+        base = ["common"] * 6
+        marked = ["leftish"] * 4 if src == "s0" else ["rightish"] * 4
+        words = base + marked + [f"w{rng.randrange(6)}" for _ in range(8)]
+        rng.shuffle(words)
+        docs.append(Row(doc_id=d, source=src, text=" ".join(words)))
+    out = textops.fightin_words(
+        spark.createDataFrame(docs), source_col="source", text_col="text",
+        min_count=5, alpha_frac=0.01, k=3,
+    ).collect()
+    per: dict[str, Counter] = {}
+    for r in docs:
+        per.setdefault(r.source, Counter()).update(r.text.split())
+    glob = Counter()
+    for c in per.values():
+        glob.update(c)
+    V = {t for t, c in glob.items() if c >= 5}
+    tv = sum(glob[t] for t in V)
+    want: dict[str, list] = {}
+    for s, cs in per.items():
+        ts = sum(cs[t] for t in V)
+        tr = tv - ts
+        zs = []
+        for t in V:
+            c = cs.get(t, 0)
+            if c == 0:
+                continue
+            r_ = glob[t] - c
+            at = 0.01 * glob[t]
+            A = 0.01 * tv
+            delta = math.log((c + at) / (ts + A - c - at)) - math.log(
+                (r_ + at) / (tr + A - r_ - at)
+            )
+            var = 1.0 / (c + at) + 1.0 / (r_ + at)
+            zs.append((-delta / math.sqrt(var), t))
+        want[s] = [t for _, t in sorted(zs)[:3]]
+    got: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r.source, r.rank)):
+        got.setdefault(r.source, []).append(r.term)
+    assert got == want
+    # the planted markers dominate their sides
+    assert got["s0"][0] == "leftish" and got["s1"][0] == "rightish"
+
+
+# ------------------------------------------------ isotropy
+
+
+def test_embedding_isotropy_matches_numpy_pairwise(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(90)
+    vecs = rng.normal(size=(40, 8)).astype(float) + 0.5  # anisotropic
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    from nyc_taxi_data_prediction_pyspark_spark.operators.similarity import (
+        embedding_isotropy,
+    )
+
+    out = embedding_isotropy(df, vec_col="embedding", dim=8).collect()[0]
+    n = len(vecs)
+    dots = vecs @ vecs.T
+    mean_pair = (dots.sum() - np.trace(dots)) / (n * (n - 1))
+    assert out.n == n
+    assert abs(out.mean_norm - np.linalg.norm(vecs, axis=1).mean()) < 1e-6
+    assert abs(out.mean_sq_norm - (vecs**2).sum(axis=1).mean()) < 1e-6
+    assert abs(out.mean_pairwise_dot - mean_pair) < 1e-6

@@ -181,6 +181,19 @@ NOTES = {
     "q267_stationary_markov": "fixed 8 power rounds: edges⋈pi equi-join + decimal-quantized dst-sum per round; state O(#states), localCheckpoint truncates lineage",
     "q268_term_burstiness": "exact integer (df, S1, S2) per term in one combinable agg; VMR + deterministic top-50 on the #terms frame",
     "q269_mutual_nn_rule": "width rule pins block population ~32: bucket equi-self-join stays per-block quadratic only; struct-max best edge + one mutuality self-join",
+    "q270_local_clustering": "degree-ordered orientation caps apex fan-out at O(sqrt(E)); triangles explode to 3 member rows, counts map-side combine, TakeOrdered(100)",
+    "q271_zipf_fit": "one token-count agg + TakeOrdered(200); the rank window and OLS assembly run on the 200-row metadata frame",
+    "q272_max_concurrency": "distinct-timestamp boundary agg + two-phase prefix sum (range exchange) — never a global single-task window; all-integer sweep",
+    "q273_decayed_topk": "power-of-two integer micro-units: one map-side-combinable agg, zero IEEE before the 25 output rows; 1-row reference broadcast (allowlisted BNL)",
+    "q274_weighted_reservoir": "content-derived A-ES keys in codegen; salted two-phase grouped top-k bounds hot groups at k x 64 survivors",
+    "q275_js_divergence": "sparse closed form: 3 aggs on the present (source, term) frame; the dense sources x vocab grid never materializes; 1-row total broadcast (allowlisted BNL)",
+    "q276_minhash_calibration": "q55's banded candidate generation + exact-Jaccard verify ONLY for candidates (in-row set ops); per-level rollup is a <=17-row frame",
+    "q278_mann_whitney": "distinct-value agg + exclusive two-phase prefix sum; doubled-unit midranks keep rank sums exact integers; 1-row final assembly",
+    "q279_grouped_ks_bh": "per-group distinct-value KS via grouped two-phase prefix sums; BH step-up windows run on the #groups metadata frame only",
+    "q280_bootstrap_ci": "all 64 resample sums in ONE map-side-combinable aggregation; B-mean sort in-row on the #groups frame; zero shuffles of randomness",
+    "q281_dedup_yield_curve": "q55's banded candidate sweep + per-doc max agg; suffix sums on the 16-row level frame (metadata windows)",
+    "q282_fightin_words": "sparse (source, term) frame only; log-odds z in codegen; salted two-phase grouped top-k; 1-row total broadcast (allowlisted BNL)",
+    "q283_embedding_isotropy": "two linear passes replace the n-squared pair join (sum-vector identity); component sums on a dim-row frame; 1-row assembly",
 }
 
 # Streaming/stateful queries whose query() call EXECUTES a stream and
@@ -194,6 +207,7 @@ PLANS_SKIP = {
     "q108_stream_attribution": "stream-stream join via micro-batches; plan = result-store scan",
     "q114_incremental_rollup": "incremental maintenance loop; plan = rollup-store scan",
     "q264_stream_funnel": "applyInPandasWithState fold; plan = funnel-store scan",
+    "q277_streaming_cdc_upsert": "micro-batch struct-max upsert fold; plan = store scan + readout agg",
 }
 
 
