@@ -6138,6 +6138,101 @@ def q283_embedding_isotropy(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.embedding_isotropy(emb, vec_col="embedding", dim=64)
 
 
+def q284_graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity of the NATION partition on the symmetrized
+    customer↔supplier trade graph (graph.modularity): how
+    nation-assortative is trade — turning a metadata community
+    assignment into the judged Q = Σ_c [m_c/m − (d_c/2m)²] readout
+    next to q191's LPA communities and q198's assortativity. Exact
+    integer (m, m_c, d_c); per-community terms DECIMAL(38,18)-
+    quantized before the #communities-frame sum."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import graph
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    cust = load(spark, sf, "customer").select(
+        (F.col("c_custkey") * 2).alias("node"), F.col("c_nationkey").alias("label")
+    )
+    supp = load(spark, sf, "supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("node"),
+        F.col("s_nationkey").alias("label"),
+    )
+    return graph.modularity(edges, cust.unionByName(supp))
+
+
+def q285_jm_surprise(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document surprise under a Jelinek-Mercer interpolated
+    bigram LM (textops.jm_bigram_surprise, λ=0.7): mean −ln P(w2|w1)
+    with unigram backoff, so unseen bigrams score finitely — the
+    CCNet-style corpus LM gate q186's raw NLL cannot be. Top-20 most
+    surprising docs; per-instance terms DECIMAL(28,12)-quantized."""
+    docs = load(spark, sf, "documents")
+    return textops.jm_bigram_surprise(
+        docs, id_col="doc_id", text_col="text", lam=0.7, k=20
+    )
+
+
+def q286_eb_shrinkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-supplier return
+    rates (evaluation.eb_shrunk_rates, Robbins 1956): the
+    method-of-moments Beta prior fitted to the observed rate
+    distribution, every supplier shrunk toward it in proportion to
+    evidence — the leaderboard fix for small-sample rate rankings.
+    Top-20 by shrunk rate; prior moments from decimal-quantized rate
+    sums."""
+    li = load(spark, sf, "lineitem").withColumn(
+        "__r", F.col("l_returnflag") == "R"
+    )
+    return evaluation.eb_shrunk_rates(
+        li, key_col="l_suppkey", success_col="__r", min_trials=5, k=20
+    )
+
+
+def q287_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Entropy rate of the q170 event-type Markov chain
+    (mining.markov_entropy_rate): H = −Σ π_i p_ij ln p_ij under the
+    q267 stationary mix — nats-per-step unpredictability of the event
+    stream, with ``sum_pi`` riding along as the dangling-state
+    mass-leak self-check the round-7 advice asked consumers to watch.
+    π reuses stationary_distribution's round-9 output so the oracle
+    multiplies bit-identical factors; per-edge terms DECIMAL(38,18)-
+    quantized."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return mining.markov_entropy_rate(
+        counts, from_col="from_type", to_col="to_type", count_col="n"
+    )
+
+
+def q288_did_estimator(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-period difference-in-differences (evaluation.diff_in_diff,
+    the Card-Krueger 2x2): treatment = the user_id % 5 == 0 holdout,
+    period split at the window midpoint (exact integer-µs
+    arithmetic), outcome = event value. All 12 cell statistics in
+    ONE conditional decimal-quantized aggregation; DiD, the unpooled
+    SE and t assemble on the single output row — the causal readout
+    over the same machinery as q256's Welch t."""
+    ev = load(spark, sf, "events").withColumn(
+        "__tr", F.col("user_id") % 5 == 0
+    )
+    return evaluation.diff_in_diff(
+        ev, treat_col="__tr", ts_col="ts", value_col="value"
+    )
+
+
 # Driver-slot rotation (round 7): the correctness driver hard-checks
 # the FIRST 50 registry entries only; rotation is BY EVIDENCE AGE
 # (the round-5 verdict's standing rule).  Evidence ages entering
@@ -6245,7 +6340,7 @@ _R8_DEFERRED_HEAD = {195, 196, 197}
 # scheduled by the rotation test's feasibility arithmetic.
 _R8_DEFERRED_NEW: set[int] = {
     269, 270, 271, 272, 273, 274, 275, 276, 277, 278,
-    279, 280, 281, 282, 283,
+    279, 280, 281, 282, 283, 284, 285, 286, 287, 288,
 }
 
 
@@ -6560,6 +6655,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q281_dedup_yield_curve": q281_dedup_yield_curve,
         "q282_fightin_words": q282_fightin_words,
         "q283_embedding_isotropy": q283_embedding_isotropy,
+        "q284_graph_modularity": q284_graph_modularity,
+        "q285_jm_surprise": q285_jm_surprise,
+        "q286_eb_shrinkage": q286_eb_shrinkage,
+        "q287_entropy_rate": q287_entropy_rate,
+        "q288_did_estimator": q288_did_estimator,
     }
 
 
@@ -13585,5 +13685,224 @@ SELECT n,
   ROUND((CAST(normsq AS DOUBLE) - CAST(ssq AS DOUBLE))
         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS mean_pairwise_dot
 FROM rs CROSS JOIN nq
+"""
+    # q284: Newman Q of the nation partition; exact (m, m_c, d_c),
+    # per-community terms DECIMAL(38,18)-quantized like the engine.
+    oracles["q284_graph_modularity"] = """
+WITH raw AS (
+  SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+e AS (SELECT DISTINCT LEAST(c, s) AS a, GREATEST(c, s) AS b FROM raw WHERE c <> s),
+lab AS (
+  SELECT c_custkey * 2 AS n, c_nationkey AS l FROM customer
+  UNION ALL
+  SELECT s_suppkey * 2 + 1 AS n, s_nationkey AS l FROM supplier
+),
+both_ AS (
+  SELECT e.a, e.b, la.l AS la, lb.l AS lb
+  FROM e JOIN lab la ON e.a = la.n JOIN lab lb ON e.b = lb.n
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+intra AS (
+  SELECT la AS cc, CAST(COUNT(*) AS BIGINT) AS mc FROM both_ WHERE la = lb GROUP BY la
+),
+deg AS (
+  SELECT cc, CAST(COUNT(*) AS BIGINT) AS dc FROM (
+    SELECT la AS cc FROM both_ UNION ALL SELECT lb AS cc FROM both_
+  ) GROUP BY cc
+),
+terms AS (
+  SELECT m.m,
+         CAST(COALESCE(i.mc, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+         - (CAST(d.dc AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+           * (CAST(d.dc AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))) AS t
+  FROM deg d LEFT JOIN intra i ON d.cc = i.cc CROSS JOIN m
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       CAST(MAX(m) AS BIGINT) AS n_edges,
+       ROUND(CAST(SUM(CAST(t AS DECIMAL(38,18))) AS DOUBLE), 6) AS modularity
+FROM terms
+"""
+    # q285: the JM interpolation replayed with the ENGINE's float
+    # literals (1.0 - 0.7 computed in Python on both sides).
+    _jm_a, _jm_b = repr(float(0.7)), repr(1.0 - float(0.7))
+    oracles["q285_jm_surprise"] = f"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, ' ') AS w FROM documents
+),
+inst AS (
+  SELECT doc_id AS d, w[i] AS w1, w[i + 1] AS w2
+  FROM tk, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2 AND w[i] <> '' AND w[i + 1] <> ''
+),
+big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM inst GROUP BY w1, w2),
+uni AS (
+  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT unnest(regexp_split_to_array({_NORM_TEXT}, ' ')) AS tok FROM documents
+  ) WHERE tok <> '' GROUP BY tok
+),
+tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+scored AS (
+  SELECT i.d,
+         {_jm_a} * (CAST(b.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+         + {_jm_b} * (CAST(u2.c AS DOUBLE) / CAST(tt.t AS DOUBLE)) AS p
+  FROM inst i
+  JOIN big b ON b.w1 = i.w1 AND b.w2 = i.w2
+  JOIN uni u1 ON u1.w = i.w1
+  JOIN uni u2 ON u2.w = i.w2
+  CROSS JOIN tt
+),
+per AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         SUM(CAST(-ln(p) AS DECIMAL(28,12))) AS s
+  FROM scored GROUP BY d
+)
+SELECT d AS doc_id, n_bigrams,
+       ROUND(CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS nll
+FROM per ORDER BY nll DESC, doc_id ASC LIMIT 20
+"""
+    # q286: method-of-moments Beta prior + shrinkage, replayed with
+    # identical parenthesization; decimal-quantized rate moments.
+    oracles["q286_eb_shrinkage"] = """
+WITH per AS (
+  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS trials,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS successes
+  FROM lineitem GROUP BY l_suppkey
+),
+elig AS (SELECT * FROM per WHERE trials >= 5),
+prior AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ne,
+         SUM(CAST(CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE)
+                  AS DECIMAL(28,12))) AS sr,
+         SUM(CAST((CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE))
+                  * (CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE))
+                  AS DECIMAL(28,12))) AS sr2
+  FROM elig
+),
+mv AS (
+  SELECT CAST(sr AS DOUBLE) / CAST(ne AS DOUBLE) AS m,
+         CAST(sr2 AS DOUBLE) / CAST(ne AS DOUBLE)
+         - (CAST(sr AS DOUBLE) / CAST(ne AS DOUBLE))
+           * (CAST(sr AS DOUBLE) / CAST(ne AS DOUBLE)) AS v
+  FROM prior
+),
+pr AS (
+  SELECT m * (CASE WHEN v > 0 THEN m * (1.0 - m) / v - 1.0 END) AS alpha,
+         (1.0 - m) * (CASE WHEN v > 0 THEN m * (1.0 - m) / v - 1.0 END) AS beta
+  FROM mv
+)
+SELECT key, trials, successes,
+       ROUND(CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE), 6) AS raw_rate,
+       ROUND((CAST(successes AS DOUBLE) + alpha)
+             / (CAST(trials AS DOUBLE) + alpha + beta), 6) AS shrunk_rate,
+       ROUND(alpha, 6) AS alpha, ROUND(beta, 6) AS beta
+FROM elig CROSS JOIN pr
+ORDER BY ROUND((CAST(successes AS DOUBLE) + alpha)
+               / (CAST(trials AS DOUBLE) + alpha + beta), 6) DESC, key ASC
+LIMIT 20
+"""
+    # q287: the q267 unrolled power rounds feeding the entropy-rate
+    # sum; pi enters the product ROUNDED TO 9 (the engine reuses
+    # stationary_distribution's output), sum_pi is the advice-asked
+    # dangling-mass self-check.
+    oracles["q287_entropy_rate"] = f"""
+WITH lagged AS (
+  SELECT event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+  FROM events),
+counts AS (
+  SELECT from_type AS i, to_type AS j, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lagged WHERE from_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT i, CAST(SUM(n) AS BIGINT) AS t FROM counts GROUP BY i),
+edges AS (
+  SELECT c.i, c.j, CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+  FROM counts c JOIN tot t ON c.i = t.i),
+states AS (SELECT DISTINCT i AS state FROM edges
+           UNION SELECT DISTINCT j FROM edges),
+k AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk FROM states),
+pi0 AS (SELECT state, 1.0 / CAST(nk AS DOUBLE) AS pi FROM states, k),
+{_pi_rounds},
+h AS (
+  SELECT SUM(CAST(ROUND(p8.pi, 9) * e.p * ln(e.p) AS DECIMAL(38,18))) AS hs,
+         CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM edges e JOIN pi8 p8 ON e.i = p8.state),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_states,
+         SUM(CAST(ROUND(pi, 9) AS DECIMAL(38,18))) AS spi
+  FROM pi8)
+SELECT s.n_states, h.n_edges,
+       ROUND(-COALESCE(CAST(h.hs AS DOUBLE), 0.0), 6) AS entropy_rate,
+       ROUND(COALESCE(CAST(s.spi AS DOUBLE), 0.0), 6) AS sum_pi
+FROM s CROSS JOIN h
+"""
+    # q288: the 2x2 DiD with all 12 cell stats in one conditional
+    # aggregation; midpoint split in exact integer microseconds.
+    oracles["q288_did_estimator"] = """
+WITH bounds AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events),
+base AS (
+  SELECT (user_id % 5 = 0) AS tr,
+         (epoch_us(ts) > (epoch_us(lo) + (epoch_us(hi) - epoch_us(lo)) // 2))
+           AS post,
+         CAST(value AS DECIMAL(18,4)) AS v
+  FROM events CROSS JOIN bounds
+),
+g AS (
+  SELECT
+    CAST(SUM(CASE WHEN tr AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+    SUM(CASE WHEN tr AND post THEN v END) AS s_tp,
+    SUM(CASE WHEN tr AND post THEN CAST(v * v AS DECIMAL(38,8)) END) AS q_tp,
+    CAST(SUM(CASE WHEN tr AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_ta,
+    SUM(CASE WHEN tr AND NOT post THEN v END) AS s_ta,
+    SUM(CASE WHEN tr AND NOT post THEN CAST(v * v AS DECIMAL(38,8)) END) AS q_ta,
+    CAST(SUM(CASE WHEN NOT tr AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+    SUM(CASE WHEN NOT tr AND post THEN v END) AS s_cp,
+    SUM(CASE WHEN NOT tr AND post THEN CAST(v * v AS DECIMAL(38,8)) END) AS q_cp,
+    CAST(SUM(CASE WHEN NOT tr AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_ca,
+    SUM(CASE WHEN NOT tr AND NOT post THEN v END) AS s_ca,
+    SUM(CASE WHEN NOT tr AND NOT post THEN CAST(v * v AS DECIMAL(38,8)) END) AS q_ca
+  FROM base
+)
+SELECT
+  ROUND(CAST(s_ta AS DOUBLE) / CAST(n_ta AS DOUBLE), 6) AS mean_treat_pre,
+  ROUND(CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE), 6) AS mean_treat_post,
+  ROUND(CAST(s_ca AS DOUBLE) / CAST(n_ca AS DOUBLE), 6) AS mean_ctrl_pre,
+  ROUND(CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE), 6) AS mean_ctrl_post,
+  ROUND((CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+         - CAST(s_ta AS DOUBLE) / CAST(n_ta AS DOUBLE))
+        - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
+           - CAST(s_ca AS DOUBLE) / CAST(n_ca AS DOUBLE)), 6) AS did,
+  ROUND(sqrt(
+    (CASE WHEN n_tp >= 2 THEN (CAST(q_tp AS DOUBLE)
+          - (CAST(s_tp AS DOUBLE) * CAST(s_tp AS DOUBLE)) / CAST(n_tp AS DOUBLE))
+          / (CAST(n_tp AS DOUBLE) - 1.0) END) / CAST(n_tp AS DOUBLE)
+    + (CASE WHEN n_ta >= 2 THEN (CAST(q_ta AS DOUBLE)
+          - (CAST(s_ta AS DOUBLE) * CAST(s_ta AS DOUBLE)) / CAST(n_ta AS DOUBLE))
+          / (CAST(n_ta AS DOUBLE) - 1.0) END) / CAST(n_ta AS DOUBLE)
+    + (CASE WHEN n_cp >= 2 THEN (CAST(q_cp AS DOUBLE)
+          - (CAST(s_cp AS DOUBLE) * CAST(s_cp AS DOUBLE)) / CAST(n_cp AS DOUBLE))
+          / (CAST(n_cp AS DOUBLE) - 1.0) END) / CAST(n_cp AS DOUBLE)
+    + (CASE WHEN n_ca >= 2 THEN (CAST(q_ca AS DOUBLE)
+          - (CAST(s_ca AS DOUBLE) * CAST(s_ca AS DOUBLE)) / CAST(n_ca AS DOUBLE))
+          / (CAST(n_ca AS DOUBLE) - 1.0) END) / CAST(n_ca AS DOUBLE)), 6) AS se,
+  ROUND(((CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+          - CAST(s_ta AS DOUBLE) / CAST(n_ta AS DOUBLE))
+         - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
+            - CAST(s_ca AS DOUBLE) / CAST(n_ca AS DOUBLE)))
+        / sqrt(
+    (CASE WHEN n_tp >= 2 THEN (CAST(q_tp AS DOUBLE)
+          - (CAST(s_tp AS DOUBLE) * CAST(s_tp AS DOUBLE)) / CAST(n_tp AS DOUBLE))
+          / (CAST(n_tp AS DOUBLE) - 1.0) END) / CAST(n_tp AS DOUBLE)
+    + (CASE WHEN n_ta >= 2 THEN (CAST(q_ta AS DOUBLE)
+          - (CAST(s_ta AS DOUBLE) * CAST(s_ta AS DOUBLE)) / CAST(n_ta AS DOUBLE))
+          / (CAST(n_ta AS DOUBLE) - 1.0) END) / CAST(n_ta AS DOUBLE)
+    + (CASE WHEN n_cp >= 2 THEN (CAST(q_cp AS DOUBLE)
+          - (CAST(s_cp AS DOUBLE) * CAST(s_cp AS DOUBLE)) / CAST(n_cp AS DOUBLE))
+          / (CAST(n_cp AS DOUBLE) - 1.0) END) / CAST(n_cp AS DOUBLE)
+    + (CASE WHEN n_ca >= 2 THEN (CAST(q_ca AS DOUBLE)
+          - (CAST(s_ca AS DOUBLE) * CAST(s_ca AS DOUBLE)) / CAST(n_ca AS DOUBLE))
+          / (CAST(n_ca AS DOUBLE) - 1.0) END) / CAST(n_ca AS DOUBLE)), 6) AS t_stat
+FROM g
 """
     return oracles

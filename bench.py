@@ -240,6 +240,11 @@ HEADLINE = [
     "q281_dedup_yield_curve",
     "q282_fightin_words",
     "q283_embedding_isotropy",
+    "q284_graph_modularity",
+    "q285_jm_surprise",
+    "q286_eb_shrinkage",
+    "q287_entropy_rate",
+    "q288_did_estimator",
 ]
 
 # Registered queries deliberately NOT in HEADLINE, each with its

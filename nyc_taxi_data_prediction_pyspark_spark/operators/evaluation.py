@@ -1130,3 +1130,161 @@ def grouped_ks_bh(
         )
         .orderBy("bh_rank")
     )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    *,
+    key_col: str,
+    success_col: str,
+    min_trials: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-entity rates
+    (Robbins 1956; the baseball-batting-average classic): the prior
+    Beta(α, β) is fitted by METHOD OF MOMENTS to the observed
+    per-entity rate distribution, then every entity's rate shrinks
+    toward the pooled prior in proportion to its evidence:
+
+        shrunk = (s + α) / (n + α + β)
+
+    — the leaderboard fix for "3-for-3 beats 300-for-1000": small
+    samples regress to the prior, large samples keep their data.
+
+    Moments: m and v are the (biased) mean/variance of the observed
+    rates over entities with n >= ``min_trials``, computed from
+    DECIMAL(28,12)-quantized rate and rate² sums (q158 rule); then
+    common = m(1−m)/v − 1, α = m·common, β = (1−m)·common, one
+    fixed-parenthesization IEEE chain on the 1-row prior frame
+    (NULL-propagated when v <= 0 — a degenerate constant-rate
+    population has no finite MoM prior).
+
+    Scale: one per-key agg + one metadata prior broadcast +
+    TakeOrdered(k).  Returns top-``k`` by (shrunk DESC, key) as
+    (key, trials, successes, raw_rate, shrunk_rate, alpha, beta)."""
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("trials"),
+        F.sum(F.col(success_col).cast("int")).cast("bigint").alias("successes"),
+    )
+    dec = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    rate = F.col("successes").cast("double") / F.col("trials").cast("double")
+    elig = per.where(F.col("trials") >= min_trials)
+    prior = elig.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ne"),
+        F.sum(dec(rate)).alias("__sr"),
+        F.sum(dec(rate * rate)).alias("__sr2"),
+    )
+    ne = F.col("__ne").cast("double")
+    m = F.col("__sr").cast("double") / ne
+    v = F.col("__sr2").cast("double") / ne - m * m
+    common = F.when(v > 0, m * (F.lit(1.0) - m) / v - F.lit(1.0))
+    pr = prior.select(
+        (m * common).alias("alpha"),
+        ((F.lit(1.0) - m) * common).alias("beta"),
+    )
+    out = elig.crossJoin(F.broadcast(pr))
+    shrunk = (F.col("successes").cast("double") + F.col("alpha")) / (
+        F.col("trials").cast("double") + F.col("alpha") + F.col("beta")
+    )
+    return (
+        out.select(
+            "key",
+            "trials",
+            "successes",
+            F.round(rate, 6).alias("raw_rate"),
+            F.round(shrunk, 6).alias("shrunk_rate"),
+            F.round(F.col("alpha"), 6).alias("alpha"),
+            F.round(F.col("beta"), 6).alias("beta"),
+        )
+        .orderBy(F.col("shrunk_rate").desc(), F.col("key").asc())
+        .limit(k)
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    *,
+    treat_col: str,
+    ts_col: str,
+    value_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """Two-period difference-in-differences estimator (the canonical
+    2x2: Card & Krueger 1994 shape): split the observation window at
+    its midpoint (data-derived, exact integer-µs arithmetic), form
+    the four (treat × period) cell means, and report
+
+        DiD = (T_post − T_pre) − (C_post − C_pre)
+
+    with the unpooled (Welch-style) standard error √(Σ s²_c/n_c) and
+    the resulting t — the standard causal readout when a treatment
+    switches on for one group mid-window and parallel trends are
+    assumed for the counterfactual.
+
+    Exactness: ALL sixteen cell statistics (n, Σv, Σv² per cell)
+    come from ONE conditional map-side-combinable aggregation with
+    DECIMAL-quantized sums (the dsum rule, value at scale ``scale``,
+    squares at 2·scale); means/variances/SE/t are fixed-
+    parenthesization IEEE on the single output row.  Sample variance
+    uses the n−1 divisor; cells with n < 2 NULL-propagate the SE.
+
+    Returns ONE row (mean_treat_pre, mean_treat_post, mean_ctrl_pre,
+    mean_ctrl_post, did, se, t_stat) round 6."""
+    bounds = df.agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    )
+    base = df.select(
+        F.col(treat_col).cast("boolean").alias("__tr"),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast(f"decimal(18,{scale})").alias("__v"),
+    ).crossJoin(F.broadcast(bounds))
+    post = F.unix_micros(F.col("__ts")) > (
+        F.unix_micros(F.col("__lo"))
+        + F.expr("(unix_micros(__hi) - unix_micros(__lo)) div 2")
+    )
+    cells = {}
+    for name, cond in (
+        ("tp", F.col("__tr") & post),
+        ("ta", F.col("__tr") & ~post),
+        ("cp", ~F.col("__tr") & post),
+        ("ca", ~F.col("__tr") & ~post),
+    ):
+        cells[name] = cond
+    aggs = []
+    for name, cond in cells.items():
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n_{name}"))
+        aggs.append(F.sum(F.when(cond, F.col("__v"))).alias(f"s_{name}"))
+        aggs.append(
+            F.sum(
+                F.when(cond, (F.col("__v") * F.col("__v")).cast(f"decimal(38,{2 * scale})"))
+            ).alias(f"q_{name}")
+        )
+    g = base.agg(*aggs)
+
+    def mean(c):
+        return F.col(f"s_{c}").cast("double") / F.col(f"n_{c}").cast("double")
+
+    def var(c):
+        n = F.col(f"n_{c}").cast("double")
+        s = F.col(f"s_{c}").cast("double")
+        q = F.col(f"q_{c}").cast("double")
+        return F.when(
+            F.col(f"n_{c}") >= 2, (q - (s * s) / n) / (n - F.lit(1.0))
+        )
+
+    did = (mean("tp") - mean("ta")) - (mean("cp") - mean("ca"))
+    se = F.sqrt(
+        var("tp") / F.col("n_tp").cast("double")
+        + var("ta") / F.col("n_ta").cast("double")
+        + var("cp") / F.col("n_cp").cast("double")
+        + var("ca") / F.col("n_ca").cast("double")
+    )
+    return g.select(
+        F.round(mean("ta"), 6).alias("mean_treat_pre"),
+        F.round(mean("tp"), 6).alias("mean_treat_post"),
+        F.round(mean("ca"), 6).alias("mean_ctrl_pre"),
+        F.round(mean("cp"), 6).alias("mean_ctrl_post"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(did / se, 6).alias("t_stat"),
+    )

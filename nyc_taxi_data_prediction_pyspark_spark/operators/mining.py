@@ -1136,3 +1136,74 @@ def weighted_reservoir_sample(
         F.col(weight_col),
         F.round(F.col("__key"), 9).alias("aes_key"),
     ).orderBy(*group_cols, "draw_rank")
+
+
+def markov_entropy_rate(
+    transitions: DataFrame,
+    *,
+    from_col: str,
+    to_col: str,
+    count_col: str,
+    iterations: int = 8,
+) -> DataFrame:
+    """Entropy rate of the first-order Markov chain (Shannon 1948):
+    H = −Σ_i π_i Σ_j p_ij ln p_ij — bits-per-step unpredictability of
+    the process under its long-run mix, the single number comparing
+    "how routine is this event stream" across deployments (q170's
+    matrix and q267's fixpoint composed into an information
+    readout).
+
+    π comes from ``stationary_distribution``'s OUTPUT (8 power
+    rounds, pi ROUNDED TO 9 — the documented engine artifact, reused
+    so the oracle multiplies bit-identical factors); each per-edge
+    term π_i·p_ij·ln(p_ij) is quantized to DECIMAL(38,18) before the
+    sum.  ``sum_pi`` rides along as the dangling-state mass-leak
+    self-check the q267 advice asked consumers to watch (sum << 1 =
+    non-ergodic input).
+
+    Scale: one edges⋈π join + two combinable sums after the q267
+    iteration budget.  Returns ONE row (n_states, n_edges,
+    entropy_rate, sum_pi) round 6."""
+    dec = lambda c: c.cast("decimal(38,18)")  # noqa: E731
+    pi = stationary_distribution(
+        transitions,
+        from_col=from_col,
+        to_col=to_col,
+        count_col=count_col,
+        iterations=iterations,
+    ).select("state", "pi")
+    e = transitions.select(
+        F.col(from_col).alias("__i"),
+        F.col(to_col).alias("__j"),
+        F.col(count_col).cast("bigint").alias("__n"),
+    )
+    tot = e.groupBy("__i").agg(F.sum("__n").cast("bigint").alias("__tot"))
+    edges = e.join(tot, "__i").select(
+        "__i",
+        "__j",
+        (F.col("__n").cast("double") / F.col("__tot").cast("double")).alias("__p"),
+    )
+    h = (
+        edges.join(pi.withColumnRenamed("state", "__i"), "__i")
+        .agg(
+            F.sum(dec(F.col("pi") * F.col("__p") * F.log("__p"))).alias("__h"),
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        )
+    )
+    s = pi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_states"),
+        F.sum(dec(F.col("pi"))).alias("__spi"),
+    )
+    # a fully-draining chain (every state dangling within 8 rounds)
+    # leaves the pi frame EMPTY — its sums are NULL; report exact 0s
+    # (no surviving mass, no weighted transitions) instead
+    return s.crossJoin(F.broadcast(h)).select(
+        "n_states",
+        "n_edges",
+        F.round(
+            -F.coalesce(F.col("__h").cast("double"), F.lit(0.0)), 6
+        ).alias("entropy_rate"),
+        F.round(
+            F.coalesce(F.col("__spi").cast("double"), F.lit(0.0)), 6
+        ).alias("sum_pi"),
+    )

@@ -1925,3 +1925,87 @@ def fightin_words(
     return ranked.select(
         "source", "rank", "term", F.round(F.col("__z"), 6).alias("z")
     ).orderBy("source", "rank")
+
+
+def jm_bigram_surprise(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    k: int = 20,
+) -> DataFrame:
+    """Per-document surprise under a Jelinek–Mercer interpolated
+    bigram LM (Jelinek & Mercer 1980):
+
+        P(w2|w1) = λ·c(w1 w2)/c(w1) + (1−λ)·c(w2)/T
+
+    mean −ln P over the doc's bigram instances — the quality gate
+    q186's raw-bigram NLL cannot be at scale (an unseen bigram makes
+    raw NLL infinite; interpolation backs every instance off to the
+    unigram floor, so EVERY document scores).  The flag-the-outliers
+    readout of corpus LM filtering (cf. CCNet's perplexity gate).
+
+    Determinism: counts and T are exact BIGINTs; each instance's
+    −ln(λ·a + (1−λ)·b) is ONE fixed-parenthesization IEEE expression
+    quantized to DECIMAL(28,12) before the per-doc sum; nll = sum/n.
+    Ordering ties on the final double are broken by doc_id.
+
+    Scale: in-row bigram instance generation (slice+zip, the shingle
+    idiom), two model aggs, bigram/unigram model joins (AQE-sized),
+    a 1-row T broadcast, TakeOrdered(k).  Returns the ``k`` most
+    surprising docs (doc_id, n_bigrams, nll) by (nll DESC, doc_id)."""
+    toks = F.split(normalize_text(text_col), " ")
+    cnt = F.size(toks) - 1
+    pairs = F.when(
+        cnt > 0,
+        F.zip_with(
+            F.slice(toks, 1, cnt),
+            F.slice(toks, 2, cnt),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    inst = (
+        df.select(F.col(id_col).alias("__d"), F.explode(pairs).alias("__p"))
+        .select("__d", F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2"))
+        .where((F.col("__w1") != "") & (F.col("__w2") != ""))
+        .localCheckpoint(eager=False)  # feeds the model aggs AND the scoring join
+    )
+    big = inst.groupBy("__w1", "__w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c12")
+    )
+    uni = (
+        df.select(F.explode(F.split(normalize_text(text_col), " ")).alias("__w"))
+        .where(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .localCheckpoint(eager=False)  # joined twice (w1 context + w2 backoff)
+    )
+    t = uni.agg(F.sum("__c").cast("bigint").alias("__t"))
+    dec = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    scored = (
+        inst.join(big, ["__w1", "__w2"])
+        .join(uni.select(F.col("__w").alias("__w1"), F.col("__c").alias("__c1")), "__w1")
+        .join(uni.select(F.col("__w").alias("__w2"), F.col("__c").alias("__c2")), "__w2")
+        .crossJoin(F.broadcast(t))
+    )
+    p = F.lit(float(lam)) * (
+        F.col("__c12").cast("double") / F.col("__c1").cast("double")
+    ) + F.lit(1.0 - float(lam)) * (
+        F.col("__c2").cast("double") / F.col("__t").cast("double")
+    )
+    per_doc = scored.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(dec(-F.log(p))).alias("__s"),
+    )
+    return (
+        per_doc.select(
+            F.col("__d").alias("doc_id"),
+            "n_bigrams",
+            F.round(
+                F.col("__s").cast("double") / F.col("n_bigrams").cast("double"), 6
+            ).alias("nll"),
+        )
+        .orderBy(F.col("nll").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

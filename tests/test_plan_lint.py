@@ -60,6 +60,11 @@ BNL_ALLOWED = {
     "q275_js_divergence": "1-row vocabulary-total broadcast onto the (source, term) frame (the q164 grand-total shape)",
     "q282_fightin_words": "1-row vocabulary-total broadcast onto the (source, term) frame (the q275 shape)",
     "q283_embedding_isotropy": "two 1-row frames crossed (row stats x sum-vector norm) — the q163 shape",
+    "q284_graph_modularity": "1-row edge-count broadcast onto the #communities frame (the q100 shape)",
+    "q285_jm_surprise": "1-row token-total broadcast onto the scored bigram stream (the q186 shape)",
+    "q286_eb_shrinkage": "1-row MoM-prior (alpha, beta) broadcast onto the entity frame",
+    "q287_entropy_rate": "two 1-row frames crossed (pi stats x entropy sum) + q267's per-round broadcasts",
+    "q288_did_estimator": "1-row window-bounds broadcast onto the event stream (the q134 shape)",
 }
 
 

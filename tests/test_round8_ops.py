@@ -673,3 +673,222 @@ def test_embedding_isotropy_matches_numpy_pairwise(spark):
     assert abs(out.mean_norm - np.linalg.norm(vecs, axis=1).mean()) < 1e-6
     assert abs(out.mean_sq_norm - (vecs**2).sum(axis=1).mean()) < 1e-6
     assert abs(out.mean_pairwise_dot - mean_pair) < 1e-6
+
+
+# ------------------------------------------------------ modularity
+
+
+def test_modularity_matches_handbuilt_partition(spark):
+    """Two 4-cliques joined by one bridge edge: Q known in closed
+    form, recomputed by a from-scratch Python pass."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.graph import modularity
+
+    cliques = [(a, b) for grp in ([1, 2, 3, 4], [5, 6, 7, 8])
+               for i, a in enumerate(grp) for b in grp[i + 1:]]
+    edges = cliques + [(4, 5)]
+    labels = [(v, 0 if v <= 4 else 1) for v in range(1, 9)]
+    out = modularity(
+        spark.createDataFrame([Row(src=a, dst=b) for a, b in edges]),
+        spark.createDataFrame([Row(node=v, label=l) for v, l in labels]),
+    ).collect()[0]
+    # independent computation
+    m = len(edges)
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    lab = dict(labels)
+    q = 0.0
+    for c in (0, 1):
+        mc = sum(1 for a, b in edges if lab[a] == c and lab[b] == c)
+        dc = sum(d for v, d in deg.items() if lab[v] == c)
+        q += mc / m - (dc / (2 * m)) ** 2
+    assert out.n_edges == m and out.n_communities == 2
+    assert abs(out.modularity - q) < 1e-6
+
+
+def test_modularity_random_partition_is_near_zero(spark):
+    """A random-ish balanced partition of a complete graph has Q ~ 0
+    (exactly -1/(2(n-1))-ish for even splits of K_n); just assert the
+    sign-magnitude sanity and the internal consistency vs Python."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.graph import modularity
+
+    n = 10
+    edges = [(a, b) for a in range(n) for b in range(a + 1, n)]
+    labels = [(v, v % 2) for v in range(n)]
+    out = modularity(
+        spark.createDataFrame([Row(src=a, dst=b) for a, b in edges]),
+        spark.createDataFrame([Row(node=v, label=l) for v, l in labels]),
+    ).collect()[0]
+    # closed form for an even split of K_n: each side has C(n/2,2)
+    # intra edges and half the degree mass -> Q = 2*(C(5,2)/45 - 1/4)
+    m = len(edges)
+    want = 2 * (10 / m - 0.25)
+    assert abs(out.modularity - want) < 1e-6  # output rounds to 6
+    assert out.modularity < 0  # worse than chance, as it must be
+
+
+# ------------------------------------------------- JM surprise
+
+
+def test_jm_surprise_matches_dict_lm(spark):
+    docs = {
+        1: "a b a b a b c",
+        2: "a b a b a b a b",
+        3: "x y z q r s",  # rare bigrams -> most surprising
+    }
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs.items()])
+    out = {
+        r.doc_id: (r.n_bigrams, r.nll)
+        for r in textops.jm_bigram_surprise(
+            df, id_col="doc_id", text_col="text", lam=0.7, k=10
+        ).collect()
+    }
+    from collections import Counter
+
+    big: Counter = Counter()
+    uni: Counter = Counter()
+    for t in docs.values():
+        w = t.split()
+        uni.update(w)
+        big.update(zip(w, w[1:]))
+    T = sum(uni.values())
+    for i, t in docs.items():
+        w = t.split()
+        insts = list(zip(w, w[1:]))
+        nll = sum(
+            -math.log(
+                0.7 * (big[p] / uni[p[0]]) + (1.0 - 0.7) * (uni[p[1]] / T)
+            )
+            for p in insts
+        ) / len(insts)
+        n, got = out[i]
+        assert n == len(insts)
+        assert abs(got - nll) < 1e-6, i
+    # note: doc 3's bigrams are unique WITH unique contexts, so
+    # c12/c1 = 1 and JM scores them PREDICTABLE — the surprising doc
+    # is the one whose contexts are shared but continuations vary
+    # (doc 1's "a b ... b c"); the reference values above already
+    # pin the exact ordering
+
+
+# ------------------------------------------------ EB shrinkage
+
+
+def test_eb_shrinkage_matches_python_mom(spark):
+    rng = random.Random(91)
+    rows = []
+    for k in range(12):
+        p = 0.1 + 0.05 * (k % 5)
+        for _ in range(20 + k):
+            rows.append(Row(k=k, s=rng.random() < p))
+    out = {
+        r.key: r
+        for r in evaluation.eb_shrunk_rates(
+            spark.createDataFrame(rows), key_col="k", success_col="s",
+            min_trials=5, k=20,
+        ).collect()
+    }
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(r.k, []).append(bool(r.s))
+    rates = {k: sum(v) / len(v) for k, v in per.items()}
+    m = sum(rates.values()) / len(rates)
+    v = sum(r * r for r in rates.values()) / len(rates) - m * m
+    common = m * (1 - m) / v - 1
+    alpha, beta = m * common, (1 - m) * common
+    for k, obs in per.items():
+        got = out[k]
+        s, n = sum(obs), len(obs)
+        assert (got.trials, got.successes) == (n, s)
+        assert abs(got.shrunk_rate - (s + alpha) / (n + alpha + beta)) < 1e-6
+        assert abs(got.alpha - alpha) < 1e-5 and abs(got.beta - beta) < 1e-5
+    # shrinkage is strictly toward the prior mean
+    for k, obs in per.items():
+        raw = rates[k]
+        sh = out[k].shrunk_rate
+        assert (raw - m) * (raw - sh) >= -1e-12  # moved toward m
+
+
+# ------------------------------------------------ entropy rate
+
+
+def test_markov_entropy_rate_two_state_closed_form(spark):
+    """Deterministic cycle a->b->a has H = 0; a uniform 2-state chain
+    has H = ln 2; check both against the closed forms."""
+    cyc = spark.createDataFrame(
+        [Row(i="a", j="b", n=10), Row(i="b", j="a", n=10)]
+    )
+    out = mining.markov_entropy_rate(
+        cyc, from_col="i", to_col="j", count_col="n"
+    ).collect()[0]
+    assert out.entropy_rate == 0.0
+    assert abs(out.sum_pi - 1.0) < 1e-6
+    uni = spark.createDataFrame(
+        [Row(i=a, j=b, n=5) for a in ("a", "b") for b in ("a", "b")]
+    )
+    out2 = mining.markov_entropy_rate(
+        uni, from_col="i", to_col="j", count_col="n"
+    ).collect()[0]
+    assert abs(out2.entropy_rate - math.log(2)) < 1e-6
+
+
+def test_markov_entropy_rate_dangling_state_leaks_mass(spark):
+    """a->b only (b dangling): mass drains to b then vanishes —
+    sum_pi << 1 is the documented self-check signal."""
+    d = spark.createDataFrame([Row(i="a", j="b", n=3)])
+    out = mining.markov_entropy_rate(
+        d, from_col="i", to_col="j", count_col="n"
+    ).collect()[0]
+    assert out.sum_pi < 0.01
+
+
+# ---------------------------------------------------------- DiD
+
+
+def test_diff_in_diff_matches_statsmodels_free_reference(spark):
+    """Planted effect: treated units gain +10 post-split; the DiD
+    point estimate recovers it exactly against a from-scratch Python
+    computation (means, Welch-style SE)."""
+    rng = random.Random(92)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for u in range(40):
+        treat = u % 2 == 0
+        for d in range(20):
+            post = d >= 10
+            base = 50.0 + (u % 7) + rng.randrange(0, 5)
+            val = base + (10.0 if treat and post else 0.0)
+            rows.append(
+                Row(tr=treat, ts=t0 + timedelta(days=d), v=float(val))
+            )
+    out = evaluation.diff_in_diff(
+        spark.createDataFrame(rows), treat_col="tr", ts_col="ts", value_col="v"
+    ).collect()[0]
+    lo = min(r.ts for r in rows)
+    hi = max(r.ts for r in rows)
+    mid_us = int(lo.timestamp() * 1e6) + (
+        int(hi.timestamp() * 1e6) - int(lo.timestamp() * 1e6)
+    ) // 2
+    cells: dict[tuple, list] = {}
+    for r in rows:
+        cells.setdefault(
+            (r.tr, int(r.ts.timestamp() * 1e6) > mid_us), []
+        ).append(r.v)
+
+    def mv(c):
+        xs = cells[c]
+        m = sum(xs) / len(xs)
+        var = sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+        return m, var, len(xs)
+
+    mtp, vtp, ntp = mv((True, True))
+    mta, vta, nta = mv((True, False))
+    mcp, vcp, ncp = mv((False, True))
+    mca, vca, nca = mv((False, False))
+    did = (mtp - mta) - (mcp - mca)
+    se = math.sqrt(vtp / ntp + vta / nta + vcp / ncp + vca / nca)
+    assert abs(out.did - did) < 1e-6
+    assert abs(out.se - se) < 1e-6
+    assert abs(out.t_stat - did / se) < 1e-4
+    assert 8.0 < out.did < 12.0  # recovers the planted +10

@@ -194,6 +194,11 @@ NOTES = {
     "q281_dedup_yield_curve": "q55's banded candidate sweep + per-doc max agg; suffix sums on the 16-row level frame (metadata windows)",
     "q282_fightin_words": "sparse (source, term) frame only; log-odds z in codegen; salted two-phase grouped top-k; 1-row total broadcast (allowlisted BNL)",
     "q283_embedding_isotropy": "two linear passes replace the n-squared pair join (sum-vector identity); component sums on a dim-row frame; 1-row assembly",
+    "q284_graph_modularity": "canonical-edge dedup + two entity-sized label joins (AQE broadcast); per-community terms on the #communities frame; 1-row m broadcast",
+    "q285_jm_surprise": "in-row bigram instances (slice+zip); model joins AQE-sized; instance frame localCheckpointed (feeds model aggs AND scoring); TakeOrdered(20)",
+    "q286_eb_shrinkage": "one per-entity agg; MoM prior on a 1-row frame broadcast back; shrinkage in codegen; TakeOrdered(20)",
+    "q287_entropy_rate": "q267's fixed-round iteration + ONE edges-pi join and two combinable sums; sum_pi rides as the dangling-mass self-check",
+    "q288_did_estimator": "all 12 cell statistics in ONE conditional decimal agg — no per-cell passes, no join; 1-row bounds broadcast",
 }
 
 # Streaming/stateful queries whose query() call EXECUTES a stream and
