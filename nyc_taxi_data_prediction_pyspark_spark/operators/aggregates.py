@@ -1320,3 +1320,66 @@ def grouped_bootstrap_ci(
         F.round(F.element_at(means, lo_idx), 6).alias("ci_lo"),
         F.round(F.element_at(means, hi_idx), 6).alias("ci_hi"),
     ).orderBy(*group_cols)
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    inv_rate: int = 64,
+) -> DataFrame:
+    """Sketch-based equi-join cardinality estimate vs exact — the
+    optimizer-statistics quality audit (the CBO question "how big
+    will this join be" answered by a coordinated key sample, cf.
+    end-biased sampling, Estan & Naughton ICDE'06):
+
+        S = { k : md5_60(k) < 2^60 / inv_rate }      (key-coordinated)
+        est = inv_rate · Σ_{k∈S} f_L(k) · f_R(k)
+        exact = Σ_k f_L(k) · f_R(k)     (computed WITHOUT the join)
+
+    The hash sample is COORDINATED (same deterministic predicate on
+    both sides), which is what makes Σ f_L·f_R estimable at all —
+    independent per-side samples would almost never intersect on the
+    join keys.  Unbiased over the hash family; this fixed seed gives
+    ONE reproducible draw (the q157/q280 counter-based-RNG stance).
+
+    Scale: two per-key count aggs + one key-frame join — the
+    |keys|-sized frames, never the |join-output|-sized one; the
+    exact side costs the same two aggs, so the audit is O(keys) even
+    when the join itself would explode.  Returns ONE row
+    (exact_rows, est_rows, sampled_keys, rel_err round 6)."""
+    from ..functions.hashing import md5_int60
+
+    thresh = (1 << 60) // int(inv_rate)
+    fl = left.groupBy(F.col(left_key).alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__fl")
+    )
+    fr = right.groupBy(F.col(right_key).alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__fr")
+    )
+    prod = fl.join(fr, "__k").select(
+        "__k",
+        (F.col("__fl") * F.col("__fr")).cast("bigint").alias("__p"),
+        (md5_int60(F.col("__k").cast("string")) < F.lit(thresh)).alias("__in"),
+    )
+    return prod.agg(
+        F.sum(F.col("__p").cast("decimal(38,0)")).cast("bigint").alias("exact_rows"),
+        (
+            F.lit(int(inv_rate)).cast("bigint")
+            * F.sum(F.when(F.col("__in"), F.col("__p")).otherwise(0)).cast("bigint")
+        ).alias("est_rows"),
+        F.sum(F.when(F.col("__in"), 1).otherwise(0)).cast("bigint").alias(
+            "sampled_keys"
+        ),
+    ).select(
+        "exact_rows",
+        "est_rows",
+        "sampled_keys",
+        F.round(
+            (F.col("est_rows").cast("double") - F.col("exact_rows").cast("double"))
+            / F.col("exact_rows").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )

@@ -1288,3 +1288,103 @@ def diff_in_diff(
         F.round(se, 6).alias("se"),
         F.round(did / se, 6).alias("t_stat"),
     )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    *,
+    unit_col: str,
+    treat_col: str,
+    ts_col: str,
+    value_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """CUPED variance reduction for A/B metrics (Deng, Xu, Kohavi &
+    Walker, WSDM 2013): per-unit pre-period activity as the control
+    covariate — θ = cov(pre, post)/var(pre) fitted on the POOLED
+    population, each unit's adjusted metric post − θ·(pre − mean_pre)
+    — the industry-standard way to shrink experiment confidence
+    intervals without touching the treatment assignment.
+
+    The window splits at its integer-µs midpoint (the q288
+    convention); per-unit pre/post sums are decimal-exact (dsum
+    rule).  Adjusted moments need NO second pass — at any θ,
+    var_adj = var_post − 2θ·cov + θ²·var_pre (population variances,
+    documented), evaluated per arm on the 2-row arm frame with the
+    pooled θ broadcast.
+
+    Returns one row per arm (treat, n_units, theta, mean_post,
+    var_post, mean_adj, var_adj, var_reduction_pct) round 6, ordered
+    by treat — var_reduction_pct = (1 − var_adj/var_post)·100."""
+    bounds = df.agg(F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi"))
+    post = F.unix_micros(F.col(ts_col)) > (
+        F.unix_micros(F.col("__lo"))
+        + F.expr(f"(unix_micros(__hi) - unix_micros(__lo)) div 2")
+    )
+    v = F.col(value_col).cast(f"decimal(18,{scale})")
+    per_unit = (
+        df.crossJoin(F.broadcast(bounds))
+        .groupBy(F.col(unit_col).alias("__u"), F.col(treat_col).cast("boolean").alias("__tr"))
+        .agg(
+            F.sum(F.when(~post, v)).alias("__pre"),
+            F.sum(F.when(post, v)).alias("__post"),
+        )
+        .select(
+            "__u",
+            "__tr",
+            F.coalesce(F.col("__pre"), F.lit(0)).cast("double").alias("__x"),
+            F.coalesce(F.col("__post"), F.lit(0)).cast("double").alias("__y"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+
+    def moments(grouped):
+        return grouped.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_units"),
+            F.sum(dec(F.col("__x"))).alias("__sx"),
+            F.sum(dec(F.col("__y"))).alias("__sy"),
+            F.sum(dec(F.col("__x") * F.col("__x"))).alias("__sxx"),
+            F.sum(dec(F.col("__x") * F.col("__y"))).alias("__sxy"),
+            F.sum(dec(F.col("__y") * F.col("__y"))).alias("__syy"),
+        )
+
+    def stats(frame):
+        n = F.col("n_units").cast("double")
+        mx = F.col("__sx").cast("double") / n
+        my = F.col("__sy").cast("double") / n
+        vx = F.col("__sxx").cast("double") / n - mx * mx
+        vy = F.col("__syy").cast("double") / n - my * my
+        cxy = F.col("__sxy").cast("double") / n - mx * my
+        return frame.select(
+            "*",
+            mx.alias("__mx"),
+            my.alias("__my"),
+            vx.alias("__vx"),
+            vy.alias("__vy"),
+            cxy.alias("__cxy"),
+        )
+
+    pooled = stats(moments(per_unit.groupBy())).select(
+        F.when(F.col("__vx") > 0, F.col("__cxy") / F.col("__vx")).alias("__theta"),
+        F.col("__mx").alias("__pool_mx"),
+    )
+    arms = stats(moments(per_unit.groupBy("__tr"))).crossJoin(F.broadcast(pooled))
+    th = F.col("__theta")
+    mean_adj = F.col("__my") - th * (F.col("__mx") - F.col("__pool_mx"))
+    var_adj = (
+        F.col("__vy")
+        - F.lit(2.0) * th * F.col("__cxy")
+        + th * th * F.col("__vx")
+    )
+    return arms.select(
+        F.col("__tr").alias("treat"),
+        "n_units",
+        F.round(th, 6).alias("theta"),
+        F.round(F.col("__my"), 6).alias("mean_post"),
+        F.round(F.col("__vy"), 6).alias("var_post"),
+        F.round(mean_adj, 6).alias("mean_adj"),
+        F.round(var_adj, 6).alias("var_adj"),
+        F.round(
+            (F.lit(1.0) - var_adj / F.col("__vy")) * F.lit(100.0), 6
+        ).alias("var_reduction_pct"),
+    ).orderBy("treat")

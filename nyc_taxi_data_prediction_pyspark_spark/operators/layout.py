@@ -188,3 +188,95 @@ def compaction_plan_next_fit(
             / (F.col("__fold.bins").cast("double") * F.lit(float(target_bytes)))
         ).alias("avg_bin_fill"),
     )
+
+
+def clustering_depth(
+    df: DataFrame,
+    *,
+    order_col: str,
+    zone_col: str,
+    bucket_rows: int = 1000,
+    n_probes: int = 64,
+) -> DataFrame:
+    """Clustering-depth audit (the Delta-OPTIMIZE / Z-cube metric):
+    at each of ``n_probes`` evenly-spaced probe points across the
+    ``zone_col`` domain, how many files' [zmin, zmax] zones CONTAIN
+    the point — depth 1 means a point lookup touches one file
+    (perfectly clustered), depth ≈ n_files means the column is
+    shuffled across every file and zone maps are useless for it.
+    The companion to ``zone_map_skip_audit``: that one prices a
+    specific predicate, this one summarizes the LAYOUT itself.
+
+    Files are cut by the same engine-independent arithmetic rank as
+    the skip audit (dense two-phase rank over ``order_col``, exact
+    integer ``div`` — no physical row order anywhere).  Probe points
+    are exact integer-µs arithmetic on the data's own [lo, hi] span:
+    p_i = lo + (i·(hi−lo)) div (n_probes−1).
+
+    Scale: the zone frame is #files rows (metadata); the probe join
+    is n_probes × #files on a broadcast ``n_probes``-row frame —
+    bounded, allowlisted.  Returns ONE row (n_files, n_probes,
+    avg_depth, max_depth) with avg_depth = mean over probes of the
+    containment count (two IEEE divisions)."""
+    from .windows import grouped_cumsum_two_phase
+
+    keyed = df.select(
+        F.col(order_col).alias("__k"), F.col(zone_col).alias("__z")
+    )
+    per_key = keyed.groupBy("__k").agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    ranked = grouped_cumsum_two_phase(
+        per_key, [], ["__k"], ["__c"], exclusive=True
+    ).select("__k", F.col("__cum___c").alias("__start"))
+    zones = (
+        keyed.join(ranked, "__k")
+        .withColumn(
+            "__file", F.expr(f"__start div {int(bucket_rows)}").cast("bigint")
+        )
+        .groupBy("__file")
+        .agg(
+            F.min(F.unix_micros(F.col("__z"))).alias("__zmin"),
+            F.max(F.unix_micros(F.col("__z"))).alias("__zmax"),
+        )
+    )
+    span = df.agg(
+        F.min(F.unix_micros(F.col(zone_col))).alias("__lo"),
+        F.max(F.unix_micros(F.col(zone_col))).alias("__hi"),
+    )
+    probes = (
+        df.sparkSession.range(0, n_probes)
+        .select(F.col("id").cast("bigint").alias("__i"))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "__i",
+            (
+                F.col("__lo")
+                + F.expr(f"(__i * (__hi - __lo)) div {int(n_probes) - 1}")
+            ).alias("__p"),
+        )
+    )
+    depth = (
+        zones.join(
+            F.broadcast(probes),
+            (F.col("__zmin") <= F.col("__p")) & (F.col("__p") <= F.col("__zmax")),
+            "right",
+        )
+        .groupBy("__i")
+        .agg(
+            F.sum(F.when(F.col("__file").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__d")
+        )
+    )
+    nf = zones.agg(F.count(F.lit(1)).cast("bigint").alias("n_files"))
+    return depth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("__d").cast("bigint").alias("__sd"),
+        F.max("__d").cast("bigint").alias("max_depth"),
+    ).crossJoin(F.broadcast(nf)).select(
+        "n_files",
+        "n_probes",
+        F.round(
+            F.col("__sd").cast("double") / F.col("n_probes").cast("double"), 6
+        ).alias("avg_depth"),
+        "max_depth",
+    )

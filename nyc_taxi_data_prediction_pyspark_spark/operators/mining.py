@@ -1207,3 +1207,77 @@ def markov_entropy_rate(
             F.coalesce(F.col("__spi").cast("double"), F.lit(0.0)), 6
         ).alias("sum_pi"),
     )
+
+
+def session_surprise(
+    events: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Per-session behavioral anomaly score: mean −ln P(next | prev)
+    of each (user, day) session's consecutive event-type transitions
+    under the GLOBAL first-order Markov model (the q170 transition
+    matrix used as a scorer) — which sessions walk improbable paths,
+    the sequence-level fraud/bot signal next to q235's bandit replay
+    and q285's document LM gate.
+
+    The model is fitted on the same stream it scores (every observed
+    transition has n_ij >= 1, so probabilities are finite — the
+    leave-in convention of exploratory anomaly scans, documented).
+    Each transition's −ln(n_ij/tot_i) is one IEEE expression over
+    exact BIGINTs quantized to DECIMAL(28,12) before the per-session
+    sum (q158 rule); sessions below 2 events have no transitions and
+    drop out.
+
+    Scale: one per-user-day lag window (bounded by the user's own
+    day activity), one model aggregation, one AQE-sized model join,
+    TakeOrdered(k).  Returns (user_id, day, n_transitions, nll) top-k
+    by (nll DESC, user_id, day)."""
+    w = W.partitionBy(user_col, F.to_date(F.col(ts_col))).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.to_date(F.col(ts_col)).alias("__day"),
+            F.col(type_col).alias("__to"),
+            F.lag(F.col(type_col)).over(w).alias("__from"),
+        )
+        .where(F.col("__from").isNotNull())
+        .localCheckpoint(eager=False)  # feeds the model agg AND scoring
+    )
+    counts = pairs.groupBy("__from", "__to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    tot = counts.groupBy("__from").agg(F.sum("__n").cast("bigint").alias("__t"))
+    model = counts.join(tot, "__from").select(
+        "__from",
+        "__to",
+        (F.col("__n").cast("double") / F.col("__t").cast("double")).alias("__p"),
+    )
+    dec = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    per = (
+        pairs.join(model, ["__from", "__to"])
+        .groupBy("__u", "__day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum(dec(-F.log("__p"))).alias("__s"),
+        )
+    )
+    return (
+        per.select(
+            F.col("__u").alias("user_id"),
+            F.col("__day").alias("day"),
+            "n_transitions",
+            F.round(
+                F.col("__s").cast("double") / F.col("n_transitions").cast("double"),
+                6,
+            ).alias("nll"),
+        )
+        .orderBy(F.col("nll").desc(), F.col("user_id").asc(), F.col("day").asc())
+        .limit(k)
+    )

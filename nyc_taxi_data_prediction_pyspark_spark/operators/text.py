@@ -2009,3 +2009,99 @@ def jm_bigram_surprise(
         .orderBy(F.col("nll").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def skipgram_negative_draws(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_neg: int = 2,
+) -> DataFrame:
+    """Skip-gram training-pair generation with FREQUENCY-PROPORTIONAL
+    negative sampling (Mikolov et al. NIPS 2013), fully deterministic
+    and engine-replayable: positive pairs are the adjacent-token
+    skip-grams (window 1, both directions); each pair draws ``k_neg``
+    negatives by sampling a uniform CORPUS POSITION — sampling a
+    token instance uniformly IS sampling the vocabulary proportional
+    to frequency, with no alias tables, no cumulative-interval range
+    join, and no RNG state:
+
+        x = md5_60(doc ⊕ pos ⊕ dir ⊕ j) mod T
+        negative = the token at global instance rank x
+
+    The instance rank is the exclusive two-phase prefix count over
+    the unique (doc, pos) keys (pack_documents machinery — never a
+    global single-task window), so the rank→token lookup is ONE
+    equi-join on a BIGINT.  Positions are capped below 100000 per doc
+    (the chunk_key convention) — asserted by construction on the
+    corpus tables.
+
+    Scale: token explode + in-row pair projection + a points⋈rank
+    equi-join carrying 2·k_neg·|pairs| rows — all linear, the
+    training-data budget.  Returns the triples frame (center,
+    context, negative); callers aggregate (the q291 query rolls up
+    the draw distribution)."""
+    toks = F.split(normalize_text(text_col), " ")
+    docs = df.select(
+        F.col(id_col).alias("__id"), toks.alias("__w")
+    ).where((F.size("__w") >= 2) & (F.element_at("__w", 1) != ""))
+    inst = docs.select(
+        "__id", F.posexplode("__w").alias("__i", "__tok")
+    ).select(
+        (F.col("__id") * 100000 + F.col("__i")).alias("__key"), "__tok"
+    )
+    from .windows import grouped_cumsum_two_phase
+
+    per_key = inst.groupBy("__key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+        F.first("__tok").alias("__tok"),
+    )
+    ranked = grouped_cumsum_two_phase(
+        per_key, [], ["__key"], ["__c"], exclusive=True
+    ).select(F.col("__cum___c").alias("__rank"), "__tok")
+    t = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+    cnt = F.size("__w") - 1
+    pair_structs = F.when(
+        cnt > 0,
+        F.zip_with(
+            F.slice("__w", 1, cnt),
+            F.slice("__w", 2, cnt),
+            lambda x, y: F.struct(x.alias("c1"), y.alias("c2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<c1:string,c2:string>>"))
+    adj = docs.select(
+        "__id", F.posexplode(pair_structs).alias("__i", "__p")
+    )
+    from ..functions.hashing import md5_int60
+
+    dirs = F.explode(F.array(F.lit("f"), F.lit("b")))
+    js = F.explode(F.array(*[F.lit(j) for j in range(1, int(k_neg) + 1)]))
+    pts = (
+        adj.select("__id", "__i", "__p", dirs.alias("__dir"))
+        .select("__id", "__i", "__p", "__dir", js.alias("__j"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.when(F.col("__dir") == "f", F.col("__p.c1"))
+            .otherwise(F.col("__p.c2"))
+            .alias("center"),
+            F.when(F.col("__dir") == "f", F.col("__p.c2"))
+            .otherwise(F.col("__p.c1"))
+            .alias("context"),
+            F.pmod(
+                md5_int60(
+                    F.concat_ws(
+                        "_",
+                        F.col("__id").cast("string"),
+                        F.col("__i").cast("string"),
+                        F.col("__dir"),
+                        F.col("__j").cast("string"),
+                    )
+                ),
+                F.col("__t"),
+            ).alias("__x"),
+        )
+    )
+    return pts.join(ranked, pts["__x"] == ranked["__rank"]).select(
+        "center", "context", F.col("__tok").alias("negative")
+    )
