@@ -6342,6 +6342,22 @@ _R8_DEFERRED_NEW: set[int] = {
     269, 270, 271, 272, 273, 274, 275, 276, 277, 278,
     279, 280, 281, 282, 283, 284, 285, 286, 287, 288,
 }
+# Round-9 head, exactly as the round-8 verdict scheduled it: the
+# 47-query r5-evidence band (the OLDEST driver evidence anywhere after
+# round 8's head re-greened the r4 band — computed from
+# CORRECTNESS_r01..r08 and frozen here; the rotation test recomputes
+# it from the records) plus the three oldest deferred registrations
+# (q198-q200) taking their FIRST driver rows, greedy-oldest-first.
+# 47 + 3 = exactly 50.  After this head lands the oldest band is r6;
+# rounds 10-11 absorb the r6 band plus the remaining deferrals
+# q201 onward.
+_R9_R5_BAND = {
+    17, 20, 21, 38, 75, 76, 77, 109, 140, 142, 143, 144, 145, 146, 147,
+    148, 149, 150, 151, 152, 154, 155, 156, 157, 158, 159, 160, 161,
+    162, 163, 164, 165, 166, 167, 168, 169, 170, 171, 172, 173, 175,
+    176, 177, 178, 179, 180, 181,
+}
+_R9_DEFERRED_HEAD = {198, 199, 200}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6351,17 +6367,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    """First-50 = round-8 rotation targets, chosen by EVIDENCE AGE:
-    the r4-evidence band (oldest driver rows in the registry after
-    round 7's head re-greened the r3 band) plus the three oldest
-    deferred registrations (q195-q197) taking their first driver
-    rows.  The rest, holding r5+ evidence or newer deferrals, follow
-    in number order (r5 band + q198 onward = rounds 9-11 heads)."""
+    """First-50 = round-9 rotation targets, chosen by EVIDENCE AGE:
+    the r5-evidence band (oldest driver rows in the registry after
+    round 8's head re-greened the r4 band) plus the three oldest
+    deferred registrations (q198-q200) taking their first driver
+    rows.  The rest, holding r6+ evidence or newer deferrals, follow
+    in number order (r6 band + q201 onward = rounds 10-11 heads)."""
 
     def num(n: str) -> int:
         return int(n[1:].split("_", 1)[0])
 
-    head_nums = _R8_R4_BAND | _R8_DEFERRED_HEAD
+    head_nums = _R9_R5_BAND | _R9_DEFERRED_HEAD
     head = [n for n in names if num(n) in head_nums]
     tail = [n for n in names if num(n) not in head_nums]
     out = sorted(head, key=num) + sorted(tail, key=num)

@@ -144,12 +144,12 @@ def test_plans_md_covers_expensive_queries_and_is_current():
 
 def test_driver_slot_rotation_covers_unproven_queries():
     """The correctness driver hard-checks only the first 50 registry
-    entries.  Round-8 invariant (rotate by EVIDENCE AGE — the round-5
-    verdict's standing rule, scheduled by the round-7 verdict): the
+    entries.  Round-9 invariant (rotate by EVIDENCE AGE — the round-5
+    verdict's standing rule, scheduled by the round-8 verdict): the
     first 50 must be exactly (a) every query whose newest hash-green
-    driver row is round 4 — the oldest band after round 7's head
-    re-greened the r3 band — plus (b) the OLDEST deferred
-    registrations (q195 onward, greedy-oldest-first) filling the
+    driver row is round 5 — the oldest band after round 8's head
+    re-greened the r4 band — plus (b) the OLDEST deferred
+    registrations (q198 onward, greedy-oldest-first) filling the
     remaining slots with their first-ever driver rows."""
     import json
 
@@ -163,7 +163,7 @@ def test_driver_slot_rotation_covers_unproven_queries():
 
     # newest hash-green round per query across the recorded history
     newest_green: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
         d = json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text())
         for k, v in d.items():
             if v.get("hash_match"):
@@ -171,33 +171,37 @@ def test_driver_slot_rotation_covers_unproven_queries():
 
     first50 = set(names[:50])
     assert len(first50) == 50
-    # (a) the r4 band IS the oldest evidence and ALL of it is in the
+    # (a) the r5 band IS the oldest evidence and ALL of it is in the
     # head — recomputed from the records, not trusted from the frozen
     # set in the entry module...
-    stale = {n for n in names if newest_green.get(n, 9) <= 4 and n in newest_green}
+    stale = {n for n in names if newest_green.get(n, 9) <= 5 and n in newest_green}
     assert stale <= first50, sorted(stale - first50)
     # ...and the frozen set matches the recomputation exactly
-    assert {num(n) for n in stale} == entry._R8_R4_BAND
+    assert {num(n) for n in stale} == entry._R9_R5_BAND
     # (b) the remaining slots go to the OLDEST never-driver-checked
     # registrations, greedy-oldest-first by query number
     recorded = set()
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
         recorded |= set(json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text()))
     never = sorted((n for n in names if n not in recorded), key=num)
     n_fill = 50 - len(stale)
     fill = set(never[:n_fill])
-    assert {num(n) for n in fill} == entry._R8_DEFERRED_HEAD
+    assert {num(n) for n in fill} == entry._R9_DEFERRED_HEAD
     assert first50 == stale | fill
-    # every never-checked query is a deferred registration q195+
-    assert all(num(n) >= 195 for n in never)
-    # schedule feasibility beyond round 8: after this head lands the
-    # oldest band is r5.  The greedy oldest-first sweep over rounds
-    # 9-11 (150 slots) must absorb the r5 band and every remaining
-    # deferral (q198 onward, incl. round-8 registrations), keeping
-    # each query inside the ceil(N/50)-round freshness bound.
-    r5_band = sum(1 for n in names if newest_green.get(n) == 5 and n not in first50)
-    remaining_deferred = len(never) - n_fill  # incl. round-8 registrations
-    assert r5_band + remaining_deferred <= 150, (r5_band, remaining_deferred)
+    # every never-checked query is a deferred registration q198+
+    assert all(num(n) >= 198 for n in never)
+    # schedule feasibility beyond round 9: never-checked queries have
+    # NO evidence (infinitely stale), so rounds 10-11 (100 slots) must
+    # give every remaining deferral (q201 onward, incl. any round-9
+    # registrations) its first driver row — that is the round-8
+    # verdict's "first row by round 11" promise.  The r6 band's
+    # re-green can wait until round 12, still inside the
+    # ceil(N/50)=6-round freshness bound (r6 + 6 = r12), and the r6
+    # band fits a single head.
+    remaining_deferred = len(never) - n_fill  # incl. round-9 registrations
+    assert remaining_deferred <= 100, remaining_deferred
+    r6_band = sum(1 for n in names if newest_green.get(n) == 6 and n not in first50)
+    assert r6_band <= 50, r6_band
     # oracle_sql iterates in the same rotated order (driver zips them)
     o = list(entry.oracle_sql())
     assert o == [n for n in names if n in set(o)]
