@@ -87,6 +87,19 @@ def test_bench_headline_covers_registry_or_names_reason():
             assert ref in hl_nums, (name, ref, "names an un-benched sibling")
 
 
+def _expensive_threshold(detail: dict) -> float:
+    """The ≥2 s 'expensive query' bar, jitter-normalized (round-8
+    ADVICE): driver reruns of bench.py overwrite the detail file with
+    noisier timings than the solo committed record, so a raw 2.0 s
+    threshold flips the guard on timing noise alone.  Scale the bar by
+    the sched_20job canary (scheduler-jitter drift, committed-record
+    reference 1.18 s) so a jitterier record raises the bar in
+    proportion — a genuinely new ≥2 s query still trips it."""
+    ref_sched = 1.18
+    sched = (detail.get("canary") or {}).get("sched_20job", ref_sched)
+    return 2.0 * max(1.0, sched / ref_sched)
+
+
 def test_every_expensive_bench_query_has_scale_probe():
     """README claims every query ≥2 s at the latest official record
     carries an isolated 10× scale probe in docs/SCALING.md — round-6
@@ -101,11 +114,12 @@ def test_every_expensive_bench_query_has_scale_probe():
 
         pytest.skip("no committed sf0.1 bench detail yet")
     detail = json.loads(detail_path.read_text())
+    thr = _expensive_threshold(detail)
     scaling = (ROOT / "docs" / "SCALING.md").read_text()
     missing = [
         name
         for name, sec in detail["queries"].items()
-        if sec >= 2.0 and name.split("_", 1)[0] not in scaling
+        if sec >= thr and name.split("_", 1)[0] not in scaling
     ]
     assert not missing, missing
 
@@ -128,11 +142,12 @@ def test_plans_md_covers_expensive_queries_and_is_current():
 
         pytest.skip("no committed sf0.1 bench detail yet")
     detail = json.loads(detail_path.read_text())
+    thr = _expensive_threshold(detail)
     covered = set(dump_plans.NOTES) | set(dump_plans.PLANS_SKIP)
     missing = [
         name
         for name, sec in detail["queries"].items()
-        if sec >= 2.0 and name not in covered
+        if sec >= thr and name not in covered
     ]
     assert not missing, missing
     for name, reason in dump_plans.PLANS_SKIP.items():

@@ -209,6 +209,7 @@ NOTES = {
 # NOTES or here, with a reason.
 PLANS_SKIP = {
     "q104_streaming_corpus_ingest": "availableNow stream; plan = store readout; see SCALING 'q104'",
+    "q123_scd2_history": "two-batch SCD2 fold via Warehouse.scd2_merge; returned plan = versioned-dim store scan; merge plan evidence in SCALING 'q123'",
     "q108_stream_attribution": "stream-stream join via micro-batches; plan = result-store scan",
     "q114_incremental_rollup": "incremental maintenance loop; plan = rollup-store scan",
     "q264_stream_funnel": "applyInPandasWithState fold; plan = funnel-store scan",
