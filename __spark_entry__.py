@@ -6133,9 +6133,15 @@ def q283_embedding_isotropy(spark: SparkSession, sf: str) -> DataFrame:
     linear passes, no pair join anywhere. The gate before trusting an
     embedding column for cosine ANN / SemDeDup (a collapsed cone
     makes cosine retrieval degenerate). Decimal-quantized sums (q158
-    rule); identity assembled on one row."""
+    rule); identity assembled on one row.  ``_ISO_DIM`` is the ONE
+    source of truth for the dimension — the engine validates it per
+    row (raise_error on mismatch) and the oracle's unnest bound is
+    generated from it (round-8 ADVICE)."""
     emb = load(spark, sf, "embeddings")
-    return similarity.embedding_isotropy(emb, vec_col="embedding", dim=64)
+    return similarity.embedding_isotropy(emb, vec_col="embedding", dim=_ISO_DIM)
+
+
+_ISO_DIM = 64  # testdata embeddings are 64-d; engine + q283 oracle both read this
 
 
 def q284_graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
@@ -13580,8 +13586,12 @@ FROM rej ORDER BY bh_rank
         f"         SUM(v * {_w_sql(a, b)}) AS s{j}"
         for j, (a, b) in enumerate(_bs_params)
     )
+    # Zero-weight resamples fold to the group's overall mean in BOTH
+    # engines (mirrors the engine's F.when guard — round-8 ADVICE).
     _bs_means = ", ".join(
-        f"CAST(s{j} AS DOUBLE) / CAST(n{j} AS DOUBLE)" for j in range(32)
+        f"(CASE WHEN n{j} > 0 THEN CAST(s{j} AS DOUBLE) / CAST(n{j} AS DOUBLE)"
+        f" ELSE CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) END)"
+        for j in range(32)
     )
     oracles["q280_bootstrap_ci"] = f"""
 WITH base AS (
@@ -13673,8 +13683,10 @@ SELECT source, CAST(rank AS INT) AS rank, term, ROUND(z, 6) AS z
 FROM r WHERE rank <= 8 ORDER BY source, rank
 """
     # q283: the sum-vector identity replayed — component sums via
-    # range-indexed list access, decimal-quantized like the engine.
-    oracles["q283_embedding_isotropy"] = """
+    # range-indexed list access, decimal-quantized like the engine;
+    # the unnest bound comes from _ISO_DIM, the same constant the
+    # engine validates per row (round-8 ADVICE).
+    oracles["q283_embedding_isotropy"] = f"""
 WITH pr AS (
   SELECT embedding::DOUBLE[] AS v,
          list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS sq
@@ -13688,7 +13700,7 @@ rs AS (
 ),
 comp AS (
   SELECT i, SUM(CAST(v[i + 1] AS DECIMAL(28,12))) AS s
-  FROM pr, unnest(range(64)) AS t(i) GROUP BY i
+  FROM pr, unnest(range({_ISO_DIM})) AS t(i) GROUP BY i
 ),
 nq AS (
   SELECT SUM(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) AS DECIMAL(28,12)))
@@ -13814,7 +13826,7 @@ SELECT key, trials, successes,
        ROUND((CAST(successes AS DOUBLE) + alpha)
              / (CAST(trials AS DOUBLE) + alpha + beta), 6) AS shrunk_rate,
        ROUND(alpha, 6) AS alpha, ROUND(beta, 6) AS beta
-FROM elig CROSS JOIN pr
+FROM per CROSS JOIN pr
 ORDER BY ROUND((CAST(successes AS DOUBLE) + alpha)
                / (CAST(trials AS DOUBLE) + alpha + beta), 6) DESC, key ASC
 LIMIT 20

@@ -1301,10 +1301,20 @@ def grouped_bootstrap_ci(
         aggs.append(F.sum(w.cast("bigint")).cast("bigint").alias(f"__n{j}"))
         aggs.append(F.sum(F.col("__v") * w.cast("int")).alias(f"__s{j}"))
     per = base.groupBy(*group_cols).agg(*aggs)
+    # A resample whose total weight is 0 (likely for 1-2 row groups,
+    # P~e^-n per resample) would be 0/0: Spark NULL (array_sort LAST)
+    # but DuckDB inf/NaN or NULLS-FIRST — engine and oracle could
+    # disagree on the quantile ranks.  Substitute the group's overall
+    # mean (never degenerate for a non-empty group) so both engines
+    # fold the degenerate resample identically (round-8 ADVICE).
+    overall = F.col("__sv").cast("double") / F.col("n").cast("double")
     means = F.array_sort(
         F.array(
             *[
-                F.col(f"__s{j}").cast("double") / F.col(f"__n{j}").cast("double")
+                F.when(
+                    F.col(f"__n{j}") > 0,
+                    F.col(f"__s{j}").cast("double") / F.col(f"__n{j}").cast("double"),
+                ).otherwise(overall)
                 for j in range(n_resamples)
             ]
         )

@@ -1150,6 +1150,11 @@ def eb_shrunk_rates(
 
     — the leaderboard fix for "3-for-3 beats 300-for-1000": small
     samples regress to the prior, large samples keep their data.
+    EVERY entity is shrunk and eligible for the leaderboard —
+    ``min_trials`` gates only the PRIOR FIT (tiny-sample rates are
+    too noisy to estimate the population moments from) — so the
+    3-for-3 entity genuinely appears, shrunk toward the prior
+    (round-8 ADVICE: output from all keys, not just prior-eligible).
 
     Moments: m and v are the (biased) mean/variance of the observed
     rates over entities with n >= ``min_trials``, computed from
@@ -1182,7 +1187,7 @@ def eb_shrunk_rates(
         (m * common).alias("alpha"),
         ((F.lit(1.0) - m) * common).alias("beta"),
     )
-    out = elig.crossJoin(F.broadcast(pr))
+    out = per.crossJoin(F.broadcast(pr))
     shrunk = (F.col("successes").cast("double") + F.col("alpha")) / (
         F.col("trials").cast("double") + F.col("alpha") + F.col("beta")
     )

@@ -861,15 +861,29 @@ def embedding_isotropy(
     identity is fixed-parenthesization IEEE on ONE row.  mean_norm
     uses sqrt (correctly-rounded primitive) per row, decimal-summed.
 
+    ``dim`` is VALIDATED, not assumed (round-8 ADVICE: it used to be
+    dead while the q283 oracle hardcoded 64 — a mismatched column
+    would run clean engine-side and break parity silently): any row
+    whose vector length differs raises at execution time, so the
+    caller's dim and the oracle's unnest bound are provably the same.
+
     Returns ONE row (n, mean_norm, mean_sq_norm, mean_pairwise_dot)
     round 6."""
     from ..functions.vectors import as_double, dot
 
     dec = lambda c: c.cast("decimal(28,12)")  # noqa: E731
     v = as_double(vec_col)
-    per_row = emb.select(
-        v.alias("__v"),
-        dot(v, v).alias("__sq"),
+    guarded_sq = F.when(F.size(F.col("__v")) == dim, dot(F.col("__v"), F.col("__v"))).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding_isotropy: expected {dim}-d vectors, got "),
+                F.size(F.col("__v")).cast("string"),
+            )
+        )
+    )
+    per_row = emb.select(v.alias("__v")).select(
+        F.col("__v"),
+        guarded_sq.alias("__sq"),
     )
     row_stats = per_row.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

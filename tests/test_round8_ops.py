@@ -561,6 +561,48 @@ def test_bootstrap_ci_matches_hashlib_replay(spark):
         assert got.ci_lo <= got.mean <= got.ci_hi
 
 
+def test_bootstrap_ci_degenerate_resample_folds_to_overall_mean(spark):
+    """Round-8 ADVICE: a resample with total weight 0 (near-certain
+    for a 1-row group across 32 resamples) must fold to the group's
+    overall mean in the engine — not NULL/NaN — mirroring the oracle's
+    CASE.  Replayed in pure Python with the same substitution rule."""
+    import hashlib
+
+    from nyc_taxi_data_prediction_pyspark_spark.functions.hashing import (
+        MERSENNE_P,
+        minhash_params,
+    )
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        POISSON1_CDF,
+        grouped_bootstrap_ci,
+    )
+
+    params = minhash_params(32, 42)
+
+    def weight(i, a, b):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % MERSENNE_P
+        u = ((h * a + b) % MERSENNE_P) / float(MERSENNE_P)
+        for w, t in enumerate(POISSON1_CDF):
+            if u < t:
+                return w
+        return 5
+
+    # a 1-row group: P(all 32 resample weights > 0) = (1-e^-1)^32 ~ 4e-7
+    the_id, the_val = 7, 13.5
+    ws = [weight(the_id, a, b) for a, b in params]
+    assert 0 in ws, "fixture must exercise the degenerate path"
+    means = sorted((w * the_val / w) if w > 0 else the_val for w in ws)
+    row = grouped_bootstrap_ci(
+        spark.createDataFrame([Row(g="solo", i=the_id, v=the_val)]),
+        group_cols=["g"], id_col="i", value_col="v",
+        n_resamples=32, seed=42,
+    ).collect()[0]
+    assert row.n == 1 and abs(row.mean - the_val) < 1e-9
+    assert row.ci_lo is not None and row.ci_hi is not None
+    assert abs(row.ci_lo - means[1]) < 1e-6
+    assert abs(row.ci_hi - means[30]) < 1e-6
+
+
 # -------------------------------------------------- yield curve
 
 
@@ -675,6 +717,29 @@ def test_embedding_isotropy_matches_numpy_pairwise(spark):
     assert abs(out.mean_pairwise_dot - mean_pair) < 1e-6
 
 
+def test_embedding_isotropy_validates_dim(spark):
+    """Round-8 ADVICE: dim is enforced per row, so a mismatched
+    column fails loudly instead of silently breaking oracle parity."""
+    import pytest
+
+    from nyc_taxi_data_prediction_pyspark_spark.operators.similarity import (
+        embedding_isotropy,
+    )
+
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 2.0, 3.0]),
+         Row(vec_id=1, embedding=[4.0, 5.0, 6.0]),
+         Row(vec_id=2, embedding=[1.0, 2.0])]
+    )
+    with pytest.raises(Exception, match="expected 3-d vectors"):
+        embedding_isotropy(df, vec_col="embedding", dim=3).collect()
+    # a consistent column at the declared dim still works
+    ok = embedding_isotropy(
+        df.where(F.size("embedding") == 3), vec_col="embedding", dim=3
+    ).collect()[0]
+    assert ok.n == 2
+
+
 # ------------------------------------------------------ modularity
 
 
@@ -782,6 +847,10 @@ def test_eb_shrinkage_matches_python_mom(spark):
         p = 0.1 + 0.05 * (k % 5)
         for _ in range(20 + k):
             rows.append(Row(k=k, s=rng.random() < p))
+    # the motivating "3-for-3" entity: below min_trials, so it must
+    # NOT enter the prior fit but MUST appear in the output, shrunk
+    # (round-8 ADVICE semantics fix)
+    rows += [Row(k=99, s=True)] * 3
     out = {
         r.key: r
         for r in evaluation.eb_shrunk_rates(
@@ -792,7 +861,7 @@ def test_eb_shrinkage_matches_python_mom(spark):
     per: dict[int, list] = {}
     for r in rows:
         per.setdefault(r.k, []).append(bool(r.s))
-    rates = {k: sum(v) / len(v) for k, v in per.items()}
+    rates = {k: sum(v) / len(v) for k, v in per.items() if len(v) >= 5}
     m = sum(rates.values()) / len(rates)
     v = sum(r * r for r in rates.values()) / len(rates) - m * m
     common = m * (1 - m) / v - 1
@@ -805,9 +874,14 @@ def test_eb_shrinkage_matches_python_mom(spark):
         assert abs(got.alpha - alpha) < 1e-5 and abs(got.beta - beta) < 1e-5
     # shrinkage is strictly toward the prior mean
     for k, obs in per.items():
-        raw = rates[k]
+        raw = sum(obs) / len(obs)
         sh = out[k].shrunk_rate
         assert (raw - m) * (raw - sh) >= -1e-12  # moved toward m
+    # the 3-for-3 entity is present, heavily shrunk away from 1.0
+    got99 = out[99]
+    assert got99.raw_rate == 1.0
+    assert got99.shrunk_rate < 1.0 - 1e-6
+    assert abs(got99.shrunk_rate - (3 + alpha) / (3 + alpha + beta)) < 1e-6
 
 
 # ------------------------------------------------ entropy rate
