@@ -6239,6 +6239,87 @@ def q288_did_estimator(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q289_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance reduction (evaluation.cuped_adjustment, Deng-
+    Xu-Kohavi-Walker WSDM 2013) over the q288 experiment frame: the
+    user_id % 5 holdout as treatment, per-user pre-period value sums
+    as the covariate, θ fitted on the pooled population, adjusted
+    per-arm variance assembled from the SAME moment sums at any θ —
+    no second pass.  The CI-shrinking companion of the q288 DiD."""
+    ev = load(spark, sf, "events").withColumn(
+        "__tr", F.col("user_id") % 5 == 0
+    )
+    return evaluation.cuped_adjustment(
+        ev, unit_col="user_id", treat_col="__tr", ts_col="ts", value_col="value"
+    )
+
+
+def q290_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based join-cardinality audit (agg.join_size_estimate,
+    coordinated key sample cf. Estan & Naughton ICDE'06): estimate
+    |lineitem ⋈ orders on orderkey| from a 1/64 hash-coordinated key
+    sample next to the exact Σ f_L·f_R — BOTH computed on the
+    |keys|-sized count frames, never the join output.  The CBO
+    statistics-quality readout."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    return agg.join_size_estimate(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey", inv_rate=64
+    )
+
+
+def q291_skipgram_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic skip-gram negative sampling (text.skipgram_
+    negative_draws, Mikolov NIPS 2013): adjacent-token positives,
+    frequency-proportional negatives via uniform CORPUS-POSITION
+    draws (md5 counter-based RNG mod token count — no alias tables,
+    no RNG state), rolled up to the draw distribution: top-20
+    negatives by draw count — verifying the sampler tracks corpus
+    frequency, the word2vec training-data budget audit."""
+    docs = load(spark, sf, "documents")
+    draws = textops.skipgram_negative_draws(
+        docs, id_col="doc_id", text_col="text", k_neg=2
+    )
+    return (
+        draws.groupBy("negative")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_draws"))
+        .orderBy(F.col("n_draws").desc(), F.col("negative").asc())
+        .limit(20)
+    )
+
+
+def q292_session_surprise(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-session behavioral anomaly scan (mining.session_surprise):
+    mean −ln P(next|prev) of each (user, day) session's transitions
+    under the global q170 Markov model used as a scorer — the top-20
+    most improbable walks, the sequence-level fraud/bot signal next
+    to q285's document LM gate.  Leave-in fit (every observed
+    transition has n ≥ 1, finite scores); decimal-quantized NLL."""
+    ev = load(spark, sf, "events")
+    return mining.session_surprise(
+        ev, user_col="user_id", ts_col="ts", type_col="event_type",
+        id_col="event_id", k=20,
+    )
+
+
+def q293_clustering_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Physical-layout clustering-depth audit (layout.clustering_
+    depth, the Delta-OPTIMIZE metric): cut events into 1000-row files
+    by event_id rank (engine-independent arithmetic rank), then at 64
+    evenly-spaced probe instants ask how many files' [ts_min, ts_max]
+    zones contain the probe — avg/max containment depth.  Depth ~1
+    means ts is clustered with event_id and zone maps prune point
+    lookups to one file; depth ~n_files means the layout is useless
+    for ts predicates.  The layout summary next to q265's per-
+    predicate skip audit."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators import layout
+
+    ev = load(spark, sf, "events")
+    return layout.clustering_depth(
+        ev, order_col="event_id", zone_col="ts", bucket_rows=1000, n_probes=64
+    )
+
+
 # Driver-slot rotation (round 7): the correctness driver hard-checks
 # the FIRST 50 registry entries only; rotation is BY EVIDENCE AGE
 # (the round-5 verdict's standing rule).  Evidence ages entering
@@ -6364,6 +6445,12 @@ _R9_R5_BAND = {
     176, 177, 178, 179, 180, 181,
 }
 _R9_DEFERRED_HEAD = {198, 199, 200}
+# Queries registered in round 9 (the five round-8 operators that
+# shipped without queries — ADVICE item): full oracles + local
+# check_oracle evidence at three SFs; first driver rows scheduled by
+# the rotation test's feasibility arithmetic (88 + 5 = 93 <= 100
+# slots across rounds 10-11).
+_R9_DEFERRED_NEW: set[int] = {289, 290, 291, 292, 293}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6682,6 +6769,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q286_eb_shrinkage": q286_eb_shrinkage,
         "q287_entropy_rate": q287_entropy_rate,
         "q288_did_estimator": q288_did_estimator,
+        "q289_cuped": q289_cuped,
+        "q290_join_size_estimate": q290_join_size_estimate,
+        "q291_skipgram_negatives": q291_skipgram_negatives,
+        "q292_session_surprise": q292_session_surprise,
+        "q293_clustering_depth": q293_clustering_depth,
     }
 
 
@@ -13932,5 +14024,209 @@ SELECT
           - (CAST(s_ca AS DOUBLE) * CAST(s_ca AS DOUBLE)) / CAST(n_ca AS DOUBLE))
           / (CAST(n_ca AS DOUBLE) - 1.0) END) / CAST(n_ca AS DOUBLE)), 6) AS t_stat
 FROM g
+"""
+    # q289: CUPED replayed — per-unit decimal pre/post sums, pooled
+    # MoM theta, per-arm adjusted moments from the same sums (no
+    # second pass), midpoint split in exact integer microseconds.
+    oracles["q289_cuped"] = """
+WITH bounds AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events),
+pu AS (
+  SELECT user_id AS u, (user_id % 5 = 0) AS tr,
+         CAST(COALESCE(SUM(CASE WHEN NOT (epoch_us(ts) >
+             (epoch_us(lo) + (epoch_us(hi) - epoch_us(lo)) // 2))
+           THEN CAST(value AS DECIMAL(18,4)) END), 0) AS DOUBLE) AS x,
+         CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) >
+             (epoch_us(lo) + (epoch_us(hi) - epoch_us(lo)) // 2)
+           THEN CAST(value AS DECIMAL(18,4)) END), 0) AS DOUBLE) AS y
+  FROM events CROSS JOIN bounds
+  GROUP BY 1, 2
+),
+pm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS DECIMAL(28,10))) AS sx,
+         SUM(CAST(y AS DECIMAL(28,10))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(28,10))) AS sxx,
+         SUM(CAST(x * y AS DECIMAL(28,10))) AS sxy
+  FROM pu
+),
+pooled AS (
+  SELECT CASE WHEN CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+         THEN (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+              / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+         END AS theta,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS pool_mx
+  FROM pm
+),
+am AS (
+  SELECT tr, CAST(COUNT(*) AS BIGINT) AS n_units,
+         SUM(CAST(x AS DECIMAL(28,10))) AS sx,
+         SUM(CAST(y AS DECIMAL(28,10))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(28,10))) AS sxx,
+         SUM(CAST(x * y AS DECIMAL(28,10))) AS sxy,
+         SUM(CAST(y * y AS DECIMAL(28,10))) AS syy
+  FROM pu GROUP BY tr
+),
+ast AS (
+  SELECT tr, n_units,
+         CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE) AS mx,
+         CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE) AS my,
+         CAST(sxx AS DOUBLE) / CAST(n_units AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE))
+             * (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)) AS vx,
+         CAST(syy AS DOUBLE) / CAST(n_units AS DOUBLE)
+           - (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE))
+             * (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)) AS vy,
+         CAST(sxy AS DOUBLE) / CAST(n_units AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE))
+             * (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)) AS cxy
+  FROM am
+)
+SELECT tr AS treat, n_units, ROUND(theta, 6) AS theta,
+       ROUND(my, 6) AS mean_post, ROUND(vy, 6) AS var_post,
+       ROUND(my - theta * (mx - pool_mx), 6) AS mean_adj,
+       ROUND(vy - 2.0 * theta * cxy + theta * theta * vx, 6) AS var_adj,
+       ROUND((1.0 - (vy - 2.0 * theta * cxy + theta * theta * vx) / vy)
+             * 100.0, 6) AS var_reduction_pct
+FROM ast CROSS JOIN pooled ORDER BY treat
+"""
+    # q290: coordinated hash sample replayed — exact and estimated
+    # Sum f_L*f_R on the key frames, md5 threshold = 2^60/64.
+    oracles["q290_join_size_estimate"] = f"""
+WITH fl AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS f
+  FROM lineitem GROUP BY 1
+),
+fr AS (
+  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS f
+  FROM orders GROUP BY 1
+),
+prod AS (
+  SELECT fl.k AS k, CAST(fl.f * fr.f AS BIGINT) AS p,
+         (({_MD5_INT60.format(col='CAST(fl.k AS VARCHAR)')})
+          < {(1 << 60) // 64}) AS inn
+  FROM fl JOIN fr ON fl.k = fr.k
+),
+g AS (
+  SELECT CAST(SUM(CAST(p AS DECIMAL(38,0))) AS BIGINT) AS exact_rows,
+         CAST(64 * SUM(CASE WHEN inn THEN p ELSE 0 END) AS BIGINT) AS est_rows,
+         CAST(SUM(CASE WHEN inn THEN 1 ELSE 0 END) AS BIGINT) AS sampled_keys
+  FROM prod
+)
+SELECT exact_rows, est_rows, sampled_keys,
+       ROUND((CAST(est_rows AS DOUBLE) - CAST(exact_rows AS DOUBLE))
+             / CAST(exact_rows AS DOUBLE), 6) AS rel_err
+FROM g
+"""
+    # q291: the deterministic skip-gram sampler replayed — instance
+    # rank via the exclusive cumsum over (doc*100000+pos) keys, draws
+    # via the same md5 counter-based RNG mod token count.
+    oracles["q291_skipgram_negatives"] = f"""
+WITH docs AS (
+  SELECT doc_id AS id,
+         regexp_split_to_array({_NORM_TEXT}, ' ') AS w
+  FROM documents
+),
+ok AS (SELECT * FROM docs WHERE len(w) >= 2 AND w[1] <> ''),
+inst AS (
+  SELECT id * 100000 + (t.i - 1) AS key, w[t.i] AS tok
+  FROM ok, unnest(generate_series(1, len(w))) AS t(i)
+),
+ranked AS (
+  SELECT COALESCE(SUM(1) OVER (ORDER BY key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rnk,
+         tok
+  FROM inst
+),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM inst),
+adj AS (
+  -- 'pi', not 'i': the md5 template's list_transform lambda binds i
+  -- and would shadow an outer column of that name inside the hash
+  SELECT id, t.i - 1 AS pi, w[t.i] AS c1, w[t.i + 1] AS c2
+  FROM ok, unnest(generate_series(1, len(w) - 1)) AS t(i)
+),
+pts AS (
+  SELECT CASE WHEN d.dir = 'f' THEN c1 ELSE c2 END AS center,
+         CASE WHEN d.dir = 'f' THEN c2 ELSE c1 END AS context,
+         ({_MD5_INT60.format(col=(
+             "concat_ws('_', CAST(id AS VARCHAR), CAST(pi AS VARCHAR),"
+             " d.dir, CAST(j.j AS VARCHAR))"))}) % tt.t AS x
+  FROM adj, (VALUES ('f'), ('b')) AS d(dir), (VALUES (1), (2)) AS j(j), tt
+),
+draws AS (
+  SELECT r.tok AS negative FROM pts JOIN ranked r ON pts.x = r.rnk
+)
+SELECT negative, CAST(COUNT(*) AS BIGINT) AS n_draws
+FROM draws GROUP BY 1
+ORDER BY n_draws DESC, negative ASC LIMIT 20
+"""
+    # q292: the leave-in Markov scorer replayed — per-(user, day)
+    # transitions, global model, decimal-quantized -ln p sums.
+    oracles["q292_session_surprise"] = """
+WITH pairs AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS day, event_type AS to_t,
+         LAG(event_type) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                               ORDER BY ts ASC, event_id ASC) AS from_t
+  FROM events
+),
+p2 AS (SELECT * FROM pairs WHERE from_t IS NOT NULL),
+counts AS (
+  SELECT from_t, to_t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p2 GROUP BY 1, 2
+),
+tot AS (SELECT from_t, CAST(SUM(n) AS BIGINT) AS t FROM counts GROUP BY 1),
+model AS (
+  SELECT counts.from_t, counts.to_t,
+         CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+  FROM counts JOIN tot ON counts.from_t = tot.from_t
+),
+per AS (
+  SELECT u, day, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+         SUM(CAST(-LN(p) AS DECIMAL(28,12))) AS s
+  FROM p2 JOIN model ON p2.from_t = model.from_t AND p2.to_t = model.to_t
+  GROUP BY 1, 2
+)
+SELECT u AS user_id, day,
+       n_transitions,
+       ROUND(CAST(s AS DOUBLE) / CAST(n_transitions AS DOUBLE), 6) AS nll
+FROM per ORDER BY nll DESC, user_id ASC, day ASC LIMIT 20
+"""
+    # q293: the layout audit replayed — arithmetic file rank
+    # (exclusive cumsum over event_id), per-file ts zones, 64 exact
+    # integer-microsecond probe points, containment depth.
+    oracles["q293_clustering_depth"] = """
+WITH pk AS (
+  SELECT event_id AS k, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1
+),
+rk AS (
+  SELECT k, COALESCE(SUM(c) OVER (ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM pk
+),
+zones AS (
+  SELECT CAST(rk.start // 1000 AS BIGINT) AS f,
+         MIN(epoch_us(e.ts)) AS zmin, MAX(epoch_us(e.ts)) AS zmax
+  FROM events e JOIN rk ON e.event_id = rk.k GROUP BY 1
+),
+span AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+probes AS (
+  SELECT t.i AS i, lo + (t.i * (hi - lo)) // 63 AS p
+  FROM span, unnest(range(64)) AS t(i)
+),
+depth AS (
+  SELECT pr.i, CAST(COUNT(z.f) AS BIGINT) AS d
+  FROM probes pr LEFT JOIN zones z ON z.zmin <= pr.p AND pr.p <= z.zmax
+  GROUP BY 1
+),
+nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files FROM zones)
+SELECT n_files, CAST(COUNT(*) AS BIGINT) AS n_probes,
+       ROUND(CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_depth,
+       CAST(MAX(d) AS BIGINT) AS max_depth
+FROM depth CROSS JOIN nf GROUP BY n_files
 """
     return oracles
