@@ -245,6 +245,11 @@ HEADLINE = [
     "q286_eb_shrinkage",
     "q287_entropy_rate",
     "q288_did_estimator",
+    "q289_cuped",
+    "q290_join_size_estimate",
+    "q291_skipgram_negatives",
+    "q292_session_surprise",
+    "q293_clustering_depth",
 ]
 
 # Registered queries deliberately NOT in HEADLINE, each with its

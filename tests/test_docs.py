@@ -43,6 +43,22 @@ def test_readme_counts_match_entry_surface():
     assert m, "README lost its check_oracle coverage line"
     assert int(m.group(1)) == n_q
 
+    # the record sentence is pinned to the committed detail file's
+    # totals so prose can't drift from the artifact (round-8 verdict)
+    import json
+
+    detail_path = ROOT / "BENCH_DETAIL_sf0.1_latest.json"
+    if detail_path.exists():
+        detail = json.loads(detail_path.read_text())
+        m = re.search(
+            r"Latest committed record: ([\d.]+)s for (\d+) queries", text
+        )
+        assert m, "README lost its 'Latest committed record' sentence"
+        assert abs(float(m.group(1)) - detail["total_sec"]) < 0.1, (
+            m.group(1), detail["total_sec"]
+        )
+        assert int(m.group(2)) == detail["n_queries"]
+
 
 def test_scaling_md_counts_match_entry_surface():
     n_q, n_oracle, _, _ = _surface()

@@ -65,6 +65,9 @@ BNL_ALLOWED = {
     "q286_eb_shrinkage": "1-row MoM-prior (alpha, beta) broadcast onto the entity frame",
     "q287_entropy_rate": "two 1-row frames crossed (pi stats x entropy sum) + q267's per-round broadcasts",
     "q288_did_estimator": "1-row window-bounds broadcast onto the event stream (the q134 shape)",
+    "q289_cuped": "1-row window-bounds broadcast onto the event stream (the q288 shape) + 1-row pooled-theta broadcast onto the 2-arm frame",
+    "q291_skipgram_negatives": "1-row corpus-token-total broadcast onto the pair stream (the q166 shape)",
+    "q293_clustering_depth": "64-row probe frame broadcast onto the #files metadata frame (containment non-equi join, both sides bounded)",
 }
 
 
