@@ -2042,8 +2042,13 @@ def skipgram_negative_draws(
     training-data budget.  Returns the triples frame (center,
     context, negative); callers aggregate (the q291 query rolls up
     the draw distribution)."""
+    # repartition first (the dedup.py:117 idiom): a docs table read
+    # from one parquet file is ONE partition, which would serialize
+    # the explode + 2·k_neg md5 draws per pair onto a single task —
+    # at scale the source is many splits and this is a no-op cost-wise
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     toks = F.split(normalize_text(text_col), " ")
-    docs = df.select(
+    docs = df.repartition(n_part).select(
         F.col(id_col).alias("__id"), toks.alias("__w")
     ).where((F.size("__w") >= 2) & (F.element_at("__w", 1) != ""))
     inst = docs.select(
