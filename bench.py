@@ -250,6 +250,13 @@ HEADLINE = [
     "q291_skipgram_negatives",
     "q292_session_surprise",
     "q293_clustering_depth",
+    "q294_mutual_information",
+    "q295_good_turing",
+    "q296_heaps_law",
+    "q297_oof_target_encoding",
+    "q298_quantile_normalization",
+    "q299_tail_dependence",
+    "q300_sprt_ab",
 ]
 
 # Registered queries deliberately NOT in HEADLINE, each with its

@@ -1393,3 +1393,228 @@ def join_size_estimate(
             6,
         ).alias("rel_err"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns plus the
+    asymmetric dependence readouts built on it (Cover & Thomas ch. 2;
+    Theil's uncertainty coefficient, Theil 1970):
+
+        MI      = H(X) + H(Y) − H(X,Y)                    (nats)
+        NMI     = MI / sqrt(H(X)·H(Y))                    (symmetric)
+        U(X|Y)  = MI / H(X),   U(Y|X) = MI / H(Y)         (directional)
+
+    computed via the entropy identity so every Σ is a plain
+    -(m/N)·ln(m/N) entropy over ONE counts frame (cells, X-marginal,
+    Y-marginal) — three identical quantized sums, no per-cell joint/
+    marginal ratio term.
+
+    The feature-selection / leakage screen: U(label|feature) near 1
+    flags a feature that memorizes the label (the q148 split-leakage
+    concern expressed information-theoretically), where q164's χ²
+    only flags non-independence without a [0,1] effect size.
+
+    Determinism: cell/marginal counts are exact BIGINTs; each entropy
+    and MI term is quantized to DECIMAL(28,12) before summing (the
+    q292 dsum-of-logs rule) so the Σ is order-independent and
+    engine-identical.  Scale: one groupBy to the |X|·|Y| cells frame;
+    marginals and entropies are re-aggregations OF that metadata-sized
+    frame — the input is scanned once.  Returns ONE row (n, h_x, h_y,
+    h_xy, mi, nmi, u_x_given_y, u_y_given_x) round 6."""
+    q12 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+
+    cells = df.groupBy(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    nt = cells.agg(F.sum("__n").cast("bigint").alias("__nt"))
+
+    def entropy(marg: DataFrame, out: str) -> DataFrame:
+        """H = Σ -(m/N)·ln(m/N) over a 1-col marginal counts frame —
+        N arrives as a 1-row broadcast (q164 grand-total shape), so a
+        high-cardinality marginal never funnels through one task."""
+        m = marg.crossJoin(F.broadcast(nt))
+        p = F.col("__m").cast("double") / F.col("__nt").cast("double")
+        return m.select(q12(-p * F.log(p)).alias("__t")).agg(
+            F.sum("__t").cast("double").alias(out)
+        )
+
+    hx = entropy(
+        cells.groupBy("__x").agg(F.sum("__n").cast("bigint").alias("__m")),
+        "__shx",
+    )
+    hy = entropy(
+        cells.groupBy("__y").agg(F.sum("__n").cast("bigint").alias("__m")),
+        "__shy",
+    )
+    hxy = entropy(cells.select(F.col("__n").alias("__m")), "__shxy")
+    # MI = H(X) + H(Y) − H(X,Y): exact in the quantized-term algebra,
+    # and the identity keeps every Σ a plain entropy over one frame
+    agg = (
+        nt.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(hxy))
+    )
+    mi = F.col("__shx") + F.col("__shy") - F.col("__shxy")
+    return agg.select(
+        F.col("__nt").alias("n"),
+        F.round(F.col("__shx"), 6).alias("h_x"),
+        F.round(F.col("__shy"), 6).alias("h_y"),
+        F.round(F.col("__shxy"), 6).alias("h_xy"),
+        F.round(mi, 6).alias("mi"),
+        F.round(mi / F.sqrt(F.col("__shx") * F.col("__shy")), 6).alias("nmi"),
+        F.round(mi / F.col("__shx"), 6).alias("u_x_given_y"),
+        F.round(mi / F.col("__shy"), 6).alias("u_y_given_x"),
+    )
+
+
+def quantile_normalization(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_bins: int = 16,
+) -> DataFrame:
+    """Quantile normalization across groups (Bolstad et al.,
+    Bioinformatics 2003 — the microarray method, here as the
+    cross-source feature-calibration table): rank each group's values,
+    cut each group's rank range into ``n_bins`` equal-count bins, and
+    define the REFERENCE distribution as the across-group mean of the
+    per-(group, bin) means.  Mapping a group's bin mean to the
+    reference value removes per-group scale/shift so heterogeneous
+    sources become comparable (the q224-PSI drift problem, but fixing
+    the distributions instead of flagging them).
+
+    Unequal group sizes are handled by the binning: row with 1-based
+    rank r in a group of n lands in bin (r−1)·B div n — exact integer
+    arithmetic, bins differ by at most one row.  Ranks are strict
+    (ties broken by ``id_col``) via the two-phase ranker — no
+    per-group single task.  Per-bin means are decimal-exact sums
+    (dsum rule); the reference mean quantizes each group's bin mean to
+    DECIMAL(28,12) before averaging.
+
+    Returns (group, bin, n_rows, group_mean, ref_value, delta =
+    ref − group) round 6, ordered by (group, bin)."""
+    from pyspark.sql import Window
+    from .windows import grouped_rank_two_phase
+
+    ranked = grouped_rank_two_phase(
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).alias("__v"),
+            F.col(id_col).alias("__id"),
+        ),
+        ["__g"],
+        ["__v", "__id"],
+        out_col="__r",
+        group_size_col="__n",
+    )
+    # exact BIGINT floor-division: (num − num mod n) / n divides
+    # evenly, so the double division is exact (no float-floor edge)
+    num = ((F.col("__r") - 1) * F.lit(int(n_bins))).cast("bigint")
+    nn = F.col("__n").cast("bigint")
+    b = (num - num % nn) / nn
+    binned = ranked.select(
+        "__g",
+        "__v",
+        b.cast("bigint").alias("__b"),
+    )
+    per = binned.groupBy("__g", "__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (dsum("__v", 6) / F.count(F.lit(1))).alias("__gm"),
+    )
+    q12 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    ref = F.sum(q12(F.col("__gm"))).over(Window.partitionBy("__b")).cast(
+        "double"
+    ) / F.count(F.lit(1)).over(Window.partitionBy("__b")).cast("double")
+    return per.select(
+        F.col("__g").alias("grp"),
+        F.col("__b").alias("bin"),
+        "n_rows",
+        F.round(F.col("__gm"), 6).alias("group_mean"),
+        F.round(ref, 6).alias("ref_value"),
+        F.round(ref - F.col("__gm"), 6).alias("delta"),
+    ).orderBy("grp", "bin")
+
+
+def tail_dependence(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    quantiles: tuple[float, ...] = (0.9, 0.95, 0.99),
+) -> DataFrame:
+    """Empirical tail-dependence coefficients between two measures
+    (the copula diagnostic, Joe 1997 §2.1.10): at each quantile q
+    with k = floor(q·n),
+
+        λ_U(q) = |{rx > k ∧ ry > k}| / (n − k)      (upper tail)
+        λ_L(q) = |{rx ≤ n−k ∧ ry ≤ n−k}| / (n − k)  (lower tail)
+
+    — the probability both measures are extreme TOGETHER, which
+    correlation misses entirely (ρ is dominated by the bulk; risk
+    and skew live in the joint tail — the q136-skew question asked
+    jointly of two columns).
+
+    Rank-based and integer-exact: strict ranks (ties broken by
+    ``id_col``) from the two-phase ranker, thresholds and counts all
+    BIGINT — the only division is the final ratio.  No distributional
+    assumption, no float comparisons, bit-identical on any engine.
+    Scale: two global ranks (range-exchange, no single task) + one
+    id-equi-join + a 3-row broadcast.  Returns one row per q
+    (q, n, k_thresh, n_upper_joint, lambda_upper, n_lower_joint,
+    lambda_lower) round 6, ordered by q."""
+    from .windows import grouped_rank_two_phase
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+    )
+    rx = grouped_rank_two_phase(
+        base.select("__id", "__x"), [], ["__x", "__id"], out_col="__rx",
+        group_size_col="__n",
+    ).select("__id", "__rx", "__n")
+    ry = grouped_rank_two_phase(
+        base.select("__id", "__y"), [], ["__y", "__id"], out_col="__ry"
+    ).select("__id", "__ry")
+    ranks = rx.join(ry, "__id")
+    qf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(quantiles)], "q double"
+    )
+    j = ranks.crossJoin(F.broadcast(qf))
+    k = F.floor(F.col("q") * F.col("__n")).cast("bigint")
+    upper = (F.col("__rx") > k) & (F.col("__ry") > k)
+    lower = (F.col("__rx") <= F.col("__n") - k) & (
+        F.col("__ry") <= F.col("__n") - k
+    )
+    out = j.groupBy("q").agg(
+        F.max("__n").alias("n"),
+        F.max(k).alias("k_thresh"),
+        F.sum(F.when(upper, 1).otherwise(0)).cast("bigint").alias(
+            "n_upper_joint"
+        ),
+        F.sum(F.when(lower, 1).otherwise(0)).cast("bigint").alias(
+            "n_lower_joint"
+        ),
+    )
+    tail_n = (F.col("n") - F.col("k_thresh")).cast("double")
+    return out.select(
+        "q",
+        "n",
+        "k_thresh",
+        "n_upper_joint",
+        F.round(F.col("n_upper_joint").cast("double") / tail_n, 6).alias(
+            "lambda_upper"
+        ),
+        "n_lower_joint",
+        F.round(F.col("n_lower_joint").cast("double") / tail_n, 6).alias(
+            "lambda_lower"
+        ),
+    ).orderBy("q")

@@ -1393,3 +1393,171 @@ def cuped_adjustment(
             (F.lit(1.0) - var_adj / F.col("__vy")) * F.lit(100.0), 6
         ).alias("var_reduction_pct"),
     ).orderBy("treat")
+
+
+def oof_target_encoding(
+    df: DataFrame,
+    *,
+    key_col: str,
+    target_col: str,
+    id_col: str,
+    k_folds: int = 5,
+    prior_weight: float = 20.0,
+    scale: int = 4,
+) -> DataFrame:
+    """K-fold out-of-fold target encoding with additive smoothing
+    (Micci-Barreca, SIGKDD Explorations 2001 — the leakage-safe mean
+    encoder every tabular training pipeline ships):
+
+        enc(key, fold) = (Σ_target(key) − Σ_target(key, fold)
+                          + w·global_mean)
+                       / (n(key) − n(key, fold) + w)
+
+    Rows in fold f are encoded from the OTHER folds' statistics —
+    the out-of-fold subtraction is what stops the encoder from
+    memorizing its own row's label (the q148 leakage-safe-split
+    rule applied to feature construction).  Folds are deterministic:
+    md5_60(id) mod k — hash-stable across runs and engines, never
+    RNG state.
+
+    Determinism: per-(key, fold) target sums are decimal-exact (dsum
+    rule at ``scale``); the OOF numerator/denominator are derived by
+    exact subtraction from the per-key totals; ONE IEEE division per
+    encoding.  Scale: one groupBy to the |keys|·k cells frame, then
+    per-key window totals (≤ k rows per partition) + a 1-row
+    grand-total broadcast ON that metadata-sized frame — the input is
+    scanned once, nothing data-sized shuffles twice.
+
+    Returns (key, fold, n_in_fold, n_oof, enc) round 6,
+    ordered by (key, fold)."""
+    from ..functions.hashing import md5_int60
+
+    fold = F.pmod(md5_int60(F.col(id_col).cast("string")), F.lit(int(k_folds)))
+    v = F.col(target_col).cast(f"decimal(18,{scale})")
+    cells = df.select(
+        F.col(key_col).alias("__key"), fold.alias("fold"), v.alias("__v")
+    ).groupBy("__key", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in_fold"),
+        F.sum("__v").alias("__s"),
+    )
+    glob = cells.agg(
+        F.sum("n_in_fold").alias("__g_n"), F.sum("__s").alias("__g_s")
+    )
+    cells = cells.crossJoin(F.broadcast(glob))
+    tot_n = F.sum("n_in_fold").over(W.partitionBy("__key"))
+    tot_s = F.sum("__s").over(W.partitionBy("__key"))
+    w = F.lit(float(prior_weight))
+    gmean = F.col("__g_s").cast("double") / F.col("__g_n").cast("double")
+    oof_n = (tot_n - F.col("n_in_fold")).cast("double")
+    oof_s = (tot_s - F.col("__s")).cast("double")
+    return cells.select(
+        F.col("__key").alias("key"),
+        "fold",
+        "n_in_fold",
+        (tot_n - F.col("n_in_fold")).cast("bigint").alias("n_oof"),
+        F.round((oof_s + w * gmean) / (oof_n + w), 6).alias("enc"),
+    ).orderBy("key", "fold")
+
+
+def sprt_ab(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    ts_col: str,
+    id_col: str,
+    success_col: str | Column,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's sequential probability-ratio test per experiment arm
+    (Wald, Ann. Math. Stat. 1945 — the always-valid alternative to
+    the q223 fixed-horizon Wilson readout): stream each arm's
+    Bernoulli outcomes in (ts, id) order, accumulate
+
+        LLR_n = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0))
+
+    and stop at the first crossing of A = ln((1−β)/α) (accept H1) or
+    B = ln(β/(1−α)) (accept H0).  Reports, per arm, the full-sample
+    totals plus the FIRST-crossing point — "how many observations the
+    sequential test would have needed", the experiment-cost readout.
+
+    Determinism: the four log constants are computed ONCE in Python
+    (driver-side math.log) and embedded as DECIMAL(13,12) literals;
+    counts are DECIMAL(20,0), so LLR_n = k·C1 + (n−k)·C2 multiplies as
+    (20,0)×(13,12) → exact DECIMAL(34,12) — under the 38-digit cap in
+    both engines (a symmetric (18,12)×(18,12) product would hit the
+    cap and silently round).  No engine libm in the dataflow; crossing
+    comparisons are decimal-vs-decimal, bit-identical everywhere.
+    Scale: cumulative (n, k) via
+    the two-phase prefix sum (no per-arm single task); the crossing
+    scan is a filter + min over the prefix frame.
+
+    Returns (arm, n_obs, n_success, llr_final, decision, n_decision,
+    llr_decision) — llr columns round 6; decision ∈ {'accept_h0',
+    'accept_h1', 'continue'}; n_decision/llr_decision NULL when the
+    test never crosses.  Ordered by arm."""
+    import math
+
+    c1 = round(math.log(p1 / p0), 12)
+    c2 = round(math.log((1.0 - p1) / (1.0 - p0)), 12)
+    a_up = round(math.log((1.0 - beta) / alpha), 12)
+    b_lo = round(math.log(beta / (1.0 - alpha)), 12)
+    dec12 = "decimal(13,12)"
+    dcnt = "decimal(20,0)"
+    succ = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    )
+    base = df.select(
+        F.col(arm_col).alias("__arm"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.when(succ, 1).otherwise(0).cast("bigint").alias("__k"),
+        F.lit(1).cast("bigint").alias("__one"),
+    )
+    pre = grouped_cumsum_two_phase(
+        base, ["__arm"], ["__ts", "__id"], ["__one", "__k"]
+    ).select(
+        "__arm",
+        F.col("__cum___one").alias("__n"),
+        F.col("__cum___k").alias("__ck"),
+    )
+    llr = (
+        F.col("__ck").cast(dcnt) * F.lit(c1).cast(dec12)
+        + (F.col("__n") - F.col("__ck")).cast(dcnt) * F.lit(c2).cast(dec12)
+    )
+    scored = pre.select("__arm", "__n", "__ck", llr.alias("__llr"))
+    totals = scored.groupBy("__arm").agg(
+        F.max("__n").alias("n_obs"),
+        F.max_by("__ck", "__n").alias("n_success"),
+        F.max_by("__llr", "__n").alias("__llr_final"),
+    )
+    crossings = (
+        scored.where(
+            (F.col("__llr") >= F.lit(a_up).cast(dec12))
+            | (F.col("__llr") <= F.lit(b_lo).cast(dec12))
+        )
+        .groupBy("__arm")
+        .agg(
+            F.min("__n").alias("n_decision"),
+            F.min_by("__llr", "__n").alias("__llr_dec"),
+        )
+    )
+    out = totals.join(crossings, "__arm", "left")
+    decision = (
+        F.when(F.col("n_decision").isNull(), F.lit("continue"))
+        .when(
+            F.col("__llr_dec") >= F.lit(a_up).cast(dec12), F.lit("accept_h1")
+        )
+        .otherwise(F.lit("accept_h0"))
+    )
+    return out.select(
+        F.col("__arm").alias("arm"),
+        "n_obs",
+        "n_success",
+        F.round(F.col("__llr_final").cast("double"), 6).alias("llr_final"),
+        decision.alias("decision"),
+        "n_decision",
+        F.round(F.col("__llr_dec").cast("double"), 6).alias("llr_decision"),
+    ).orderBy("arm")

@@ -2110,3 +2110,183 @@ def skipgram_negative_draws(
     return pts.join(ranked, pts["__x"] == ranked["__rank"]).select(
         "center", "context", F.col("__tok").alias("negative")
     )
+
+
+def _ngram_instances(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc, gram) instance frame over the normalize_text tokenizer;
+    ``n`` > 1 emits space-joined word n-grams — the vocabulary knob
+    for frequency statistics (unigram counts saturate on a
+    small-vocabulary corpus; n-grams keep a populated low-frequency
+    band at any corpus size).  In-row zip_with projection, no
+    self-join."""
+    toks = F.split(normalize_text(text_col), " ")
+    base = df.where(F.length(normalize_text(text_col)) > 0).select(
+        F.col(id_col).alias("__id"), toks.alias("__w")
+    )
+    if int(n) <= 1:
+        return base.select("__id", F.explode("__w").alias("__tok"))
+    cnt = F.size("__w") - F.lit(int(n) - 1)
+    grams = F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(
+                " ", F.slice("__w", i, F.lit(int(n)))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select("__id", F.explode(grams).alias("__tok"))
+
+
+def good_turing(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_r: int = 20,
+    ngram_n: int = 1,
+) -> DataFrame:
+    """Good–Turing frequency re-estimation from the corpus
+    count-of-counts (Good, Biometrika 1953; the Gale & Sampson 1995
+    presentation, unsmoothed N_r form): for each observed
+    ``ngram_n``-gram frequency r ≤ ``max_r``,
+
+        r* = (r+1) · N_{r+1} / N_r          (adjusted count)
+        p_gt = r* / N                       (GT probability mass)
+
+    where N_r is the number of distinct tokens seen exactly r times
+    and N the total token count.  r* < r for a natural corpus — the
+    discount that funds the unseen-event mass p_0 = N_1/N; the LM
+    smoothing-health readout next to q285's Jelinek-Mercer scorer
+    (an LM whose N_1/N_2 ratio is degenerate can't be smoothed well).
+
+    Determinism: every count is an exact BIGINT; r*/p are single IEEE
+    divisions round 6, NULL where N_{r+1} = 0 (no next-rank evidence).
+    Scale: token-counts groupBy → count-of-counts groupBy (a frame no
+    wider than max token frequency) → a self-equi-join on r+1 ON that
+    metadata-sized frame + one broadcast total.  Returns
+    (r, n_r, r_star, p_r_obs, p_r_gt) round 6 ordered by r."""
+    inst = _ngram_instances(df, id_col, text_col, ngram_n)
+    tok_counts = inst.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__r")
+    )
+    cofc = tok_counts.groupBy("__r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    total = cofc.agg(
+        F.sum(F.col("__r") * F.col("n_r")).cast("bigint").alias("__n")
+    )
+    nxt = cofc.select(
+        (F.col("__r") - 1).alias("__r"), F.col("n_r").alias("__n_next")
+    )
+    out = (
+        cofc.where(F.col("__r") <= int(max_r))
+        .join(nxt, "__r", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    r = F.col("__r").cast("double")
+    r_star = (
+        (r + 1.0)
+        * F.col("__n_next").cast("double")
+        / F.col("n_r").cast("double")
+    )
+    return out.select(
+        F.col("__r").alias("r"),
+        "n_r",
+        F.round(r_star, 6).alias("r_star"),
+        F.round(
+            (r * F.col("n_r").cast("double")) / F.col("__n").cast("double"), 6
+        ).alias("p_r_obs"),
+        F.round(
+            r_star * F.col("n_r").cast("double") / F.col("__n").cast("double"),
+            6,
+        ).alias("p_r_gt"),
+    ).orderBy("r")
+
+
+def heaps_law(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 1,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit over the corpus in ``id_col``
+    order (Heaps 1978; Baeza-Yates & Ribeiro-Neto §6.5): at each
+    document checkpoint d, N_d = cumulative token count and V_d =
+    cumulative distinct vocabulary; fit
+
+        V = K · N^β     ⇔     ln V = ln K + β·ln N
+
+    by OLS over the (ln N_d, ln V_d) checkpoints.  β ≈ 0.5 is a
+    healthy natural corpus; β drifting toward 0 as the crawl grows
+    means new data stopped bringing new vocabulary — the
+    diminishing-returns signal for corpus acquisition, the growth
+    twin of q271's static Zipf fit.
+
+    V_d needs no per-checkpoint distinct scan: a token's FIRST
+    document is min(doc) per token (one groupBy), the per-doc
+    new-vocab counts aggregate from that, and both running sums come
+    from the two-phase prefix sum — no global single-task window.
+    OLS terms are ln's of exact BIGINTs quantized to DECIMAL(28,12)
+    before summing (dsum-of-logs rule).  Returns ONE row (n_docs,
+    total_tokens, vocab_size, beta, k, r2) round 6."""
+    from .windows import grouped_cumsum_two_phase
+
+    inst = _ngram_instances(df, id_col, text_col, ngram_n)
+    per_doc = inst.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nt")
+    )
+    firsts = (
+        inst.groupBy("__tok")
+        .agg(F.min("__id").alias("__id"))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__nv"))
+    )
+    checkpoints = per_doc.join(firsts, "__id", "left").select(
+        "__id",
+        "__nt",
+        F.coalesce(F.col("__nv"), F.lit(0)).cast("bigint").alias("__nv"),
+    )
+    cum = grouped_cumsum_two_phase(
+        checkpoints, [], ["__id"], ["__nt", "__nv"]
+    ).select(
+        F.col("__cum___nt").alias("__N"), F.col("__cum___nv").alias("__V")
+    )
+    q12 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    x = F.log(F.col("__N").cast("double"))
+    y = F.log(F.col("__V").cast("double"))
+    s = cum.select(
+        q12(x).alias("__x"),
+        q12(y).alias("__y"),
+        q12(x * x).alias("__xx"),
+        q12(x * y).alias("__xy"),
+        q12(y * y).alias("__yy"),
+        F.col("__N"),
+        F.col("__V"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("__N").alias("total_tokens"),
+        F.max("__V").alias("vocab_size"),
+        F.sum("__x").cast("double").alias("__sx"),
+        F.sum("__y").cast("double").alias("__sy"),
+        F.sum("__xx").cast("double").alias("__sxx"),
+        F.sum("__xy").cast("double").alias("__sxy"),
+        F.sum("__yy").cast("double").alias("__syy"),
+    )
+    n = F.col("n_docs").cast("double")
+    cxy = F.col("__sxy") - F.col("__sx") * F.col("__sy") / n
+    vx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / n
+    vy = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+    beta = cxy / vx
+    k = F.exp((F.col("__sy") - beta * F.col("__sx")) / n)
+    return s.select(
+        "n_docs",
+        "total_tokens",
+        "vocab_size",
+        F.round(beta, 6).alias("beta"),
+        F.round(k, 6).alias("k"),
+        F.round(cxy * cxy / (vx * vy), 6).alias("r2"),
+    )

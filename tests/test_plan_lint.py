@@ -68,6 +68,10 @@ BNL_ALLOWED = {
     "q289_cuped": "1-row window-bounds broadcast onto the event stream (the q288 shape) + 1-row pooled-theta broadcast onto the 2-arm frame",
     "q291_skipgram_negatives": "1-row corpus-token-total broadcast onto the pair stream (the q166 shape)",
     "q293_clustering_depth": "64-row probe frame broadcast onto the #files metadata frame (containment non-equi join, both sides bounded)",
+    "q294_mutual_information": "four 1-row frames crossed (total x three entropy scalars) — the q163 shape",
+    "q295_good_turing": "1-row corpus-gram-total broadcast onto the count-of-counts frame (the q166 shape)",
+    "q297_oof_target_encoding": "1-row grand-total broadcast onto the (key x fold) cells frame (the q100 shape)",
+    "q299_tail_dependence": "3-row quantile frame broadcast onto the rank stream (bounded probe set, the q134 shape)",
 }
 
 
