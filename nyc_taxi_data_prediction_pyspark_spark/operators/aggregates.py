@@ -1428,9 +1428,15 @@ def mutual_information(
     h_xy, mi, nmi, u_x_given_y, u_y_given_x) round 6."""
     q12 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
 
-    cells = df.groupBy(
-        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    # the cells frame feeds FOUR consumers (total + three entropies);
+    # localCheckpoint pins it so the data scan runs ONCE, not once per
+    # branch (Catalyst does not reuse the exchange across the
+    # crossJoin assembly — 5 scans of a 100 TB table otherwise)
+    cells = (
+        df.groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        .localCheckpoint(eager=False)
+    )
     nt = cells.agg(F.sum("__n").cast("bigint").alias("__nt"))
 
     def entropy(marg: DataFrame, out: str) -> DataFrame:

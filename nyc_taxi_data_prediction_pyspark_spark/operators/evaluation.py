@@ -1440,6 +1440,9 @@ def oof_target_encoding(
         F.count(F.lit(1)).cast("bigint").alias("n_in_fold"),
         F.sum("__v").alias("__s"),
     )
+    # the cells frame feeds the grand total AND the output; pin it so
+    # the data scan runs once (metadata-sized: |keys| x k rows)
+    cells = cells.localCheckpoint(eager=False)
     glob = cells.agg(
         F.sum("n_in_fold").alias("__g_n"), F.sum("__s").alias("__g_s")
     )
@@ -1528,10 +1531,22 @@ def sprt_ab(
         + (F.col("__n") - F.col("__ck")).cast(dcnt) * F.lit(c2).cast(dec12)
     )
     scored = pre.select("__arm", "__n", "__ck", llr.alias("__llr"))
-    totals = scored.groupBy("__arm").agg(
-        F.max("__n").alias("n_obs"),
-        F.max_by("__ck", "__n").alias("n_success"),
-        F.max_by("__llr", "__n").alias("__llr_final"),
+    # full-sample totals come straight from the base frame — the LLR
+    # at n = N is k_tot·C1 + (N − k_tot)·C2 by construction, so the
+    # data-sized prefix frame has exactly ONE consumer (the crossing
+    # scan), not two
+    totals = base.groupBy("__arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("__k").cast("bigint").alias("n_success"),
+    ).select(
+        "__arm",
+        "n_obs",
+        "n_success",
+        (
+            F.col("n_success").cast(dcnt) * F.lit(c1).cast(dec12)
+            + (F.col("n_obs") - F.col("n_success")).cast(dcnt)
+            * F.lit(c2).cast(dec12)
+        ).alias("__llr_final"),
     )
     crossings = (
         scored.where(

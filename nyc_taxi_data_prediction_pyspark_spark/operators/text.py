@@ -2172,9 +2172,12 @@ def good_turing(
     tok_counts = inst.groupBy("__tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("__r")
     )
+    # count-of-counts feeds THREE consumers (total, the r+1 lookup,
+    # the output rows); localCheckpoint pins the metadata-sized frame
+    # so the corpus scan runs once, not once per branch
     cofc = tok_counts.groupBy("__r").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_r")
-    )
+    ).localCheckpoint(eager=False)
     total = cofc.agg(
         F.sum(F.col("__r") * F.col("n_r")).cast("bigint").alias("__n")
     )
