@@ -2116,28 +2116,22 @@ def _ngram_instances(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """(doc, gram) instance frame over the normalize_text tokenizer;
-    ``n`` > 1 emits space-joined word n-grams — the vocabulary knob
-    for frequency statistics (unigram counts saturate on a
-    small-vocabulary corpus; n-grams keep a populated low-frequency
-    band at any corpus size).  In-row zip_with projection, no
-    self-join."""
-    toks = F.split(normalize_text(text_col), " ")
-    base = df.where(F.length(normalize_text(text_col)) > 0).select(
-        F.col(id_col).alias("__id"), toks.alias("__w")
-    )
+    ``n`` > 1 emits space-joined word n-grams via the shared
+    ``ngram_list`` projection (one gram-construction algebra in the
+    module, not two) — the vocabulary knob for frequency statistics
+    (unigram counts saturate on a small-vocabulary corpus; n-grams
+    keep a populated low-frequency band at any corpus size).  In-row
+    projection, no self-join."""
+    base = df.where(F.length(normalize_text(text_col)) > 0)
     if int(n) <= 1:
-        return base.select("__id", F.explode("__w").alias("__tok"))
-    cnt = F.size("__w") - F.lit(int(n) - 1)
-    grams = F.when(
-        cnt > 0,
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.concat_ws(
-                " ", F.slice("__w", i, F.lit(int(n)))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return base.select("__id", F.explode(grams).alias("__tok"))
+        toks = F.split(normalize_text(text_col), " ")
+        return base.select(
+            F.col(id_col).alias("__id"), F.explode(toks).alias("__tok")
+        )
+    return base.select(
+        F.col(id_col).alias("__id"),
+        F.explode(ngram_list(text_col, int(n))).alias("__tok"),
+    )
 
 
 def good_turing(
@@ -2153,12 +2147,17 @@ def good_turing(
     presentation, unsmoothed N_r form): for each observed
     ``ngram_n``-gram frequency r ≤ ``max_r``,
 
-        r* = (r+1) · N_{r+1} / N_r          (adjusted count)
-        p_gt = r* / N                       (GT probability mass)
+        r*      = (r+1) · N_{r+1} / N_r     (adjusted count)
+        p_r_obs = r · N_r / N               (observed BAND mass)
+        p_r_gt  = r* · N_r / N              (GT-adjusted BAND mass)
 
     where N_r is the number of distinct tokens seen exactly r times
-    and N the total token count.  r* < r for a natural corpus — the
-    discount that funds the unseen-event mass p_0 = N_1/N; the LM
+    and N the total token count.  The p columns are WHOLE-BAND
+    probability mass (all N_r tokens of frequency r together — the
+    form that compares across rows and sums toward 1); the per-token
+    GT probability of the Gale & Sampson presentation is r*/N =
+    p_r_gt/N_r.  r* < r for a natural corpus — the discount that
+    funds the unseen-event mass p_0 = N_1/N; the LM
     smoothing-health readout next to q285's Jelinek-Mercer scorer
     (an LM whose N_1/N_2 ratio is degenerate can't be smoothed well).
 

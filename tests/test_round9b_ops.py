@@ -30,7 +30,7 @@ from datetime import datetime, timedelta
 from decimal import Decimal
 
 import pytest
-from pyspark.sql import Row, functions as F
+from pyspark.sql import Row
 
 from nyc_taxi_data_prediction_pyspark_spark.operators import (
     aggregates as agg,
@@ -215,18 +215,15 @@ def test_oof_target_encoding_matches_hashlib_replay(spark):
     for r in rows:
         cells.setdefault((r.key, _md5_fold(r.id, k)), []).append(r.target)
     gmean = sum(r.target for r in rows) / len(rows)
-    keys = {r.key for r in rows}
     assert set(out) == set(cells)
+    assert len({r.key for r in rows}) == 3  # all three keys materialized
     for (key, fold), vals in cells.items():
-        tot = [v for r_key in [key] for (kk, ff), vv in cells.items() if kk == r_key for v in vv]
         oof = [v for (kk, ff), vv in cells.items() if kk == key and ff != fold for v in vv]
         row = out[(key, fold)]
         assert row.n_in_fold == len(vals)
         assert row.n_oof == len(oof)
         enc = (sum(oof) + w * gmean) / (len(oof) + w)
         assert row.enc == pytest.approx(enc, abs=1e-4)
-    # leakage check: a fold's own rows never contribute to its encoding
-    assert len(keys) == 3
 
 
 def test_oof_target_encoding_prior_dominates_empty_oof(spark):
