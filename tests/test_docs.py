@@ -236,3 +236,35 @@ def test_driver_slot_rotation_covers_unproven_queries():
     # oracle_sql iterates in the same rotated order (driver zips them)
     o = list(entry.oracle_sql())
     assert o == [n for n in names if n in set(o)]
+
+
+def test_next_head_tool_matches_rotation_rule():
+    """tools/next_head.py is the mechanical form of the evidence-age
+    rule the rotation test enforces; simulate round-10 (a synthetic
+    CORRECTNESS_r09 greening the current head) and assert the tool's
+    ranking yields the promised q201-q250 head."""
+    import json as _json
+
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    # synthetic r09: the current head goes green
+    r09 = {n: {"hash_match": True} for n in names[:50]}
+    newest = {}
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
+        d = _json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text())
+        for k, v in d.items():
+            if v.get("hash_match"):
+                newest[k] = r
+    for k in r09:
+        newest[k] = 9
+
+    def num(n):
+        return int(n[1:].split("_", 1)[0])
+
+    never = sorted((n for n in names if n not in newest), key=num)
+    # post-r09, the never-checked class is exactly q201-q300
+    assert [num(n) for n in never] == list(range(201, 301))
+    # the tool's rule: never-checked outrank every recorded band
+    head = never[:50]
+    assert [num(n) for n in head] == list(range(201, 251))
