@@ -14372,9 +14372,15 @@ SELECT nt.nt AS n,
        ROUND(hy.h, 6) AS h_y,
        ROUND(hxy.h, 6) AS h_xy,
        ROUND(hx.h + hy.h - hxy.h, 6) AS mi,
-       ROUND((hx.h + hy.h - hxy.h) / SQRT(hx.h * hy.h), 6) AS nmi,
-       ROUND((hx.h + hy.h - hxy.h) / hx.h, 6) AS u_x_given_y,
-       ROUND((hx.h + hy.h - hxy.h) / hy.h, 6) AS u_y_given_x
+       CASE WHEN hx.h > 0 AND hy.h > 0
+            THEN ROUND((hx.h + hy.h - hxy.h) / SQRT(hx.h * hy.h), 6)
+       END AS nmi,
+       CASE WHEN hx.h > 0
+            THEN ROUND((hx.h + hy.h - hxy.h) / hx.h, 6)
+       END AS u_x_given_y,
+       CASE WHEN hy.h > 0
+            THEN ROUND((hx.h + hy.h - hxy.h) / hy.h, 6)
+       END AS u_y_given_x
 FROM nt, hx, hy, hxy
 """
     # q295: the 5-gram count-of-counts replayed — r* from the r+1

@@ -1412,7 +1412,8 @@ def mutual_information(
     computed via the entropy identity so every Σ is a plain
     -(m/N)·ln(m/N) entropy over ONE counts frame (cells, X-marginal,
     Y-marginal) — three identical quantized sums, no per-cell joint/
-    marginal ratio term.
+    marginal ratio term.  A constant column has H = 0 and every
+    normalized readout NULL-propagates (never 0/0).
 
     The feature-selection / leakage screen: U(label|feature) near 1
     flags a feature that memorizes the label (the q148 split-leakage
@@ -1466,15 +1467,26 @@ def mutual_information(
         .crossJoin(F.broadcast(hxy))
     )
     mi = F.col("__shx") + F.col("__shy") - F.col("__shxy")
+    # a constant column has H = 0: every normalized readout is then
+    # 0/0 — NULL-propagate (the q286 degenerate-population contract)
+    # instead of tripping ANSI divide-by-zero
+    hx_pos = F.col("__shx") > 0
+    hy_pos = F.col("__shy") > 0
     return agg.select(
         F.col("__nt").alias("n"),
         F.round(F.col("__shx"), 6).alias("h_x"),
         F.round(F.col("__shy"), 6).alias("h_y"),
         F.round(F.col("__shxy"), 6).alias("h_xy"),
         F.round(mi, 6).alias("mi"),
-        F.round(mi / F.sqrt(F.col("__shx") * F.col("__shy")), 6).alias("nmi"),
-        F.round(mi / F.col("__shx"), 6).alias("u_x_given_y"),
-        F.round(mi / F.col("__shy"), 6).alias("u_y_given_x"),
+        F.round(
+            F.when(
+                hx_pos & hy_pos,
+                mi / F.sqrt(F.col("__shx") * F.col("__shy")),
+            ),
+            6,
+        ).alias("nmi"),
+        F.round(F.when(hx_pos, mi / F.col("__shx")), 6).alias("u_x_given_y"),
+        F.round(F.when(hy_pos, mi / F.col("__shy")), 6).alias("u_y_given_x"),
     )
 
 

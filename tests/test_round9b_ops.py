@@ -430,3 +430,103 @@ def test_sprt_no_crossing_yields_continue(spark):
     ).collect()[0]
     assert out.decision == "continue"
     assert out.n_decision is None and out.llr_decision is None
+
+
+# ------------------------------------------------------ hypothesis properties
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 9)),
+        min_size=8,
+        max_size=30,
+    ).filter(lambda xs: len({g for g, _ in xs}) >= 2)
+)
+def test_quantile_normalization_partitions_each_group(spark, data):
+    """Bins within a group differ by <= 1 row and sum to the group
+    size; the reference value is the across-group mean of that bin's
+    group means — on ARBITRARY tie-heavy inputs."""
+    rows = [Row(id=i, g=g, v=float(v)) for i, (g, v) in enumerate(data)]
+    out = agg.quantile_normalization(
+        spark.createDataFrame(rows), group_col="g", value_col="v",
+        id_col="id", n_bins=4,
+    ).collect()
+    sizes: dict[str, list[int]] = {}
+    by_bin: dict[int, list[float]] = {}
+    for r in out:
+        sizes.setdefault(r.grp, []).append(r.n_rows)
+        by_bin.setdefault(r.bin, []).append(r.group_mean)
+    for g, ns in sizes.items():
+        assert sum(ns) == sum(1 for row in rows if row.g == g)
+        assert max(ns) - min(ns) <= 1
+    for r in out:
+        ref = sum(by_bin[r.bin]) / len(by_bin[r.bin])
+        assert r.ref_value == pytest.approx(ref, abs=1e-5)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 1000), min_size=12, max_size=40, unique=True))
+def test_tail_dependence_is_one_on_comonotone_data(spark, xs):
+    """If y is a monotone transform of x, both measures are extreme
+    together by construction: lambda_U = lambda_L = 1 at every q."""
+    rows = [Row(id=i, x=float(v), y=float(2 * v + 1)) for i, v in enumerate(xs)]
+    out = agg.tail_dependence(
+        spark.createDataFrame(rows), x_col="x", y_col="y", id_col="id",
+        quantiles=(0.5, 0.9),
+    ).collect()
+    for r in out:
+        assert r.lambda_upper == pytest.approx(1.0)
+        assert r.lambda_lower == pytest.approx(1.0)
+        assert 0 <= r.n_upper_joint <= r.n
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("xy"), st.sampled_from("pqr")),
+        min_size=10,
+        max_size=40,
+    )
+)
+def test_mutual_information_bounds(spark, data):
+    """0 <= MI <= min(H(X), H(Y)) within quantization tolerance, on
+    arbitrary categorical pairs."""
+    rows = [Row(x=x, y=y) for x, y in data]
+    out = agg.mutual_information(
+        spark.createDataFrame(rows), x_col="x", y_col="y"
+    ).collect()[0]
+    assert out.mi >= -1e-6
+    assert out.mi <= min(out.h_x, out.h_y) + 1e-6
+    assert out.h_xy <= out.h_x + out.h_y + 1e-6
+    # a constant column (H = 0) NULL-propagates the normalized forms
+    if out.h_x == 0 or out.h_y == 0:
+        assert out.nmi is None
+    else:
+        assert -1e-6 <= out.nmi <= 1 + 1e-6
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.booleans(), min_size=5, max_size=60))
+def test_sprt_llr_final_is_the_closed_form(spark, succ):
+    """llr_final always equals k*C1 + (n-k)*C2 with the rounded
+    constants — the walk's endpoint is path-independent."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        Row(arm=0, ts=t0 + timedelta(minutes=i), id=i, succ=s)
+        for i, s in enumerate(succ)
+    ]
+    p0, p1 = 0.3, 0.6
+    out = evaluation.sprt_ab(
+        spark.createDataFrame(rows), arm_col="arm", ts_col="ts",
+        id_col="id", success_col="succ", p0=p0, p1=p1,
+    ).collect()[0]
+    k = sum(succ)
+    c1 = round(math.log(p1 / p0), 12)
+    c2 = round(math.log((1 - p1) / (1 - p0)), 12)
+    assert out.llr_final == pytest.approx(
+        k * c1 + (len(succ) - k) * c2, abs=1e-6
+    )
+    assert out.n_success == k and out.n_obs == len(succ)
