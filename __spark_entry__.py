@@ -14452,15 +14452,22 @@ s AS (
   FROM terms
 )
 SELECT n_docs, total_tokens, vocab_size,
-       ROUND((sxy - sx * sy / CAST(n_docs AS DOUBLE))
-             / (sxx - sx * sx / CAST(n_docs AS DOUBLE)), 6) AS beta,
-       ROUND(EXP((sy - (sxy - sx * sy / CAST(n_docs AS DOUBLE))
-                       / (sxx - sx * sx / CAST(n_docs AS DOUBLE)) * sx)
-                 / CAST(n_docs AS DOUBLE)), 6) AS k,
-       ROUND((sxy - sx * sy / CAST(n_docs AS DOUBLE))
-             * (sxy - sx * sy / CAST(n_docs AS DOUBLE))
-             / ((sxx - sx * sx / CAST(n_docs AS DOUBLE))
-                * (syy - sy * sy / CAST(n_docs AS DOUBLE))), 6) AS r2
+       CASE WHEN sxx - sx * sx / CAST(n_docs AS DOUBLE) > 0 THEN
+         ROUND((sxy - sx * sy / CAST(n_docs AS DOUBLE))
+               / (sxx - sx * sx / CAST(n_docs AS DOUBLE)), 6)
+       END AS beta,
+       CASE WHEN sxx - sx * sx / CAST(n_docs AS DOUBLE) > 0 THEN
+         ROUND(EXP((sy - (sxy - sx * sy / CAST(n_docs AS DOUBLE))
+                         / (sxx - sx * sx / CAST(n_docs AS DOUBLE)) * sx)
+                   / CAST(n_docs AS DOUBLE)), 6)
+       END AS k,
+       CASE WHEN sxx - sx * sx / CAST(n_docs AS DOUBLE) > 0
+             AND syy - sy * sy / CAST(n_docs AS DOUBLE) > 0 THEN
+         ROUND((sxy - sx * sy / CAST(n_docs AS DOUBLE))
+               * (sxy - sx * sy / CAST(n_docs AS DOUBLE))
+               / ((sxx - sx * sx / CAST(n_docs AS DOUBLE))
+                  * (syy - sy * sy / CAST(n_docs AS DOUBLE))), 6)
+       END AS r2
 FROM s
 """
     # q297: the OOF encoder replayed — md5 folds, decimal-exact cell

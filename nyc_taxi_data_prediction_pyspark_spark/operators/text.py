@@ -2284,11 +2284,17 @@ def heaps_law(
     vy = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
     beta = cxy / vx
     k = F.exp((F.col("__sy") - beta * F.col("__sx")) / n)
+    # a degenerate walk (constant ln N, or a vocabulary that never
+    # grows -> vy exactly 0) has no fit: NULL-propagate instead of
+    # tripping ANSI divide-by-zero (the q294/q286 contract)
+    fit_ok = vx > 0
     return s.select(
         "n_docs",
         "total_tokens",
         "vocab_size",
-        F.round(beta, 6).alias("beta"),
-        F.round(k, 6).alias("k"),
-        F.round(cxy * cxy / (vx * vy), 6).alias("r2"),
+        F.round(F.when(fit_ok, beta), 6).alias("beta"),
+        F.round(F.when(fit_ok, k), 6).alias("k"),
+        F.round(
+            F.when(fit_ok & (vy > 0), cxy * cxy / (vx * vy)), 6
+        ).alias("r2"),
     )

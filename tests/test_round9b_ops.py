@@ -530,3 +530,13 @@ def test_sprt_llr_final_is_the_closed_form(spark, succ):
         k * c1 + (len(succ) - k) * c2, abs=1e-6
     )
     assert out.n_success == k and out.n_obs == len(succ)
+
+
+def test_heaps_law_degenerate_walks_null_propagate(spark):
+    # vocabulary that never grows -> vy = 0 exactly -> no r2;
+    # token counts still vary -> vx > 0 -> beta/k still fit
+    rows = [Row(doc_id=1, text="a a"), Row(doc_id=2, text="a a a")]
+    out = textops.heaps_law(spark.createDataFrame(rows)).collect()[0]
+    assert out.vocab_size == 1
+    assert out.r2 is None
+    assert out.beta == pytest.approx(0.0, abs=1e-6)  # flat V: slope 0
