@@ -1590,6 +1590,12 @@ def tail_dependence(
     lambda_lower) round 6, ordered by q."""
     from .windows import grouped_rank_two_phase
 
+    if not all(0.0 < q < 1.0 for q in quantiles):
+        raise ValueError(
+            f"quantiles must lie strictly inside (0, 1): {quantiles!r}"
+            " — q = 1 empties the tail (division by n - k = 0)"
+        )
+
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(x_col).alias("__x"),

@@ -1432,6 +1432,12 @@ def oof_target_encoding(
     ordered by (key, fold)."""
     from ..functions.hashing import md5_int60
 
+    if not prior_weight > 0:
+        raise ValueError(
+            f"prior_weight must be > 0 (got {prior_weight!r}) — it is the"
+            " only mass keeping a single-fold key's encoding defined"
+        )
+
     fold = F.pmod(md5_int60(F.col(id_col).cast("string")), F.lit(int(k_folds)))
     v = F.col(target_col).cast(f"decimal(18,{scale})")
     cells = df.select(
@@ -1503,10 +1509,18 @@ def sprt_ab(
     test never crosses.  Ordered by arm."""
     import math
 
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError(f"need 0 < p0 != p1 < 1 (got p0={p0!r}, p1={p1!r})")
     c1 = round(math.log(p1 / p0), 12)
     c2 = round(math.log((1.0 - p1) / (1.0 - p0)), 12)
     a_up = round(math.log((1.0 - beta) / alpha), 12)
     b_lo = round(math.log(beta / (1.0 - alpha)), 12)
+    if any(abs(v) >= 10 for v in (c1, c2, a_up, b_lo)):
+        raise ValueError(
+            "a log constant exceeds DECIMAL(13,12)'s one integer digit"
+            f" (c1={c1}, c2={c2}, A={a_up}, B={b_lo}) — extreme p/alpha/"
+            "beta need a wider decimal than the exact-arithmetic contract"
+        )
     dec12 = "decimal(13,12)"
     dcnt = "decimal(20,0)"
     succ = (

@@ -540,3 +540,25 @@ def test_heaps_law_degenerate_walks_null_propagate(spark):
     assert out.vocab_size == 1
     assert out.r2 is None
     assert out.beta == pytest.approx(0.0, abs=1e-6)  # flat V: slope 0
+
+
+def test_parameter_contracts_raise_early(spark):
+    df = spark.createDataFrame([Row(id=1, x=1.0, y=2.0, g="a", ts=datetime(2024, 1, 1), s=True)])
+    with pytest.raises(ValueError, match="strictly inside"):
+        agg.tail_dependence(
+            df, x_col="x", y_col="y", id_col="id", quantiles=(0.9, 1.0)
+        )
+    with pytest.raises(ValueError, match="prior_weight"):
+        evaluation.oof_target_encoding(
+            df, key_col="g", target_col="x", id_col="id", prior_weight=0.0
+        )
+    with pytest.raises(ValueError, match="p0"):
+        evaluation.sprt_ab(
+            df, arm_col="g", ts_col="ts", id_col="id", success_col="s",
+            p0=0.5, p1=0.5,
+        )
+    with pytest.raises(ValueError, match="DECIMAL"):
+        evaluation.sprt_ab(
+            df, arm_col="g", ts_col="ts", id_col="id", success_col="s",
+            p0=0.5, p1=0.6, alpha=1e-6, beta=1e-6,
+        )
