@@ -187,12 +187,15 @@ def chunk_documents(
     )
 
 
-def ngram_list(text: Column | str, n: int = 2) -> Column:
+def ngrams_from_tokens(tokens: Column | str, n: int = 2) -> Column:
     """ALL word n-gram occurrences in order (NOT deduplicated — unlike
-    dedup.shingle_array) over the normalized text; the raw material
-    for per-document repetition statistics."""
-    c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(normalize_text(c), " ")
+    dedup.shingle_array) from an ALREADY-MATERIALIZED token-array
+    column.  Callers must bind the tokens to a real column (one
+    ``.select(...).alias(...)`` hop) before invoking this: passing the
+    raw ``split(normalize_text(...))`` EXPRESSION makes Catalyst
+    re-evaluate the regex tokenization inside the per-gram lambda —
+    measured 4× slower on the sf0.1 corpus."""
+    toks = F.col(tokens) if isinstance(tokens, str) else tokens
     cnt = F.size(toks) - (n - 1)
     empty = F.array().cast("array<string>")
     grams = F.transform(
@@ -200,6 +203,14 @@ def ngram_list(text: Column | str, n: int = 2) -> Column:
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.when(cnt > 0, grams).otherwise(empty)
+
+
+def ngram_list(text: Column | str, n: int = 2) -> Column:
+    """n-grams straight from a text column — convenience wrapper for
+    ONE-SHOT expression contexts.  Hot paths should materialize the
+    token array and use ``ngrams_from_tokens`` (see its docstring)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return ngrams_from_tokens(F.split(normalize_text(c), " "), n)
 
 
 def repetition_signals(
@@ -217,8 +228,16 @@ def repetition_signals(
     Shape: explode → (doc, gram) count → per-doc aggregate. Both
     shuffles key on (doc, gram) / doc, so the op scales as an
     embarrassingly parallel map + two shrinking aggregations; ratios
-    are IEEE divisions of exact ints → oracle-stable."""
-    grams = df.select(F.col(id_col), F.explode(ngram_list(text_col, n)).alias("gram"))
+    are IEEE divisions of exact ints → oracle-stable.  Tokens are
+    materialized before the gram projection (ngrams_from_tokens
+    contract — 4× on the tokenizer otherwise)."""
+    toks = df.select(
+        F.col(id_col),
+        F.split(normalize_text(text_col), " ").alias("__w"),
+    )
+    grams = toks.select(
+        F.col(id_col), F.explode(ngrams_from_tokens("__w", n)).alias("gram")
+    )
     per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     return per_gram.groupBy(id_col).agg(
         F.sum("c").cast("bigint").alias("n_grams"),
@@ -2122,15 +2141,14 @@ def _ngram_instances(
     (unigram counts saturate on a small-vocabulary corpus; n-grams
     keep a populated low-frequency band at any corpus size).  In-row
     projection, no self-join."""
-    base = df.where(F.length(normalize_text(text_col)) > 0)
-    if int(n) <= 1:
-        toks = F.split(normalize_text(text_col), " ")
-        return base.select(
-            F.col(id_col).alias("__id"), F.explode(toks).alias("__tok")
-        )
-    return base.select(
+    base = df.where(F.length(normalize_text(text_col)) > 0).select(
         F.col(id_col).alias("__id"),
-        F.explode(ngram_list(text_col, int(n))).alias("__tok"),
+        F.split(normalize_text(text_col), " ").alias("__w"),
+    )
+    if int(n) <= 1:
+        return base.select("__id", F.explode("__w").alias("__tok"))
+    return base.select(
+        "__id", F.explode(ngrams_from_tokens("__w", int(n))).alias("__tok")
     )
 
 
