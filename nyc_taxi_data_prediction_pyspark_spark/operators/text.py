@@ -173,7 +173,13 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
-    toks = F.split(normalize_text(text_col), " ")
+    # materialize the token array before the per-chunk lambda
+    # references it (ngrams_from_tokens contract: an inline split
+    # expression re-tokenizes once per chunk)
+    tokd = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__w")
+    )
+    toks = F.col("__w")
     # last useful start must introduce at least one token beyond the
     # previous chunk's overlap: bound starts by n_tokens - overlap - 1,
     # else the final chunk is a pure subset of its predecessor
@@ -181,7 +187,7 @@ def chunk_documents(
     upper = F.greatest(F.size(toks) - overlap - 1, F.lit(0))
     starts = F.sequence(F.lit(0), upper, F.lit(stride))
     chunks = F.transform(starts, lambda s: F.array_join(F.slice(toks, s + 1, chunk_tokens), " "))
-    out = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+    out = tokd.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
     return out.withColumn(
         "n_chunk_tokens", F.size(F.split(F.col("chunk_text"), " "))
     )
