@@ -1516,6 +1516,11 @@ def quantile_normalization(
     (dsum rule); the reference mean quantizes each group's bin mean to
     DECIMAL(28,12) before averaging.
 
+    Contract: ``value_col`` and ``id_col`` must be non-NULL — the
+    ranks sort on them, and Spark orders NULLS FIRST while the DuckDB
+    oracle orders NULLS LAST, so a NULL would silently diverge the
+    two rankings (round-9 ADVICE; the registered q298 data has none).
+
     Returns (group, bin, n_rows, group_mean, ref_value, delta =
     ref − group) round 6, ordered by (group, bin)."""
     from pyspark.sql import Window
@@ -1584,6 +1589,9 @@ def tail_dependence(
     ``id_col``) from the two-phase ranker, thresholds and counts all
     BIGINT — the only division is the final ratio.  No distributional
     assumption, no float comparisons, bit-identical on any engine.
+    Contract: ``x_col``/``y_col``/``id_col`` must be non-NULL — the
+    ranks sort on them and Spark (NULLS FIRST) vs the DuckDB oracle
+    (NULLS LAST) would silently diverge (round-9 ADVICE).
     Scale: two global ranks (range-exchange, no single task) + one
     id-equi-join + a 3-row broadcast.  Returns one row per q
     (q, n, k_thresh, n_upper_joint, lambda_upper, n_lower_joint,
@@ -1595,6 +1603,10 @@ def tail_dependence(
             f"quantiles must lie strictly inside (0, 1): {quantiles!r}"
             " — q = 1 empties the tail (division by n - k = 0)"
         )
+    # dedupe: a repeated q would crossJoin two copies that collapse
+    # into ONE groupBy('q') group, doubling the joint counts so
+    # lambda can exceed 1 (round-9 ADVICE)
+    quantiles = sorted({float(q) for q in quantiles})
 
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -1610,7 +1622,7 @@ def tail_dependence(
     ).select("__id", "__ry")
     ranks = rx.join(ry, "__id")
     qf = df.sparkSession.createDataFrame(
-        [(float(q),) for q in sorted(quantiles)], "q double"
+        [(q,) for q in quantiles], "q double"
     )
     j = ranks.crossJoin(F.broadcast(qf))
     k = F.floor(F.col("q") * F.col("__n")).cast("bigint")

@@ -1503,6 +1503,10 @@ def sprt_ab(
     the two-phase prefix sum (no per-arm single task); the crossing
     scan is a filter + min over the prefix frame.
 
+    Contract: ``ts_col``/``id_col`` must be non-NULL — the prefix
+    walk orders on them and Spark (NULLS FIRST) vs the DuckDB oracle
+    (NULLS LAST) would silently diverge (round-9 ADVICE).
+
     Returns (arm, n_obs, n_success, llr_final, decision, n_decision,
     llr_decision) — llr columns round 6; decision ∈ {'accept_h0',
     'accept_h1', 'continue'}; n_decision/llr_decision NULL when the
@@ -1511,6 +1515,12 @@ def sprt_ab(
 
     if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
         raise ValueError(f"need 0 < p0 != p1 < 1 (got p0={p0!r}, p1={p1!r})")
+    if not (0.0 < alpha < 1.0 and 0.0 < beta < 1.0):
+        raise ValueError(
+            "need 0 < alpha < 1 and 0 < beta < 1"
+            f" (got alpha={alpha!r}, beta={beta!r})"
+            " — alpha=0 / beta=0 put a Wald boundary at ±infinity"
+        )
     c1 = round(math.log(p1 / p0), 12)
     c2 = round(math.log((1.0 - p1) / (1.0 - p0)), 12)
     a_up = round(math.log((1.0 - beta) / alpha), 12)

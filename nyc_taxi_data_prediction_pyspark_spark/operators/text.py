@@ -2141,9 +2141,12 @@ def _ngram_instances(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """(doc, gram) instance frame over the normalize_text tokenizer;
-    ``n`` > 1 emits space-joined word n-grams via the shared
-    ``ngram_list`` projection (one gram-construction algebra in the
-    module, not two) — the vocabulary knob for frequency statistics
+    the token array is materialized ONCE as the ``__w`` column and
+    ``n`` > 1 emits space-joined word n-grams via
+    ``ngrams_from_tokens`` over it — never by re-tokenizing inside
+    the per-gram lambda, which re-evaluated the regex pipeline per
+    gram (the 3.4× round-9 regression fixed in 59bd43c/e0d0847)
+    — the vocabulary knob for frequency statistics
     (unigram counts saturate on a small-vocabulary corpus; n-grams
     keep a populated low-frequency band at any corpus size).  In-row
     projection, no self-join."""

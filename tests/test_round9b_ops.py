@@ -562,3 +562,29 @@ def test_parameter_contracts_raise_early(spark):
             df, arm_col="g", ts_col="ts", id_col="id", success_col="s",
             p0=0.5, p1=0.6, alpha=1e-6, beta=1e-6,
         )
+    # round-9 ADVICE: alpha/beta get the same contract guard as p0/p1
+    # (alpha=0 used to raise ZeroDivisionError; alpha>=1 a bare
+    # math-domain error)
+    for a, b in ((0.0, 0.1), (1.0, 0.1), (0.05, 0.0), (0.05, 1.5)):
+        with pytest.raises(ValueError, match="alpha"):
+            evaluation.sprt_ab(
+                df, arm_col="g", ts_col="ts", id_col="id", success_col="s",
+                p0=0.4, p1=0.6, alpha=a, beta=b,
+            )
+
+
+def test_tail_dependence_dedupes_quantiles(spark):
+    """Round-9 ADVICE: duplicate quantiles used to crossJoin two
+    copies that collapse into one groupBy('q') group, doubling the
+    joint counts so lambda could exceed 1."""
+    rows = [Row(id=i, x=float(i), y=float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows)
+    dup = agg.tail_dependence(
+        df, x_col="x", y_col="y", id_col="id", quantiles=(0.8, 0.8, 0.8)
+    ).collect()
+    ref = agg.tail_dependence(
+        df, x_col="x", y_col="y", id_col="id", quantiles=(0.8,)
+    ).collect()
+    assert len(dup) == 1
+    assert dup[0].asDict() == ref[0].asDict()
+    assert dup[0].lambda_upper <= 1.0
