@@ -104,3 +104,51 @@ def test_fold_query_survives_hostile_session(spark, sf_dir):
     finally:
         for k, v in pinned.items():
             spark.conf.set(k, v)
+
+
+def test_round10_head_queries_survive_hostile_session(spark, sf_dir):
+    """Round-10 head hardening: the driver takes its FIRST rows on
+    q201-q250 this round, so run the head's timestamp-heavy members
+    under the hostile session (wrong TZ, AQE off, nanos bridge off)
+    and require exact DuckDB value parity — same contract the q173
+    canary pins for the pre-round-7 surface."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as entry
+
+    pinned = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    names = [
+        "q213_cusum_changepoints",
+        "q243_temporal_reachability",
+        "q246_interval_schedule",
+    ]
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    try:
+        for name in names:
+            for k, v in HOSTILE.items():
+                spark.conf.set(k, v)
+            got_df = qs[name](spark, sf_dir)
+            cols = sorted(got_df.columns)
+            got = sorted(
+                map(tuple, got_df.select(*cols).collect())
+            )
+            want_rows = con.execute(oracles[name]).fetchall()
+            want_cols = [d[0] for d in con.description]
+            order = [want_cols.index(c) for c in cols]
+            want = sorted(tuple(r[i] for i in order) for r in want_rows)
+            assert got == want, name
+    finally:
+        for k, v in pinned.items():
+            spark.conf.set(k, v)
