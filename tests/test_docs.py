@@ -271,3 +271,47 @@ def test_next_head_tool_matches_rotation_rule():
     # they exactly fill round 11's head — the last first-row round
     head = never[:50]
     assert [num(n) for n in head] == list(range(251, 301))
+
+
+def test_promote_record_tool_refuses_jitter_and_rewrites_readme(tmp_path, monkeypatch, capsys):
+    """tools/promote_record.py is the mechanical form of the official-
+    record promotion: refuse a slower-at-no-calmer-canary candidate,
+    and on promotion move the artifact and the README sentence
+    TOGETHER (the invariant test_readme_counts_match_entry_surface
+    pins)."""
+    import json
+
+    sys.path.insert(0, str(ROOT / "tools"))
+    import promote_record as pr
+
+    official = tmp_path / "BENCH_OFFICIAL_sf0.1.json"
+    readme = tmp_path / "README.md"
+    cand = tmp_path / "cand.json"
+    official.write_text(json.dumps({
+        "total_sec": 260.0, "n_queries": 221,
+        "canary": {"sched_20job": 1.6},
+    }))
+    readme.write_text("x Latest committed record: 260.0s for 221 queries y")
+    monkeypatch.setattr(pr, "OFFICIAL", str(official))
+    monkeypatch.setattr(pr, "README", str(readme))
+
+    # jittery candidate: slower, canary no calmer -> refused
+    cand.write_text(json.dumps({
+        "total_sec": 280.0, "n_queries": 221,
+        "canary": {"sched_20job": 1.65},
+    }))
+    monkeypatch.setattr(sys, "argv", ["promote_record.py", str(cand)])
+    import pytest
+
+    with pytest.raises(SystemExit):
+        pr.main()
+    assert json.loads(official.read_text())["total_sec"] == 260.0
+
+    # faster candidate -> promoted, README sentence rewritten in step
+    cand.write_text(json.dumps({
+        "total_sec": 250.5, "n_queries": 222,
+        "canary": {"sched_20job": 1.3},
+    }))
+    pr.main()
+    assert json.loads(official.read_text())["total_sec"] == 250.5
+    assert "Latest committed record: 250.5s for 222 queries" in readme.read_text()
