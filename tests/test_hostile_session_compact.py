@@ -152,3 +152,55 @@ def test_round10_head_queries_survive_hostile_session(spark, sf_dir):
     finally:
         for k, v in pinned.items():
             spark.conf.set(k, v)
+
+
+def test_round10_head_values_invariant_to_shuffle_partition_count(spark, sf_dir):
+    """Partition-count invariance — the determinism claim the decimal-
+    sum (dsum) discipline exists to guarantee, tested directly for the
+    first time: a driver session may run with ANY
+    spark.sql.shuffle.partitions (its default is 200, ours 32), so
+    float-order-sensitive aggregation would hash-mismatch
+    intermittently.  Run aggregate-heavy round-10 head members at 7
+    and 200 shuffle partitions and require bit-identical collected
+    values."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as entry
+
+    names = [
+        "q242_grouped_moments",
+        "q229_gini_lorenz",
+        "q236_spearman",
+        "q226_roc_auc",
+    ]
+    qs = entry.queries()
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
+    try:
+        results = {}
+        for parts in ("7", "200"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            # keep AQE from coalescing both settings to the same
+            # effective partition count at this tiny SF — the test
+            # must exercise genuinely different partitionings
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "false"
+            )
+            for name in names:
+                df = qs[name](spark, sf_dir)
+                cols = sorted(df.columns)
+                results.setdefault(name, []).append(
+                    sorted(map(tuple, df.select(*cols).collect()))
+                )
+        for name, (a, b) in results.items():
+            assert a == b, f"{name}: values depend on shuffle partition count"
+            assert a, f"{name}: empty result makes the invariance vacuous"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", orig_coalesce
+        )
