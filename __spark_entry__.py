@@ -47,6 +47,21 @@ from nyc_taxi_data_prediction_pyspark_spark.ml.embeddings import with_embeddings
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _dlit(x: float) -> str:
+    """A float literal DuckDB is guaranteed to parse as DOUBLE.
+
+    A bare decimal literal like ``0.3333333333333333`` is typed
+    DECIMAL(17,16) — and in a list literal the elements widen to the
+    COMMON decimal type, so one 17-fraction-digit neighbor retypes the
+    list DECIMAL(18,17)[], whose decimal→double conversion loses a ulp
+    (0.33333333333333326 ≠ float(1)/3) even under an explicit
+    ``::DOUBLE[]`` cast.  Exponent notation short-circuits the decimal
+    path: DuckDB types ``3.33…e-01`` DOUBLE and strtod round-trips the
+    17-significant-digit form exactly (found by the round-11 strict
+    oracle sweep on q210's DCG weights)."""
+    return f"{float(x):.17e}"
+
+
 # ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -548,8 +563,16 @@ def q48_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q49_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
-    """Math scalar parity batch: abs/ceil/floor/round/sqrt/ln/pow —
-    all deterministic IEEE ops on identical inputs."""
+    """Math scalar parity batch: abs/ceil/floor/round/sqrt/ln/pow.
+    abs/ceil/floor/round/sqrt are correctly-rounded IEEE ops —
+    identical on identical inputs in any engine — but ln and pow are
+    NOT (JVM Math.log vs libm differ by a ulp on ~1% of inputs; the
+    round-11 strict oracle sweep measured 625 of 60k rows), so those
+    two are quantized to DECIMAL(28,12) and rounded to 6 on both
+    sides — the full q240 discipline at the scalar level (quantization
+    alone is not enough: DuckDB's double→DECIMAL cast scales in
+    double space, so at 60k rows a handful of 12th-digit flips are
+    guaranteed; only the round-6 coarsening is engine-independent)."""
     li = load(spark, sf, "lineitem")
     return li.select(
         "l_orderkey",
@@ -559,8 +582,12 @@ def q49_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.floor("l_extendedprice").alias("price_floor"),
         F.round("l_extendedprice", 1).alias("price_round1"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
-        F.log(F.col("l_extendedprice")).alias("price_ln"),
-        F.pow(F.col("l_discount"), 2).alias("disc_sq"),
+        F.round(
+            F.log(F.col("l_extendedprice")).cast("decimal(28,12)").cast("double"), 6
+        ).alias("price_ln"),
+        F.round(
+            F.pow(F.col("l_discount"), 2).cast("decimal(28,12)").cast("double"), 6
+        ).alias("disc_sq"),
     )
 
 
@@ -5842,7 +5869,10 @@ def q267_stationary_markov(spark: SparkSession, sf: str) -> DataFrame:
     """Stationary distribution of the q170 event-type Markov chain
     (mining.stationary_distribution, 8 power iterations): the long-run
     traffic mix, with the L1 delta of the final step as the
-    convergence readout. Per-edge IEEE products quantized to
+    convergence readout (measured at the reported round-9 precision —
+    the raw delta sits at the decimal-quantization noise floor where
+    DuckDB's lossy double→DECIMAL(38,18) cast and the JVM's exact
+    BigDecimal disagree). Per-edge IEEE products quantized to
     DECIMAL(38,18) before every per-state sum (partition-order-free);
     the oracle unrolls the same 8 rounds as CTEs (the q109/q162
     iterative contract)."""
@@ -6527,44 +6557,22 @@ _R8_DEFERRED_NEW: set[int] = {
     269, 270, 271, 272, 273, 274, 275, 276, 277, 278,
     279, 280, 281, 282, 283, 284, 285, 286, 287, 288,
 }
-# Round-9 head, exactly as the round-8 verdict scheduled it: the
-# 47-query r5-evidence band (the OLDEST driver evidence anywhere after
-# round 8's head re-greened the r4 band — computed from
-# CORRECTNESS_r01..r08 and frozen here; the rotation test recomputes
-# it from the records) plus the three oldest deferred registrations
-# (q198-q200) taking their FIRST driver rows, greedy-oldest-first.
-# 47 + 3 = exactly 50.  After this head lands the oldest band is r6;
-# rounds 10-11 absorb the r6 band plus the remaining deferrals
-# q201 onward.
-_R9_R5_BAND = {
-    17, 20, 21, 38, 75, 76, 77, 109, 140, 142, 143, 144, 145, 146, 147,
-    148, 149, 150, 151, 152, 154, 155, 156, 157, 158, 159, 160, 161,
-    162, 163, 164, 165, 166, 167, 168, 169, 170, 171, 172, 173, 175,
-    176, 177, 178, 179, 180, 181,
-}
-_R9_DEFERRED_HEAD = {198, 199, 200}
-# Queries registered in round 9: q289-q293 (the five round-8
-# operators that shipped without queries — ADVICE item) and
-# q294-q300 (MI/Theil's U, Good-Turing, Heaps' law, OOF target
-# encoding, quantile normalization, tail dependence, Wald SPRT).
-# Full oracles + local check_oracle evidence at three SFs; first
-# driver rows scheduled by the rotation test's feasibility
-# arithmetic (88 + 12 = 100 <= 100 slots across rounds 10-11 —
-# q300 closes the registration window EXACTLY at capacity; further
-# registrations must wait for a head that retires deferrals).
-_R9_DEFERRED_NEW: set[int] = {
-    289, 290, 291, 292, 293, 294, 295, 296, 297, 298, 299, 300,
-}
-# Round-10 head, exactly as the round-9 verdict scheduled it (and as
-# tools/next_head.py computes from CORRECTNESS_r01..r09): after round
-# 9 greened the r5 band + q198-q200, the evidence census is r6:50
-# r7:50 r8:50 r9:50 never:100 — the never-driver-checked class
-# (q201-q300, infinitely stale) outranks every recorded band, so the
-# head is its 50 OLDEST registrations, q201-q250, each taking its
-# FIRST driver row.  Round 11 takes q251-q300, retiring the deferral
-# backlog exactly at capacity (the registration freeze at q300 holds
-# until then); band re-greens resume in round 12 with the r6 band.
-_R10_HEAD: set[int] = set(range(201, 251))
+# (Round-9 head constants _R9_R5_BAND/_R9_DEFERRED_HEAD/_R9_DEFERRED_NEW
+# retired per round-10 ADVICE — CORRECTNESS_r09.json is the durable
+# record of that head; tools/next_head.py recomputes any past band.)
+#
+# Round-11 head, exactly as the round-10 verdict scheduled it (and as
+# tools/next_head.py computes from CORRECTNESS_r01..r10): after round
+# 10 greened 49 of its 50 first-row targets, the no-green-evidence
+# class is q240 (the lone r10 red row, hash_match=false — a 1-ulp ln
+# round-6 boundary flip, fixed this round by DECIMAL-quantizing the
+# bare ``woe`` column on both sides) plus the never-checked q251-q300.
+# No-green queries outrank every recorded band, greedy-oldest-first by
+# number: q240 + q251-q299 fill the 50 slots exactly; q300 (local
+# oracle + pytest evidence, registered last) defers one round, taking
+# its first driver row in round 12 alongside the r6 band re-greens.
+# The registration freeze at q300 holds through round 11.
+_R11_HEAD: set[int] = {240} | set(range(251, 300))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6574,17 +6582,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    """First-50 = round-10 rotation targets, chosen by EVIDENCE AGE:
-    the 50 oldest never-driver-checked registrations (q201-q250 —
-    never-checked queries have NO evidence, so they outrank every
-    recorded band; greedy-oldest-first by query number).  The rest
-    (r6-r9 bands + the q251-q300 deferrals promised to round 11)
+    """First-50 = round-11 rotation targets, chosen by EVIDENCE AGE:
+    queries with no green driver row anywhere (q240's only row is the
+    r10 red; q251-q300 have none at all) outrank every recorded band,
+    greedy-oldest-first by query number — q240 + q251-q299, with q300
+    the single deferral to round 12.  The rest (r6-r10 bands + q300)
     follow in number order."""
 
     def num(n: str) -> int:
         return int(n[1:].split("_", 1)[0])
 
-    head_nums = _R10_HEAD
+    head_nums = _R11_HEAD
     head = [n for n in names if num(n) in head_nums]
     tail = [n for n in names if num(n) not in head_nums]
     out = sorted(head, key=num) + sorted(tail, key=num)
@@ -7435,9 +7443,10 @@ def _lsh_bucket_sql(vec_expr: str, n_planes: int = 4, seed: int = 42, dim: int =
 
     The hyperplanes are deterministic driver-side constants
     (similarity.random_hyperplanes — seeded numpy), so the oracle bakes
-    the SAME floats in as literals; repr() round-trips doubles exactly
-    and list_dot_product matches the Spark fold bit-for-bit (the q18/
-    q19 precedent), so bucket ids agree exactly."""
+    the SAME floats in as literals; _dlit() forces DuckDB's DOUBLE
+    parse path (a bare decimal literal widens through DECIMAL and can
+    lose a ulp) and list_dot_product matches the Spark fold bit-for-bit
+    (the q18/q19 precedent), so bucket ids agree exactly."""
     from nyc_taxi_data_prediction_pyspark_spark.operators.similarity import (
         random_hyperplanes,
     )
@@ -7445,7 +7454,7 @@ def _lsh_bucket_sql(vec_expr: str, n_planes: int = 4, seed: int = 42, dim: int =
     planes = random_hyperplanes(dim, n_planes, seed)
     terms = []
     for b, plane in enumerate(planes):
-        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        lit = "[" + ", ".join(_dlit(x) for x in plane) + "]"
         terms.append(
             f"CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 THEN {1 << b} ELSE 0 END"
         )
@@ -7465,7 +7474,7 @@ def _lsh_bits_sql(vec_expr: str, bank: int = 16, seed: int = 42, dim: int = 64) 
     planes = random_hyperplanes(dim, bank, seed)
     bits = []
     for plane in planes:
-        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        lit = "[" + ", ".join(_dlit(x) for x in plane) + "]"
         bits.append(
             f"CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 THEN 1 ELSE 0 END"
         )
@@ -8511,8 +8520,8 @@ SELECT l_orderkey, l_linenumber,
        CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
        round(l_extendedprice, 1) AS price_round1,
        sqrt(l_quantity) AS qty_sqrt,
-       ln(l_extendedprice) AS price_ln,
-       pow(l_discount, 2) AS disc_sq
+       ROUND(CAST(CAST(ln(l_extendedprice) AS DECIMAL(28,12)) AS DOUBLE), 6) AS price_ln,
+       ROUND(CAST(CAST(pow(l_discount, 2) AS DECIMAL(28,12)) AS DOUBLE), 6) AS disc_sq
 FROM lineitem
 """,
         "q40_tfidf_top_terms": f"""
@@ -11023,8 +11032,8 @@ FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs FROM orders GROUP BY {lhs})""
     # rank-ordered list_reduce.
     _w10 = similarity._dcg_weights(10)
     _cumw10 = [sum(_w10[: i + 1]) for i in range(10)]
-    _wlist = "[" + ", ".join(repr(x) for x in _w10) + "]::DOUBLE[]"
-    _cumwlist = "[" + ", ".join(repr(x) for x in _cumw10) + "]::DOUBLE[]"
+    _wlist = "[" + ", ".join(_dlit(x) for x in _w10) + "]::DOUBLE[]"
+    _cumwlist = "[" + ", ".join(_dlit(x) for x in _cumw10) + "]::DOUBLE[]"
     oracles["q210_retrieval_eval"] = f"""
 WITH pid AS (SELECT MIN(vec_id) AS pid FROM embeddings),
 q AS (
@@ -12507,9 +12516,9 @@ counts AS (
 ),
 scored AS (
   SELECT bucket, n_pos, n_neg,
-         ln((CAST(n_pos + 1 AS DOUBLE) / CAST(SUM(n_pos) OVER () + 10 AS DOUBLE))
+         CAST(ln((CAST(n_pos + 1 AS DOUBLE) / CAST(SUM(n_pos) OVER () + 10 AS DOUBLE))
             / (CAST(n_neg + 1 AS DOUBLE) / CAST(SUM(n_neg) OVER () + 10 AS DOUBLE)))
-           AS woe,
+           AS DECIMAL(28,12)) AS woe,
          CAST((CAST(n_pos + 1 AS DOUBLE) / CAST(SUM(n_pos) OVER () + 10 AS DOUBLE)
                - CAST(n_neg + 1 AS DOUBLE) / CAST(SUM(n_neg) OVER () + 10 AS DOUBLE))
               * ln((CAST(n_pos + 1 AS DOUBLE) / CAST(SUM(n_pos) OVER () + 10 AS DOUBLE))
@@ -12518,7 +12527,7 @@ scored AS (
   FROM counts
 )
 SELECT bucket, n_pos, n_neg,
-       ROUND(woe, 6) AS woe,
+       ROUND(CAST(woe AS DOUBLE), 6) AS woe,
        ROUND(CAST(term AS DOUBLE), 6) AS iv_term,
        ROUND(CAST(SUM(term) OVER () AS DOUBLE), 6) AS iv
 FROM scored ORDER BY bucket
@@ -12848,7 +12857,7 @@ FROM d ORDER BY event_type
     def _jl_proj(src: str, d: int) -> str:
         dots = ", ".join(
             "list_dot_product({}, [{}])".format(
-                src, ", ".join(repr(float(x)) for x in _jl_planes[j])
+                src, ", ".join(_dlit(x) for x in _jl_planes[j])
             )
             for j in range(d)
         )
@@ -13365,8 +13374,9 @@ k AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk FROM states),
 pi0 AS (SELECT state, 1.0 / CAST(nk AS DOUBLE) AS pi FROM states, k),
 {_pi_rounds},
 delta AS (
-  SELECT CAST(SUM(CAST(ABS(COALESCE(a.pi, 0.0) - COALESCE(b.pi, 0.0))
-                       AS DECIMAL(38,18))) AS DOUBLE) AS l1_delta
+  SELECT ROUND(CAST(SUM(CAST(ABS(ROUND(COALESCE(a.pi, 0.0), 9)
+                                 - ROUND(COALESCE(b.pi, 0.0), 9))
+                       AS DECIMAL(38,18))) AS DOUBLE), 9) AS l1_delta
   FROM pi8 a FULL OUTER JOIN pi7 b ON a.state = b.state)
 SELECT a.state, ROUND(a.pi, 9) AS pi, d.l1_delta
 FROM pi8 a, delta d ORDER BY a.state
@@ -13619,9 +13629,9 @@ per AS (
   FROM rows_ GROUP BY s, ts, tv, terms_present
 )
 SELECT s AS source, terms_present,
-       ROUND(CASE WHEN tv > ts THEN
+       ROUND(CAST(CAST(CASE WHEN tv > ts THEN
          CAST(jsp AS DOUBLE) + 0.5 * ln(2.0) * (1.0 - CAST(qpres AS DOUBLE))
-       END, 6) AS js
+       END AS DECIMAL(28,12)) AS DOUBLE), 6) AS js
 FROM per ORDER BY source
 """
     # q276: the q55 minhash CTE chain at threshold 0 (all banded
@@ -13892,7 +13902,8 @@ r AS (
     PARTITION BY source ORDER BY z DESC, term ASC) AS rank
   FROM scored
 )
-SELECT source, CAST(rank AS INT) AS rank, term, ROUND(z, 6) AS z
+SELECT source, CAST(rank AS INT) AS rank, term,
+       ROUND(CAST(CAST(z AS DECIMAL(28,12)) AS DOUBLE), 6) AS z
 FROM r WHERE rank <= 8 ORDER BY source, rank
 """
     # q283: the sum-vector identity replayed — component sums via
@@ -13967,7 +13978,7 @@ FROM terms
 """
     # q285: the JM interpolation replayed with the ENGINE's float
     # literals (1.0 - 0.7 computed in Python on both sides).
-    _jm_a, _jm_b = repr(float(0.7)), repr(1.0 - float(0.7))
+    _jm_a, _jm_b = _dlit(0.7), _dlit(1.0 - 0.7)
     oracles["q285_jm_surprise"] = f"""
 WITH tk AS (
   SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, ' ') AS w FROM documents

@@ -512,9 +512,12 @@ def woe_iv(
     IV is exactly the q224 PSI algebra applied class-conditionally
     instead of across time, so it inherits the whole determinism
     contract: exact type-7 decile cuts (the q152 percentile contract),
-    in-row comparison-fold bucketing, ln terms quantized to
-    DECIMAL(28,12) before the distributed sum, round 6. (IV < 0.02
-    useless, > 0.3 strong — the industry reading.)
+    in-row comparison-fold bucketing, EVERY ln-derived output — the
+    bare ``woe`` included, not just the summed terms — quantized to
+    DECIMAL(28,12) before round 6 (JVM ``Math.log`` and libm ``ln``
+    may differ by 1 ulp on the same input; the round-10 driver caught
+    exactly that on the unquantized ``woe``). (IV < 0.02 useless,
+    > 0.3 strong — the industry reading.)
 
     Scale: one 1-row percentile broadcast, one bucket-count
     aggregation (n_buckets rows), everything after on that metadata
@@ -552,14 +555,14 @@ def woe_iv(
         "bucket",
         "n_pos",
         "n_neg",
-        F.log(p / q).alias("__woe"),
+        F.log(p / q).cast("decimal(28,12)").alias("__woe"),
         ((p - q) * F.log(p / q)).cast("decimal(28,12)").alias("__term"),
     )
     return scored.select(
         "bucket",
         "n_pos",
         "n_neg",
-        F.round("__woe", 6).alias("woe"),
+        F.round(F.col("__woe").cast("double"), 6).alias("woe"),
         F.round(F.col("__term").cast("double"), 6).alias("iv_term"),
         F.round(F.sum("__term").over(wt).cast("double"), 6).alias("iv"),
     ).orderBy("bucket")

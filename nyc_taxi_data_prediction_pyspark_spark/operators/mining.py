@@ -944,7 +944,13 @@ def stationary_distribution(
     delta between the last two iterates rides along as the
     convergence readout (ergodic chains converge geometrically; the
     readout makes "did 8 iterations suffice" a checkable value, not a
-    hope).
+    hope). The delta is measured AT THE REPORTED round-9 precision of
+    pi and itself rounded to 9: the raw delta of a converged chain
+    (~1e-15) lives at the decimal-quantization noise floor, where
+    DuckDB's double→DECIMAL(38,18) cast (which scales in double
+    space) and the JVM's exact BigDecimal conversion disagree by a
+    few 1e-18 units per term — the round-11 strict-sweep finding — so
+    only a delta coarser than that floor is engine-independent.
 
     NON-ERGODIC CAVEAT — dangling states LEAK MASS: a state that
     appears only as a destination has no outgoing edges (no row in P),
@@ -999,13 +1005,13 @@ def stationary_distribution(
             F.sum(
                 dec(
                     F.abs(
-                        F.coalesce(F.col("__new"), F.lit(0.0))
-                        - F.coalesce(F.col("__old"), F.lit(0.0))
+                        F.round(F.coalesce(F.col("__new"), F.lit(0.0)), 9)
+                        - F.round(F.coalesce(F.col("__old"), F.lit(0.0)), 9)
                     )
                 )
             ).alias("__d")
         )
-        .select(F.col("__d").cast("double").alias("l1_delta"))
+        .select(F.round(F.col("__d").cast("double"), 9).alias("l1_delta"))
     )
     return pi.crossJoin(F.broadcast(delta)).select(
         "state", F.round(F.col("pi"), 9).alias("pi"), "l1_delta"

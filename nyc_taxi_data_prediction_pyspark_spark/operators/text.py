@@ -1866,8 +1866,13 @@ def js_source_divergence(
         per_src.select(
             F.col("__s").alias("source"),
             "terms_present",
+            # ln-derived scalar: DECIMAL-quantize before round-6 (the
+            # q240 discipline — cross-engine libm can differ by a ulp)
             F.round(
-                F.when(F.col("__tv") > F.col("__ts"), js), 6
+                F.when(F.col("__tv") > F.col("__ts"), js)
+                .cast("decimal(28,12)")
+                .cast("double"),
+                6,
             ).alias("js"),
         )
         .orderBy("source")
@@ -1948,7 +1953,14 @@ def fightin_words(
         out_col="rank",
     )
     return ranked.select(
-        "source", "rank", "term", F.round(F.col("__z"), 6).alias("z")
+        "source",
+        "rank",
+        "term",
+        # ln-derived scalar: DECIMAL-quantize before round-6 (the q240
+        # discipline). The z-DESC RANKING stays on the raw double —
+        # quantizing only the printed value cannot reorder ranks that
+        # differ by more than 1e-12, and ties are term-broken anyway.
+        F.round(F.col("__z").cast("decimal(28,12)").cast("double"), 6).alias("z"),
     ).orderBy("source", "rank")
 
 

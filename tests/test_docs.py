@@ -124,13 +124,70 @@ def _official_detail() -> dict:
 
 def test_doc_guards_never_read_the_driver_volatile_detail_file():
     """Simulates the failure class directly: the driver-overwritten
-    _latest file must not feed any prose/threshold guard, so its
-    name may appear in this module only inside docstrings/comments
-    (explaining the rule), never in a Path expression."""
-    src = (ROOT / "tests" / "test_docs.py").read_text()
-    volatile = "BENCH_DETAIL_sf0.1" + "_latest.json"  # split: don't match self
-    assert ('ROOT / "%s"' % volatile) not in src
-    assert "BENCH_OFFICIAL_sf0.1" in src
+    _latest file must not feed any prose/threshold guard.  Round-10
+    ADVICE hardening: scan EVERY module under tests/ plus the tools
+    guards consume (dump_plans), and flag the bare filename in any
+    non-docstring string constant — including spellings built by
+    constant concatenation — not just one exact Path expression in
+    this file.  Comments and docstrings (which explain the rule) stay
+    allowed.  bench.py (the writer) and tools/promote_record.py (the
+    promotion SOURCE — a deliberate builder act, not a guard) are the
+    two legitimate users and are excluded."""
+    import ast
+
+    volatile = "BENCH_DETAIL_sf0.1" + "_latest"  # split: don't match self
+
+    def code_strings(path: Path) -> list[str]:
+        """All string constants in the file that are NOT docstrings,
+        with adjacent Constant+Constant concatenation folded (the
+        evasion this very test uses for its own needle)."""
+        tree = ast.parse(path.read_text())
+        doc_ids = set()
+        for node in ast.walk(tree):
+            if isinstance(
+                node,
+                (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef),
+            ):
+                body = getattr(node, "body", [])
+                if (
+                    body
+                    and isinstance(body[0], ast.Expr)
+                    and isinstance(body[0].value, ast.Constant)
+                    and isinstance(body[0].value.value, str)
+                ):
+                    doc_ids.add(id(body[0].value))
+        out = []
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Constant)
+                and isinstance(node.value, str)
+                and id(node) not in doc_ids
+            ):
+                out.append(node.value)
+            elif isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
+                lhs, rhs = node.left, node.right
+                if (
+                    isinstance(lhs, ast.Constant)
+                    and isinstance(lhs.value, str)
+                    and isinstance(rhs, ast.Constant)
+                    and isinstance(rhs.value, str)
+                ):
+                    out.append(lhs.value + rhs.value)
+        return out
+
+    guard_files = sorted((ROOT / "tests").glob("*.py")) + [
+        ROOT / "tools" / "dump_plans.py"
+    ]
+    offenders = []
+    for path in guard_files:
+        hits = [s for s in code_strings(path) if volatile in s]
+        if path.name == "test_docs.py":
+            # this test's own folded needle is the one allowed hit
+            hits = [s for s in hits if s != volatile]
+        if hits:
+            offenders.append((path.name, hits))
+    assert not offenders, offenders
+    assert "BENCH_OFFICIAL_sf0.1" in (ROOT / "tests" / "test_docs.py").read_text()
 
 
 def _expensive_threshold(detail: dict) -> float:
@@ -189,14 +246,15 @@ def test_plans_md_covers_expensive_queries_and_is_current():
 
 def test_driver_slot_rotation_covers_unproven_queries():
     """The correctness driver hard-checks only the first 50 registry
-    entries.  Round-10 invariant (rotate by EVIDENCE AGE — the
-    round-5 verdict's standing rule, scheduled by the round-9
-    verdict): never-driver-checked queries have NO evidence, so they
-    outrank every recorded band; after round 9 greened the r5 band +
-    q198-q200, the never-checked class is exactly q201-q300 and the
-    head is its 50 oldest registrations, q201-q250, each taking its
-    FIRST driver row — recomputed here from CORRECTNESS_r01..r09, not
-    trusted from the frozen set in the entry module."""
+    entries.  Round-11 invariant (rotate by EVIDENCE AGE — the
+    round-5 verdict's standing rule, scheduled by the round-10
+    verdict): queries with no GREEN driver row anywhere outrank every
+    recorded band; after round 10 greened 49 of its 50 first-row
+    targets, the no-green class is q240 (the lone r10 red row) plus
+    the never-checked q251-q300, and the head is its 50 oldest
+    members by number — q240 + q251-q299, with q300 the single
+    deferral to round 12 — recomputed here from CORRECTNESS_r01..r10,
+    not trusted from the frozen set in the entry module."""
     import json
 
     import __spark_entry__ as entry
@@ -209,7 +267,7 @@ def test_driver_slot_rotation_covers_unproven_queries():
 
     # newest hash-green round per query across the recorded history
     newest_green: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
         d = json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text())
         for k, v in d.items():
             if v.get("hash_match"):
@@ -217,24 +275,25 @@ def test_driver_slot_rotation_covers_unproven_queries():
 
     first50 = set(names[:50])
     assert len(first50) == 50
-    # the never-checked class, recomputed from the records, is
-    # exactly q201-q300 (every q1-q200 holds at least one green row)
+    # the no-green class, recomputed from the records, is exactly
+    # q240 (red in r10) + q251-q300 (never driver-checked)
     never = sorted((n for n in names if n not in newest_green), key=num)
-    assert [num(n) for n in never] == list(range(201, 301))
-    # the head is its 50 oldest registrations, and the frozen set in
-    # the entry module matches the recomputation exactly
+    assert [num(n) for n in never] == [240] + list(range(251, 301))
+    # the head is its 50 oldest members, and the frozen set in the
+    # entry module matches the recomputation exactly
     assert first50 == set(never[:50])
-    assert {num(n) for n in first50} == entry._R10_HEAD == set(range(201, 251))
-    # schedule feasibility: round 11's 50 slots retire the remaining
-    # deferrals (q251-q300) exactly at capacity — the registration
-    # freeze at 300 must hold until then
-    assert len(never) - 50 == 50
-    assert len(names) == 300, "registration freeze: no q301+ before round 11"
-    # band re-greens resume in round 12 with the r6 band, inside the
-    # ceil(300/50)=6-round freshness bound (r6 + 6 = r12), and the r6
-    # band fits a single head
+    assert {num(n) for n in first50} == entry._R11_HEAD == (
+        {240} | set(range(251, 300))
+    )
+    # schedule feasibility: exactly one deferral (q300) rides to
+    # round 12 — the registration freeze at 300 must hold until then
+    assert len(never) - 50 == 1
+    assert len(names) == 300, "registration freeze: no q301+ before round 12"
+    # band re-greens resume in round 12: q300's first row + the 49
+    # oldest of the r6 band fill that head, leaving one r6 member for
+    # round 13 — the r6 band must exist and fit that arithmetic
     r6_band = sum(1 for n in names if newest_green.get(n) == 6)
-    assert r6_band <= 50, r6_band
+    assert 0 < r6_band <= 50, r6_band
     # oracle_sql iterates in the same rotated order (driver zips them)
     o = list(entry.oracle_sql())
     assert o == [n for n in names if n in set(o)]
@@ -242,35 +301,43 @@ def test_driver_slot_rotation_covers_unproven_queries():
 
 def test_next_head_tool_matches_rotation_rule():
     """tools/next_head.py is the mechanical form of the evidence-age
-    rule the rotation test enforces; simulate round-11 (a synthetic
-    CORRECTNESS_r10 greening the current q201-q250 head) and assert
-    the tool's ranking yields the promised q251-q300 head."""
+    rule the rotation test enforces; simulate round-12 (a synthetic
+    CORRECTNESS_r11 greening the current q240+q251-q299 head) and
+    assert the tool's ranking yields the promised round-12 head:
+    q300's first driver row plus the 49 oldest members of the r6
+    band — band re-greens resuming exactly as the round-10 verdict
+    scheduled."""
     import json as _json
 
     import __spark_entry__ as entry
 
     names = list(entry.queries())
-    # synthetic r10: the current head goes green
-    r10 = {n: {"hash_match": True} for n in names[:50]}
+    # synthetic r11: the current head goes green
+    r11 = {n: {"hash_match": True} for n in names[:50]}
     newest = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
         d = _json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text())
         for k, v in d.items():
             if v.get("hash_match"):
                 newest[k] = r
-    for k in r10:
-        newest[k] = 10
+    for k in r11:
+        newest[k] = 11
 
     def num(n):
         return int(n[1:].split("_", 1)[0])
 
     never = sorted((n for n in names if n not in newest), key=num)
-    # post-r10, the never-checked class is exactly q251-q300
-    assert [num(n) for n in never] == list(range(251, 301))
-    # the tool's rule: never-checked outrank every recorded band, and
-    # they exactly fill round 11's head — the last first-row round
-    head = never[:50]
-    assert [num(n) for n in head] == list(range(251, 301))
+    # post-r11, the no-green class is exactly q300
+    assert [num(n) for n in never] == [300]
+    # the tool's rule: never/no-green first, then the oldest recorded
+    # band (r6) greedy-oldest-by-number fills the remaining 49 slots
+    r6_band = sorted((n for n in names if newest.get(n) == 6), key=num)
+    assert len(r6_band) == 50
+    head = never + r6_band[:49]
+    assert len(head) == 50
+    # one r6 member defers to round 13; the freshness drift is bounded
+    # (that single member re-greens at most 7 rounds after r6)
+    assert len(r6_band) - 49 == 1
 
 
 def test_promote_record_tool_refuses_jitter_and_rewrites_readme(tmp_path, monkeypatch, capsys):
@@ -307,11 +374,40 @@ def test_promote_record_tool_refuses_jitter_and_rewrites_readme(tmp_path, monkey
         pr.main()
     assert json.loads(official.read_text())["total_sec"] == 260.0
 
+    # truncated run: fewer queries, deceptively faster total -> refused
+    # without --force (round-10 ADVICE: totals are incomparable across
+    # different headline sets)
+    cand.write_text(json.dumps({
+        "total_sec": 120.0, "n_queries": 180,
+        "canary": {"sched_20job": 1.3},
+    }))
+    with pytest.raises(SystemExit):
+        pr.main()
+    assert json.loads(official.read_text())["total_sec"] == 260.0
+
+    # slower-but-calmer candidate -> promoted, with an explicit
+    # regression warning printed (round-10 ADVICE)
+    cand.write_text(json.dumps({
+        "total_sec": 262.0, "n_queries": 221,
+        "canary": {"sched_20job": 1.2},
+    }))
+    pr.main()
+    assert json.loads(official.read_text())["total_sec"] == 262.0
+    assert "promoting a SLOWER total" in capsys.readouterr().out
+
+    # missing canary -> warned, totals-only compare still promotes
+    cand.write_text(json.dumps({
+        "total_sec": 255.0, "n_queries": 221,
+    }))
+    pr.main()
+    assert json.loads(official.read_text())["total_sec"] == 255.0
+    assert "canary missing" in capsys.readouterr().out
+
     # faster candidate -> promoted, README sentence rewritten in step
     cand.write_text(json.dumps({
-        "total_sec": 250.5, "n_queries": 222,
+        "total_sec": 250.5, "n_queries": 221,
         "canary": {"sched_20job": 1.3},
     }))
     pr.main()
     assert json.loads(official.read_text())["total_sec"] == 250.5
-    assert "Latest committed record: 250.5s for 222 queries" in readme.read_text()
+    assert "Latest committed record: 250.5s for 221 queries" in readme.read_text()

@@ -2,7 +2,14 @@
 queries() entry on Spark and its oracle_sql() on DuckDB at a given SF,
 compare row count, column names/order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Default float compare rounds to 9 decimals — strictly WEAKER than the
+driver's exact value hash (that gap is how q240's 1-ulp ln boundary
+flip passed locally in round 10 while failing the driver).  Pass
+--strict to compare exact float reprs instead: any cross-engine digit
+anywhere in the double flunks, which is at least as strict as the
+driver's hash on round-N-quantized outputs.
+
+Usage: python tools/check_oracle.py [--strict] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -15,8 +22,14 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 
 
-def normalize(rows, cols):
-    """Sort columns by name, canonicalize values, sort rows."""
+def normalize(rows, cols, strict=False):
+    """Sort columns by name, canonicalize values, sort rows.
+
+    strict=True compares the exact float repr (shortest round-trip
+    string, i.e. every bit of the double) instead of round-9 — the
+    driver's value hash sees exact values, so only this mode can
+    catch 1-ulp cross-engine drift in round-6 outputs.
+    """
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -26,7 +39,7 @@ def normalize(rows, cols):
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
-                else:
+                elif not strict:
                     v = round(v, 9)
             vals.append(str(v))
         out.append(tuple(vals))
@@ -34,8 +47,12 @@ def normalize(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    strict = "--strict" in argv
+    if strict:
+        argv.remove("--strict")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from nyc_taxi_data_prediction_pyspark_spark.session import get_spark
@@ -72,8 +89,8 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         s_rows = [[row[c] for c in scols] for row in srows]
-        sn, sc = normalize(s_rows, scols)
-        on, oc = normalize(orows, ocols)
+        sn, sc = normalize(s_rows, scols, strict)
+        on, oc = normalize(orows, ocols, strict)
         if sc != oc:
             failures.append(name)
             print(f"FAIL {name}: columns spark={sc} oracle={oc}")

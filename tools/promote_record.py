@@ -45,18 +45,47 @@ def main() -> None:
     cur = json.load(open(OFFICIAL))
 
     c_tot, o_tot = cand["total_sec"], cur["total_sec"]
-    c_sched = (cand.get("canary") or {}).get("sched_20job", float("nan"))
-    o_sched = (cur.get("canary") or {}).get("sched_20job", float("nan"))
+    c_sched = (cand.get("canary") or {}).get("sched_20job")
+    o_sched = (cur.get("canary") or {}).get("sched_20job")
     print(f"candidate: {c_tot}s / {cand['n_queries']}q, sched {c_sched}")
     print(f"official : {o_tot}s / {cur['n_queries']}q, sched {o_sched}")
 
-    better = c_tot < o_tot or (c_sched < o_sched * 0.9)
+    # totals are only comparable over the SAME headline set: a
+    # truncated run (crash mid-suite) or a changed set has a lower /
+    # different total that would otherwise auto-promote a bogus record
+    # (round-10 ADVICE, medium).
+    if cand["n_queries"] != cur["n_queries"] and not force:
+        print(
+            "REFUSING: candidate covers "
+            f"{cand['n_queries']} queries vs official {cur['n_queries']} — "
+            "totals are incomparable (pass --force only for a deliberate "
+            "headline-set change, never a truncated run)"
+        )
+        sys.exit(1)
+
+    if c_sched is None or o_sched is None:
+        print(
+            "WARNING: sched_20job canary missing from "
+            + ("candidate" if c_sched is None else "official")
+            + " — calm-canary promotion disabled, comparing totals only"
+        )
+    calmer = (
+        c_sched is not None and o_sched is not None and c_sched < o_sched * 0.9
+    )
+    better = c_tot < o_tot or calmer
     if not better and not force:
         print(
             "REFUSING: candidate is slower without a meaningfully calmer "
             "canary (pass --force if the headline set changed)"
         )
         sys.exit(1)
+    if better and c_tot >= o_tot:
+        print(
+            "WARNING: promoting a SLOWER total on calm-canary grounds "
+            f"({c_tot}s >= {o_tot}s, sched {c_sched} vs {o_sched}) — the "
+            "README record sentence will regress; make sure that is the "
+            "intent"
+        )
 
     shutil.copyfile(cand_path, OFFICIAL)
     text = open(README).read()
