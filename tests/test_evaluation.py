@@ -545,6 +545,45 @@ def test_woe_iv_separating_feature_signs_and_monotone_iv(spark):
     assert out[0].iv > 0.3
 
 
+def test_woe_iv_round6_digits_sit_off_the_half_boundary():
+    """Hostile-environment guard for the round-10 driver failure class:
+    q240's ln-derived columns are DECIMAL(28,12)-quantized before
+    round-6, but a quantized value landing within ~1e-9 of a .5e-6
+    rounding boundary would still let a cross-engine ulp (or a
+    different DuckDB decimal-cast build) flip the 6th digit.  Assert —
+    on the real testdata at BOTH driver SFs, straight from the oracle's
+    pre-round CTE so no Spark session is needed — that every woe /
+    iv_term / iv value sits at least 1e-9 away from its nearest
+    boundary.  If data regeneration ever lands a value on a boundary,
+    this fails loudly instead of the driver hash flipping silently."""
+    import duckdb
+
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as entry
+
+    sql = entry.oracle_sql()["q240_woe_iv"]
+    head, _tail = sql.rsplit("SELECT bucket", 1)
+    raw = head + (
+        "SELECT CAST(woe AS DOUBLE) AS woe, CAST(term AS DOUBLE) AS t,"
+        " CAST(SUM(term) OVER () AS DOUBLE) AS iv FROM scored"
+    )
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+        )
+        rows = con.execute(raw).fetchall()
+        assert rows, sf
+        for row in rows:
+            for v in row:
+                frac = (abs(v) * 1e6) % 1.0
+                # 1e-3 in frac units == 1e-9 in value units
+                assert abs(frac - 0.5) > 1e-3, (sf, v, frac)
+
+
 # ----------------------------------------------- deletion_neighborhood_pairs
 
 
