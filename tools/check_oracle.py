@@ -9,7 +9,14 @@ flip passed locally in round 10 while failing the driver).  Pass
 anywhere in the double flunks, which is at least as strict as the
 driver's hash on round-N-quantized outputs.
 
-Usage: python tools/check_oracle.py [--strict] [sf_dir] [query ...]
+Pass --hostile to re-apply a hostile session configuration (non-UTC
+timezone, AQE off, nanos bridge off) BEFORE every query: the driver
+hands the engine an arbitrarily configured SparkSession, and
+catalog.load's pin_session must recover the correctness-bearing confs
+each time — this flag proves it per query instead of sampling three
+members in the hostile-session test.
+
+Usage: python tools/check_oracle.py [--strict] [--hostile] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -46,11 +53,21 @@ def normalize(rows, cols, strict=False):
     return sorted(out), [cols[i] for i in idx]
 
 
+HOSTILE_CONFS = {
+    "spark.sql.session.timeZone": "America/New_York",
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.legacy.parquet.nanosAsLong": "false",
+}
+
+
 def main():
     argv = list(sys.argv[1:])
     strict = "--strict" in argv
     if strict:
         argv.remove("--strict")
+    hostile = "--hostile" in argv
+    if hostile:
+        argv.remove("--hostile")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -69,6 +86,9 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if hostile:
+            for k, v in HOSTILE_CONFS.items():
+                spark.conf.set(k, v)
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
