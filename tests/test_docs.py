@@ -340,6 +340,32 @@ def test_next_head_tool_matches_rotation_rule():
     assert len(r6_band) - 49 == 1
 
 
+def test_check_oracle_strict_mode_sees_sub_round9_drift():
+    """tools/check_oracle.py --strict is the local form of the
+    driver's exact value hash: the default round-9 normalize MUST
+    collapse a 1-ulp cross-engine difference (so green history stays
+    comparable) while strict mode MUST expose it (the q240 failure
+    class that round-9 compare let through in round 10)."""
+    sys.path.insert(0, str(ROOT / "tools"))
+    from check_oracle import normalize
+
+    a = 1 / 3
+    b = 0.33333333333333326  # 2 ulp below — the q210 DECIMAL(18,17) artifact
+    default_a, _ = normalize([[a]], ["v"])
+    default_b, _ = normalize([[b]], ["v"])
+    assert default_a == default_b
+    strict_a, _ = normalize([[a]], ["v"], strict=True)
+    strict_b, _ = normalize([[b]], ["v"], strict=True)
+    assert strict_a != strict_b
+    # NaN canonicalizes identically in both modes (NaN != NaN would
+    # otherwise flunk every query with a legitimate NaN output)
+    nan, _ = normalize([[float("nan")]], ["v"], strict=True)
+    assert nan == [("NaN",)]
+    # columns are compared order-insensitively: same driver semantics
+    rows, cols = normalize([[1, 2]], ["b_col", "a_col"], strict=True)
+    assert cols == ["a_col", "b_col"] and rows == [("2", "1")]
+
+
 def test_promote_record_tool_refuses_jitter_and_rewrites_readme(tmp_path, monkeypatch, capsys):
     """tools/promote_record.py is the mechanical form of the official-
     record promotion: refuse a slower-at-no-calmer-canary candidate,
