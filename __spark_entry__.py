@@ -3579,17 +3579,23 @@ def q168_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Robust outlier profile per return flag: exact median, exact MAD
     (median absolute deviation), and the count of prices beyond
     3×MAD — the robust sibling of q50's z-score (mean/std break under
-    the very outliers being hunted). Both medians are type-7
-    PERCENTILE_CONT (bit-equal to quantile_cont, the q152 evidence);
-    the group-key join-backs are broadcast-sized."""
+    the very outliers being hunted). Both medians are type-1 DISCRETE
+    order statistics (aggregates.discrete_quantile_cuts — actual data
+    values selected by integer rank arithmetic, the round-12 q240-
+    class fix: an interpolated median is float-synthesized and feeds
+    the ``dev > 3*mad`` comparison, where a 1-ulp engine drift flips
+    boundary rows); the group-key join-backs are broadcast-sized."""
     li = load(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
-    med = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
-    )
+    med = agg.discrete_quantile_cuts(
+        li, value_col="l_extendedprice", group_keys=["l_returnflag"],
+        fracs=[(1, 2)],
+    ).select("l_returnflag", F.element_at("__cuts", 1).alias("med"))
     dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
         "dev", F.abs(F.col("l_extendedprice") - F.col("med"))
     )
-    mad = dev.groupBy("l_returnflag").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    mad = agg.discrete_quantile_cuts(
+        dev, value_col="dev", group_keys=["l_returnflag"], fracs=[(1, 2)]
+    ).select("l_returnflag", F.element_at("__cuts", 1).alias("mad"))
     return (
         dev.join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
@@ -5298,9 +5304,11 @@ def q240_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
     """Weight-of-Evidence / Information-Value feature scoring
     (evaluation.woe_iv): does the value decile separate purchases from
     non-purchases — the credit-scoring feature-selection readout,
-    algebraically the q224 PSI applied class-conditionally (exact
-    type-7 decile cuts, add-one smoothing, DECIMAL(28,12)-quantized ln
-    terms). One WOE row per decile plus the corpus IV."""
+    algebraically the q224 PSI applied class-conditionally (DISCRETE
+    rank-selected decile cuts — actual data values, the round-12 fix
+    for the interpolated-cut engine drift — add-one smoothing,
+    DECIMAL(28,12)-quantized ln terms). One WOE row per decile plus
+    the corpus IV."""
     ev = load(spark, sf, "events")
     labeled = ev.select(
         "value", (F.col("event_type") == "purchase").cast("int").alias("y")
@@ -9977,16 +9985,36 @@ SELECT COUNT(*) AS n_nodes, MIN(src) AS min_node,
        CAST(SUM(CASE WHEN deg < 25 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS converged
 FROM d4
 """
+    # both medians are discrete lower-median order statistics (min v
+    # with cum*2 >= n — integer rank selection over the per-group
+    # value histogram, the q240-class fix; never interpolated floats)
     oracles["q168_mad_outliers"] = """
-WITH med AS (
-  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
-  FROM lineitem GROUP BY 1
+WITH pcum AS (
+  SELECT l_returnflag, v,
+         CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+         CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS nn
+  FROM (SELECT l_returnflag, l_extendedprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2)
+),
+med AS (
+  SELECT l_returnflag, MIN(v) AS med FROM pcum WHERE cc * 2 >= nn GROUP BY 1
 ),
 dev AS (
   SELECT l.l_returnflag, ABS(l.l_extendedprice - m.med) AS dev, m.med
   FROM lineitem l JOIN med m USING (l_returnflag)
 ),
-mad AS (SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
+dcum AS (
+  SELECT l_returnflag, v,
+         CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+         CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS nn
+  FROM (SELECT l_returnflag, dev AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM dev GROUP BY 1, 2)
+),
+mad AS (
+  SELECT l_returnflag, MIN(v) AS mad FROM dcum WHERE cc * 2 >= nn GROUP BY 1
+)
 SELECT d.l_returnflag,
        COUNT(*) AS n_rows,
        MIN(d.med) AS med,
@@ -11486,8 +11514,11 @@ SELECT arm, n_users, n_conversions,
        / (1.0 + (1.96 * 1.96) / CAST(n_users AS DOUBLE)) AS wilson_hi
 FROM per ORDER BY arm
 """
-    # q224: same type-7 median split, first-half decile cuts, add-one
-    # shares, and decimal-quantized ln terms (the q158 rule).
+    # q224: same type-7 median split (safe: integer micros interpolate
+    # exactly), DISCRETE first-half decile cuts (integer rank
+    # selection over the per-group value histogram — the q240 fix,
+    # mirroring aggregates.discrete_quantile_cuts), add-one shares,
+    # and decimal-quantized ln terms (the q158 rule).
     oracles["q224_psi_drift"] = """
 WITH mid AS (SELECT quantile_cont(epoch_us(ts), 0.5) AS m FROM events),
 marked AS (
@@ -11495,10 +11526,22 @@ marked AS (
          CASE WHEN CAST(epoch_us(ts) AS DOUBLE) <= mid.m THEN 1 ELSE 0 END AS f
   FROM events, mid
 ),
+cumh AS (
+  SELECT event_type, v,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+  FROM (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM marked WHERE f = 1 AND v IS NOT NULL GROUP BY 1, 2)
+),
+cutrows AS (
+  SELECT event_type, k, MIN(v) AS cut
+  FROM cumh CROSS JOIN (SELECT CAST(UNNEST(range(1, 10)) AS BIGINT) AS k) ks
+  WHERE cc * 10 >= k * nn
+  GROUP BY 1, 2
+),
 cuts AS (
-  SELECT event_type,
-         quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
-  FROM marked WHERE f = 1 GROUP BY 1
+  SELECT event_type, list_sort(LIST(cut)) AS cuts FROM cutrows GROUP BY 1
 ),
 bucketed AS (
   SELECT m.event_type, m.f,
@@ -12497,12 +12540,30 @@ FROM iso ORDER BY bin
 """
     # q240: the PSI algebra class-conditionally — identical cuts,
     # smoothing, quantization; WOE per bucket + windowed IV total.
+    # Cuts are type-1 DISCRETE order statistics (min v with
+    # cum*10 >= k*n — pure integer rank arithmetic selecting actual
+    # data values), mirroring aggregates.discrete_quantile_cuts: the
+    # round-10/11 driver reds proved interpolated type-7 cuts are not
+    # engine-stable when data rows tie exactly on a cut value.
     oracles["q240_woe_iv"] = """
-WITH cuts AS (
-  SELECT quantile_cont(CAST(value AS DOUBLE),
-           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
-  FROM events WHERE value IS NOT NULL
+WITH vals AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
 ),
+hist AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1),
+cumh AS (
+  SELECT v,
+         CAST(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+         CAST(SUM(c) OVER () AS BIGINT) AS nn
+  FROM hist
+),
+cutrows AS (
+  SELECT k, MIN(v) AS cut
+  FROM cumh CROSS JOIN (SELECT CAST(UNNEST(range(1, 10)) AS BIGINT) AS k) ks
+  WHERE cc * 10 >= k * nn
+  GROUP BY 1
+),
+cuts AS (SELECT list_sort(LIST(cut)) AS cuts FROM cutrows),
 bucketed AS (
   SELECT 1 + list_sum(list_transform(c.cuts,
            x -> CASE WHEN CAST(e.value AS DOUBLE) > x THEN 1 ELSE 0 END)) AS bucket,

@@ -791,6 +791,81 @@ def correlation_matrix(
     return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
 
 
+def discrete_quantile_cuts(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_keys: list[str],
+    fracs: list[tuple[int, int]],
+) -> DataFrame:
+    """Type-1 (discrete, lower-nearest-rank) quantile cut points per
+    group: for each fraction num/den, the cut is the SMALLEST value
+    whose cumulative count reaches ``ceil(num * n / den)`` — i.e. an
+    ACTUAL DATA VALUE selected by pure integer rank arithmetic, never
+    an interpolated float.
+
+    This is the determinism backbone for every operator that BUCKETS
+    rows by comparing data against quantile cuts (WoE/IV, PSI): a
+    type-7 interpolated cut is synthesized by floating-point
+    arithmetic whose last bit depends on the engine's interpolation
+    form (``lo + g*(hi-lo)`` vs ``(1-g)*lo + g*hi``, FMA contraction,
+    libm build), and when data values sit exactly ON a cut — the
+    common case for granular telemetry — a 1-ulp cut drift silently
+    moves every tied row across the bucket boundary (the q240
+    round-10/11 driver reds). A rank-selected cut is a bit-identical
+    parquet double on every engine, so the ``>`` bucket fold below it
+    is exact by construction. Ties all land in the same bucket (the
+    statistically honest WoE/PSI reading); the rank inequality
+    ``cum >= ceil(num*n/den)`` is evaluated cross-multiplied
+    (``cum * den >= num * n``) so no division ever happens.
+
+    Scale shape: one combinable groupBy to the per-group DISTINCT-
+    VALUE histogram (bounded by value cardinality — quantize
+    continuous features first, the kendall_tau_b grid rule), one
+    cumulative window over that histogram, a broadcast cross join
+    with the |fracs|-row fraction frame, and a collect_list bounded
+    by |fracs|. No data-sized window, no interpolation.
+
+    Returns one row per group: group_keys + ``__cuts``
+    array<value-type> sorted ascending (duplicates kept — one entry
+    per fraction — so bucket numbering stays 1..den stable).
+    """
+    from pyspark.sql import Window as W
+
+    gk = list(group_keys)
+    v = F.col(value_col)
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(*gk, v.alias("__hv"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__hc"))
+    )
+    w_cum = (
+        W.partitionBy(*gk)
+        .orderBy("__hv")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy(*gk)
+    cum = hist.select(
+        *gk,
+        "__hv",
+        F.sum("__hc").over(w_cum).alias("__cum"),
+        F.sum("__hc").over(w_all).alias("__n"),
+    )
+    ks = df.sparkSession.createDataFrame(
+        [(int(n_), int(d_)) for n_, d_ in fracs], "__kn bigint, __kd bigint"
+    )
+    # cum >= ceil(kn*n/kd)  ⟺  cum*kd >= kn*n   (all BIGINT, exact)
+    cut_rows = (
+        cum.crossJoin(F.broadcast(ks))
+        .where(F.col("__cum") * F.col("__kd") >= F.col("__kn") * F.col("__n"))
+        .groupBy(*gk, "__kn", "__kd")
+        .agg(F.min("__hv").alias("__cut"))
+    )
+    return cut_rows.groupBy(*gk).agg(
+        F.array_sort(F.collect_list("__cut")).alias("__cuts")
+    )
+
+
 def population_stability(
     df: DataFrame,
     *,
@@ -811,16 +886,23 @@ def population_stability(
     AND deterministic — no epsilon tuning).
 
     Determinism: the time split is the exact type-7 median of epoch
-    micros; the cut points are exact type-7 percentiles (bit-equal
-    across engines — the q152 contract); bucket assignment is an
-    in-row comparison fold; the per-bucket ln terms follow the
-    grouped_entropy rule — IEEE doubles quantized to DECIMAL(28,12)
-    BEFORE the distributed sum, result rounded to 6dp.
+    MICROS — safe because the inputs are integers below 2^53, so both
+    halves of the interpolation are exact IEEE doubles on every
+    engine. The decile cuts, by contrast, are over arbitrary doubles
+    where interpolation is NOT engine-stable, so they are type-1
+    DISCRETE cuts from ``discrete_quantile_cuts`` — actual first-half
+    data values selected by integer rank arithmetic (the q240 fix:
+    rows tied exactly on a cut can no longer flip buckets on a 1-ulp
+    interpolation drift). Bucket assignment is an in-row comparison
+    fold of bit-identical parquet doubles; the per-bucket ln terms
+    follow the grouped_entropy rule — IEEE doubles quantized to
+    DECIMAL(28,12) BEFORE the distributed sum, result rounded to 6dp.
 
     Scale shape: one pass for the split boundary (1-row broadcast),
-    one grouped percentile for the cuts (#groups rows, broadcast
-    join-back), one bucket-count aggregation (group × half × bucket —
-    metadata-sized), the PSI fold on that. Raw rows are scanned twice
+    one histogram groupBy + distinct-value window for the cuts
+    (#groups × value-cardinality rows, broadcast join-back), one
+    bucket-count aggregation (group × half × bucket — metadata-
+    sized), the PSI fold on that. Raw rows are scanned twice
     (boundary + bucketing); no data-sized window, no cross join.
 
     Brand-new groups — zero rows in the first time half, so no decile
@@ -841,11 +923,11 @@ def population_stability(
         .cast("int")
         .alias("__first"),
     )
-    fracs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = (
-        marked.where(F.col("__first") == 1)
-        .groupBy(*group_keys)
-        .agg(F.percentile(F.col("__v"), F.array(*[F.lit(f) for f in fracs])).alias("__cuts"))
+    cuts = discrete_quantile_cuts(
+        marked.where(F.col("__first") == 1),
+        value_col="__v",
+        group_keys=group_keys,
+        fracs=[(i, n_buckets) for i in range(1, n_buckets)],
     )
     bucket = F.lit(1) + F.aggregate(
         F.transform(F.col("__cuts"), lambda c: (F.col("__v") > c).cast("int")),

@@ -511,24 +511,42 @@ def woe_iv(
     with p/q the add-one-smoothed positive/negative bucket shares —
     IV is exactly the q224 PSI algebra applied class-conditionally
     instead of across time, so it inherits the whole determinism
-    contract: exact type-7 decile cuts (the q152 percentile contract),
-    in-row comparison-fold bucketing, EVERY ln-derived output — the
-    bare ``woe`` included, not just the summed terms — quantized to
-    DECIMAL(28,12) before round 6 (JVM ``Math.log`` and libm ``ln``
-    may differ by 1 ulp on the same input; the round-10 driver caught
-    exactly that on the unquantized ``woe``). (IV < 0.02 useless,
-    > 0.3 strong — the industry reading.)
+    contract, which after two driver reds (rounds 10 and 11) has TWO
+    hardened layers:
 
-    Scale: one 1-row percentile broadcast, one bucket-count
-    aggregation (n_buckets rows), everything after on that metadata
-    frame (the IV total rides a metadata-window sum). Returns per
-    bucket: bucket, n_pos, n_neg, woe, iv_term, iv.
+    * **bucket assignment** — the decile cuts are type-1 DISCRETE
+      order statistics from ``aggregates.discrete_quantile_cuts``
+      (actual data values picked by integer rank arithmetic), NOT
+      type-7 interpolated floats. The round-11 red proved the
+      interpolated form unfixable at per-row scale: at sf0.01 five of
+      the nine cuts land exactly on tied data values (11 boundary
+      rows), and a 1-ulp interpolation-form/FMA difference between
+      engines computes the cut just below the tie, silently moving
+      the tied rows one bucket up — rows/schema still match, BIGINT
+      counts don't. With cuts that ARE data values the ``>`` fold
+      compares bit-identical parquet doubles — exact on any engine.
+    * **ln outputs** — EVERY ln-derived output, the bare ``woe``
+      included, is quantized to DECIMAL(28,12) before round 6 (JVM
+      ``Math.log`` and libm ``ln`` may differ by 1 ulp on the same
+      input; the round-10 driver caught exactly that).
+
+    (IV < 0.02 useless, > 0.3 strong — the industry reading.)
+
+    Scale: one distinct-value histogram + metadata window for the
+    cuts (1-row broadcast after), one bucket-count aggregation
+    (n_buckets rows), everything after on that metadata frame (the
+    IV total rides a metadata-window sum). Returns per bucket:
+    bucket, n_pos, n_neg, woe, iv_term, iv.
     """
-    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    from .aggregates import discrete_quantile_cuts
+
     v = F.col(value_col).cast("double")
     y = F.col(label_col).cast("bigint")
-    cuts = df.where(v.isNotNull()).agg(
-        F.percentile(v, F.array(*[F.lit(f) for f in fracs])).alias("__cuts")
+    cuts = discrete_quantile_cuts(
+        df.select(v.alias("__dv")),
+        value_col="__dv",
+        group_keys=[],
+        fracs=[(i, n_buckets) for i in range(1, n_buckets)],
     )
     bucket = F.lit(1) + F.aggregate(
         F.transform(F.col("__cuts"), lambda c: (F.col("__v") > c).cast("int")),

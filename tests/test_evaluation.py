@@ -584,6 +584,112 @@ def test_woe_iv_round6_digits_sit_off_the_half_boundary():
                 assert abs(frac - 0.5) > 1e-3, (sf, v, frac)
 
 
+def test_woe_iv_buckets_are_rank_exact_on_tied_cuts(spark):
+    """The round-11 driver red: rows tied EXACTLY on a decile cut flip
+    buckets when the cut is an interpolated float that drifts 1 ulp
+    between engines.  With discrete rank-selected cuts the cut IS the
+    tied data value and every tied row lands strictly below (v > cut
+    false).  Build a distribution with heavy ties on every cut and
+    assert the bucket counts match the integer-rank ground truth."""
+    rows = []
+    # 40 rows: values 1..4, 10 copies each -> quartile cuts must be
+    # exactly (1.0, 2.0, 3.0) and every copy of a cut value stays in
+    # its own bucket (10/10/10/10), never split by the tie.
+    for v in (1.0, 2.0, 3.0, 4.0):
+        rows += [Row(value=v, y=int(v >= 3.0))] * 10
+    out = evaluation.woe_iv(
+        spark.createDataFrame(rows), value_col="value", label_col="y", n_buckets=4
+    ).collect()
+    counts = {r.bucket: (r.n_pos + r.n_neg) for r in out}
+    assert counts == {1: 10, 2: 10, 3: 10, 4: 10}
+
+
+def test_discrete_quantile_cuts_are_data_values_and_rank_correct(spark):
+    """aggregates.discrete_quantile_cuts picks min v with
+    cum*den >= num*n — pure integer rank arithmetic.  On 1..10 the
+    quartile cuts are the rank-ceil(n*k/4) order statistics (3, 5, 8),
+    all actual data values; duplicates in fracs are kept."""
+    from nyc_taxi_data_prediction_pyspark_spark.operators.aggregates import (
+        discrete_quantile_cuts,
+    )
+
+    df = spark.createDataFrame([Row(g="a", v=float(i)) for i in range(1, 11)])
+    out = discrete_quantile_cuts(
+        df, value_col="v", group_keys=["g"], fracs=[(1, 4), (2, 4), (3, 4)]
+    ).collect()
+    assert len(out) == 1 and out[0].g == "a"
+    # ceil(10/4)=3 -> 3.0; ceil(20/4)=5 -> 5.0; ceil(30/4)=8 -> 8.0
+    assert out[0]["__cuts"] == [3.0, 5.0, 8.0]
+
+
+def test_oracle_cut_values_are_exact_data_members_all_sfs():
+    """Round-12 guard for the q240/q224/q168 fix: the oracle-side
+    decile cuts / medians must be EXACT members of the source value
+    set (discrete order statistics, never synthesized floats) at all
+    three driver SFs — the property that makes the bucket fold
+    engine-exact.  DuckDB-only, no Spark session needed; the strict
+    oracle sweep proves the Spark side computes the same cuts."""
+    import duckdb
+
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+    probes = {
+        # (cut-extraction SQL, membership SQL) pairs built from the
+        # same CTE shapes the oracles use
+        "q240": (
+            """
+WITH vals AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+hist AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM hist_src GROUP BY v),
+cumh AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS cc, CAST(SUM(c) OVER () AS BIGINT) AS nn
+         FROM hist)
+SELECT k, MIN(v) AS cut
+FROM cumh CROSS JOIN (SELECT CAST(UNNEST(range(1, 10)) AS BIGINT) AS k) ks
+WHERE cc * 10 >= k * nn GROUP BY 1
+""",
+            "SELECT COUNT(*) FROM events WHERE CAST(value AS DOUBLE) = ?",
+        ),
+    }
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+        sql, member = probes["q240"]
+        sql = sql.replace(
+            "hist_src", "(SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL)"
+        )
+        cuts = con.execute(sql).fetchall()
+        assert len(cuts) == 9, (sf, cuts)
+        for _k, cut in cuts:
+            n = con.execute(member, [cut]).fetchone()[0]
+            assert n > 0, f"{sf}: cut {cut!r} is not an exact data value"
+        # q168: both discrete medians are data(-derived) values
+        med = con.execute(
+            """
+WITH pcum AS (
+  SELECT l_returnflag, v,
+         CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+         CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS nn
+  FROM (SELECT l_returnflag, l_extendedprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2)
+)
+SELECT l_returnflag, MIN(v) AS med FROM pcum WHERE cc * 2 >= nn GROUP BY 1
+"""
+        ).fetchall()
+        assert med, sf
+        for flag, m in med:
+            n = con.execute(
+                "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = ? AND l_extendedprice = ?",
+                [flag, m],
+            ).fetchone()[0]
+            assert n > 0, f"{sf}: {flag} median {m!r} is not an exact data value"
+        con.close()
+
+
 # ----------------------------------------------- deletion_neighborhood_pairs
 
 

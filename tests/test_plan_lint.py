@@ -30,6 +30,7 @@ BNL_ALLOWED = {
     "q163_kmv_overlap": "two 1-row frames (overlap stats x exact intersection) crossed",
     "q164_chi_square": "1-row grand-total broadcast onto the cell frame",
     "q166_lm_quality": "1-row token-total broadcast onto the scored stream",
+    "q168_mad_outliers": "1-row (1,2)-fraction frame crossed onto the per-flag distinct-value histograms (discrete median rank selection, twice) + #groups-row median/MAD broadcasts",
     "q171_benford_audit": "1-row digit-total broadcast onto the 9-digit frame",
     "q174_naive_bayes": "#classes-row (tiny) prior frame crossed onto the token stream",
     "q176_interpolated_gaps": "hour spine x #event-types frame (both metadata-sized) crossed",
@@ -45,13 +46,13 @@ BNL_ALLOWED = {
     "q215_survival_curve": "1-row corpus-max-bucket broadcast onto the per-entity frame",
     "q217_pmi_collocations": "two 1-row totals (token count x bigram count) crossed onto the scored pairs",
     "q222_conformal_intervals": "hour spine x #event-types frame (both metadata-sized) crossed — the q181 shape",
-    "q224_psi_drift": "1-row median-boundary broadcast onto the value stream",
+    "q224_psi_drift": "1-row median-boundary broadcast onto the value stream + 9-row decile-fraction frame crossed onto the per-group distinct-value histogram (discrete cut rank selection)",
     "q225_lang_id_kappa": "1-row kappa-totals broadcast onto the #classes-row confusion frame",
     "q227_calibration_brier": "1-row Brier/ECE-totals broadcast onto the #bins-row frame",
     "q228_ks_two_sample": "1-row sample-size broadcast onto the distinct-value ECDF frame",
     "q230_ri_audit": "per-edge 1-row stats x 1-row orphan-counts crossed (8 edges)",
     "q232_seasonal_decompose": "hour spine x #event-types frame (both metadata-sized) crossed — the q181 shape",
-    "q240_woe_iv": "1-row decile-cuts broadcast onto the value stream (the q224 bucketing shape)",
+    "q240_woe_iv": "1-row decile-cuts broadcast onto the value stream + 9-row fraction frame crossed onto the distinct-value histogram (the q224 discrete-cut shape)",
     "q250_jl_recall": "1-row projected-probe broadcast onto the corpus rankings",
     "q254_k_anonymity": "1-row row-total broadcast onto the class-size histogram (the q100 shape)",
     "q267_stationary_markov": "two 1-row broadcasts (state count for the uniform start; L1 delta onto the #states-row output)",
