@@ -6456,6 +6456,77 @@ def q300_sprt_ab(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q301_decision_stump(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 1-level CART feature screen (mining.decision_stump): per
+    day-of-week, the value threshold that best separates purchases
+    from non-purchases by Gini impurity — candidate splits are the
+    distinct DATA VALUES (the q240 discrete-cut discipline: no
+    interpolated thresholds), counts exact BIGINTs off the
+    distinct-value histogram, the (impurity, split) argmin engine-
+    stable. The "is this feature worth modeling" gate."""
+    ev = load(spark, sf, "events").select(
+        F.dayofweek("ts").alias("dow"),
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return mining.decision_stump(
+        ev, value_col="value", label_col="y", group_keys=["dow"]
+    )
+
+
+def q302_coverage_greedy(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy max-coverage subset selection over documents
+    (dedup.coverage_greedy_selection, Nemhauser 1978): 5 rounds of
+    "which doc adds the most uncovered 3-gram shingles" — the
+    training-data budget/diversity primitive next to q17's dedup on
+    the same shingle frame. All-integer gains, (gain DESC, doc_id)
+    tie-break; the oracle replays the 5 rounds as unrolled CTEs (the
+    q167 k-core discipline)."""
+    docs = load(spark, sf, "documents")
+    return dedup.coverage_greedy_selection(
+        docs, text_col="text", id_col="doc_id", k=5, n=3
+    )
+
+
+def q303_simpsons_reversal(spark: SparkSession, sf: str) -> DataFrame:
+    """Simpson's-paradox audit (mining.simpsons_reversal): afternoon
+    vs morning purchase rates, pooled and within each day-of-week —
+    segments whose direction contradicts the pooled direction expose
+    the mix confounding a pooled readout would hide. Every direction
+    is the cross-multiplied BIGINT comparison pos_a*n_b vs pos_b*n_a;
+    no float gates a flag (rates are round-6 display columns)."""
+    ev = load(spark, sf, "events").select(
+        F.dayofweek("ts").alias("dow"),
+        (F.hour("ts") >= 12).cast("int").alias("afternoon"),
+        (F.col("event_type") == "purchase").cast("int").alias("purchased"),
+    )
+    return mining.simpsons_reversal(
+        ev, segment_col="dow", cohort_col="afternoon", outcome_col="purchased"
+    )
+
+
+def q304_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness release audit (privacy.t_closeness_audit, Li et al.
+    ICDE'07): per (nation, market-segment) quasi-identifier class, the
+    ordered-domain EMD between the class's account-balance-bucket
+    distribution and the global one, flagged at t = 15/100 — the leak
+    k-anonymity/l-diversity (q254) misses. Violation flags are
+    cross-multiplied BIGINT comparisons; emd is a round-6 display
+    division."""
+    c = load(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias("bal_bucket"),
+    )
+    return privacy.t_closeness_audit(
+        c,
+        quasi_cols=["c_nationkey", "c_mktsegment"],
+        sensitive_col="bal_bucket",
+        t_num=15,
+        t_den=100,
+    )
+
+
 # Driver-slot rotation (round 7): the correctness driver hard-checks
 # the FIRST 50 registry entries only; rotation is BY EVIDENCE AGE
 # (the round-5 verdict's standing rule).  Evidence ages entering
@@ -6569,18 +6640,26 @@ _R8_DEFERRED_NEW: set[int] = {
 # retired per round-10 ADVICE — CORRECTNESS_r09.json is the durable
 # record of that head; tools/next_head.py recomputes any past band.)
 #
-# Round-11 head, exactly as the round-10 verdict scheduled it (and as
-# tools/next_head.py computes from CORRECTNESS_r01..r10): after round
-# 10 greened 49 of its 50 first-row targets, the no-green-evidence
-# class is q240 (the lone r10 red row, hash_match=false — a 1-ulp ln
-# round-6 boundary flip, fixed this round by DECIMAL-quantizing the
-# bare ``woe`` column on both sides) plus the never-checked q251-q300.
-# No-green queries outrank every recorded band, greedy-oldest-first by
-# number: q240 + q251-q299 fill the 50 slots exactly; q300 (local
-# oracle + pytest evidence, registered last) defers one round, taking
-# its first driver row in round 12 alongside the r6 band re-greens.
-# The registration freeze at q300 holds through round 11.
-_R11_HEAD: set[int] = {240} | set(range(251, 300))
+# Round-12 head (tools/next_head.py's ranking from CORRECTNESS_r01..
+# r11, plus this round's registrations): round 11 greened q251-q299
+# (49/49); the no-green class entering round 12 is q240 (red again in
+# r11 — the interpolated decile-cut layer, replaced this round by
+# discrete rank-selected cuts) + q300 (the scheduled single deferral,
+# never checked) + the four round-12 registrations q301-q304 (the
+# freeze lifted on schedule; each carries oracle + strict-sweep
+# evidence and enters the head in its registration round, the
+# evidence-paced rule).  No-green queries outrank every recorded
+# band; the remaining 44 slots go to the 44 oldest members of the
+# 50-strong r6 band in number order (its q01-q50 members), so six r6
+# members — q58 q153 q174 q182 q183 q184 — re-green in round 13
+# instead of 12 (evidence age 7, the bounded drift the README's
+# pacing rule accounts for; the rotation test recomputes all of this
+# from the CORRECTNESS records rather than trusting prose).
+_R12_HEAD: set[int] = (
+    {240, 300, 301, 302, 303, 304}
+    | (set(range(1, 13)) | {14, 15, 16, 18, 19} | set(range(22, 36)) | {37}
+       | set(range(39, 51)))
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6590,17 +6669,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    """First-50 = round-11 rotation targets, chosen by EVIDENCE AGE:
-    queries with no green driver row anywhere (q240's only row is the
-    r10 red; q251-q300 have none at all) outrank every recorded band,
-    greedy-oldest-first by query number — q240 + q251-q299, with q300
-    the single deferral to round 12.  The rest (r6-r10 bands + q300)
-    follow in number order."""
+    """First-50 = round-12 rotation targets, chosen by EVIDENCE AGE:
+    the no-green class (q240, red in r10+r11; q300, the scheduled
+    deferral; q301-q304, this round's registrations) outranks every
+    recorded band, then the 44 oldest r6-band members in number order
+    fill the rest.  The tail (r6 leftovers + r7-r11 bands) follows in
+    number order."""
 
     def num(n: str) -> int:
         return int(n[1:].split("_", 1)[0])
 
-    head_nums = _R11_HEAD
+    head_nums = _R12_HEAD
     head = [n for n in names if num(n) in head_nums]
     tail = [n for n in names if num(n) not in head_nums]
     out = sorted(head, key=num) + sorted(tail, key=num)
@@ -6911,6 +6990,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q298_quantile_normalization": q298_quantile_normalization,
         "q299_tail_dependence": q299_tail_dependence,
         "q300_sprt_ab": q300_sprt_ab,
+        "q301_decision_stump": q301_decision_stump,
+        "q302_coverage_greedy": q302_coverage_greedy,
+        "q303_simpsons_reversal": q303_simpsons_reversal,
+        "q304_t_closeness": q304_t_closeness,
     }
 
 
@@ -14698,5 +14781,170 @@ SELECT t.arm, t.n_obs, t.n_success,
        ROUND(CAST(c.llr_dec AS DOUBLE), 6) AS llr_decision
 FROM totals t LEFT JOIN crossings c ON t.arm = c.arm
 ORDER BY t.arm
+"""
+    # q301: distinct-value candidate splits (the q240 discrete-cut
+    # discipline), exact BIGINT side counts, the Gini expression with
+    # the IDENTICAL parenthesization as mining.decision_stump —
+    # integer inputs below 2^53 through correctly-rounded IEEE ops
+    # give a bit-identical double, so the (g, split) argmin matches.
+    oracles["q301_decision_stump"] = """
+WITH hist AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow, CAST(value AS DOUBLE) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT dow, v,
+         CAST(SUM(c) OVER w AS BIGINT) AS nl,
+         CAST(SUM(p) OVER w AS BIGINT) AS pl,
+         CAST(SUM(c) OVER (PARTITION BY dow) AS BIGINT) AS n,
+         CAST(SUM(p) OVER (PARTITION BY dow) AS BIGINT) AS pt
+  FROM hist
+  WINDOW w AS (PARTITION BY dow ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT dow, v AS split_value, nl AS n_left, pl AS pos_left,
+         n - nl AS n_right, pt - pl AS pos_right,
+         ((CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)
+             - CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+             - CAST(nl - pl AS DOUBLE) * CAST(nl - pl AS DOUBLE)) / CAST(nl AS DOUBLE)
+          + (CAST(n - nl AS DOUBLE) * CAST(n - nl AS DOUBLE)
+             - CAST(pt - pl AS DOUBLE) * CAST(pt - pl AS DOUBLE)
+             - CAST((n - nl) - (pt - pl) AS DOUBLE)
+               * CAST((n - nl) - (pt - pl) AS DOUBLE)) / CAST(n - nl AS DOUBLE)
+         ) / CAST(n AS DOUBLE) AS g
+  FROM cum WHERE nl < n
+)
+SELECT dow, split_value, n_left, pos_left, n_right, pos_right,
+       ROUND(g, 6) AS gini
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dow
+                                   ORDER BY g ASC, split_value ASC) AS rk
+      FROM scored)
+WHERE rk = 1 ORDER BY dow
+"""
+    # q302: the 5 greedy rounds unrolled (the q167 k-core discipline)
+    # over the q17 shingle frame; pool = docs with >= 1 shingle;
+    # argmax (gain DESC, doc_id ASC); all-BIGINT gains.  Every chained
+    # CTE is MATERIALIZED: c{r}/pool{r} are referenced 2-3 times each
+    # and DuckDB inlines plain CTEs per reference, so the 5-round
+    # chain would otherwise recompute the shingle frame ~3^5 times
+    # (measured: minutes + tens of GB of temp at sf0.1 vs 0.7 s
+    # materialized — the exponential-inlining failure class).
+    _cov = [
+        f"WITH {_SHINGLE_CTE},\n"
+        "shm AS MATERIALIZED (SELECT doc_id, shingle FROM sh),\n"
+        "pool0 AS MATERIALIZED (SELECT DISTINCT doc_id FROM shm)"
+    ]
+    for _r in range(1, 6):
+        _uncov = (
+            "SELECT doc_id, COUNT(*) AS g FROM shm GROUP BY 1"
+            if _r == 1
+            else f"SELECT doc_id, COUNT(*) AS g FROM shm\n"
+            f"          WHERE shingle NOT IN (SELECT shingle FROM c{_r - 1}) GROUP BY 1"
+        )
+        _cov.append(
+            f"g{_r} AS (SELECT p.doc_id, CAST(COALESCE(u.g, 0) AS BIGINT) AS gain\n"
+            f"       FROM pool{_r - 1} p LEFT JOIN ({_uncov}) u USING (doc_id)),\n"
+            f"s{_r} AS MATERIALIZED (SELECT doc_id, gain FROM g{_r} "
+            f"ORDER BY gain DESC, doc_id ASC LIMIT 1),\n"
+            f"c{_r} AS MATERIALIZED ("
+            + (
+                "SELECT DISTINCT shingle FROM shm WHERE doc_id IN (SELECT doc_id FROM s1)"
+                if _r == 1
+                else f"SELECT shingle FROM c{_r - 1} UNION "
+                f"SELECT shingle FROM shm WHERE doc_id IN (SELECT doc_id FROM s{_r})"
+            )
+            + "),\n"
+            f"pool{_r} AS MATERIALIZED (SELECT doc_id FROM pool{_r - 1} "
+            f"WHERE doc_id NOT IN (SELECT doc_id FROM s{_r}))"
+        )
+    _cov_final = "\nUNION ALL\n".join(
+        f"SELECT {_r} AS round, doc_id, gain,\n"
+        f"       (SELECT CAST(COUNT(*) AS BIGINT) FROM c{_r}) AS covered_total FROM s{_r}"
+        for _r in range(1, 6)
+    )
+    oracles["q302_coverage_greedy"] = (
+        ",\n".join(_cov) + f"\nSELECT * FROM ({_cov_final}) ORDER BY round"
+    )
+    # q303: cross-multiplied BIGINT direction tests (pos_a*n_b vs
+    # pos_b*n_a) per segment and pooled; rates are round-6 display.
+    oracles["q303_simpsons_reversal"] = """
+WITH cells AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS segment,
+         CAST(SUM(CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN hour(ts) >= 12 AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS pos_a,
+         CAST(SUM(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN hour(ts) < 12 AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS pos_b
+  FROM events GROUP BY 1
+),
+pooled AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(pos_a) AS BIGINT) AS tpa,
+         CAST(SUM(n_b) AS BIGINT) AS tb, CAST(SUM(pos_b) AS BIGINT) AS tpb
+  FROM cells
+)
+SELECT segment, n_a, pos_a, n_b, pos_b,
+       ROUND(CAST(pos_a AS DOUBLE) / n_a, 6) AS rate_a,
+       ROUND(CAST(pos_b AS DOUBLE) / n_b, 6) AS rate_b,
+       CAST(CASE WHEN pos_a * n_b > pos_b * n_a THEN 1
+                 WHEN pos_a * n_b < pos_b * n_a THEN -1 ELSE 0 END AS INTEGER)
+         AS seg_dir,
+       CAST(CASE WHEN p.tpa * p.tb > p.tpb * p.ta THEN 1
+                 WHEN p.tpa * p.tb < p.tpb * p.ta THEN -1 ELSE 0 END AS INTEGER)
+         AS pooled_dir,
+       (CASE WHEN pos_a * n_b > pos_b * n_a THEN 1
+             WHEN pos_a * n_b < pos_b * n_a THEN -1 ELSE 0 END)
+       * (CASE WHEN p.tpa * p.tb > p.tpb * p.ta THEN 1
+               WHEN p.tpa * p.tb < p.tpb * p.ta THEN -1 ELSE 0 END) = -1
+         AS reversal
+FROM cells CROSS JOIN pooled p
+ORDER BY segment
+"""
+    # q304: ordered-domain EMD as exact BIGINT cumulative-gap
+    # numerators |ccum*N - gcum*nc|; the t flag is the cross-
+    # multiplied integer comparison; emd is round-6 display.
+    oracles["q304_t_closeness"] = """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS sv,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS nc
+  FROM cells GROUP BY 1, 2
+),
+domain AS (SELECT sv, CAST(SUM(c) AS BIGINT) AS g FROM cells GROUP BY 1),
+gtot AS (SELECT CAST(SUM(g) AS BIGINT) AS n_tot FROM domain),
+grid AS (
+  SELECT cl.c_nationkey, cl.c_mktsegment, d.sv, cl.nc, d.g,
+         CAST(COALESCE(ce.c, 0) AS BIGINT) AS c
+  FROM classes cl CROSS JOIN domain d
+  LEFT JOIN cells ce ON ce.c_nationkey = cl.c_nationkey
+       AND ce.c_mktsegment = cl.c_mktsegment AND ce.sv = d.sv
+),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, nc,
+         CAST(SUM(c) OVER w AS BIGINT) AS ccum,
+         CAST(SUM(g) OVER w AS BIGINT) AS gcum
+  FROM grid
+  WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY sv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+per AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(MAX(nc) AS BIGINT) AS n_class,
+         CAST(SUM(ABS(ccum * (SELECT n_tot FROM gtot) - gcum * nc)) AS BIGINT) AS num,
+         CAST(COUNT(*) - 1 AS BIGINT) AS m1
+  FROM cum GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, n_class,
+       ROUND(CAST(num AS DOUBLE)
+             / CAST(n_class * (SELECT n_tot FROM gtot) * m1 AS DOUBLE), 6) AS emd,
+       100 * num > 15 * n_class * (SELECT n_tot FROM gtot) * m1 AS violates_t
+FROM per ORDER BY c_nationkey, c_mktsegment
 """
     return oracles

@@ -257,6 +257,10 @@ HEADLINE = [
     "q298_quantile_normalization",
     "q299_tail_dependence",
     "q300_sprt_ab",
+    "q301_decision_stump",
+    "q302_coverage_greedy",
+    "q303_simpsons_reversal",
+    "q304_t_closeness",
 ]
 
 # Registered queries deliberately NOT in HEADLINE, each with its

@@ -1265,3 +1265,80 @@ def dedup_yield_curve(
         "pairs_ge",
         "docs_ge",
     ).orderBy(F.col("eq_components").desc())
+
+
+def coverage_greedy_selection(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    n: int = 3,
+) -> DataFrame:
+    """Greedy maximum-coverage subset selection (the classic 1-1/e
+    submodular greedy, Nemhauser et al. 1978): pick ``k`` documents
+    one at a time, each round taking the document that covers the most
+    word n-gram shingles not yet covered by the picks so far — the
+    data-curation primitive for "which K docs buy the most corpus
+    diversity" (subset selection for training-data budgets, seed-set
+    picking for dedup review).
+
+    Determinism: coverage gains are exact BIGINT shingle counts over
+    the same normalize→3-gram shingle frame q17 deduplicates on; the
+    per-round argmax is ordered (gain DESC, doc id ASC) so ties are
+    stable; docs with fewer than ``n`` tokens have no shingles and are
+    outside the pool on both engines. No floats anywhere.
+
+    Scale shape: the shingle frame is built once and localCheckpointed
+    (the pagerank_fixedpoint loop rule — graph.py:21); each round is
+    one anti-join against the covered set + one map-side-combinable
+    groupBy + a TakeOrdered(1), and the covered set is re-checkpointed
+    per round so the k-step lineage never re-derives earlier rounds.
+    Work per round is O(|remaining shingle pairs|); k is a small
+    constant. The greedy itself is inherently sequential — that is the
+    algorithm, not a Spark limitation; each round is fully
+    distributed.
+
+    Returns one row per round: (round, <id_col>, gain, covered_total)
+    where gain is the number of newly covered shingles and
+    covered_total the covered-universe size after the pick.
+    """
+    pairs = (
+        word_shingles(df, text_col=text_col, id_col=id_col, n=n)
+        .select(F.col(id_col).alias("__id"), "shingle")
+        .localCheckpoint(eager=False)
+    )
+    pool = pairs.select("__id").distinct()
+    covered = pairs.select("shingle").limit(0)
+    out = None
+    for r in range(1, int(k) + 1):
+        uncovered_gain = (
+            pairs.join(covered, "shingle", "left_anti")
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__g"))
+        )
+        gains = pool.join(uncovered_gain, "__id", "left").select(
+            "__id", F.coalesce(F.col("__g"), F.lit(0)).cast("bigint").alias("gain")
+        )
+        pick = (
+            gains.orderBy(F.col("gain").desc(), F.col("__id").asc())
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        covered = (
+            covered.unionByName(
+                pairs.join(pick.select("__id"), "__id").select("shingle")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        tot = covered.agg(F.count(F.lit(1)).cast("bigint").alias("covered_total"))
+        row = pick.crossJoin(F.broadcast(tot)).select(
+            F.lit(r).cast("int").alias("round"),
+            F.col("__id").alias(id_col),
+            "gain",
+            "covered_total",
+        )
+        out = row if out is None else out.unionByName(row)
+        pool = pool.join(pick.select("__id"), "__id", "left_anti")
+    return out

@@ -1287,3 +1287,183 @@ def session_surprise(
         .orderBy(F.col("nll").desc(), F.col("user_id").asc(), F.col("day").asc())
         .limit(k)
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    *,
+    value_col: str,
+    label_col: str,
+    group_keys: list[str] | None = None,
+) -> DataFrame:
+    """Exact best-split decision stump (the 1-level CART feature
+    screen, Breiman 1984): per group, the threshold c on ``value_col``
+    that minimizes the weighted Gini impurity of the binary
+    ``label_col`` under the split ``v <= c`` vs ``v > c`` — the
+    standard "is this feature worth anything" readout a training-data
+    pipeline runs before committing to a model.
+
+    Determinism contract (the q240 discrete-cut discipline): candidate
+    thresholds are the DISTINCT DATA VALUES themselves (every split
+    boundary is a bit-identical parquet double — never an interpolated
+    midpoint), the per-side counts are exact BIGINTs off a cumulative
+    window over the distinct-value histogram, and the impurity
+
+        gini(c) = ( (nL² − pL² − qL²)/nL + (nR² − pR² − qR²)/nR ) / n
+
+    is evaluated with this exact parenthesization on both engines —
+    integer inputs below 2^53 through correctly-rounded IEEE ops give
+    a bit-identical double, so the (impurity ASC, split ASC) argmin is
+    engine-stable. The all-left split (c = group max) is excluded so
+    the right side is never empty.
+
+    Scale shape: one combinable groupBy to the per-group distinct-
+    value histogram (quantize continuous features first — the
+    kendall_tau_b grid rule), one cumulative window + one rank window
+    over that histogram, nothing data-sized after the first
+    aggregation. Counts are exact below n ≈ 9.4e7 per group (n² <
+    2^53); beyond that, swap the squares to DECIMAL(38,0) — noted, not
+    needed at this corpus.
+
+    Returns per group: group_keys + (split_value, n_left, pos_left,
+    n_right, pos_right, gini) with gini rounded to 6dp.
+    """
+    gk = list(group_keys or [])
+    v = F.col(value_col).cast("double")
+    y = F.col(label_col).cast("bigint")
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(*gk, v.alias("__hv"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c"),
+            F.sum(y).cast("bigint").alias("__p"),
+        )
+    )
+    w_cum = (
+        W.partitionBy(*gk)
+        .orderBy("__hv")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy(*gk)
+    cum = hist.select(
+        *gk,
+        "__hv",
+        F.sum("__c").over(w_cum).alias("__nl"),
+        F.sum("__p").over(w_cum).alias("__pl"),
+        F.sum("__c").over(w_all).alias("__n"),
+        F.sum("__p").over(w_all).alias("__pt"),
+    )
+    nl = F.col("__nl").cast("double")
+    pl = F.col("__pl").cast("double")
+    ql = (F.col("__nl") - F.col("__pl")).cast("double")
+    nr = (F.col("__n") - F.col("__nl")).cast("double")
+    pr = (F.col("__pt") - F.col("__pl")).cast("double")
+    qr = ((F.col("__n") - F.col("__nl")) - (F.col("__pt") - F.col("__pl"))).cast(
+        "double"
+    )
+    n = F.col("__n").cast("double")
+    gini = (
+        (nl * nl - pl * pl - ql * ql) / nl + (nr * nr - pr * pr - qr * qr) / nr
+    ) / n
+    scored = cum.where(F.col("__nl") < F.col("__n")).select(
+        *gk,
+        F.col("__hv").alias("split_value"),
+        F.col("__nl").alias("n_left"),
+        F.col("__pl").alias("pos_left"),
+        (F.col("__n") - F.col("__nl")).alias("n_right"),
+        (F.col("__pt") - F.col("__pl")).alias("pos_right"),
+        gini.alias("__g"),
+    )
+    w_best = W.partitionBy(*gk).orderBy(F.col("__g").asc(), F.col("split_value").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w_best))
+        .where(F.col("__rk") == 1)
+        .select(
+            *gk,
+            "split_value",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            F.round(F.col("__g"), 6).alias("gini"),
+        )
+        .orderBy(*gk)
+    )
+
+
+def simpsons_reversal(
+    df: DataFrame,
+    *,
+    segment_col: str,
+    cohort_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Simpson's-paradox audit (Simpson 1951; the fairness/bias check
+    a curation pipeline runs before trusting a pooled success-rate
+    comparison): for a binary ``cohort_col`` (a vs b) and a binary
+    ``outcome_col``, compare the two cohorts' success rates within
+    every segment AND pooled, and flag segments whose direction
+    contradicts the pooled direction — the association reversal that
+    means the pooled table is confounded by segment mix.
+
+    Fully integer-exact: every direction test is the cross-multiplied
+    comparison ``pos_a * n_b  vs  pos_b * n_a`` (BIGINT products —
+    exact below n ≈ 3e9 per side; DECIMAL(38,0) beyond), so no rate
+    division ever decides a flag. The round-6 rates in the output are
+    display-only, one IEEE division each.
+
+    Scale shape: one combinable groupBy to the (segment × cohort)
+    count frame, a 1-row pooled broadcast onto the #segments-row
+    frame. Nothing data-sized after the first aggregation.
+
+    Returns one row per segment: segment, n_a, pos_a, n_b, pos_b,
+    rate_a, rate_b, seg_dir, pooled_dir, reversal — dir is the sign
+    (-1/0/1) of rate_a - rate_b, decided integer-exactly; reversal is
+    true when seg_dir * pooled_dir = -1 (strict flips only, the
+    textbook reading).
+    """
+    seg = F.col(segment_col)
+    coh = F.col(cohort_col).cast("int")
+    out = F.col(outcome_col).cast("bigint")
+    cells = (
+        df.where(seg.isNotNull())
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.sum(coh.cast("bigint")).alias("n_a"),
+            F.sum(F.when(coh == 1, out).otherwise(F.lit(0))).alias("pos_a"),
+            F.sum((F.lit(1) - coh).cast("bigint")).alias("n_b"),
+            F.sum(F.when(coh == 0, out).otherwise(F.lit(0))).alias("pos_b"),
+        )
+    )
+    pooled = cells.agg(
+        F.sum("n_a").alias("__ta"),
+        F.sum("pos_a").alias("__tpa"),
+        F.sum("n_b").alias("__tb"),
+        F.sum("pos_b").alias("__tpb"),
+    )
+
+    def sign(pa, na, pb, nb):
+        lhs = pa * nb
+        rhs = pb * na
+        return (
+            F.when(lhs > rhs, F.lit(1))
+            .when(lhs < rhs, F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+
+    j = cells.crossJoin(F.broadcast(pooled))
+    seg_dir = sign(F.col("pos_a"), F.col("n_a"), F.col("pos_b"), F.col("n_b"))
+    pooled_dir = sign(F.col("__tpa"), F.col("__ta"), F.col("__tpb"), F.col("__tb"))
+    return j.select(
+        "segment",
+        "n_a",
+        "pos_a",
+        "n_b",
+        "pos_b",
+        F.round(F.col("pos_a").cast("double") / F.col("n_a"), 6).alias("rate_a"),
+        F.round(F.col("pos_b").cast("double") / F.col("n_b"), 6).alias("rate_b"),
+        seg_dir.alias("seg_dir"),
+        pooled_dir.alias("pooled_dir"),
+        ((seg_dir * pooled_dir) == F.lit(-1)).alias("reversal"),
+    ).orderBy("segment")

@@ -131,3 +131,108 @@ def redact_pii(
         F.length(red).cast("bigint").alias("redacted_len"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    *,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian ICDE'07) over an
+    ORDERED sensitive attribute: a quasi-identifier equivalence class
+    violates t-closeness when the Earth Mover's Distance between its
+    sensitive-value distribution and the global one exceeds t — the
+    release gate k-anonymity/l-diversity (q254) miss: a class can be
+    large and diverse yet still skew the sensitive attribute enough to
+    leak (every value present, but the mix is off).
+
+    For an ordered discrete domain v_1 < … < v_m the EMD is the mean
+    absolute cumulative-share gap:
+
+        EMD = ( Σ_i |P_cum(i) − Q_cum(i)| ) / (m − 1)
+
+    Determinism: both cumulative shares are rationals with fixed
+    denominators (class size n_c, global N), so each gap numerator
+    |c_cum·N − g_cum·n_c| is an exact BIGINT (products < 2^63 for
+    n_c·N below ~9e18; DECIMAL(38,0) beyond) and the violation flag is
+    decided by the cross-multiplied integer comparison
+
+        t_den · Σ|…|  >  t_num · n_c · N · (m−1)
+
+    — no float ever gates the decision. The reported ``emd`` is one
+    IEEE division, round 6, display-only.
+
+    Scale shape: rows → (class × sensitive-value) counts (one
+    combinable groupBy), zero-filled on the class × domain grid (a
+    broadcast cross join of two metadata-sized frames — the
+    kendall_tau_b grid rule), one cumulative window over the grid,
+    one 1-row global broadcast. Nothing data-sized after the first
+    aggregation; quantize continuous sensitive attributes first.
+
+    Returns one row per class: quasi_cols + (n_class, emd,
+    violates_t), ordered by quasi_cols.
+    """
+    from pyspark.sql import Window as W
+
+    qk = list(quasi_cols)
+    s = F.col(sensitive_col)
+    cells = (
+        df.where(s.isNotNull())
+        .groupBy(*qk, s.alias("__sv"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    classes = cells.groupBy(*qk).agg(F.sum("__c").cast("bigint").alias("__nc"))
+    domain = cells.groupBy("__sv").agg(F.sum("__c").cast("bigint").alias("__g"))
+    glob = domain.agg(F.sum("__g").cast("bigint").alias("__N"))
+    grid = classes.crossJoin(F.broadcast(domain)).join(
+        cells, [*qk, "__sv"], "left"
+    ).select(
+        *qk,
+        "__sv",
+        "__nc",
+        "__g",
+        F.coalesce(F.col("__c"), F.lit(0)).cast("bigint").alias("__c"),
+    )
+    w_cum = (
+        W.partitionBy(*qk)
+        .orderBy("__sv")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grid.select(
+        *qk,
+        "__nc",
+        F.sum("__c").over(w_cum).alias("__ccum"),
+        F.sum("__g").over(w_cum).alias("__gcum"),
+    )
+    per_class = (
+        cum.crossJoin(F.broadcast(glob))
+        .groupBy(*qk)
+        .agg(
+            F.max("__nc").alias("n_class"),
+            F.sum(
+                F.abs(F.col("__ccum") * F.col("__N") - F.col("__gcum") * F.col("__nc"))
+            )
+            .cast("bigint")
+            .alias("__num"),
+            F.max("__N").alias("__Nv"),
+            (F.count(F.lit(1)) - F.lit(1)).cast("bigint").alias("__m1"),
+        )
+    )
+    # the last grid row always has ccum*N == gcum*nc (both equal nc*N),
+    # so summing over all m rows equals summing over the m-1 steps.
+    return per_class.select(
+        *qk,
+        "n_class",
+        F.round(
+            F.col("__num").cast("double")
+            / (F.col("n_class") * F.col("__Nv") * F.col("__m1")).cast("double"),
+            6,
+        ).alias("emd"),
+        (
+            F.lit(int(t_den)) * F.col("__num")
+            > F.lit(int(t_num)) * F.col("n_class") * F.col("__Nv") * F.col("__m1")
+        ).alias("violates_t"),
+    ).orderBy(*qk)

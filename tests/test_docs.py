@@ -246,14 +246,15 @@ def test_plans_md_covers_expensive_queries_and_is_current():
 
 def test_driver_slot_rotation_covers_unproven_queries():
     """The correctness driver hard-checks only the first 50 registry
-    entries.  Round-11 invariant (rotate by EVIDENCE AGE — the
-    round-5 verdict's standing rule, scheduled by the round-10
-    verdict): queries with no GREEN driver row anywhere outrank every
-    recorded band; after round 10 greened 49 of its 50 first-row
-    targets, the no-green class is q240 (the lone r10 red row) plus
-    the never-checked q251-q300, and the head is its 50 oldest
-    members by number — q240 + q251-q299, with q300 the single
-    deferral to round 12 — recomputed here from CORRECTNESS_r01..r10,
+    entries.  Round-12 invariant (rotate by EVIDENCE AGE — the
+    round-5 verdict's standing rule): queries with no GREEN driver row
+    anywhere outrank every recorded band.  After round 11 greened
+    q251-q299 (49/49), the no-green class entering round 12 is q240
+    (red in r10 AND r11 — retried after the discrete-cut fix) + q300
+    (the scheduled single deferral) + the four round-12 registrations
+    q301-q304 (the freeze lifted on schedule with same-round
+    evidence); the remaining 44 slots are the 44 oldest r6-band
+    members by number.  All recomputed here from CORRECTNESS_r01..r11,
     not trusted from the frozen set in the entry module."""
     import json
 
@@ -267,7 +268,7 @@ def test_driver_slot_rotation_covers_unproven_queries():
 
     # newest hash-green round per query across the recorded history
     newest_green: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+    for r in range(1, 12):
         d = json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text())
         for k, v in d.items():
             if v.get("hash_match"):
@@ -276,68 +277,95 @@ def test_driver_slot_rotation_covers_unproven_queries():
     first50 = set(names[:50])
     assert len(first50) == 50
     # the no-green class, recomputed from the records, is exactly
-    # q240 (red in r10) + q251-q300 (never driver-checked)
+    # q240 (red in r10+r11) + q300 (never checked) + q301-q304 (the
+    # round-12 registrations)
     never = sorted((n for n in names if n not in newest_green), key=num)
-    assert [num(n) for n in never] == [240] + list(range(251, 301))
-    # the head is its 50 oldest members, and the frozen set in the
-    # entry module matches the recomputation exactly
-    assert first50 == set(never[:50])
-    assert {num(n) for n in first50} == entry._R11_HEAD == (
-        {240} | set(range(251, 300))
-    )
-    # schedule feasibility: exactly one deferral (q300) rides to
-    # round 12 — the registration freeze at 300 must hold until then
-    assert len(never) - 50 == 1
-    assert len(names) == 300, "registration freeze: no q301+ before round 12"
-    # band re-greens resume in round 12: q300's first row + the 49
-    # oldest of the r6 band fill that head, leaving one r6 member for
-    # round 13 — the r6 band must exist and fit that arithmetic
-    r6_band = sum(1 for n in names if newest_green.get(n) == 6)
-    assert 0 < r6_band <= 50, r6_band
+    assert [num(n) for n in never] == [240, 300, 301, 302, 303, 304]
+    # the head = the whole no-green class + the 44 oldest r6-band
+    # members, and the frozen set in the entry module matches the
+    # recomputation exactly
+    r6_band = sorted((n for n in names if newest_green.get(n) == 6), key=num)
+    assert len(r6_band) == 50
+    expected = set(never) | set(r6_band[:44])
+    assert first50 == expected
+    assert {num(n) for n in first50} == entry._R12_HEAD
+    # registration pacing: six r6 members (the band minus 44) defer to
+    # round 13 — evidence age 7, the bounded drift the README's
+    # evidence-paced rule allows; round 13's head (6 leftovers + 44 of
+    # the r7 band) still fits 50 slots
+    assert len(r6_band) - 44 == 6
+    r7_band = sum(1 for n in names if newest_green.get(n) == 7)
+    assert 6 + min(r7_band, 44) <= 50
+    # every round-12 registration carries an oracle (zero no-evidence
+    # entries — the freeze-lift condition)
+    o = entry.oracle_sql()
+    for n in never:
+        assert n in o, f"{n} registered without an oracle"
+    assert len(names) == 304
     # oracle_sql iterates in the same rotated order (driver zips them)
-    o = list(entry.oracle_sql())
-    assert o == [n for n in names if n in set(o)]
+    ol = list(o)
+    assert ol == [n for n in names if n in set(ol)]
 
 
 def test_next_head_tool_matches_rotation_rule():
-    """tools/next_head.py is the mechanical form of the evidence-age
-    rule the rotation test enforces; simulate round-12 (a synthetic
-    CORRECTNESS_r11 greening the current q240+q251-q299 head) and
-    assert the tool's ranking yields the promised round-12 head:
-    q300's first driver row plus the 49 oldest members of the r6
-    band — band re-greens resuming exactly as the round-10 verdict
-    scheduled."""
+    """tools/next_head.py IS the mechanical form of the evidence-age
+    rule — so EXECUTE it (round-11 ADVICE: the earlier version of this
+    test recomputed the rule inline, so the tool could drift
+    undetected).  Against the real on-disk CORRECTNESS_r01..r11
+    records the tool's proposed head must equal the entry module's
+    first 50 exactly, name for name, in driver order.  Then simulate
+    round 13 (a synthetic r12 greening the current head) and assert
+    the rule hands the 6 deferred r6 members + the 44 oldest r7-band
+    members to the next head."""
     import json as _json
+    import subprocess
+    import sys as _sys
 
     import __spark_entry__ as entry
 
     names = list(entry.queries())
-    # synthetic r11: the current head goes green
-    r11 = {n: {"hash_match": True} for n in names[:50]}
+    # 1) run the actual tool against the real records
+    out = subprocess.run(
+        [_sys.executable, str(ROOT / "tools" / "next_head.py")],
+        capture_output=True,
+        text=True,
+        cwd=str(ROOT),
+        check=True,
+    ).stdout
+    lines = out.splitlines()
+    start = next(i for i, l in enumerate(lines) if l.startswith("proposed head"))
+    tool_head = [l.strip() for l in lines[start + 1 : start + 51]]
+    assert len(tool_head) == 50 and len(set(tool_head)) == 50
+    # the tool prints no-green-first, the entry sorts its head by
+    # number — the driver checks the first 50 as a SET, so that is
+    # the contract being pinned
+    assert set(tool_head) == set(names[:50]), (
+        "tools/next_head.py disagrees with the entry module's head"
+    )
+
+    # 2) simulate round 13: the current head goes green in r12
     newest = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+    for r in range(1, 12):
         d = _json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text())
         for k, v in d.items():
             if v.get("hash_match"):
                 newest[k] = r
-    for k in r11:
-        newest[k] = 11
+    for k in names[:50]:
+        newest[k] = 12
 
     def num(n):
         return int(n[1:].split("_", 1)[0])
 
     never = sorted((n for n in names if n not in newest), key=num)
-    # post-r11, the no-green class is exactly q300
-    assert [num(n) for n in never] == [300]
-    # the tool's rule: never/no-green first, then the oldest recorded
-    # band (r6) greedy-oldest-by-number fills the remaining 49 slots
-    r6_band = sorted((n for n in names if newest.get(n) == 6), key=num)
-    assert len(r6_band) == 50
-    head = never + r6_band[:49]
-    assert len(head) == 50
-    # one r6 member defers to round 13; the freshness drift is bounded
-    # (that single member re-greens at most 7 rounds after r6)
-    assert len(r6_band) - 49 == 1
+    assert never == []  # post-r12, every registered query holds green
+    r6_left = sorted((n for n in names if newest.get(n) == 6), key=num)
+    r7_band = sorted((n for n in names if newest.get(n) == 7), key=num)
+    assert [num(n) for n in r6_left] == [58, 153, 174, 182, 183, 184]
+    head13 = r6_left + r7_band[:44]
+    assert len(head13) == 50
+    # the r7 band sheds its own 6-member tail to round 14 — the drift
+    # stays bounded at one round per band while the registry is 304
+    assert len(r7_band) - 44 == 6
 
 
 def test_check_oracle_strict_mode_sees_sub_round9_drift():

@@ -206,3 +206,90 @@ def test_round11_head_values_invariant_to_shuffle_partition_count(spark, sf_dir)
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.enabled", orig_coalesce
         )
+
+
+def test_round12_head_queries_survive_hostile_session(spark, sf_dir):
+    """Round-12 head hardening: q301-q304 take FIRST driver rows this
+    round, and q301/q303 are the sharpest hostile-TZ candidates in the
+    batch (dayofweek/hour bucketing — a non-UTC session TZ shifts both
+    unless catalog.load's pin_session recovers UTC).  Same exact-
+    parity contract as the round-11 sibling above."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as entry
+
+    pinned = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    names = [
+        "q301_decision_stump",
+        "q303_simpsons_reversal",
+        "q304_t_closeness",
+    ]
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    try:
+        for name in names:
+            for k, v in HOSTILE.items():
+                spark.conf.set(k, v)
+            got_df = qs[name](spark, sf_dir)
+            cols = sorted(got_df.columns)
+            got = sorted(map(tuple, got_df.select(*cols).collect()))
+            want_rows = con.execute(oracles[name]).fetchall()
+            want_cols = [d[0] for d in con.description]
+            order = [want_cols.index(c) for c in cols]
+            want = sorted(tuple(r[i] for i in order) for r in want_rows)
+            assert got == want, name
+            assert got, name  # empty output would pass vacuously
+    finally:
+        for k, v in pinned.items():
+            spark.conf.set(k, v)
+
+
+def test_round12_head_values_invariant_to_shuffle_partition_count(spark, sf_dir):
+    """Partition-count invariance for the round-12 registrations whose
+    outputs carry IEEE divisions (q301's gini, q302's greedy over a
+    checkpointed shingle frame): bit-identical at 7 vs 200 shuffle
+    partitions, AQE coalescing off (the round-11 discipline)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as entry
+
+    names = ["q301_decision_stump", "q302_coverage_greedy"]
+    qs = entry.queries()
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
+    try:
+        results = {}
+        for parts in ("7", "200"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "false"
+            )
+            for name in names:
+                df = qs[name](spark, sf_dir)
+                cols = sorted(df.columns)
+                results.setdefault(name, []).append(
+                    sorted(map(tuple, df.select(*cols).collect()))
+                )
+        for name, (a, b) in results.items():
+            assert a == b, f"{name}: values depend on shuffle partition count"
+            assert a, f"{name}: empty result makes the invariance vacuous"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", orig_coalesce
+        )

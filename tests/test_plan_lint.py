@@ -73,6 +73,9 @@ BNL_ALLOWED = {
     "q295_good_turing": "1-row corpus-gram-total broadcast onto the count-of-counts frame (the q166 shape)",
     "q297_oof_target_encoding": "1-row grand-total broadcast onto the (key x fold) cells frame (the q100 shape)",
     "q299_tail_dependence": "3-row quantile frame broadcast onto the rank stream (bounded probe set, the q134 shape)",
+    "q302_coverage_greedy": "per-round 1-row covered-total broadcast crossed onto the 1-row pick (5 rounds; the greedy loop's only cross shapes)",
+    "q303_simpsons_reversal": "1-row pooled-counts broadcast onto the #segments-row frame (the q100 shape)",
+    "q304_t_closeness": "#classes-row x #domain-values-row grid cross (both metadata-sized — the kendall grid rule) + 1-row global-total broadcast",
 }
 
 
