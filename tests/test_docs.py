@@ -135,12 +135,19 @@ def test_doc_guards_never_read_the_driver_volatile_detail_file():
     two legitimate users and are excluded."""
     import ast
 
-    volatile = "BENCH_DETAIL_sf0.1" + "_latest"  # split: don't match self
+    # round-11 ADVICE: flag the bare detail-file PREFIX, not just the
+    # full _latest spelling — an f-string/format/%-built "..._latest"
+    # would evade a full-spelling scan, but its constant fragments
+    # still contain the prefix
+    volatile = "BENCH_DETAIL" + "_sf0.1"  # split: don't match self
 
     def code_strings(path: Path) -> list[str]:
         """All string constants in the file that are NOT docstrings,
         with adjacent Constant+Constant concatenation folded (the
-        evasion this very test uses for its own needle)."""
+        evasion this very test uses for its own needle) AND f-string
+        (JoinedStr) constant fragments included — round-11 ADVICE:
+        a spelling built via f-string interpolation must not evade
+        the scan."""
         tree = ast.parse(path.read_text())
         doc_ids = set()
         for node in ast.walk(tree):
@@ -173,6 +180,18 @@ def test_doc_guards_never_read_the_driver_volatile_detail_file():
                     and isinstance(rhs.value, str)
                 ):
                     out.append(lhs.value + rhs.value)
+            elif isinstance(node, ast.JoinedStr):
+                # fold an f-string's constant fragments (interpolated
+                # slots become a marker so the joined text is visibly
+                # an f-string in a failure message)
+                out.append(
+                    "".join(
+                        v.value
+                        if isinstance(v, ast.Constant) and isinstance(v.value, str)
+                        else "{…}"
+                        for v in node.values
+                    )
+                )
         return out
 
     guard_files = sorted((ROOT / "tests").glob("*.py")) + [

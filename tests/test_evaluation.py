@@ -584,6 +584,96 @@ def test_woe_iv_round6_digits_sit_off_the_half_boundary():
                 assert abs(frac - 0.5) > 1e-3, (sf, v, frac)
 
 
+def test_round6_quantized_ln_outputs_sit_off_half_boundaries():
+    """Round-11 ADVICE generalization of the q240 boundary guard: the
+    residual risk of the quantize+round-6 discipline — a DECIMAL(28,12)
+    value landing within ~1e-9 of a .5e-6 rounding boundary, where a
+    different DuckDB/JVM build's 1-ulp ln could still flip the 6th
+    digit — applies to EVERY quantized-ln round-6 output, not just
+    q240's.  Check the widest surfaces: q49's price_ln/disc_sq (one
+    row per lineitem — the largest row count by far), q275's js and
+    q282's z.
+
+    Threshold derivation (exact, not a vibe): the round-6 input is
+    the DECIMAL(28,12)-quantized value, whose distance to the .5e-6
+    boundary is a multiple of 1e-12.  A 1-ulp ln drift (~1.8e-15 at
+    these magnitudes) can move the quantized value at most ONE 1e-12
+    grid step, so the 6th digit can only flip when the RAW value lies
+    within 1.5e-12 of a boundary (quantized offset <= 1 step, landing
+    on or across the half-up tie).  Flag that band — ~850 ulp of
+    margin — and nothing wider: on a 600k-row per-row surface any
+    fixed "comfort" window (the old 1e-9) flags ~120 benign values
+    that are thousands of ulp from danger (measured: the closest real
+    value sits 1.66e-12 away — outside the hazard band, inside any
+    cosmetic one).  Probes are surgically rebuilt from the REAL
+    oracle SQL (so oracle edits keep them honest) and the check runs
+    inside DuckDB (600k-row surfaces stay cheap).  If data
+    regeneration ever lands a value in the hazard band this fails
+    loudly instead of a driver hash flipping across DuckDB builds."""
+    import duckdb
+
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+
+    # q49: standalone probe; pin the oracle spelling so drift is caught
+    q49 = oracles["q49_math_funcs"]
+    assert "CAST(CAST(ln(l_extendedprice) AS DECIMAL(28,12)) AS DOUBLE)" in q49
+    assert "CAST(CAST(pow(l_discount, 2) AS DECIMAL(28,12)) AS DOUBLE)" in q49
+    probes = {
+        "q49.price_ln": (
+            "SELECT CAST(CAST(ln(l_extendedprice) AS DECIMAL(28,12)) AS DOUBLE)"
+            " AS v FROM lineitem"
+        ),
+        "q49.disc_sq": (
+            "SELECT CAST(CAST(pow(l_discount, 2) AS DECIMAL(28,12)) AS DOUBLE)"
+            " AS v FROM lineitem"
+        ),
+    }
+    # q275 / q282: rebuild the pre-round final select on the oracle's
+    # own CTE chain
+    head275, _ = oracles["q275_js_divergence"].rsplit("SELECT s AS source", 1)
+    probes["q275.js"] = head275 + (
+        "SELECT CAST(CAST(CASE WHEN tv > ts THEN CAST(jsp AS DOUBLE)"
+        " + 0.5 * ln(2.0) * (1.0 - CAST(qpres AS DOUBLE)) END"
+        " AS DECIMAL(28,12)) AS DOUBLE) AS v FROM per"
+    )
+    head282, _ = oracles["q282_fightin_words"].rsplit(
+        "SELECT source, CAST(rank AS INT)", 1
+    )
+    probes["q282.z"] = head282 + (
+        "SELECT CAST(CAST(z AS DECIMAL(28,12)) AS DOUBLE) AS v"
+        " FROM r WHERE rank <= 8"
+    )
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        con = duckdb.connect()
+        for t in ("lineitem", "documents"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+            )
+        for name, probe in probes.items():
+            # 1.5e-6 in frac units == 1.5e-12 in value units: the
+            # one-quantization-step hazard band derived above
+            n_rows, n_bad = con.execute(
+                f"SELECT COUNT(*),"
+                f" COUNT(*) FILTER (WHERE v IS NOT NULL AND"
+                f" ABS((ABS(v) * 1e6) % 1.0 - 0.5) <= 1.5e-6)"
+                f" FROM ({probe})"
+            ).fetchone()
+            assert n_rows > 0, (sf, name)
+            assert n_bad == 0, (
+                f"{sf} {name}: {n_bad} raw ln values within 1.5e-12 of a"
+                f" .5e-6 rounding boundary — a 1-ulp cross-build drift can"
+                f" flip the quantized 12th digit onto the round-6 tie"
+            )
+        con.close()
+
+
 def test_woe_iv_buckets_are_rank_exact_on_tied_cuts(spark):
     """The round-11 driver red: rows tied EXACTLY on a decile cut flip
     buckets when the cut is an interpolated float that drifts 1 ulp
