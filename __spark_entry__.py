@@ -3584,26 +3584,45 @@ def q168_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     values selected by integer rank arithmetic, the round-12 q240-
     class fix: an interpolated median is float-synthesized and feeds
     the ``dev > 3*mad`` comparison, where a 1-ulp engine drift flips
-    boundary rows); the group-key join-backs are broadcast-sized."""
+    boundary rows). ONE raw scan: everything — both medians (via the
+    weight_col histogram path), the deviation domain, and the outlier
+    count — derives from the checkpointed (flag, price, count)
+    histogram; |price - med| maps distinct prices to distinct devs so
+    the dev histogram needs no second scan. Group-key join-backs are
+    broadcast-sized."""
     li = load(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
+    hist = (
+        li.where(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_returnflag", F.col("l_extendedprice").alias("__p"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
     med = agg.discrete_quantile_cuts(
-        li, value_col="l_extendedprice", group_keys=["l_returnflag"],
-        fracs=[(1, 2)],
+        hist, value_col="__p", group_keys=["l_returnflag"],
+        fracs=[(1, 2)], weight_col="__c",
     ).select("l_returnflag", F.element_at("__cuts", 1).alias("med"))
-    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
-        "dev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    devh = hist.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("__p") - F.col("med")).alias("dev"),
+        "__c",
+        "med",
     )
     mad = agg.discrete_quantile_cuts(
-        dev, value_col="dev", group_keys=["l_returnflag"], fracs=[(1, 2)]
+        devh, value_col="dev", group_keys=["l_returnflag"],
+        fracs=[(1, 2)], weight_col="__c",
     ).select("l_returnflag", F.element_at("__cuts", 1).alias("mad"))
     return (
-        dev.join(F.broadcast(mad), "l_returnflag")
+        devh.join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__c").cast("bigint").alias("n_rows"),
             F.first("med").alias("med"),
             F.first("mad").alias("mad"),
-            F.sum((F.col("dev") > 3 * F.col("mad")).cast("bigint")).alias("n_outliers"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), F.col("__c")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("bigint").alias("n_outliers"),
         )
         .orderBy("l_returnflag")
     )
@@ -5002,8 +5021,9 @@ def q223_ab_test_wilson(spark: SparkSession, sf: str) -> DataFrame:
 def q224_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Population-Stability-Index drift monitor (aggregates.
     population_stability): PSI of each event type's value distribution
-    between the first and second time halves — first-half exact
-    deciles as the expected buckets (the q152 type-7 contract),
+    between the first and second time halves — first-half DISCRETE
+    rank-selected deciles as the expected buckets (the round-12 q240
+    fix: cuts are actual data values, never interpolated floats),
     add-one smoothing, ln terms decimal-quantized before the sum (the
     q158 rule). The model-monitoring score that tells a 100 TB
     pipeline its feature distribution moved."""

@@ -797,6 +797,8 @@ def discrete_quantile_cuts(
     value_col: str,
     group_keys: list[str],
     fracs: list[tuple[int, int]],
+    weight_col: str | None = None,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Type-1 (discrete, lower-nearest-rank) quantile cut points per
     group: for each fraction num/den, the cut is the SMALLEST value
@@ -820,11 +822,19 @@ def discrete_quantile_cuts(
     (``cum * den >= num * n``) so no division ever happens.
 
     Scale shape: one combinable groupBy to the per-group DISTINCT-
-    VALUE histogram (bounded by value cardinality — quantize
-    continuous features first, the kendall_tau_b grid rule), one
-    cumulative window over that histogram, a broadcast cross join
-    with the |fracs|-row fraction frame, and a collect_list bounded
-    by |fracs|. No data-sized window, no interpolation.
+    VALUE histogram (bounded by value cardinality; pass ``weight_col``
+    to feed an ALREADY-COUNTED (value, weight) frame and skip the raw
+    scan entirely — the q168 one-scan restructure), a cumulative
+    window over that histogram, a #groups-row broadcast join-back for
+    the totals, a |fracs|-row broadcast cross join, and a
+    collect_list bounded by |fracs|. No interpolation anywhere.
+    The cumulative window is per-group single-task over the DISTINCT
+    domain — fine for quantized/bounded domains (the kendall_tau_b
+    grid rule); for a raw continuous domain at cluster scale pass
+    ``two_phase=True`` to ride ``windows.grouped_cumsum_two_phase``
+    (the skew-proof range-exchange prefix sum — bit-identical result,
+    test-pinned; ~3x slower at local[32] sizes where its exchange
+    overhead dominates, which is why it is opt-in).
 
     Returns one row per group: group_keys + ``__cuts``
     array<value-type> sorted ascending (duplicates kept — one entry
@@ -832,24 +842,38 @@ def discrete_quantile_cuts(
     """
     from pyspark.sql import Window as W
 
+    from .windows import grouped_cumsum_two_phase
+
     gk = list(group_keys)
     v = F.col(value_col)
-    hist = (
-        df.where(v.isNotNull())
-        .groupBy(*gk, v.alias("__hv"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__hc"))
-    )
-    w_cum = (
-        W.partitionBy(*gk)
-        .orderBy("__hv")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    w_all = W.partitionBy(*gk)
-    cum = hist.select(
-        *gk,
-        "__hv",
-        F.sum("__hc").over(w_cum).alias("__cum"),
-        F.sum("__hc").over(w_all).alias("__n"),
+    if weight_col is None:
+        hist = (
+            df.where(v.isNotNull())
+            .groupBy(*gk, v.alias("__hv"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__hc"))
+        )
+    else:
+        hist = (
+            df.where(v.isNotNull())
+            .groupBy(*gk, v.alias("__hv"))
+            .agg(F.sum(F.col(weight_col)).cast("bigint").alias("__hc"))
+        )
+    totals = hist.groupBy(*gk).agg(F.sum("__hc").cast("bigint").alias("__n"))
+    if two_phase:
+        cum0 = grouped_cumsum_two_phase(
+            hist, gk, ["__hv"], ["__hc"]
+        ).withColumnRenamed("__cum___hc", "__cum")
+    else:
+        w_cum = (
+            W.partitionBy(*gk)
+            .orderBy("__hv")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cum0 = hist.withColumn("__cum", F.sum("__hc").over(w_cum))
+    cum = (
+        cum0.join(F.broadcast(totals), gk)
+        if gk
+        else cum0.crossJoin(F.broadcast(totals))
     )
     ks = df.sparkSession.createDataFrame(
         [(int(n_), int(d_)) for n_, d_ in fracs], "__kn bigint, __kd bigint"
