@@ -6547,6 +6547,112 @@ def q304_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q305_woe_iv_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """q240's all-BIGINT prefix (evaluation.woe_iv_buckets): the same
+    discrete rank-selected decile cuts and bucket fold, emitting ONLY
+    ``bucket, n_pos, n_neg`` — nothing float-derived.  Round-13 bisect
+    surface #1 for the three-round q240 driver red that local strict
+    checks cannot reproduce: red here ⇒ the divergence is in
+    cut/bucket land (against all local evidence); green here ⇒ the
+    bucket layer is exonerated in the driver's own environment."""
+    ev = load(spark, sf, "events")
+    labeled = ev.select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    return evaluation.woe_iv_buckets(
+        labeled, value_col="value", label_col="y", n_buckets=10
+    )
+
+
+def q307_oracle_version_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-engine version probe (round-13 bisect instrumentation,
+    per the round-12 verdict's 'make the driver itself localize the
+    flip' and ADVICE's 'driver-observable instrumentation'): the
+    ORACLE emits ``10000*major + 100*minor + patch`` rows of the
+    constant ``marker=1``, the version triple parsed from DuckDB's own
+    ``version()``; the Spark side emits the same count derived from
+    the LOCAL duckdb module (1.0.0 here → 10000 rows).  Green ⇒ the
+    driver's oracle engine is the same DuckDB the local strict sweeps
+    exonerated q240 on, eliminating engine-version skew as the
+    divergence layer.  Red ⇒ version skew is REAL and the recorded
+    ``oracle_rows`` field of CORRECTNESS_r13.json literally names the
+    driver's DuckDB version — e.g. 1.4.1 → 10401 — turning the
+    three-round q240 mystery into a known-version behavioral diff
+    (this machine's 1.0.0, for instance, TRUNCATES decimal downscale
+    casts where Spark rounds HALF_UP — measured while building q306).
+    Not a data query: no table scan, constant-size, shape-neutral."""
+    import re as _re
+
+    import duckdb as _duckdb
+
+    m = _re.match(r"(\d+)\.(\d+)\.(\d+)", _duckdb.__version__)
+    n = 10000 * int(m.group(1)) + 100 * int(m.group(2)) + int(m.group(3))
+    return spark.range(n).select(F.lit(1).alias("marker"))
+
+
+def q308_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil–Sen robust trend (evaluation.theil_sen): per event type,
+    the lower-median pairwise slope of daily event counts over the day
+    index (fixed epoch 2024-01-01), plus the robust intercept — the
+    outlier-immune companion to q68's closed-form OLS (breakdown
+    ~29%), joining the q168 MAD robust family.  Every slope is one
+    IEEE division of exact BIGINTs (correctly rounded ⇒ bit-identical
+    cross-engine); the median is a type-1 discrete order statistic by
+    integer rank arithmetic — the q240-class discipline, no
+    interpolation anywhere.  Grid bounded by the calendar (30 days ×
+    5 types at every SF), so the pair join is metadata-sized at any
+    row count."""
+    ev = load(spark, sf, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))).alias("t"),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    return evaluation.theil_sen(
+        daily, t_col="t", y_col="y", group_keys=["event_type"]
+    )
+
+
+def q309_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann–Kendall trend test (evaluation.mann_kendall): per event
+    type over the same daily-count series as q308 — exact BIGINT
+    S statistic and tie-corrected variance numerator, z emitted
+    round-6 from a correctly-rounded division+sqrt chain (the
+    kendall_tau_b / Wilson precedent; no libm).  The hypothesis-test
+    companion to q308's slope magnitude."""
+    ev = load(spark, sf, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))).alias("t"),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    return evaluation.mann_kendall(
+        daily, t_col="t", y_col="y", group_keys=["event_type"]
+    )
+
+
+def q306_woe_iv_decimal(spark: SparkSession, sf: str) -> DataFrame:
+    """q240 with its float outputs as TYPED DECIMAL(18,6) columns
+    (evaluation.woe_iv_decimal) instead of round-6 doubles — the
+    double re-cast/format layer removed entirely.  Round-13 bisect
+    surface #2: if q240 stays red while this is green, the final
+    round-6-double layer is the guilty one and the public WoE surface
+    switches to the decimal columns (oracle in lockstep)."""
+    ev = load(spark, sf, "events")
+    labeled = ev.select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    return evaluation.woe_iv_decimal(
+        labeled, value_col="value", label_col="y", n_buckets=10
+    )
+
+
 # Driver-slot rotation (round 7): the correctness driver hard-checks
 # the FIRST 50 registry entries only; rotation is BY EVIDENCE AGE
 # (the round-5 verdict's standing rule).  Evidence ages entering
@@ -6660,25 +6766,61 @@ _R8_DEFERRED_NEW: set[int] = {
 # retired per round-10 ADVICE — CORRECTNESS_r09.json is the durable
 # record of that head; tools/next_head.py recomputes any past band.)
 #
-# Round-12 head (tools/next_head.py's ranking from CORRECTNESS_r01..
-# r11, plus this round's registrations): round 11 greened q251-q299
-# (49/49); the no-green class entering round 12 is q240 (red again in
-# r11 — the interpolated decile-cut layer, replaced this round by
-# discrete rank-selected cuts) + q300 (the scheduled single deferral,
-# never checked) + the four round-12 registrations q301-q304 (the
-# freeze lifted on schedule; each carries oracle + strict-sweep
-# evidence and enters the head in its registration round, the
-# evidence-paced rule).  No-green queries outrank every recorded
-# band; the remaining 44 slots go to the 44 oldest members of the
-# 50-strong r6 band in number order (its q01-q50 members), so six r6
-# members — q58 q153 q174 q182 q183 q184 — re-green in round 13
-# instead of 12 (evidence age 7, the bounded drift the README's
-# pacing rule accounts for; the rotation test recomputes all of this
-# from the CORRECTNESS records rather than trusting prose).
+# Round-12 head, kept for the rotation history: q240 retry + q300 +
+# the four round-12 registrations + the 44 oldest r6-band members.
+# CORRECTNESS_r12.json is the durable record of this head (49/50
+# green; q240 red a third time).
 _R12_HEAD: set[int] = (
     {240, 300, 301, 302, 303, 304}
     | (set(range(1, 13)) | {14, 15, 16, 18, 19} | set(range(22, 36)) | {37}
        | set(range(39, 51)))
+)
+
+# The round this entry module is frozen for: tools/next_head.py reads
+# it to pin its record set to CORRECTNESS_r01..r{ROUND-1} by default,
+# so a driver-side artifact drop mid-round can never change (or fail)
+# the rotation arithmetic (round-12 ADVICE).
+ROUND = 13
+
+# Queries whose Spark implementation AND DuckDB oracle were rewritten
+# in lockstep at the given round: driver greens recorded BEFORE that
+# round attest the old algebra and are discounted by the rotation
+# rule — the rewritten pair ranks with the no-green class until it
+# takes a fresh row (round-12 ADVICE: q168/q224 adopted q240's
+# discrete-cut machinery in round 12, invalidating their r10/r11
+# greens; q240 itself has no green to discount but is listed for the
+# record).
+REWORKED_AT: dict[int, int] = {168: 12, 224: 12, 240: 12}
+
+# Round-13 head (tools/next_head.py's ranking from CORRECTNESS_r01..
+# r12 with the REWORKED_AT discount, plus this round's two
+# registrations): the no-valid-green class entering round 13 is
+#   - q240 (red in r10/r11/r12 — rows/schema match, hash doesn't;
+#     local strict checks green, margins exonerate every locally
+#     visible layer, so this round BISECTS in the driver's own
+#     environment instead of reworking blind),
+#   - q168/q224 (lockstep impl+oracle rewrites in round 12 — their
+#     old greens are discounted per REWORKED_AT),
+#   - q305/q306/q307 (the three bisect surfaces registered THIS
+#     round with oracle + strict-sweep evidence, entering the head in
+#     their registration round per the evidence-paced rule: q305
+#     emits q240's pure-BIGINT bucket prefix, q306 its
+#     DECIMAL(18,6)-typed float outputs, q307 encodes the oracle
+#     engine's own version in its row count — the driver's red/green
+#     pattern across q240/q305/q306/q307 names the guilty layer),
+#   - q308/q309 (this round's operator registrations: Theil–Sen
+#     robust slope + Mann–Kendall trend test, the robust-trend
+#     family next to q168's MAD).
+# Then the 6 r6-band leftovers (q58 q153 q174 q182 q183 q184,
+# evidence age 7 — the bounded drift round 12 scheduled) and the 36
+# oldest r7-band members in number order.  8 + 6 + 36 = 50; the r7
+# band's 14-member tail (q115-q118 q185-q194) defers to round 14.
+_R13_HEAD: set[int] = (
+    {168, 224, 240, 305, 306, 307, 308, 309}
+    | {58, 153, 174, 182, 183, 184}
+    | {51, 55, 56, 67, 68, 74, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87,
+       88, 90, 91, 93, 94, 95, 96, 97, 98, 99, 101, 102, 103, 104, 106,
+       107, 110, 111, 112, 113}
 )
 
 
@@ -6689,17 +6831,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    """First-50 = round-12 rotation targets, chosen by EVIDENCE AGE:
-    the no-green class (q240, red in r10+r11; q300, the scheduled
-    deferral; q301-q304, this round's registrations) outranks every
-    recorded band, then the 44 oldest r6-band members in number order
-    fill the rest.  The tail (r6 leftovers + r7-r11 bands) follows in
-    number order."""
+    """First-50 = round-13 rotation targets, chosen by EVIDENCE AGE
+    with the REWORKED_AT discount: the no-valid-green class (q240 red
+    three rounds; q168/q224 reworked in lockstep in round 12; the
+    q305/q306/q307 bisect registrations; the q308/q309 robust-trend
+    registrations) outranks every recorded band, then the 6 r6-band
+    leftovers and the 36 oldest r7-band members in number order fill
+    the rest.  The tail follows in number order."""
 
     def num(n: str) -> int:
         return int(n[1:].split("_", 1)[0])
 
-    head_nums = _R12_HEAD
+    head_nums = _R13_HEAD
     head = [n for n in names if num(n) in head_nums]
     tail = [n for n in names if num(n) not in head_nums]
     out = sorted(head, key=num) + sorted(tail, key=num)
@@ -7014,6 +7157,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q302_coverage_greedy": q302_coverage_greedy,
         "q303_simpsons_reversal": q303_simpsons_reversal,
         "q304_t_closeness": q304_t_closeness,
+        "q305_woe_iv_buckets": q305_woe_iv_buckets,
+        "q306_woe_iv_decimal": q306_woe_iv_decimal,
+        "q307_oracle_version_probe": q307_oracle_version_probe,
+        "q308_theil_sen": q308_theil_sen,
+        "q309_mann_kendall": q309_mann_kendall,
     }
 
 
@@ -14966,5 +15114,207 @@ SELECT c_nationkey, c_mktsegment, n_class,
              / CAST(n_class * (SELECT n_tot FROM gtot) * m1 AS DOUBLE), 6) AS emd,
        100 * num > 15 * n_class * (SELECT n_tot FROM gtot) * m1 AS violates_t
 FROM per ORDER BY c_nationkey, c_mktsegment
+"""
+    # q305: q240's oracle truncated at its all-BIGINT prefix — same
+    # histogram/rank CTEs, stopping at the bucket counts (the round-13
+    # bisect surface; nothing float-derived for a hash to diverge on).
+    oracles["q305_woe_iv_buckets"] = """
+WITH vals AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+),
+hist AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1),
+cumh AS (
+  SELECT v,
+         CAST(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+         CAST(SUM(c) OVER () AS BIGINT) AS nn
+  FROM hist
+),
+cutrows AS (
+  SELECT k, MIN(v) AS cut
+  FROM cumh CROSS JOIN (SELECT CAST(UNNEST(range(1, 10)) AS BIGINT) AS k) ks
+  WHERE cc * 10 >= k * nn
+  GROUP BY 1
+),
+cuts AS (SELECT list_sort(LIST(cut)) AS cuts FROM cutrows),
+bucketed AS (
+  SELECT 1 + list_sum(list_transform(c.cuts,
+           x -> CASE WHEN CAST(e.value AS DOUBLE) > x THEN 1 ELSE 0 END)) AS bucket,
+         CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events e, cuts c WHERE e.value IS NOT NULL
+)
+SELECT bucket, CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(1 - y) AS BIGINT) AS n_neg
+FROM bucketed GROUP BY 1 ORDER BY bucket
+"""
+    # q306: q240's oracle with the float outputs emitted as TYPED
+    # DECIMAL(18,6): exact decimal round(x, 6) first (half-away-from-
+    # zero in DuckDB = BigDecimal HALF_UP in Spark on every sign; the
+    # bare DuckDB decimal->decimal downscale CAST truncates toward
+    # zero, measured locally, so it cannot be used alone), then a
+    # lossless cast to the display scale — removing the double
+    # re-cast/round-6/format layer the hash otherwise sees (round-13
+    # bisect surface #2).
+    oracles["q306_woe_iv_decimal"] = """
+WITH vals AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+),
+hist AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1),
+cumh AS (
+  SELECT v,
+         CAST(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+         CAST(SUM(c) OVER () AS BIGINT) AS nn
+  FROM hist
+),
+cutrows AS (
+  SELECT k, MIN(v) AS cut
+  FROM cumh CROSS JOIN (SELECT CAST(UNNEST(range(1, 10)) AS BIGINT) AS k) ks
+  WHERE cc * 10 >= k * nn
+  GROUP BY 1
+),
+cuts AS (SELECT list_sort(LIST(cut)) AS cuts FROM cutrows),
+bucketed AS (
+  SELECT 1 + list_sum(list_transform(c.cuts,
+           x -> CASE WHEN CAST(e.value AS DOUBLE) > x THEN 1 ELSE 0 END)) AS bucket,
+         CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events e, cuts c WHERE e.value IS NOT NULL
+),
+counts AS (
+  SELECT bucket, CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM bucketed GROUP BY 1
+),
+scored AS (
+  SELECT bucket, n_pos, n_neg,
+         CAST(ln((CAST(n_pos + 1 AS DOUBLE) / CAST(SUM(n_pos) OVER () + 10 AS DOUBLE))
+            / (CAST(n_neg + 1 AS DOUBLE) / CAST(SUM(n_neg) OVER () + 10 AS DOUBLE)))
+           AS DECIMAL(28,12)) AS woe,
+         CAST((CAST(n_pos + 1 AS DOUBLE) / CAST(SUM(n_pos) OVER () + 10 AS DOUBLE)
+               - CAST(n_neg + 1 AS DOUBLE) / CAST(SUM(n_neg) OVER () + 10 AS DOUBLE))
+              * ln((CAST(n_pos + 1 AS DOUBLE) / CAST(SUM(n_pos) OVER () + 10 AS DOUBLE))
+                   / (CAST(n_neg + 1 AS DOUBLE) / CAST(SUM(n_neg) OVER () + 10 AS DOUBLE)))
+           AS DECIMAL(28,12)) AS term
+  FROM counts
+)
+SELECT bucket, n_pos, n_neg,
+       CAST(round(woe, 6) AS DECIMAL(18,6)) AS woe,
+       CAST(round(term, 6) AS DECIMAL(18,6)) AS iv_term,
+       CAST(round(SUM(term) OVER (), 6) AS DECIMAL(18,6)) AS iv
+FROM scored ORDER BY bucket
+"""
+    # q307: the oracle side of the version probe — row count encodes
+    # the EXECUTING DuckDB's own version() as 10000*major + 100*minor
+    # + patch (regexp-parsed, robust to 'v' prefixes / dev suffixes).
+    # Green iff the driver's oracle engine matches the local duckdb
+    # the strict sweeps ran on; red makes CORRECTNESS's oracle_rows
+    # field name the driver's version outright.
+    oracles["q307_oracle_version_probe"] = r"""
+WITH v AS (
+  SELECT CAST(regexp_extract(version(), '(\d+)\.(\d+)\.(\d+)', 1) AS BIGINT) AS maj,
+         CAST(regexp_extract(version(), '(\d+)\.(\d+)\.(\d+)', 2) AS BIGINT) AS mnr,
+         CAST(regexp_extract(version(), '(\d+)\.(\d+)\.(\d+)', 3) AS BIGINT) AS pat
+)
+SELECT 1 AS marker FROM v, UNNEST(range(10000 * maj + 100 * mnr + pat))
+"""
+    # q308: identical daily grid, pair slopes as correctly-rounded
+    # BIGINT divisions (bit-identical cross-engine), lower-median by
+    # integer rank selection — slope/intercept emitted RAW (they are
+    # engine-stable doubles by construction, the discrete-cut
+    # discipline's strongest form).
+    oracles["q308_theil_sen"] = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type AS event_type,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.t < b.t
+),
+hist AS (
+  SELECT event_type, s, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, s,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hist
+),
+med AS (
+  SELECT event_type, MIN(s) AS slope, MAX(n) AS n_pairs
+  FROM ranked WHERE cum * 2 >= n GROUP BY 1
+),
+resid AS (
+  SELECT d.event_type AS event_type,
+         CAST(d.y AS DOUBLE) - m.slope * CAST(d.t AS DOUBLE) AS r
+  FROM daily d JOIN med m ON d.event_type = m.event_type
+),
+rhist AS (
+  SELECT event_type, r, CAST(COUNT(*) AS BIGINT) AS c FROM resid GROUP BY 1, 2
+),
+rranked AS (
+  SELECT event_type, r,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY r
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM rhist
+),
+imed AS (
+  SELECT event_type, MIN(r) AS intercept, MAX(n) AS n_points
+  FROM rranked WHERE cum * 2 >= n GROUP BY 1
+)
+SELECT m.event_type, i.n_points, m.n_pairs, m.slope, i.intercept
+FROM med m JOIN imed i ON m.event_type = i.event_type
+ORDER BY m.event_type
+"""
+    # q309: exact BIGINT S + tie-corrected variance numerator; z is
+    # the fixed-parenthesization division+sqrt chain mirrored from
+    # evaluation.mann_kendall verbatim, round-6.
+    oracles["q309_mann_kendall"] = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT a.event_type AS event_type,
+         CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.t < b.t
+  GROUP BY 1
+),
+np AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points FROM daily GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(SUM(ty * (ty - 1) * (2 * ty + 5)) AS BIGINT) AS tie
+  FROM (
+    SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS ty
+    FROM daily GROUP BY 1, 2
+  ) GROUP BY 1
+),
+base AS (
+  SELECT np.event_type AS event_type, np.n_points, s.s_stat,
+         CAST(np.n_points * (np.n_points - 1) * (2 * np.n_points + 5)
+              - COALESCE(ties.tie, 0) AS BIGINT) AS var_num
+  FROM np JOIN s ON np.event_type = s.event_type
+  LEFT JOIN ties ON np.event_type = ties.event_type
+)
+SELECT event_type, n_points, s_stat, var_num,
+       ROUND(CASE
+         WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+              / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+         WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+              / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+         ELSE 0.0 END, 6) AS z
+FROM base ORDER BY event_type
 """
     return oracles

@@ -349,7 +349,29 @@ HEADLINE_SKIP = {
     "q103_dominant_suppliers": "share-threshold argmax; shape timed by q111",
     "q105_ivf_ann": "IVF ANN; cell-pruned shape timed by q19",
     "q106_zorder_clustering": "interleaved-bit layout; locality join timed by q135",
+    "q305_woe_iv_buckets": "q240's BIGINT prefix; WoE shape timed by q240",
+    "q306_woe_iv_decimal": "q240 with decimal-typed outputs; WoE shape timed by q240",
+    "q307_oracle_version_probe": "constant-size engine-version probe; no data-scale component",
+    "q308_theil_sen": "calendar-bounded daily pair grid; the only data-scale stage (daily agg scan) timed by q08; rank-stat family timed by q244",
+    "q309_mann_kendall": "calendar-bounded daily pair grid; daily agg scan timed by q08; rank-stat family timed by q244",
 }
+
+
+def engine_versions() -> dict:
+    """Version provenance for every engine a correctness/bench claim
+    depends on (round-12 verdict: record these with each artifact so
+    cross-environment skew — the leading q240 hypothesis — is a
+    recorded fact instead of a guess)."""
+    import platform
+
+    import duckdb
+    import pyspark
+
+    return {
+        "python": platform.python_version(),
+        "pyspark": pyspark.__version__,
+        "duckdb": duckdb.__version__,
+    }
 
 
 def run_canary(spark) -> dict:
@@ -544,6 +566,12 @@ def main() -> None:
         "sf_tables": tables,
         "canary": canary,
         "cpus": os.cpu_count(),
+        # engine-version provenance (round-12 verdict #4): the driver
+        # commits this file each round, so whatever environment RAN
+        # this bench — driver or builder — self-records here.  A
+        # driver-side duckdb differing from the builder's would
+        # explain the q240 correctness history on its own.
+        "versions": engine_versions(),
     }
     detail_file = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),

@@ -524,7 +524,11 @@ def woe_iv(
       engines computes the cut just below the tie, silently moving
       the tied rows one bucket up — rows/schema still match, BIGINT
       counts don't. With cuts that ARE data values the ``>`` fold
-      compares bit-identical parquet doubles — exact on any engine.
+      compares bit-identical parquet doubles, which removes the
+      tied-cut layer of cross-engine drift (the remaining layers —
+      driver-environment engine versions, hash formatting — are what
+      the ``woe_iv_buckets`` / ``woe_iv_decimal`` bisect surfaces
+      below isolate).
     * **ln outputs** — EVERY ln-derived output, the bare ``woe``
       included, is quantized to DECIMAL(28,12) before round 6 (JVM
       ``Math.log`` and libm ``ln`` may differ by 1 ulp on the same
@@ -538,6 +542,84 @@ def woe_iv(
     IV total rides a metadata-window sum). Returns per bucket:
     bucket, n_pos, n_neg, woe, iv_term, iv.
     """
+    scored = _woe_scored(df, value_col=value_col, label_col=label_col,
+                         n_buckets=n_buckets)
+    wt = W.partitionBy()  # n_buckets-row frame — metadata-sized
+    return scored.select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        F.round(F.col("__woe").cast("double"), 6).alias("woe"),
+        F.round(F.col("__term").cast("double"), 6).alias("iv_term"),
+        F.round(F.sum("__term").over(wt).cast("double"), 6).alias("iv"),
+    ).orderBy("bucket")
+
+
+def woe_iv_buckets(
+    df: DataFrame,
+    *,
+    value_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """The WoE pipeline truncated at its all-BIGINT prefix: per-decile
+    ``(bucket, n_pos, n_neg)`` counts, nothing float-derived at all.
+
+    Diagnostic bisect surface (round-13 verdict prescription): after
+    three driver-red rounds on ``woe_iv`` that local strict checks
+    cannot reproduce, this query's driver row localizes the divergence
+    by construction — if it is red the flip is in discrete-cut/bucket
+    land (against all local evidence); if it is green the bucket layer
+    is exonerated in the driver's own environment and the divergence
+    lives in the float-output layers downstream.
+    """
+    return _woe_bucket_counts(
+        df, value_col=value_col, label_col=label_col, n_buckets=n_buckets
+    ).orderBy("bucket")
+
+
+def woe_iv_decimal(
+    df: DataFrame,
+    *,
+    value_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """The WoE pipeline with its float outputs surfaced as TYPED
+    DECIMAL(18,6) values instead of round-6 doubles.
+
+    Diagnostic bisect surface (round-13 verdict prescription, the
+    complement of ``woe_iv_buckets``): the DECIMAL(28,12)-quantized ln
+    terms are cast once more to DECIMAL(18,6) — HALF_UP in Spark's
+    BigDecimal and half-away-from-zero in DuckDB, identical on every
+    sign — so the comparison hash sees exact decimal digits and the
+    double re-cast / round-6 / float-format layer is removed entirely.
+    If ``woe_iv`` stays red while this is green, that final double
+    layer is the guilty one and the public surface can switch to the
+    decimal columns.
+    """
+    scored = _woe_scored(df, value_col=value_col, label_col=label_col,
+                         n_buckets=n_buckets)
+    wt = W.partitionBy()  # n_buckets-row frame — metadata-sized
+    return scored.select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        F.col("__woe").cast("decimal(18,6)").alias("woe"),
+        F.col("__term").cast("decimal(18,6)").alias("iv_term"),
+        F.sum("__term").over(wt).cast("decimal(18,6)").alias("iv"),
+    ).orderBy("bucket")
+
+
+def _woe_bucket_counts(
+    df: DataFrame,
+    *,
+    value_col: str,
+    label_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Shared integer prefix of the WoE pipeline: discrete rank-selected
+    decile cuts → bucket fold → BIGINT (n_pos, n_neg) per bucket."""
     from .aggregates import discrete_quantile_cuts
 
     v = F.col(value_col).cast("double")
@@ -553,7 +635,7 @@ def woe_iv(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    counts = (
+    return (
         df.where(v.isNotNull())
         .select(v.alias("__v"), y.alias("__y"))
         .crossJoin(F.broadcast(cuts))
@@ -564,26 +646,32 @@ def woe_iv(
             F.sum(F.lit(1) - F.col("__y")).cast("bigint").alias("n_neg"),
         )
     )
+
+
+def _woe_scored(
+    df: DataFrame,
+    *,
+    value_col: str,
+    label_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Bucket counts + the DECIMAL(28,12)-quantized ln terms (__woe,
+    __term) every WoE output surface derives from."""
+    counts = _woe_bucket_counts(
+        df, value_col=value_col, label_col=label_col, n_buckets=n_buckets
+    )
     wt = W.partitionBy()  # n_buckets-row frame — metadata-sized
     tp = F.sum("n_pos").over(wt)
     tn = F.sum("n_neg").over(wt)
     p = (F.col("n_pos") + 1).cast("double") / (tp + n_buckets).cast("double")
     q = (F.col("n_neg") + 1).cast("double") / (tn + n_buckets).cast("double")
-    scored = counts.select(
+    return counts.select(
         "bucket",
         "n_pos",
         "n_neg",
         F.log(p / q).cast("decimal(28,12)").alias("__woe"),
         ((p - q) * F.log(p / q)).cast("decimal(28,12)").alias("__term"),
     )
-    return scored.select(
-        "bucket",
-        "n_pos",
-        "n_neg",
-        F.round(F.col("__woe").cast("double"), 6).alias("woe"),
-        F.round(F.col("__term").cast("double"), 6).alias("iv_term"),
-        F.round(F.sum("__term").over(wt).cast("double"), 6).alias("iv"),
-    ).orderBy("bucket")
 
 
 def kendall_tau_b(
@@ -1621,3 +1709,201 @@ def sprt_ab(
         "n_decision",
         F.round(F.col("__llr_dec").cast("double"), 6).alias("llr_decision"),
     ).orderBy("arm")
+
+
+def theil_sen(
+    df: DataFrame,
+    *,
+    t_col: str,
+    y_col: str,
+    group_keys: list[str],
+) -> DataFrame:
+    """Theil–Sen robust slope estimator per group (Theil 1950, Sen
+    1968): the LOWER MEDIAN (type-1 order statistic — the repo's
+    discrete-cut discipline, never an interpolated float) of all
+    pairwise slopes (y_j - y_i) / (t_j - t_i) over i < j, plus the
+    matching robust intercept median(y_i - slope * t_i).  The robust
+    companion to q68's closed-form OLS, immune to the outliers q168's
+    MAD flags (breakdown point ~29%).
+
+    Determinism: t and y are exact BIGINTs < 2^53, so every slope is
+    ONE IEEE division of exact integers — correctly rounded, hence
+    bit-identical on any IEEE-754 engine (the engine-stable
+    fixed-expression discipline; no libm anywhere).  The median picks
+    an ACTUAL slope value by integer rank arithmetic (2*cum >= n),
+    so the reported slope IS one of those bit-identical doubles; the
+    intercept residuals y_i - slope * t_i are one multiply + one
+    subtract on exact inputs, equally correctly rounded.
+
+    Scale: the input must already be an AGGREGATED series (one row
+    per (group, t) — e.g. daily counts), so the per-group frame is
+    bounded by the time domain (calendar days), NOT the raw row
+    count; the pair self-join is a bounded blow-up (<= d(d-1)/2 with
+    d = distinct t per group) and every window runs on that
+    metadata-sized grid.  Returns: group_keys, n_points, n_pairs,
+    slope, intercept.
+    """
+    gk = list(group_keys)
+    if not gk:
+        raise ValueError("theil_sen needs group_keys (bound the pair grid; "
+                         "wrap an ungrouped series in a constant group)")
+    t = F.col(t_col).cast("bigint")
+    y = F.col(y_col).cast("bigint")
+    pts = df.select(*gk, t.alias("__t"), y.alias("__y"))
+    a, b = pts.alias("__a"), pts.alias("__b")
+    slopes = (
+        a.join(b, on=gk, how="inner")
+        .where(F.col("__a.__t") < F.col("__b.__t"))
+        .select(
+            *gk,
+            (
+                (F.col("__b.__y") - F.col("__a.__y")).cast("double")
+                / (F.col("__b.__t") - F.col("__a.__t")).cast("double")
+            ).alias("__s"),
+        )
+    )
+    # discrete lower median via the distinct-value histogram + integer
+    # rank selection (grid bounded by the slope-value cardinality)
+    hist = slopes.groupBy(*gk, "__s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    wcum = (
+        W.partitionBy(*gk)
+        .orderBy(F.col("__s").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy(*gk)
+    ranked = hist.select(
+        *gk,
+        "__s",
+        F.sum("__c").over(wcum).cast("bigint").alias("__cum"),
+        F.sum("__c").over(wall).cast("bigint").alias("__n"),
+    )
+    med = (
+        ranked.where(F.col("__cum") * 2 >= F.col("__n"))
+        .groupBy(*gk)
+        .agg(
+            F.min("__s").alias("slope"),
+            F.max("__n").alias("n_pairs"),
+        )
+    )
+    # robust intercept: discrete lower median of y_i - slope * t_i
+    resid = pts.join(med, on=gk, how="inner").select(
+        *gk,
+        (
+            F.col("__y").cast("double")
+            - F.col("slope") * F.col("__t").cast("double")
+        ).alias("__r"),
+    )
+    rhist = resid.groupBy(*gk, "__r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    rcum = (
+        W.partitionBy(*gk)
+        .orderBy(F.col("__r").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    rranked = rhist.select(
+        *gk,
+        "__r",
+        F.sum("__c").over(rcum).cast("bigint").alias("__cum"),
+        F.sum("__c").over(wall).cast("bigint").alias("__n"),
+    )
+    imed = (
+        rranked.where(F.col("__cum") * 2 >= F.col("__n"))
+        .groupBy(*gk)
+        .agg(
+            F.min("__r").alias("intercept"),
+            F.max("__n").alias("n_points"),
+        )
+    )
+    return (
+        med.join(imed, on=gk, how="inner")
+        .select(*gk, "n_points", "n_pairs", "slope", "intercept")
+        .orderBy(*gk)
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    *,
+    t_col: str,
+    y_col: str,
+    group_keys: list[str],
+) -> DataFrame:
+    """Mann–Kendall trend test per group (Mann 1945, Kendall 1975):
+    S = sum over i<j of sign(y_j - y_i) on a time-ordered series,
+    with the tie-corrected variance
+
+        Var(S) = [ n(n-1)(2n+5) - sum_ties t(t-1)(2t+5) ] / 18
+
+    and the continuity-corrected normal score z = (S -/+ 1) /
+    sqrt(Var(S)) (0 when S = 0).  The hypothesis-test companion to
+    ``theil_sen`` — same monotone-trend question q213's CUSUM asks
+    post-hoc, answered with an exact rank statistic.
+
+    Determinism: S and the variance numerator are exact BIGINT
+    arithmetic; z is one correctly-rounded division + sqrt chain on
+    those exact integers (sqrt is IEEE-correctly-rounded — the
+    kendall_tau_b / Wilson-interval precedent; no libm), emitted
+    round-6.  Scale: input is an aggregated series, so the pair join
+    is bounded by the time domain exactly as in ``theil_sen``; tie
+    counts come from a distinct-value histogram, never a row-pair
+    frame.  Returns: group_keys, n_points, s_stat, var_num, z.
+    """
+    gk = list(group_keys)
+    if not gk:
+        raise ValueError("mann_kendall needs group_keys (bound the pair "
+                         "grid; wrap an ungrouped series in a constant "
+                         "group)")
+    t = F.col(t_col).cast("bigint")
+    y = F.col(y_col).cast("bigint")
+    pts = df.select(*gk, t.alias("__t"), y.alias("__y"))
+    a, b = pts.alias("__a"), pts.alias("__b")
+    s = (
+        a.join(b, on=gk, how="inner")
+        .where(F.col("__a.__t") < F.col("__b.__t"))
+        .select(
+            *gk,
+            F.signum((F.col("__b.__y") - F.col("__a.__y")).cast("double"))
+            .cast("bigint")
+            .alias("__sgn"),
+        )
+        .groupBy(*gk)
+        .agg(F.sum("__sgn").cast("bigint").alias("s_stat"))
+    )
+    n_t = pts.groupBy(*gk).agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    ties = (
+        pts.groupBy(*gk, "__y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__ty"))
+        .groupBy(*gk)
+        .agg(
+            F.sum(
+                F.col("__ty") * (F.col("__ty") - 1) * (2 * F.col("__ty") + 5)
+            )
+            .cast("bigint")
+            .alias("__tie")
+        )
+    )
+    n = F.col("n_points")
+    var_num = (
+        n * (n - 1) * (2 * n + 5) - F.coalesce(F.col("__tie"), F.lit(0))
+    ).cast("bigint")
+    joined = n_t.join(s, on=gk, how="inner").join(ties, on=gk, how="left")
+    sc = F.col("s_stat")
+    # fixed parenthesization, mirrored verbatim in the oracle: the
+    # var_num/18 division rounds once, sqrt rounds once, the outer
+    # division rounds once — all IEEE-correctly-rounded on exact
+    # integer inputs, so the raw double is engine-stable; round-6 is
+    # display discipline only
+    denom = F.sqrt(F.col("var_num").cast("double") / F.lit(18.0))
+    z = (
+        F.when(sc > 0, (sc - 1).cast("double") / denom)
+        .when(sc < 0, (sc + 1).cast("double") / denom)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        joined.select(*gk, "n_points", "s_stat", var_num.alias("var_num"))
+        .select(*gk, "n_points", "s_stat", "var_num", F.round(z, 6).alias("z"))
+        .orderBy(*gk)
+    )

@@ -265,15 +265,16 @@ def test_plans_md_covers_expensive_queries_and_is_current():
 
 def test_driver_slot_rotation_covers_unproven_queries():
     """The correctness driver hard-checks only the first 50 registry
-    entries.  Round-12 invariant (rotate by EVIDENCE AGE — the
-    round-5 verdict's standing rule): queries with no GREEN driver row
-    anywhere outrank every recorded band.  After round 11 greened
-    q251-q299 (49/49), the no-green class entering round 12 is q240
-    (red in r10 AND r11 — retried after the discrete-cut fix) + q300
-    (the scheduled single deferral) + the four round-12 registrations
-    q301-q304 (the freeze lifted on schedule with same-round
-    evidence); the remaining 44 slots are the 44 oldest r6-band
-    members by number.  All recomputed here from CORRECTNESS_r01..r11,
+    entries.  Round-13 invariant (rotate by EVIDENCE AGE — the
+    round-5 verdict's standing rule, extended per round-12 ADVICE with
+    the REWORKED_AT discount): queries with no VALID green driver row
+    — never checked, only red, or reworked in lockstep since their
+    last green — outrank every recorded band.  Entering round 13 that
+    class is q240 (red r10/r11/r12) + q168/q224 (impl+oracle rewritten
+    in round 12, discounting their r10/r11 greens) + q305-q307 (the
+    round-13 bisect registrations) + q308/q309 (the round-13 operator
+    registrations); then the 6 r6-band leftovers and the 36 oldest
+    r7-band members.  All recomputed here from CORRECTNESS_r01..r12,
     not trusted from the frozen set in the entry module."""
     import json
 
@@ -285,42 +286,45 @@ def test_driver_slot_rotation_covers_unproven_queries():
     def num(n: str) -> int:
         return int(n[1:].split("_", 1)[0])
 
-    # newest hash-green round per query across the recorded history
+    # newest VALID hash-green round per query across the recorded
+    # history through round ROUND-1, applying the rework discount
+    assert entry.ROUND == 13
     newest_green: dict[str, int] = {}
-    for r in range(1, 12):
+    for r in range(1, entry.ROUND):
         d = json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text())
         for k, v in d.items():
-            if v.get("hash_match"):
+            if v.get("hash_match") and r >= entry.REWORKED_AT.get(num(k), 0):
                 newest_green[k] = r
 
     first50 = set(names[:50])
     assert len(first50) == 50
-    # the no-green class, recomputed from the records, is exactly
-    # q240 (red in r10+r11) + q300 (never checked) + q301-q304 (the
-    # round-12 registrations)
-    never = sorted((n for n in names if n not in newest_green), key=num)
-    assert [num(n) for n in never] == [240, 300, 301, 302, 303, 304]
-    # the head = the whole no-green class + the 44 oldest r6-band
-    # members, and the frozen set in the entry module matches the
-    # recomputation exactly
-    r6_band = sorted((n for n in names if newest_green.get(n) == 6), key=num)
-    assert len(r6_band) == 50
-    expected = set(never) | set(r6_band[:44])
+    # the no-valid-green class, recomputed from the records, is
+    # exactly q168/q224 (reworked) + q240 (only-red) + q305-q309
+    # (the round-13 registrations)
+    stale = sorted((n for n in names if n not in newest_green), key=num)
+    assert [num(n) for n in stale] == [168, 224, 240, 305, 306, 307, 308, 309]
+    # the head = the whole class + the 6 r6 leftovers + the 36 oldest
+    # r7-band members, and the frozen set in the entry module matches
+    # the recomputation exactly
+    r6_left = sorted((n for n in names if newest_green.get(n) == 6), key=num)
+    assert [num(n) for n in r6_left] == [58, 153, 174, 182, 183, 184]
+    r7_band = sorted((n for n in names if newest_green.get(n) == 7), key=num)
+    assert len(r7_band) == 50
+    expected = set(stale) | set(r6_left) | set(r7_band[:36])
     assert first50 == expected
-    assert {num(n) for n in first50} == entry._R12_HEAD
-    # registration pacing: six r6 members (the band minus 44) defer to
-    # round 13 — evidence age 7, the bounded drift the README's
-    # evidence-paced rule allows; round 13's head (6 leftovers + 44 of
-    # the r7 band) still fits 50 slots
-    assert len(r6_band) - 44 == 6
-    r7_band = sum(1 for n in names if newest_green.get(n) == 7)
-    assert 6 + min(r7_band, 44) <= 50
-    # every round-12 registration carries an oracle (zero no-evidence
+    assert {num(n) for n in first50} == entry._R13_HEAD
+    # pacing: the r7 band sheds a 14-member tail (q115-q118 +
+    # q185-q194) to round 14 — the bounded drift the README's
+    # evidence-paced rule allows
+    assert [num(n) for n in r7_band[36:]] == (
+        [115, 116, 117, 118] + list(range(185, 195))
+    )
+    # every round-13 registration carries an oracle (zero no-evidence
     # entries — the freeze-lift condition)
     o = entry.oracle_sql()
-    for n in never:
+    for n in stale:
         assert n in o, f"{n} registered without an oracle"
-    assert len(names) == 304
+    assert len(names) == 309
     # oracle_sql iterates in the same rotated order (driver zips them)
     ol = list(o)
     assert ol == [n for n in names if n in set(ol)]
@@ -330,11 +334,16 @@ def test_next_head_tool_matches_rotation_rule():
     """tools/next_head.py IS the mechanical form of the evidence-age
     rule — so EXECUTE it (round-11 ADVICE: the earlier version of this
     test recomputed the rule inline, so the tool could drift
-    undetected).  Against the real on-disk CORRECTNESS_r01..r11
-    records the tool's proposed head must equal the entry module's
-    first 50 exactly, name for name, in driver order.  Then simulate
-    round 13 (a synthetic r12 greening the current head) and assert
-    the rule hands the 6 deferred r6 members + the 44 oldest r7-band
+    undetected).  Since round 13 the tool pins its record set to
+    CORRECTNESS_r01..r{ROUND-1} by default (round-12 ADVICE: the
+    all-files version turned this test red the moment the driver
+    dropped the next round's record mid-round), so its output is
+    deterministic regardless of which newer records exist on disk —
+    asserted below by forcing an explicit --through-round and
+    comparing.  Against the r01..r12 records the proposed head must
+    equal the entry module's first 50 exactly.  Then simulate round
+    14 (a synthetic r13 greening the current head) and assert the
+    rule hands the 14 deferred r7 members + the 36 oldest r8-band
     members to the next head."""
     import json as _json
     import subprocess
@@ -343,48 +352,59 @@ def test_next_head_tool_matches_rotation_rule():
     import __spark_entry__ as entry
 
     names = list(entry.queries())
-    # 1) run the actual tool against the real records
-    out = subprocess.run(
-        [_sys.executable, str(ROOT / "tools" / "next_head.py")],
-        capture_output=True,
-        text=True,
-        cwd=str(ROOT),
-        check=True,
-    ).stdout
-    lines = out.splitlines()
-    start = next(i for i, l in enumerate(lines) if l.startswith("proposed head"))
-    tool_head = [l.strip() for l in lines[start + 1 : start + 51]]
+
+    def run_tool(*extra):
+        out = subprocess.run(
+            [_sys.executable, str(ROOT / "tools" / "next_head.py"), *extra],
+            capture_output=True,
+            text=True,
+            cwd=str(ROOT),
+            check=True,
+        ).stdout
+        lines = out.splitlines()
+        start = next(
+            i for i, l in enumerate(lines) if l.startswith("proposed head")
+        )
+        return [l.strip() for l in lines[start + 1 : start + 51]]
+
+    # 1) run the actual tool: default (entry.ROUND-1 = r12 pin) and
+    # the explicit pin must agree — newer on-disk records are inert
+    tool_head = run_tool()
     assert len(tool_head) == 50 and len(set(tool_head)) == 50
-    # the tool prints no-green-first, the entry sorts its head by
-    # number — the driver checks the first 50 as a SET, so that is
+    assert tool_head == run_tool("--through-round", str(entry.ROUND - 1))
+    # the tool prints no-valid-green-first, the entry sorts its head
+    # by number — the driver checks the first 50 as a SET, so that is
     # the contract being pinned
     assert set(tool_head) == set(names[:50]), (
         "tools/next_head.py disagrees with the entry module's head"
     )
 
-    # 2) simulate round 13: the current head goes green in r12
-    newest = {}
-    for r in range(1, 12):
-        d = _json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text())
-        for k, v in d.items():
-            if v.get("hash_match"):
-                newest[k] = r
-    for k in names[:50]:
-        newest[k] = 12
-
+    # 2) simulate round 14: the current head goes green in r13
     def num(n):
         return int(n[1:].split("_", 1)[0])
 
-    never = sorted((n for n in names if n not in newest), key=num)
-    assert never == []  # post-r12, every registered query holds green
-    r6_left = sorted((n for n in names if newest.get(n) == 6), key=num)
-    r7_band = sorted((n for n in names if newest.get(n) == 7), key=num)
-    assert [num(n) for n in r6_left] == [58, 153, 174, 182, 183, 184]
-    head13 = r6_left + r7_band[:44]
-    assert len(head13) == 50
-    # the r7 band sheds its own 6-member tail to round 14 — the drift
-    # stays bounded at one round per band while the registry is 304
-    assert len(r7_band) - 44 == 6
+    newest = {}
+    for r in range(1, entry.ROUND):
+        d = _json.loads((ROOT / f"CORRECTNESS_r{r:02d}.json").read_text())
+        for k, v in d.items():
+            if v.get("hash_match") and r >= entry.REWORKED_AT.get(num(k), 0):
+                newest[k] = r
+    for k in names[:50]:
+        newest[k] = entry.ROUND
+
+    stale = sorted((n for n in names if n not in newest), key=num)
+    assert stale == []  # post-r13, every registered query holds green
+    r7_left = sorted((n for n in names if newest.get(n) == 7), key=num)
+    r8_band = sorted((n for n in names if newest.get(n) == 8), key=num)
+    assert [num(n) for n in r7_left] == (
+        [115, 116, 117, 118] + list(range(185, 195))
+    )
+    head14 = r7_left + r8_band[: 50 - len(r7_left)]
+    assert len(head14) == 50
+    # the r8 band sheds its own 14-member tail to round 15 — the
+    # drift stays bounded while the registry is 309 (full re-green
+    # every ceil(309/50) = 7 rounds)
+    assert len(r8_band) - (50 - len(r7_left)) == 14
 
 
 def test_check_oracle_strict_mode_sees_sub_round9_drift():

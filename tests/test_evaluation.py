@@ -1217,3 +1217,129 @@ def test_seasonal_decompose_outlier_shows_in_residuals_and_index(spark):
     ).collect()}
     assert out[3].max_abs_resid == max(r.max_abs_resid for r in out.values())
     assert out[3].max_abs_resid > 1000
+
+
+# ----------------------------------------------------------- theil_sen
+
+
+def test_theil_sen_outlier_immune_known_answer(spark):
+    # (0,0) (1,2) (2,4) (3,100): five of six pairwise slopes without
+    # the outlier pair agree on 2; sorted slopes [2,2,2,100/3,49,96]
+    # -> lower median (cum*2 >= 6 first at the third "2") = 2 exactly,
+    # residuals [0,0,0,94] -> intercept 0.  OLS would report ~30.
+    rows = [Row(g="a", t=0, y=0), Row(g="a", t=1, y=2),
+            Row(g="a", t=2, y=4), Row(g="a", t=3, y=100)]
+    out = evaluation.theil_sen(
+        spark.createDataFrame(rows), t_col="t", y_col="y", group_keys=["g"]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_points == 4 and r.n_pairs == 6
+    assert r.slope == 2.0 and r.intercept == 0.0
+
+
+def test_theil_sen_matches_fraction_brute_force_on_testdata(spark):
+    # exact-rational replay on the real daily grid: every engine slope
+    # must equal the correctly-rounded double of the Fraction median
+    # selected by the same type-1 rank rule
+    from fractions import Fraction
+
+    ev = load(spark, SF, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.to_date(F.lit("2024-01-01"))
+            ).alias("t"),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    got = {
+        r.event_type: r
+        for r in evaluation.theil_sen(
+            daily, t_col="t", y_col="y", group_keys=["event_type"]
+        ).collect()
+    }
+    pts = daily.collect()
+    by_type: dict = {}
+    for p in pts:
+        by_type.setdefault(p.event_type, []).append((p.t, p.y))
+    for et, series in by_type.items():
+        series.sort()
+        slopes = [
+            Fraction(y2 - y1, t2 - t1)
+            for i, (t1, y1) in enumerate(series)
+            for (t2, y2) in series[i + 1:]
+        ]
+        # engine slopes are the DOUBLES of these rationals; the rank
+        # rule selects in double order, so replay on doubles
+        dbl = sorted(float(s) for s in slopes)
+        med = dbl[-(-len(dbl) // 2) - 1]  # first index with 2*(i+1) >= n
+        assert got[et].slope == med, et
+        assert got[et].n_pairs == len(slopes)
+
+
+# --------------------------------------------------------- mann_kendall
+
+
+def test_mann_kendall_known_answer_with_ties(spark):
+    # y = [1,2,2,3]: S = 5; n=4 -> 4*3*13 = 156; one tie pair of 2 ->
+    # 2*1*9 = 18; var_num = 138; z = (5-1)/sqrt(138/18)
+    import math
+
+    rows = [Row(g="a", t=0, y=1), Row(g="a", t=1, y=2),
+            Row(g="a", t=2, y=2), Row(g="a", t=3, y=3)]
+    out = evaluation.mann_kendall(
+        spark.createDataFrame(rows), t_col="t", y_col="y", group_keys=["g"]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_points == 4 and r.s_stat == 5 and r.var_num == 138
+    assert r.z == round(4.0 / math.sqrt(138.0 / 18.0), 6)
+
+
+def test_mann_kendall_flat_and_monotone_series(spark):
+    # strictly increasing: S = n(n-1)/2, no ties; constant: S = 0 and
+    # var_num = 0 (all one tie group), z = 0 by the S=0 branch
+    rows = [Row(g="up", t=i, y=i * 10) for i in range(6)] + [
+        Row(g="flat", t=i, y=7) for i in range(6)
+    ]
+    out = {
+        r.g: r
+        for r in evaluation.mann_kendall(
+            spark.createDataFrame(rows), t_col="t", y_col="y", group_keys=["g"]
+        ).collect()
+    }
+    assert out["up"].s_stat == 15 and out["up"].z > 0
+    assert out["flat"].s_stat == 0 and out["flat"].var_num == 0
+    assert out["flat"].z == 0.0
+
+
+# ------------------------------------------- woe bisect surface parity
+
+
+def test_woe_bisect_surfaces_agree_with_public_woe_iv(spark):
+    # q305/q306's operators are PREFIXES of woe_iv's pipeline: the
+    # bucket counts must be identical, and the decimal surface must
+    # round to exactly the public round-6 doubles
+    ev = load(spark, SF, "events")
+    labeled = ev.select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    kw = dict(value_col="value", label_col="y", n_buckets=10)
+    full = {r.bucket: r for r in evaluation.woe_iv(labeled, **kw).collect()}
+    cnt = {
+        r.bucket: r
+        for r in evaluation.woe_iv_buckets(labeled, **kw).collect()
+    }
+    dec = {
+        r.bucket: r
+        for r in evaluation.woe_iv_decimal(labeled, **kw).collect()
+    }
+    assert set(full) == set(cnt) == set(dec)
+    for b, f in full.items():
+        assert (cnt[b].n_pos, cnt[b].n_neg) == (f.n_pos, f.n_neg)
+        assert float(dec[b].woe) == f.woe
+        assert float(dec[b].iv_term) == f.iv_term
+        assert float(dec[b].iv) == f.iv

@@ -53,6 +53,8 @@ BNL_ALLOWED = {
     "q230_ri_audit": "per-edge 1-row stats x 1-row orphan-counts crossed (8 edges)",
     "q232_seasonal_decompose": "hour spine x #event-types frame (both metadata-sized) crossed — the q181 shape",
     "q240_woe_iv": "1-row decile-cuts broadcast onto the value stream + 9-row fraction frame crossed onto the distinct-value histogram (the q224 discrete-cut shape)",
+    "q305_woe_iv_buckets": "1-row decile-cuts broadcast onto the value stream + 9-row fraction frame crossed onto the distinct-value histogram (q240's shape, truncated at the BIGINT counts)",
+    "q306_woe_iv_decimal": "1-row decile-cuts broadcast onto the value stream + 9-row fraction frame crossed onto the distinct-value histogram (q240's shape, decimal-typed outputs)",
     "q250_jl_recall": "1-row projected-probe broadcast onto the corpus rankings",
     "q254_k_anonymity": "1-row row-total broadcast onto the class-size histogram (the q100 shape)",
     "q267_stationary_markov": "two 1-row broadcasts (state count for the uniform start; L1 delta onto the #states-row output)",

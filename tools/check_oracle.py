@@ -76,6 +76,13 @@ def main():
     from nyc_taxi_data_prediction_pyspark_spark.catalog import TABLES
 
     spark = get_spark("oracle-check")
+    # engine-version provenance (round-12 verdict #4): every strict
+    # sweep names the engines it exonerated — a different duckdb in
+    # another environment voids the attestation (see q240's history
+    # and the q307 version probe).
+    from bench import engine_versions
+
+    print("versions:", engine_versions())
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
