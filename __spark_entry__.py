@@ -6653,6 +6653,48 @@ def q306_woe_iv_decimal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q310_chao1_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate (text.chao1_vocab, Chao 1984
+    bias-corrected) over word 5-grams — the nonparametric lower bound
+    on TOTAL n-gram vocabulary plus Good's coverage C = 1 - f1/N: how
+    much of the gram space the crawl has not yet seen.  The corpus-
+    acquisition companion to q296's Heaps growth fit, sharing q295's
+    5-gram band (f1 populated at any scale)."""
+    docs = load(spark, sf, "documents")
+    return textops.chao1_vocab(docs, ngram_n=5)
+
+
+def q311_hill_tail_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Hill tail-index (text.hill_tail_index, Hill 1975) of the word-
+    bigram frequency distribution at k=100: the ML Pareto exponent of
+    the frequency tail over the top-k order statistics, with the
+    threshold an ACTUAL data value selected under a total order —
+    the robust order-statistics twin of q271's global Zipf OLS."""
+    docs = load(spark, sf, "documents")
+    return textops.hill_tail_index(docs, ngram_n=2, k=100)
+
+
+def q312_jackknife_shard_variance(spark: SparkSession, sf: str) -> DataFrame:
+    """Delete-one-shard jackknife (aggregates.jackknife_shard_variance,
+    Tukey 1958) of the corpus mean token count per document, sharded
+    by the engine-stable md5 key (the q185 idiom, 16 shards): the
+    sampling-error readout that reuses one aggregation's per-shard
+    partials instead of re-reading the corpus (q280's bootstrap reads
+    it 64 ways)."""
+    docs = load(spark, sf, "documents")
+    toks = docs.where(
+        F.length(textops.normalize_text("text")) > 0
+    ).select(
+        "doc_id",
+        F.size(F.split(textops.normalize_text("text"), " "))
+        .cast("bigint")
+        .alias("tok_count"),
+    )
+    return agg.jackknife_shard_variance(
+        toks, id_col="doc_id", value_col="tok_count", shards=16, salt="jack-v1"
+    )
+
+
 # Driver-slot rotation (round 7): the correctness driver hard-checks
 # the FIRST 50 registry entries only; rotation is BY EVIDENCE AGE
 # (the round-5 verdict's standing rule).  Evidence ages entering
@@ -6808,19 +6850,22 @@ REWORKED_AT: dict[int, int] = {168: 12, 224: 12, 240: 12}
 #     DECIMAL(18,6)-typed float outputs, q307 encodes the oracle
 #     engine's own version in its row count — the driver's red/green
 #     pattern across q240/q305/q306/q307 names the guilty layer),
-#   - q308/q309 (this round's operator registrations: Theil–Sen
-#     robust slope + Mann–Kendall trend test, the robust-trend
-#     family next to q168's MAD).
+#   - q308-q312 (this round's operator registrations: Theil–Sen
+#     robust slope, Mann–Kendall trend test, Chao1 unseen-vocabulary,
+#     Hill tail-index, delete-one-shard jackknife — the robust-trend
+#     family next to q168's MAD and the corpus-statistics family
+#     next to q295/q296).
 # Then the 6 r6-band leftovers (q58 q153 q174 q182 q183 q184,
-# evidence age 7 — the bounded drift round 12 scheduled) and the 36
-# oldest r7-band members in number order.  8 + 6 + 36 = 50; the r7
-# band's 14-member tail (q115-q118 q185-q194) defers to round 14.
+# evidence age 7 — the bounded drift round 12 scheduled) and the 33
+# oldest r7-band members in number order.  11 + 6 + 33 = 50; the r7
+# band's 17-member tail (q111-q113 q115-q118 q185-q194) defers to
+# round 14.
 _R13_HEAD: set[int] = (
-    {168, 224, 240, 305, 306, 307, 308, 309}
+    {168, 224, 240, 305, 306, 307, 308, 309, 310, 311, 312}
     | {58, 153, 174, 182, 183, 184}
     | {51, 55, 56, 67, 68, 74, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87,
        88, 90, 91, 93, 94, 95, 96, 97, 98, 99, 101, 102, 103, 104, 106,
-       107, 110, 111, 112, 113}
+       107, 110}
 )
 
 
@@ -6834,9 +6879,9 @@ def _driver_order(names: list[str]) -> list[str]:
     """First-50 = round-13 rotation targets, chosen by EVIDENCE AGE
     with the REWORKED_AT discount: the no-valid-green class (q240 red
     three rounds; q168/q224 reworked in lockstep in round 12; the
-    q305/q306/q307 bisect registrations; the q308/q309 robust-trend
+    q305/q306/q307 bisect registrations; the q308-q312 operator
     registrations) outranks every recorded band, then the 6 r6-band
-    leftovers and the 36 oldest r7-band members in number order fill
+    leftovers and the 33 oldest r7-band members in number order fill
     the rest.  The tail follows in number order."""
 
     def num(n: str) -> int:
@@ -7162,6 +7207,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q307_oracle_version_probe": q307_oracle_version_probe,
         "q308_theil_sen": q308_theil_sen,
         "q309_mann_kendall": q309_mann_kendall,
+        "q310_chao1_vocab": q310_chao1_vocab,
+        "q311_hill_tail_index": q311_hill_tail_index,
+        "q312_jackknife_shard_variance": q312_jackknife_shard_variance,
     }
 
 
@@ -15316,5 +15364,113 @@ SELECT event_type, n_points, s_stat, var_num,
               / sqrt(CAST(var_num AS DOUBLE) / 18.0)
          ELSE 0.0 END, 6) AS z
 FROM base ORDER BY event_type
+"""
+    # q310: q295's 5-gram count-of-counts prefix; chao1/coverage are
+    # one IEEE division each on exact BIGINTs, fixed parenthesization.
+    oracles["q310_chao1_vocab"] = f"""
+WITH base AS (
+  SELECT regexp_split_to_array({_NORM_TEXT}, ' ') AS w
+  FROM documents WHERE length({_NORM_TEXT}) > 0
+),
+grams AS (
+  SELECT array_to_string(w[t.i:t.i+4], ' ') AS tok
+  FROM base, unnest(generate_series(1, len(w) - 4)) AS t(i)
+),
+counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS r FROM grams GROUP BY 1),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+         CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         CAST(SUM(r) AS BIGINT) AS n_grams
+  FROM counts
+)
+SELECT s_obs, f1, f2, n_grams,
+       ROUND(CAST(s_obs AS DOUBLE)
+             + CAST(f1 * (f1 - 1) AS DOUBLE)
+               / CAST(2 * (f2 + 1) AS DOUBLE), 6) AS chao1,
+       ROUND(1.0 - CAST(f1 AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS coverage
+FROM s
+"""
+    # q311: bigram counts -> top-101 under the TOTAL order (freq
+    # DESC, token ASC); threshold = rank-101 value (type-1 order
+    # statistic); ln inputs are correctly-rounded BIGINT divisions,
+    # outputs DECIMAL(28,12)-quantized before the exact sum.
+    oracles["q311_hill_tail_index"] = f"""
+WITH base AS (
+  SELECT regexp_split_to_array({_NORM_TEXT}, ' ') AS w
+  FROM documents WHERE length({_NORM_TEXT}) > 0
+),
+grams AS (
+  SELECT array_to_string(w[t.i:t.i+1], ' ') AS tok
+  FROM base, unnest(generate_series(1, len(w) - 1)) AS t(i)
+),
+counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS r FROM grams GROUP BY 1),
+top AS (
+  SELECT tok, r, ROW_NUMBER() OVER (ORDER BY r DESC, tok) AS rn FROM counts
+),
+sel AS (SELECT * FROM top WHERE rn <= 101),
+thr AS (SELECT r AS rk1 FROM sel WHERE rn = 101),
+terms AS (
+  SELECT t.rk1,
+         CAST(ln(CAST(s.r AS DOUBLE) / CAST(t.rk1 AS DOUBLE))
+           AS DECIMAL(28,12)) AS tm
+  FROM sel s, thr t WHERE s.rn <= 100
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(MAX(rk1) AS BIGINT) AS threshold,
+       ROUND(CAST(SUM(tm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS hill_h,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tm) AS DOUBLE), 6) AS hill_alpha
+FROM terms
+"""
+    # q312: the q185 md5-shard replay; per-shard exact partials,
+    # leave-one-out means as correctly-rounded divisions, 16-row
+    # mean/variance reductions via DECIMAL(28,12)-quantized exact
+    # sums, fixed parenthesization throughout.
+    _jack_key = _MD5_INT60.format(col="'jack-v1' || CAST(doc_id AS VARCHAR)")
+    oracles["q312_jackknife_shard_variance"] = f"""
+WITH vals AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array({_NORM_TEXT}, ' ')) AS BIGINT) AS v
+  FROM documents WHERE length({_NORM_TEXT}) > 0
+),
+per AS (
+  SELECT {_jack_key} % 16 AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS s
+  FROM vals GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(s) AS DECIMAL(38,6)) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS g
+  FROM per
+),
+loo AS (
+  SELECT t.nn, t.ss, t.g,
+         CAST(t.ss - p.s AS DOUBLE) / CAST(t.nn - p.n AS DOUBLE) AS m
+  FROM per p, tot t
+),
+mb AS (
+  SELECT nn, ss, g,
+         CAST(SUM(CAST(m AS DECIMAL(28,12))) AS DOUBLE)
+           / CAST(g AS DOUBLE) AS mbar
+  FROM loo GROUP BY 1, 2, 3
+),
+terms AS (
+  SELECT l.nn, l.ss, l.g, b.mbar,
+         CAST((l.m - b.mbar) * (l.m - b.mbar) AS DECIMAL(28,12)) AS t
+  FROM loo l, mb b
+),
+fin AS (
+  SELECT nn, ss, g, CAST(SUM(t) AS DECIMAL(38,12)) AS t_sum
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT g, nn AS n_rows,
+       ROUND(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS mean,
+       ROUND(CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE)
+             * CAST(t_sum AS DOUBLE), 6) AS var_jack,
+       ROUND(sqrt(CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE)
+             * CAST(t_sum AS DOUBLE)), 6) AS se_jack
+FROM fin
 """
     return oracles

@@ -354,6 +354,9 @@ HEADLINE_SKIP = {
     "q307_oracle_version_probe": "constant-size engine-version probe; no data-scale component",
     "q308_theil_sen": "calendar-bounded daily pair grid; the only data-scale stage (daily agg scan) timed by q08; rank-stat family timed by q244",
     "q309_mann_kendall": "calendar-bounded daily pair grid; daily agg scan timed by q08; rank-stat family timed by q244",
+    "q310_chao1_vocab": "count-of-counts prefix of q295's 5-gram pipeline; gram scan timed by q295",
+    "q311_hill_tail_index": "bigram count scan timed by q295/q296; post-scan frame is 101 rows",
+    "q312_jackknife_shard_variance": "one md5-shard agg pass; shard-agg shape timed by q185; resample-free twin of q280",
 }
 
 

@@ -1760,3 +1760,105 @@ def tail_dependence(
             "lambda_lower"
         ),
     ).orderBy("q")
+
+
+def jackknife_shard_variance(
+    df: DataFrame,
+    *,
+    id_col: str,
+    value_col: str,
+    shards: int = 16,
+    salt: str = "jack-v1",
+) -> DataFrame:
+    """Delete-one-shard jackknife (Quenouille 1956 / Tukey 1958, the
+    delete-a-GROUP form) for the corpus mean of ``value_col``: shard
+    rows by the engine-stable md5 key (the q185 shuffle idiom), form
+    the g leave-one-shard-out means
+
+        m_i = (S - s_i) / (N - n_i)
+
+    and report  var_jack = (g-1)/g · sum_i (m_i - m̄)²  with m̄ the
+    mean of the m_i — the distributed-systems answer to "what is the
+    sampling error of this corpus statistic" that needs NO resampling
+    passes (q280's Poisson bootstrap re-reads the data 64 ways; the
+    jackknife reuses the per-shard partials one aggregation already
+    produced).
+
+    Determinism: per-shard (n_i, s_i) are exact BIGINT/DECIMAL
+    partials; each m_i is one correctly-rounded division of exact
+    values (bit-identical cross-engine — the q308 discipline); the
+    16-row mean/variance reductions quantize every double to
+    DECIMAL(28,12) before the exact decimal sum (order-independence —
+    the dsum rule), with the variance terms squared on deterministic
+    doubles under a fixed parenthesization.  Outputs round 6.
+    Scale: ONE data pass (the per-shard aggregation); everything
+    after runs on the g-row metadata frame.  Returns one row
+    (g, n_rows, mean, var_jack, se_jack)."""
+    from ..functions.hashing import md5_int60
+
+    key = md5_int60(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    )
+    per = (
+        df.select(
+            (key % F.lit(shards)).alias("__shard"),
+            F.col(value_col).cast("decimal(27,6)").alias("__v"),
+        )
+        .groupBy("__shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum("__v").cast("decimal(38,6)").alias("__s"),
+        )
+    )
+    tot = per.agg(
+        F.sum("__n").cast("bigint").alias("__nn"),
+        F.sum("__s").cast("decimal(38,6)").alias("__ss"),
+        F.count(F.lit(1)).cast("bigint").alias("__g"),
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        "__nn",
+        "__ss",
+        "__g",
+        (
+            (F.col("__ss") - F.col("__s")).cast("double")
+            / (F.col("__nn") - F.col("__n")).cast("double")
+        ).alias("__m"),
+    )
+    mbar_frame = loo.groupBy("__nn", "__ss", "__g").agg(
+        F.sum(F.col("__m").cast("decimal(28,12)")).alias("__m_sum")
+    ).select(
+        "__nn",
+        "__ss",
+        "__g",
+        (
+            F.col("__m_sum").cast("double") / F.col("__g").cast("double")
+        ).alias("__mbar"),
+    )
+    terms = loo.join(F.broadcast(mbar_frame), ["__nn", "__ss", "__g"]).select(
+        "__nn",
+        "__ss",
+        "__g",
+        "__mbar",
+        (
+            (F.col("__m") - F.col("__mbar")) * (F.col("__m") - F.col("__mbar"))
+        )
+        .cast("decimal(28,12)")
+        .alias("__t"),
+    )
+    out = terms.groupBy("__nn", "__ss", "__g").agg(
+        F.sum("__t").alias("__t_sum")
+    )
+    var_jack = (
+        (F.col("__g") - 1).cast("double")
+        / F.col("__g").cast("double")
+        * F.col("__t_sum").cast("double")
+    )
+    return out.select(
+        F.col("__g").alias("g"),
+        F.col("__nn").alias("n_rows"),
+        F.round(
+            F.col("__ss").cast("double") / F.col("__nn").cast("double"), 6
+        ).alias("mean"),
+        F.round(var_jack, 6).alias("var_jack"),
+        F.round(F.sqrt(var_jack), 6).alias("se_jack"),
+    )

@@ -2337,3 +2337,129 @@ def heaps_law(
             F.when(fit_ok & (vy > 0), cxy * cxy / (vx * vy)), 6
         ).alias("r2"),
     )
+
+
+def chao1_vocab(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 1,
+) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate (Chao, Scand. J. Stat. 1984;
+    bias-corrected form per Chiu et al. 2014): from the corpus
+    count-of-counts,
+
+        Chao1 = S_obs + f1·(f1-1) / (2·(f2+1))
+
+    with S_obs the observed distinct ``ngram_n``-gram count and f1/f2
+    the singleton/doubleton counts — the nonparametric lower bound on
+    TOTAL vocabulary size, i.e. how much of the n-gram space a corpus
+    crawl has NOT yet seen.  Also emits Good's coverage estimate
+    C = 1 - f1/N (the probability mass of unseen types — q295's p_0
+    band read as a coverage number).  The corpus-acquisition
+    companion to q296's Heaps growth fit: Heaps says how fast
+    vocabulary grows, Chao1 says where it is heading.
+
+    Determinism: every count is an exact BIGINT (the f1·(f1-1)
+    numerator stays < 2^63 for any vocabulary below ~3e9 singletons);
+    chao1/coverage are ONE IEEE division each, round 6.  Scale: one
+    token-count groupBy then a single combinable corpus aggregate —
+    no joins, no windows.  Returns one row
+    (s_obs, f1, f2, n_grams, chao1, coverage)."""
+    inst = _ngram_instances(df, id_col, text_col, ngram_n)
+    tok_counts = inst.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__r")
+    )
+    agg = tok_counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+        F.sum((F.col("__r") == 1).cast("bigint")).cast("bigint").alias("f1"),
+        F.sum((F.col("__r") == 2).cast("bigint")).cast("bigint").alias("f2"),
+        F.sum("__r").cast("bigint").alias("n_grams"),
+    )
+    chao1 = (
+        F.col("s_obs").cast("double")
+        + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+        / (2 * (F.col("f2") + 1)).cast("double")
+    )
+    coverage = (
+        F.lit(1.0) - F.col("f1").cast("double") / F.col("n_grams").cast("double")
+    )
+    return agg.select(
+        "s_obs",
+        "f1",
+        "f2",
+        "n_grams",
+        F.round(chao1, 6).alias("chao1"),
+        F.round(coverage, 6).alias("coverage"),
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 1,
+    k: int = 100,
+) -> DataFrame:
+    """Hill tail-index estimator (Hill, Ann. Stat. 1975) over the
+    token-frequency distribution: with x_(1) >= ... >= x_(k) the k
+    largest frequencies and x_(k+1) the tail threshold,
+
+        H     = (1/k) · sum_i ln( x_(i) / x_(k+1) )
+        alpha = 1 / H
+
+    — the maximum-likelihood Pareto exponent of the frequency tail,
+    the order-statistics answer to the question q271's Zipf OLS fits
+    globally (a heavy-tail health check that is robust to the head
+    and the low-frequency band both).
+
+    Determinism: the top-(k+1) set is selected under the TOTAL order
+    (frequency DESC, token ASC) — ties broken by token, so the set is
+    unique; the threshold x_(k+1) is an ACTUAL data value (type-1
+    order statistic, the q240 discrete-cut rule); each ln input is one
+    correctly-rounded BIGINT division, each ln output
+    DECIMAL(28,12)-quantized before the exact decimal sum (the q49/
+    q166 ln discipline); alpha/h are one division each, round 6.
+    Scale: token-count groupBy, then TakeOrderedAndProject(k+1) — the
+    only post-scan frame is k+1 rows of metadata; the window/threshold
+    arithmetic never touches a data-sized frame.  Returns one row
+    (k, threshold, hill_h, hill_alpha)."""
+    inst = _ngram_instances(df, id_col, text_col, ngram_n)
+    tok_counts = inst.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__r")
+    )
+    top = tok_counts.orderBy(
+        F.col("__r").desc(), F.col("__tok").asc()
+    ).limit(k + 1)
+    w = W.orderBy(F.col("__r").desc(), F.col("__tok").asc())
+    ranked = top.select(
+        "__r", F.row_number().over(w).alias("__rn")
+    ).localCheckpoint()
+    thr = ranked.where(F.col("__rn") == k + 1).select(
+        F.col("__r").alias("__rk1")
+    )
+    terms = (
+        ranked.where(F.col("__rn") <= k)
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "__rk1",
+            F.log(F.col("__r").cast("double") / F.col("__rk1").cast("double"))
+            .cast("decimal(28,12)")
+            .alias("__t"),
+        )
+    )
+    out = terms.groupBy("__rk1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__t").alias("__h_sum"),
+    )
+    return out.select(
+        "k",
+        F.col("__rk1").alias("threshold"),
+        F.round(F.col("__h_sum").cast("double") / F.col("k").cast("double"), 6)
+        .alias("hill_h"),
+        F.round(
+            F.col("k").cast("double") / F.col("__h_sum").cast("double"), 6
+        ).alias("hill_alpha"),
+    )

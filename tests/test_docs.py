@@ -272,8 +272,8 @@ def test_driver_slot_rotation_covers_unproven_queries():
     last green — outrank every recorded band.  Entering round 13 that
     class is q240 (red r10/r11/r12) + q168/q224 (impl+oracle rewritten
     in round 12, discounting their r10/r11 greens) + q305-q307 (the
-    round-13 bisect registrations) + q308/q309 (the round-13 operator
-    registrations); then the 6 r6-band leftovers and the 36 oldest
+    round-13 bisect registrations) + q308-q312 (the round-13 operator
+    registrations); then the 6 r6-band leftovers and the 33 oldest
     r7-band members.  All recomputed here from CORRECTNESS_r01..r12,
     not trusted from the frozen set in the entry module."""
     import json
@@ -299,32 +299,32 @@ def test_driver_slot_rotation_covers_unproven_queries():
     first50 = set(names[:50])
     assert len(first50) == 50
     # the no-valid-green class, recomputed from the records, is
-    # exactly q168/q224 (reworked) + q240 (only-red) + q305-q309
+    # exactly q168/q224 (reworked) + q240 (only-red) + q305-q312
     # (the round-13 registrations)
     stale = sorted((n for n in names if n not in newest_green), key=num)
-    assert [num(n) for n in stale] == [168, 224, 240, 305, 306, 307, 308, 309]
-    # the head = the whole class + the 6 r6 leftovers + the 36 oldest
+    assert [num(n) for n in stale] == [168, 224, 240] + list(range(305, 313))
+    # the head = the whole class + the 6 r6 leftovers + the 33 oldest
     # r7-band members, and the frozen set in the entry module matches
     # the recomputation exactly
     r6_left = sorted((n for n in names if newest_green.get(n) == 6), key=num)
     assert [num(n) for n in r6_left] == [58, 153, 174, 182, 183, 184]
     r7_band = sorted((n for n in names if newest_green.get(n) == 7), key=num)
     assert len(r7_band) == 50
-    expected = set(stale) | set(r6_left) | set(r7_band[:36])
+    expected = set(stale) | set(r6_left) | set(r7_band[:33])
     assert first50 == expected
     assert {num(n) for n in first50} == entry._R13_HEAD
-    # pacing: the r7 band sheds a 14-member tail (q115-q118 +
-    # q185-q194) to round 14 — the bounded drift the README's
-    # evidence-paced rule allows
-    assert [num(n) for n in r7_band[36:]] == (
-        [115, 116, 117, 118] + list(range(185, 195))
+    # pacing: the r7 band sheds a 17-member tail (q111-q113 +
+    # q115-q118 + q185-q194) to round 14 — the bounded drift the
+    # README's evidence-paced rule allows
+    assert [num(n) for n in r7_band[33:]] == (
+        [111, 112, 113, 115, 116, 117, 118] + list(range(185, 195))
     )
     # every round-13 registration carries an oracle (zero no-evidence
     # entries — the freeze-lift condition)
     o = entry.oracle_sql()
     for n in stale:
         assert n in o, f"{n} registered without an oracle"
-    assert len(names) == 309
+    assert len(names) == 312
     # oracle_sql iterates in the same rotated order (driver zips them)
     ol = list(o)
     assert ol == [n for n in names if n in set(ol)]
@@ -343,7 +343,7 @@ def test_next_head_tool_matches_rotation_rule():
     comparing.  Against the r01..r12 records the proposed head must
     equal the entry module's first 50 exactly.  Then simulate round
     14 (a synthetic r13 greening the current head) and assert the
-    rule hands the 14 deferred r7 members + the 36 oldest r8-band
+    rule hands the 17 deferred r7 members + the 33 oldest r8-band
     members to the next head."""
     import json as _json
     import subprocess
@@ -397,14 +397,14 @@ def test_next_head_tool_matches_rotation_rule():
     r7_left = sorted((n for n in names if newest.get(n) == 7), key=num)
     r8_band = sorted((n for n in names if newest.get(n) == 8), key=num)
     assert [num(n) for n in r7_left] == (
-        [115, 116, 117, 118] + list(range(185, 195))
+        [111, 112, 113, 115, 116, 117, 118] + list(range(185, 195))
     )
     head14 = r7_left + r8_band[: 50 - len(r7_left)]
     assert len(head14) == 50
-    # the r8 band sheds its own 14-member tail to round 15 — the
-    # drift stays bounded while the registry is 309 (full re-green
-    # every ceil(309/50) = 7 rounds)
-    assert len(r8_band) - (50 - len(r7_left)) == 14
+    # the r8 band sheds its own 17-member tail to round 15 — the
+    # drift stays bounded while the registry is 312 (full re-green
+    # every ceil(312/50) = 7 rounds)
+    assert len(r8_band) - (50 - len(r7_left)) == 17
 
 
 def test_check_oracle_strict_mode_sees_sub_round9_drift():

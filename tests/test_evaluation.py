@@ -649,6 +649,19 @@ def test_round6_quantized_ln_outputs_sit_off_half_boundaries():
         "SELECT CAST(CAST(z AS DECIMAL(28,12)) AS DOUBLE) AS v"
         " FROM r WHERE rank <= 8"
     )
+    # q311 (round 13): hill_h / hill_alpha are quantized-ln round-6
+    # outputs of the same class — probe the pre-round aggregates on
+    # the oracle's own CTE chain
+    head311, _ = oracles["q311_hill_tail_index"].rsplit(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS k", 1
+    )
+    probes["q311.h_alpha"] = head311 + (
+        "SELECT CAST(CAST(SUM(tm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+        " AS DOUBLE) AS v FROM terms"
+        " UNION ALL "
+        "SELECT CAST(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tm) AS DOUBLE)"
+        " AS DOUBLE) AS v FROM terms"
+    )
 
     for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
         con = duckdb.connect()

@@ -55,6 +55,8 @@ BNL_ALLOWED = {
     "q240_woe_iv": "1-row decile-cuts broadcast onto the value stream + 9-row fraction frame crossed onto the distinct-value histogram (the q224 discrete-cut shape)",
     "q305_woe_iv_buckets": "1-row decile-cuts broadcast onto the value stream + 9-row fraction frame crossed onto the distinct-value histogram (q240's shape, truncated at the BIGINT counts)",
     "q306_woe_iv_decimal": "1-row decile-cuts broadcast onto the value stream + 9-row fraction frame crossed onto the distinct-value histogram (q240's shape, decimal-typed outputs)",
+    "q311_hill_tail_index": "1-row tail-threshold broadcast onto the 100-row top-frequency frame (both metadata-sized)",
+    "q312_jackknife_shard_variance": "1-row corpus-totals broadcast onto the 16-row shard frame (the q100 shape)",
     "q250_jl_recall": "1-row projected-probe broadcast onto the corpus rankings",
     "q254_k_anonymity": "1-row row-total broadcast onto the class-size histogram (the q100 shape)",
     "q267_stationary_markov": "two 1-row broadcasts (state count for the uniform start; L1 delta onto the #states-row output)",
