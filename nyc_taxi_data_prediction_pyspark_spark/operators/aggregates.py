@@ -824,10 +824,13 @@ def discrete_quantile_cuts(
     Scale shape: one combinable groupBy to the per-group DISTINCT-
     VALUE histogram (bounded by value cardinality; pass ``weight_col``
     to feed an ALREADY-COUNTED (value, weight) frame and skip the raw
-    scan entirely — the q168 one-scan restructure), a cumulative
-    window over that histogram, a #groups-row broadcast join-back for
-    the totals, a |fracs|-row broadcast cross join, and a
-    collect_list bounded by |fracs|. No interpolation anywhere.
+    scan entirely — the q168 one-scan restructure), then ONE exchange
+    on the group keys carrying both the cumulative window and the
+    group-total window (round-13 optimization: the former separate
+    totals aggregation + broadcast join-back computed the same sum
+    with an extra exchange and join), a |fracs|-way inline literal
+    explode (a Generate node — no per-call createDataFrame/broadcast),
+    and a collect_list bounded by |fracs|. No interpolation anywhere.
     The cumulative window is per-group single-task over the DISTINCT
     domain — fine for quantized/bounded domains (the kendall_tau_b
     grid rule); for a raw continuous domain at cluster scale pass
@@ -858,29 +861,60 @@ def discrete_quantile_cuts(
             .groupBy(*gk, v.alias("__hv"))
             .agg(F.sum(F.col(weight_col)).cast("bigint").alias("__hc"))
         )
-    totals = hist.groupBy(*gk).agg(F.sum("__hc").cast("bigint").alias("__n"))
     if two_phase:
+        # skew-proof cluster-scale path: group totals via an
+        # aggregation + broadcast join-back (a full-partition window
+        # here would reintroduce the single-task-per-group stage
+        # two_phase exists to avoid)
+        totals = hist.groupBy(*gk).agg(F.sum("__hc").cast("bigint").alias("__n"))
         cum0 = grouped_cumsum_two_phase(
             hist, gk, ["__hv"], ["__hc"]
         ).withColumnRenamed("__cum___hc", "__cum")
+        cum = (
+            cum0.join(F.broadcast(totals), gk)
+            if gk
+            else cum0.crossJoin(F.broadcast(totals))
+        )
     else:
+        # default (histogram-sized) path: the group total rides a
+        # second window over the SAME partitioning as the cumsum —
+        # one exchange total, no totals aggregation, no join-back
+        # (guide §2.4: operations keyed the same way share one
+        # exchange).  Values are identical: sum(__hc) per group.
         w_cum = (
             W.partitionBy(*gk)
             .orderBy("__hv")
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        cum0 = hist.withColumn("__cum", F.sum("__hc").over(w_cum))
-    cum = (
-        cum0.join(F.broadcast(totals), gk)
-        if gk
-        else cum0.crossJoin(F.broadcast(totals))
-    )
-    ks = df.sparkSession.createDataFrame(
-        [(int(n_), int(d_)) for n_, d_ in fracs], "__kn bigint, __kd bigint"
+        w_all = W.partitionBy(*gk)
+        cum = hist.withColumn("__cum", F.sum("__hc").over(w_cum)).withColumn(
+            "__n", F.sum("__hc").over(w_all)
+        )
+    # fraction pairs as an inline literal explode — a Generate node
+    # instead of a createDataFrame (one driver->executor parallelize
+    # job) + BroadcastNestedLoopJoin per call
+    kpairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(n_)).cast("bigint").alias("__kn"),
+                    F.lit(int(d_)).cast("bigint").alias("__kd"),
+                )
+                for n_, d_ in fracs
+            ]
+        )
     )
     # cum >= ceil(kn*n/kd)  ⟺  cum*kd >= kn*n   (all BIGINT, exact)
     cut_rows = (
-        cum.crossJoin(F.broadcast(ks))
+        cum.select(*gk, "__hv", "__cum", "__n", kpairs.alias("__k"))
+        .select(
+            *gk,
+            "__hv",
+            "__cum",
+            "__n",
+            F.col("__k.__kn").alias("__kn"),
+            F.col("__k.__kd").alias("__kd"),
+        )
         .where(F.col("__cum") * F.col("__kd") >= F.col("__kn") * F.col("__n"))
         .groupBy(*gk, "__kn", "__kd")
         .agg(F.min("__hv").alias("__cut"))
@@ -967,11 +1001,16 @@ def population_stability(
             F.sum(F.lit(1) - F.col("__first")).cast("bigint").alias("__c2"),
         )
     )
-    totals = counts.groupBy(*group_keys).agg(
-        F.sum("__c1").cast("bigint").alias("__n1"),
-        F.sum("__c2").cast("bigint").alias("__n2"),
-    )
-    j = counts.join(totals, group_keys)
+    # group totals as windows over the metadata-sized counts frame —
+    # one exchange on the group keys instead of a totals aggregation +
+    # join-back (round-13, guide §2.4); the downstream groupBy reuses
+    # the same partitioning, so it adds no exchange either
+    from pyspark.sql import Window as W
+
+    w_g = W.partitionBy(*group_keys)
+    j = counts.withColumn(
+        "__n1", F.sum("__c1").over(w_g).cast("bigint")
+    ).withColumn("__n2", F.sum("__c2").over(w_g).cast("bigint"))
     p = (F.col("__c1") + 1).cast("double") / (F.col("__n1") + n_buckets).cast("double")
     q = (F.col("__c2") + 1).cast("double") / (F.col("__n2") + n_buckets).cast("double")
     term = ((p - q) * F.log(p / q)).cast("decimal(28,12)")

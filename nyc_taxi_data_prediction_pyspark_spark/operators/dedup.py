@@ -498,6 +498,11 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # checkpoint FIRST (one eager materialization of the round's
+        # join), then read both the convergence count and the next
+        # labels off the materialized blocks — the former
+        # count-then-checkpoint order computed the round's join TWICE
+        # per iteration (round-13 optimization; guide §1.2 step 1)
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
             .select(
@@ -505,11 +510,18 @@ def connected_components(
                 F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
                     "new_cluster"
                 ),
-                "cluster_id",
+                (
+                    F.col("cluster_id")
+                    != F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                    )
+                ).alias("__changed"),
             )
+            .localCheckpoint()
         )
-        changed = updated.where(F.col("new_cluster") != F.col("cluster_id")).count()
-        labels = updated.select("node", F.col("new_cluster").alias("cluster_id")).localCheckpoint()
+        changed = updated.where(F.col("__changed")).count()
+        labels = updated.select("node", F.col("new_cluster").alias("cluster_id"))
         if changed == 0:
             return labels
     raise RuntimeError(

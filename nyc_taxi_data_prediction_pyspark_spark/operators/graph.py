@@ -502,6 +502,10 @@ def hits_quotient(
             e.join(h.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum("s").alias("raw"))
+            # double consumer (quotient agg + normalized scores): without
+            # truncation each consumer re-runs the |E| join+agg — measured
+            # as the q190 job-count explosion (round-13 optimization)
+            .localCheckpoint(eager=False)
         )
         qa = a_raw.agg(
             F.greatest(F.expr(f"sum(raw) div {SCALE}L"), F.lit(1)).alias("q")
@@ -514,6 +518,7 @@ def hits_quotient(
             e.join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
             .agg(F.sum("s").alias("raw"))
+            .localCheckpoint(eager=False)  # same double-consumer rule
         )
         qh = h_raw.agg(
             F.greatest(F.expr(f"sum(raw) div {SCALE}L"), F.lit(1)).alias("q")

@@ -963,58 +963,167 @@ def stationary_distribution(
     to the largest strongly-connected component. The oracle replays
     the identical sub-stochastic algebra, so parity holds either way.
 
-    Scale: the state frame is #states rows (domain-sized), each round
-    one edge⋈pi join + one map-side-combinable sum over the EDGE
-    frame (#states² at worst). Rounds are fixed — the q109 class with
-    metadata-sized state. Returns (state, pi, l1_delta)."""
-    dec = lambda c: c.cast("decimal(38,18)")  # noqa: E731
+    Scale: the transition matrix is DOMAIN-sized (#states² cells at
+    worst — event-type-class domains, metadata at any corpus size), so
+    since round 13 the whole power iteration runs IN-ROW: one
+    map-side-combinable window+collect pass builds a single row of
+    (edge structs, state array), and the ``iterations`` rounds are one
+    ``F.aggregate`` fold over a literal sequence — zero per-round
+    shuffles/jobs where the frame-loop form paid a join + aggregation
+    + checkpoint per round (measured 35+ Spark jobs on q267/q287; the
+    q239 isotonic in-row precedent).  Per-term arithmetic is UNCHANGED
+    (same dec-quantized products, exact decimal sums — order-free, so
+    the fold's left-to-right order computes the identical value) and
+    the per-round membership rule (a state leaves the pi frame when no
+    in-edge from a member state reaches it) is tracked explicitly, so
+    output rows and values are bit-identical to the frame-loop form.
+    Returns (state, pi, l1_delta)."""
+    # accumulator precision 37: (37,18)+(37,18) → (38,18) keeps scale
+    # 18 exactly, and the cast back to (37,18) is the identity for
+    # |value| < 10^19 (pi ≤ 1) — a (38,18) accumulator would type its
+    # additions (38,17), silently rounding the last scale digit away
+    # from the distributed DECIMAL(38,18) sum it must reproduce
+    dec_t = "decimal(37,18)"
     e = transitions.select(
         F.col(from_col).alias("__i"),
         F.col(to_col).alias("__j"),
         F.col(count_col).cast("bigint").alias("__n"),
     )
-    tot = e.groupBy("__i").agg(F.sum("__n").cast("bigint").alias("__tot"))
-    edges = e.join(tot, "__i").select(
+    from pyspark.sql import Window as W
+
+    w_i = W.partitionBy("__i")
+    edges = e.withColumn("__tot", F.sum("__n").over(w_i)).select(
         "__i", "__j",
         (F.col("__n").cast("double") / F.col("__tot").cast("double")).alias("__p"),
     )
-    edges = edges.localCheckpoint(eager=False)  # reused every round
-    states = edges.select(F.col("__i").alias("state")).unionByName(
-        edges.select(F.col("__j").alias("state"))
-    ).distinct()
-    n_states = states.agg(F.count(F.lit(1)).alias("__k"))  # 1-row, no collect
-    pi = states.crossJoin(F.broadcast(n_states)).select(
-        "state", (F.lit(1.0) / F.col("__k").cast("double")).alias("pi")
-    )
-    prev = pi
-    for _ in range(iterations):
-        prev = pi
-        pi = (
-            edges.join(pi.withColumnRenamed("state", "__i"), "__i")
-            .groupBy(F.col("__j").alias("state"))
-            .agg(F.sum(dec(F.col("pi") * F.col("__p"))).alias("__acc"))
-            .select("state", F.col("__acc").cast("double").alias("pi"))
-            .localCheckpoint(eager=False)
+    row = (
+        edges.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__i"), F.col("__j"), F.col("__p")))
+            ).alias("es")
         )
-    # full outer + coalesce: a state with no incoming edges leaves the
-    # pi frame (its mass is exactly 0) — the delta must still count it
-    delta = (
-        pi.withColumnRenamed("pi", "__new")
-        .join(prev.withColumnRenamed("pi", "__old"), "state", "full_outer")
-        .agg(
-            F.sum(
-                dec(
-                    F.abs(
-                        F.round(F.coalesce(F.col("__new"), F.lit(0.0)), 9)
-                        - F.round(F.coalesce(F.col("__old"), F.lit(0.0)), 9)
+        .select(
+            "es",
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(
+                        F.transform("es", lambda s: s["__i"]),
+                        F.transform("es", lambda s: s["__j"]),
                     )
                 )
-            ).alias("__d")
+            ).alias("sts"),
         )
-        .select(F.round(F.col("__d").cast("double"), 9).alias("l1_delta"))
     )
-    return pi.crossJoin(F.broadcast(delta)).select(
-        "state", F.round(F.col("pi"), 9).alias("pi"), "l1_delta"
+
+    def _idx(col_name, key):
+        # 1-based position of `key` in the state array (#states-bounded scan)
+        return F.array_position(F.col(col_name), key)
+
+    pi0 = F.transform(
+        "sts", lambda _: F.lit(1.0) / F.size("sts").cast("double")
+    )
+    mb0 = F.transform("sts", lambda _: F.lit(True))
+
+    # fold body (acc is a bound lambda variable, so the per-round
+    # expression tree stays O(#states × #edges) — no projection-
+    # collapse blowup)
+    state0 = F.struct(
+        pi0.cast("array<double>").alias("pi"),
+        mb0.alias("mb"),
+        pi0.cast("array<double>").alias("prev"),
+        mb0.alias("pm"),
+    )
+
+    def step(acc, _x):
+        new_pi = F.transform(
+            F.col("sts"),
+            lambda s: F.aggregate(
+                F.col("es"),
+                F.lit(0).cast(dec_t),
+                lambda a, ed: (
+                    a
+                    + F.when(
+                        (ed["__j"] == s)
+                        & F.element_at(acc["mb"], _idx("sts", ed["__i"]).cast("int")),
+                        (
+                            F.element_at(acc["pi"], _idx("sts", ed["__i"]).cast("int"))
+                            * ed["__p"]
+                        ).cast(dec_t),
+                    ).otherwise(F.lit(0).cast(dec_t))
+                ).cast(dec_t),
+            ).cast("double"),
+        )
+        new_mb = F.transform(
+            F.col("sts"),
+            lambda s: F.exists(
+                F.col("es"),
+                lambda ed: (ed["__j"] == s)
+                & F.element_at(acc["mb"], _idx("sts", ed["__i"]).cast("int")),
+            ),
+        )
+        return F.struct(
+            new_pi.alias("pi"),
+            new_mb.alias("mb"),
+            acc["pi"].alias("prev"),
+            acc["mb"].alias("pm"),
+        )
+
+    folded = row.select(
+        "sts",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(iterations))), state0, step
+        ).alias("st"),
+    )
+    # l1 delta at reported precision: Σ_s |round(member?pi:0, 9) −
+    # round(prev_member?prev:0, 9)| — dec-quantized terms, exact sum
+    # (the full-outer + coalesce semantics of the frame-loop form:
+    # states absent from a side contribute exact 0)
+    n_states_col = F.size("sts")
+    # guard: sequence(1, 0) would yield [1, 0] (descending) on an empty
+    # state array and element_at(…, 0) throws — use an empty index list
+    seq_states = F.when(
+        n_states_col > 0, F.sequence(F.lit(1), n_states_col)
+    ).otherwise(F.array().cast("array<int>"))
+    delta = F.round(
+        F.aggregate(
+            seq_states,
+            F.lit(0).cast(dec_t),
+            lambda a, i: (
+                a
+                + F.abs(
+                    F.round(
+                        F.when(
+                            F.element_at(F.col("st.mb"), i.cast("int")),
+                            F.element_at(F.col("st.pi"), i.cast("int")),
+                        ).otherwise(F.lit(0.0)),
+                        9,
+                    )
+                    - F.round(
+                        F.when(
+                            F.element_at(F.col("st.pm"), i.cast("int")),
+                            F.element_at(F.col("st.prev"), i.cast("int")),
+                        ).otherwise(F.lit(0.0)),
+                        9,
+                    )
+                ).cast(dec_t)
+            ).cast(dec_t),
+        ).cast("double"),
+        9,
+    )
+    items = F.filter(
+        F.transform(
+            seq_states,
+            lambda i: F.struct(
+                F.element_at(F.col("sts"), i.cast("int")).alias("state"),
+                F.round(F.element_at(F.col("st.pi"), i.cast("int")), 9).alias("pi"),
+                F.element_at(F.col("st.mb"), i.cast("int")).alias("__m"),
+            ),
+        ),
+        lambda s: s["__m"],
+    )
+    return (
+        folded.select(F.explode(items).alias("__r"), delta.alias("l1_delta"))
+        .select(F.col("__r.state").alias("state"), F.col("__r.pi").alias("pi"), "l1_delta")
     )
 
 
@@ -1183,8 +1292,14 @@ def markov_entropy_rate(
         F.col(to_col).alias("__j"),
         F.col(count_col).cast("bigint").alias("__n"),
     )
-    tot = e.groupBy("__i").agg(F.sum("__n").cast("bigint").alias("__tot"))
-    edges = e.join(tot, "__i").select(
+    # per-source totals as a window over the domain-sized transition
+    # frame — one exchange instead of an aggregation + join-back
+    # (round-13, guide §2.4); __tot is the same exact BIGINT sum
+    from pyspark.sql import Window as W
+
+    edges = e.withColumn(
+        "__tot", F.sum("__n").over(W.partitionBy("__i")).cast("bigint")
+    ).select(
         "__i",
         "__j",
         (F.col("__n").cast("double") / F.col("__tot").cast("double")).alias("__p"),
