@@ -51,7 +51,7 @@ def kmeans_fixedpoint(
     quant: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    checkpoint_every: int = 0,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Lloyd's k-means in exact integer arithmetic; returns the final
     assignment ``(pid, cluster, d2)`` — one row per input vector,
@@ -60,7 +60,14 @@ def kmeans_fixedpoint(
 
     ``iters`` centroid updates are performed, then one final
     assignment against the last centroids (assign → update ×iters →
-    assign)."""
+    assign).
+
+    ``checkpoint_every`` defaults to 1 since round 13: each iteration's
+    centroid frame (k rows) is consumed via a broadcast whose subtree
+    NESTS every earlier iteration's broadcast — without per-iteration
+    truncation, iteration t re-runs all t-1 earlier assignment passes
+    inside its broadcast build (measured as the q142/q192/q207 job
+    explosion). A k-row localCheckpoint per round is ~free."""
     pts = emb.select(
         F.col(id_col).alias("pid"),
         F.expr(

@@ -1324,10 +1324,17 @@ def coverage_greedy_selection(
     covered = pairs.select("shingle").limit(0)
     out = None
     for r in range(1, int(k) + 1):
-        uncovered_gain = (
-            pairs.join(covered, "shingle", "left_anti")
-            .groupBy("__id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("__g"))
+        # the round's anti-join feeds BOTH the gain aggregation and the
+        # covered-set update (the pick's rows in it are exactly its
+        # newly covered shingles) — truncate it once (round-13: the old
+        # form re-ran the anti-join for the update and then re-deduped
+        # the whole covered set, though the update rows are per-doc
+        # distinct and disjoint from covered by construction)
+        uncov = pairs.join(covered, "shingle", "left_anti").localCheckpoint(
+            eager=False
+        )
+        uncovered_gain = uncov.groupBy("__id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__g")
         )
         gains = pool.join(uncovered_gain, "__id", "left").select(
             "__id", F.coalesce(F.col("__g"), F.lit(0)).cast("bigint").alias("gain")
@@ -1339,18 +1346,22 @@ def coverage_greedy_selection(
         )
         covered = (
             covered.unionByName(
-                pairs.join(pick.select("__id"), "__id").select("shingle")
+                uncov.join(pick.select("__id"), "__id").select("shingle")
             )
-            .distinct()
             .localCheckpoint(eager=False)
         )
-        tot = covered.agg(F.count(F.lit(1)).cast("bigint").alias("covered_total"))
-        row = pick.crossJoin(F.broadcast(tot)).select(
+        row = pick.select(
             F.lit(r).cast("int").alias("round"),
             F.col("__id").alias(id_col),
             "gain",
-            "covered_total",
         )
         out = row if out is None else out.unionByName(row)
         pool = pool.join(pick.select("__id"), "__id", "left_anti")
-    return out
+    # covered_total after round r == Σ_{i<=r} gain_i (each round adds
+    # exactly its gain of new shingles), so the per-round COUNT(covered)
+    # aggregation + 1-row broadcast collapses to one cumulative window
+    # over the k-row output frame
+    w_rounds = W.orderBy("round").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return out.withColumn(
+        "covered_total", F.sum("gain").over(w_rounds).cast("bigint")
+    )

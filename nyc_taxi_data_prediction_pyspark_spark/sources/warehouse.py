@@ -214,6 +214,9 @@ class Warehouse:
                 upd.withColumn("valid_from", F.lit(batch_ts).cast("timestamp"))
                 .withColumn("valid_to", F.lit(None).cast("timestamp"))
                 .withColumn("is_current", F.lit(True))
+                # one materialization serves both the write and the
+                # audit count (the count re-ran the dedup otherwise)
+                .localCheckpoint()
             )
             self._swap_write(table, first)
             return {"closed": 0, "inserted": first.count()}
@@ -246,13 +249,20 @@ class Warehouse:
             .withColumn("is_current", F.lit(True))
         )
         # localCheckpoint: the union below reads `dim` on both branches
-        # while _swap_write replaces the files it scans
+        # while _swap_write replaces the files it scans.  A transient
+        # branch marker rides the union so BOTH audit counts are cheap
+        # scans of the one materialization — the former
+        # closed.count()/fresh.count() pair re-ran the full update join
+        # per count, tripling the merge's compute (round-13, guide §1.2)
         out = (
-            hist.unionByName(untouched).unionByName(closed).unionByName(fresh)
+            hist.withColumn("__b", F.lit(0))
+            .unionByName(untouched.withColumn("__b", F.lit(0)))
+            .unionByName(closed.withColumn("__b", F.lit(1)))
+            .unionByName(fresh.withColumn("__b", F.lit(2)))
         ).localCheckpoint()
-        n_closed = closed.count()
-        n_fresh = fresh.count()
-        self._swap_write(table, out)
+        n_closed = out.where(F.col("__b") == 1).count()
+        n_fresh = out.where(F.col("__b") == 2).count()
+        self._swap_write(table, out.drop("__b"))
         return {"closed": n_closed, "inserted": n_fresh}
 
     def compact(
