@@ -51,7 +51,7 @@ def kmeans_fixedpoint(
     quant: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Lloyd's k-means in exact integer arithmetic; returns the final
     assignment ``(pid, cluster, d2)`` — one row per input vector,
@@ -62,12 +62,15 @@ def kmeans_fixedpoint(
     assignment against the last centroids (assign → update ×iters →
     assign).
 
-    ``checkpoint_every`` defaults to 1 since round 13: each iteration's
-    centroid frame (k rows) is consumed via a broadcast whose subtree
-    NESTS every earlier iteration's broadcast — without per-iteration
-    truncation, iteration t re-runs all t-1 earlier assignment passes
-    inside its broadcast build (measured as the q142/q192/q207 job
-    explosion). A k-row localCheckpoint per round is ~free."""
+    ``checkpoint_every`` stays 0 by default — measured in round 13:
+    per-iteration centroid localCheckpoints cut the Spark JOB count
+    (each iteration's broadcast subtree nests every earlier one, so
+    truncation stops the nested re-runs: q142 31→21 jobs) but RAISE
+    wall time (q142 2.35→3.22 s, q192 2.00→2.17 s min-of-5): the k-row
+    block materializations serialize on block-store latency while the
+    nested broadcast recompute is pipelined codegen over the cached
+    point set. Pass a positive value only for long fixed-point runs
+    where lineage depth itself becomes the problem."""
     pts = emb.select(
         F.col(id_col).alias("pid"),
         F.expr(

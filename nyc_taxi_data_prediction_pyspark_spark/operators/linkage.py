@@ -163,6 +163,13 @@ def deletion_neighborhood_pairs(
     names.
     """
     base = df.select(F.col(id_col).alias("__id"), F.col(name_col).alias("__nm"))
+    # variants travel as xxhash64 bigints, not strings (the q17 hashed-
+    # shingle discipline — round 13): the self-join shuffles a fixed
+    # 8-byte key instead of a ~|name|-byte string. A hash collision can
+    # only ADD a candidate pair, and every candidate is verified by the
+    # exact levenshtein filter below, so the result set is unchanged
+    # (completeness: true lev<=1 pairs share a REAL variant, hence its
+    # hash).
     variants = base.select(
         "__id",
         "__nm",
@@ -177,8 +184,8 @@ def deletion_neighborhood_pairs(
                     ),
                 ),
             )
-        ).alias("__var"),
-    )
+        ).alias("__var0"),
+    ).select("__id", "__nm", F.xxhash64("__var0").alias("__var"))
     a = variants.alias("a")
     b = variants.alias("b")
     cand = (

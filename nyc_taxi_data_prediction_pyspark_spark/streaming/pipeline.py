@@ -690,42 +690,26 @@ def holt_state_stream(
 
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     # FileStreamSource orders files by MODIFICATION TIME, not name, so
-    # a parallel repartitionByRange write gives no cross-batch order
-    # guarantee (measured: batches arrive shuffled). Write the ts-range
-    # slices SEQUENTIALLY (one job each) and force strictly increasing
-    # mtimes, so trigger order == event-time order by construction.
-    cuts = [
-        int(c)
-        for c in ev.agg(
-            F.percentile(
-                F.unix_micros("ts"),
-                F.array(
-                    *[
-                        F.lit(i / n_arrival_files)
-                        for i in range(1, n_arrival_files)
-                    ]
-                ),
-            ).alias("c")
-        ).collect()[0]["c"]
-    ]
-    bounds = [None, *cuts, None]
-    os.makedirs(arrivals, exist_ok=True)
+    # a range-partitioned parallel write alone gives no cross-batch
+    # order guarantee (measured: batches arrive shuffled). But range
+    # partition ids ARE event-time-ordered and part-file NAMES carry
+    # the partition id, so ONE repartitionByRange write + an mtime
+    # fixup in filename order reconstructs trigger order == event-time
+    # order — replacing the round-9 form's percentile-cut collect plus
+    # one full events scan PER slice (round-13: 5 jobs/4 scans → 1
+    # job/1 scan; the final store is split-invariant by the
+    # element-wise-replay contract, test-pinned).
+    ev.repartitionByRange(n_arrival_files, F.col("ts").asc(), F.col("event_id").asc()).write.mode(
+        "overwrite"
+    ).parquet(arrivals)
     import time as _time
 
     base_mtime = _time.time() - 3600
-    for i in range(n_arrival_files):
-        lo, hi = bounds[i], bounds[i + 1]
-        sl = ev
-        if lo is not None:
-            sl = sl.where(F.unix_micros("ts") > lo)
-        if hi is not None:
-            sl = sl.where(F.unix_micros("ts") <= hi)
-        before = set(os.listdir(arrivals))
-        sl.coalesce(1).write.mode("append").parquet(arrivals)
-        for fname in set(os.listdir(arrivals)) - before:
-            os.utime(
-                os.path.join(arrivals, fname), (base_mtime + i, base_mtime + i)
-            )
+    parts = sorted(
+        f for f in os.listdir(arrivals) if not f.startswith(("_", "."))
+    )
+    for i, fname in enumerate(parts):
+        os.utime(os.path.join(arrivals, fname), (base_mtime + i, base_mtime + i))
 
     stream = (
         spark.readStream.schema(ev.schema)

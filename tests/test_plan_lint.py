@@ -30,7 +30,6 @@ BNL_ALLOWED = {
     "q163_kmv_overlap": "two 1-row frames (overlap stats x exact intersection) crossed",
     "q164_chi_square": "1-row grand-total broadcast onto the cell frame",
     "q166_lm_quality": "1-row token-total broadcast onto the scored stream",
-    "q168_mad_outliers": "1-row (1,2)-fraction frame crossed onto the per-flag distinct-value histograms (discrete median rank selection, twice) + #groups-row median/MAD broadcasts",
     "q171_benford_audit": "1-row digit-total broadcast onto the 9-digit frame",
     "q174_naive_bayes": "#classes-row (tiny) prior frame crossed onto the token stream",
     "q176_interpolated_gaps": "hour spine x #event-types frame (both metadata-sized) crossed",
@@ -59,7 +58,6 @@ BNL_ALLOWED = {
     "q312_jackknife_shard_variance": "1-row corpus-totals broadcast onto the 16-row shard frame (the q100 shape)",
     "q250_jl_recall": "1-row projected-probe broadcast onto the corpus rankings",
     "q254_k_anonymity": "1-row row-total broadcast onto the class-size histogram (the q100 shape)",
-    "q267_stationary_markov": "two 1-row broadcasts (state count for the uniform start; L1 delta onto the #states-row output)",
     "q255_association_rules": "1-row basket-count broadcast onto the rule frame (the q100 shape)",
     "q273_decayed_topk": "1-row data-derived reference-timestamp broadcast onto the event stream (the q166 shape)",
     "q275_js_divergence": "1-row vocabulary-total broadcast onto the (source, term) frame (the q164 grand-total shape)",
@@ -68,7 +66,7 @@ BNL_ALLOWED = {
     "q284_graph_modularity": "1-row edge-count broadcast onto the #communities frame (the q100 shape)",
     "q285_jm_surprise": "1-row token-total broadcast onto the scored bigram stream (the q186 shape)",
     "q286_eb_shrinkage": "1-row MoM-prior (alpha, beta) broadcast onto the entity frame",
-    "q287_entropy_rate": "two 1-row frames crossed (pi stats x entropy sum) + q267's per-round broadcasts",
+    "q287_entropy_rate": "two 1-row frames crossed (pi stats x entropy sum); q267's fixpoint is in-row since r13 so no other cross shapes remain",
     "q288_did_estimator": "1-row window-bounds broadcast onto the event stream (the q134 shape)",
     "q289_cuped": "1-row window-bounds broadcast onto the event stream (the q288 shape) + 1-row pooled-theta broadcast onto the 2-arm frame",
     "q291_skipgram_negatives": "1-row corpus-token-total broadcast onto the pair stream (the q166 shape)",
@@ -77,7 +75,6 @@ BNL_ALLOWED = {
     "q295_good_turing": "1-row corpus-gram-total broadcast onto the count-of-counts frame (the q166 shape)",
     "q297_oof_target_encoding": "1-row grand-total broadcast onto the (key x fold) cells frame (the q100 shape)",
     "q299_tail_dependence": "3-row quantile frame broadcast onto the rank stream (bounded probe set, the q134 shape)",
-    "q302_coverage_greedy": "per-round 1-row covered-total broadcast crossed onto the 1-row pick (5 rounds; the greedy loop's only cross shapes)",
     "q303_simpsons_reversal": "1-row pooled-counts broadcast onto the #segments-row frame (the q100 shape)",
     "q304_t_closeness": "#classes-row x #domain-values-row grid cross (both metadata-sized — the kendall grid rule) + 1-row global-total broadcast",
 }
