@@ -2923,12 +2923,17 @@ def q148_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
             .otherwise(F.lit("test"))
         )
 
+    # THREE consumers (per_split + both leak-audit sides) — without
+    # truncation each re-ran the docs⋈comps assign join + md5 hashing
+    # (the plan showed the subtree triplicated: 2 extra SortMergeJoins
+    # + 4 exchanges of pure recompute).  One materialization, three
+    # block scans (round-14, guide §5 reuse; the q190 idiom).
     splits = assign.select(
         "doc_id",
         "cluster_id",
         split_of("cluster_id").alias("split"),
         split_of("doc_id").alias("naive_split"),
-    )
+    ).localCheckpoint(eager=False)
     sa = splits.select(
         F.col("doc_id").alias("id_a"),
         F.col("split").alias("split_a"),
@@ -5916,7 +5921,10 @@ def q267_stationary_markov(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     return mining.stationary_distribution(
-        counts, from_col="from_type", to_col="to_type", count_col="n", iterations=8
+        counts, from_col="from_type", to_col="to_type", count_col="n", iterations=8,
+        # event-type domain: ≤ 5 states at any corpus size — the in-row
+        # fold is safe and the #states guard job is skipped
+        domain_bounded=True,
     ).orderBy("state")
 
 
@@ -6277,7 +6285,9 @@ def q287_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     return mining.markov_entropy_rate(
-        counts, from_col="from_type", to_col="to_type", count_col="n"
+        counts, from_col="from_type", to_col="to_type", count_col="n",
+        # event-type domain: ≤ 5 states at any corpus size (q267 note)
+        domain_bounded=True,
     )
 
 
@@ -12864,8 +12874,8 @@ cutrows AS (
 ),
 cuts AS (SELECT list_sort(LIST(cut)) AS cuts FROM cutrows),
 bucketed AS (
-  SELECT 1 + list_sum(list_transform(c.cuts,
-           x -> CASE WHEN CAST(e.value AS DOUBLE) > x THEN 1 ELSE 0 END)) AS bucket,
+  SELECT CAST(1 + list_sum(list_transform(c.cuts,
+           x -> CASE WHEN CAST(e.value AS DOUBLE) > x THEN 1 ELSE 0 END)) AS BIGINT) AS bucket,
          CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events e, cuts c WHERE e.value IS NOT NULL
 ),
@@ -15186,8 +15196,8 @@ cutrows AS (
 ),
 cuts AS (SELECT list_sort(LIST(cut)) AS cuts FROM cutrows),
 bucketed AS (
-  SELECT 1 + list_sum(list_transform(c.cuts,
-           x -> CASE WHEN CAST(e.value AS DOUBLE) > x THEN 1 ELSE 0 END)) AS bucket,
+  SELECT CAST(1 + list_sum(list_transform(c.cuts,
+           x -> CASE WHEN CAST(e.value AS DOUBLE) > x THEN 1 ELSE 0 END)) AS BIGINT) AS bucket,
          CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events e, cuts c WHERE e.value IS NOT NULL
 )
@@ -15223,8 +15233,8 @@ cutrows AS (
 ),
 cuts AS (SELECT list_sort(LIST(cut)) AS cuts FROM cutrows),
 bucketed AS (
-  SELECT 1 + list_sum(list_transform(c.cuts,
-           x -> CASE WHEN CAST(e.value AS DOUBLE) > x THEN 1 ELSE 0 END)) AS bucket,
+  SELECT CAST(1 + list_sum(list_transform(c.cuts,
+           x -> CASE WHEN CAST(e.value AS DOUBLE) > x THEN 1 ELSE 0 END)) AS BIGINT) AS bucket,
          CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events e, cuts c WHERE e.value IS NOT NULL
 ),

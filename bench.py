@@ -477,6 +477,11 @@ def sf_table_stats(spark, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # effective core count: what the session actually runs with
+    # (local[$SPARK_GRAFT_CPUS]) — round-13 verdict #2: reporting
+    # os.cpu_count() here mislabeled the driver's 8-core scaling run
+    # as "cpus": 32.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     import __spark_entry__ as entry
 
     from nyc_taxi_data_prediction_pyspark_spark.session import get_spark
@@ -568,7 +573,7 @@ def main() -> None:
         "sf": sf_val,
         "sf_tables": tables,
         "canary": canary,
-        "cpus": os.cpu_count(),
+        "cpus": cpus,
         # engine-version provenance (round-12 verdict #4): the driver
         # commits this file each round, so whatever environment RAN
         # this bench — driver or builder — self-records here.  A
@@ -603,7 +608,7 @@ def main() -> None:
                 "passes": n_passes,
                 "sf": sf_val,
                 "canary": canary,
-                "cpus": os.cpu_count(),
+                "cpus": cpus,
             },
             separators=(",", ":"),
         )

@@ -498,11 +498,13 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        # checkpoint FIRST (one eager materialization of the round's
-        # join), then read both the convergence count and the next
-        # labels off the materialized blocks — the former
-        # count-then-checkpoint order computed the round's join TWICE
-        # per iteration (round-13 optimization; guide §1.2 step 1)
+        # LAZY checkpoint + fused convergence count (round-14, guide
+        # §1.2 step 1): the count action is the job that materializes
+        # the round's checkpoint blocks, so one job per round computes
+        # the join ONCE, stores it, and reads the flag — the round-13
+        # eager form paid a separate materialization job before the
+        # count (2 jobs/round), and the round-12 count-then-checkpoint
+        # form computed the join twice.
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
             .select(
@@ -518,7 +520,7 @@ def connected_components(
                     )
                 ).alias("__changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = updated.where(F.col("__changed")).count()
         labels = updated.select("node", F.col("new_cluster").alias("cluster_id"))

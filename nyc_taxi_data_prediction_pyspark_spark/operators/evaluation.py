@@ -630,11 +630,23 @@ def _woe_bucket_counts(
         group_keys=[],
         fracs=[(i, n_buckets) for i in range(1, n_buckets)],
     )
-    bucket = F.lit(1) + F.aggregate(
-        F.transform(F.col("__cuts"), lambda c: (F.col("__v") > c).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    # bucket is BIGINT on BOTH engines (round-14 root-cause fix for the
+    # four-round q240-family driver red): the oracle's ``list_sum``
+    # returns HUGEINT -> arrow decimal128(38,0) while Spark emitted INT,
+    # and the driver's value hash is representation-sensitive exactly
+    # there (int32/int64 width skew is tolerated — q101 green — but
+    # integer-vs-Decimal is not; byte-identical data and identical
+    # engine versions, proven by the committed BENCH_DETAIL sf_tables
+    # and the q307 probe, ruled out every data/version layer).  Both
+    # sides now CAST the bucket id to BIGINT; values are unchanged.
+    bucket = (
+        F.lit(1)
+        + F.aggregate(
+            F.transform(F.col("__cuts"), lambda c: (F.col("__v") > c).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+    ).cast("bigint")
     return (
         df.where(v.isNotNull())
         .select(v.alias("__v"), y.alias("__y"))

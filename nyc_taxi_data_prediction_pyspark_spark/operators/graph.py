@@ -87,8 +87,18 @@ def pagerank_fixedpoint(
     # frame (|V| rows) — the cached scan keeps its HashPartitioning.
     fanout = e.join(outdeg, "src").repartition("src").cache()
 
-    n_nodes = nodes.count()  # scalar metadata action (sizes the constants)
-    fanout.count()  # force while the edge cache is warm, then drop it
+    # ONE fused setup action (round-14, verdict 3a): nodes rows carry
+    # flag 1 and fanout rows flag 0, so the sum IS |V| while the scan
+    # forces BOTH caches in a single job — the two-action form
+    # (nodes.count() then fanout.count()) paid an extra job for the
+    # same passes.  Cache lifetime unchanged: e is dropped immediately
+    # after, exactly as before.
+    n_nodes = (
+        nodes.select(F.lit(1).cast("bigint").alias("__f"))
+        .unionByName(fanout.select(F.lit(0).cast("bigint").alias("__f")))
+        .agg(F.sum("__f"))
+        .collect()[0][0]
+    )
     e.unpersist()
     base = SCALE // n_nodes
     teleport = ((100 - damping_pct) * base) // 100
@@ -166,8 +176,19 @@ def personalized_pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     fanout = e.join(outdeg, "src").repartition("src").cache()
 
-    n_src = s.count()  # scalar metadata action (sizes the constants)
-    fanout.count()
+    # ONE fused setup action (round-14, verdict 3a): |S| is the sum of
+    # the __is_src flags riding the nodes frame, so a union-agg scan
+    # returns the constant AND forces nodes + fanout in a single job.
+    # This also fixes a latent recompute: the old form (s.count() +
+    # fanout.count()) never forced the NODES cache before dropping the
+    # edge cache, so nodes materialized at iteration 1 by re-running
+    # the edge dedup from source.
+    n_src = (
+        nodes.select(F.col("__is_src").cast("bigint").alias("__f"))
+        .unionByName(fanout.select(F.lit(0).cast("bigint").alias("__f")))
+        .agg(F.sum("__f"))
+        .collect()[0][0]
+    )
     e.unpersist()
     base = SCALE // n_src
     teleport = ((100 - damping_pct) * base) // 100
@@ -564,7 +585,17 @@ def label_propagation(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
-    e = e.localCheckpoint(eager=False)
+    # hash-partition the edge frame on the per-round join key and CACHE
+    # it (round-14, verdict 3b — the pagerank cached-fanout idiom): an
+    # InMemoryTableScan preserves its HashPartitioning, so at cluster
+    # scale every round's e⋈lab sort-merge join re-shuffles only the
+    # |V| label frame, never the |E| edges.  (localCheckpoint would
+    # NOT work here: a checkpointed RDD scans as UnknownPartitioning —
+    # measured, the SMJ re-shuffled both sides.)  Locally the |V| side
+    # broadcasts either way; the one extra setup exchange replaces
+    # iters×|E| exchanges at scale.  The cache is dropped after the
+    # final labels are eagerly materialized below.
+    e = e.repartition("dst").cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -593,6 +624,11 @@ def label_propagation(
             )
             .localCheckpoint(eager=False)
         )
+    # force the final frame once, then release the edge cache (the
+    # pagerank lifecycle: repeated calls in a long-lived session must
+    # not accumulate cached |E| blocks)
+    lab = lab.localCheckpoint(eager=True)
+    e.unpersist()
     return lab
 
 

@@ -929,6 +929,8 @@ def stationary_distribution(
     to_col: str,
     count_col: str,
     iterations: int = 8,
+    domain_bounded: bool | None = None,
+    max_inrow_states: int = 512,
 ) -> DataFrame:
     """Stationary distribution of a first-order Markov chain by power
     iteration over its exact transition COUNTS — where does the
@@ -977,7 +979,41 @@ def stationary_distribution(
     the per-round membership rule (a state leaves the pi frame when no
     in-edge from a member state reaches it) is tracked explicitly, so
     output rows and values are bit-identical to the frame-loop form.
+
+    GUARD (round-14, verdict #7): the in-row form collects the whole
+    edge set into ONE row, which is only safe while the state domain
+    is bounded — a caller with an unbounded key domain would get a
+    single-task OOM where the frame-loop degrades gracefully.  The
+    100 TB posture is therefore enforced, not assumed:
+
+    - ``domain_bounded=True``  — caller attests the domain is
+      metadata-sized (the declared event-type queries: ≤ 5 states at
+      any corpus size); in-row, zero extra jobs.
+    - ``domain_bounded=False`` — always the distributed frame-loop
+      (one edges⋈pi join + combinable sum per round).
+    - ``domain_bounded=None`` (default) — one #states count job, then
+      in-row iff #states ≤ ``max_inrow_states`` (512 ⇒ ≤ 512² ≈ 262 k
+      edge structs ≈ single-digit MB in the fold row).
+
+    Both paths compute bit-identical output (exact decimal sums are
+    order-free; pinned by test_stationary_inrow_equals_frameloop).
     Returns (state, pi, l1_delta)."""
+    if domain_bounded is None:
+        n_states = (
+            transitions.select(F.col(from_col).alias("s"))
+            .union(transitions.select(F.col(to_col).alias("s")))
+            .distinct()
+            .count()
+        )
+        domain_bounded = n_states <= max_inrow_states
+    if not domain_bounded:
+        return _stationary_frameloop(
+            transitions,
+            from_col=from_col,
+            to_col=to_col,
+            count_col=count_col,
+            iterations=iterations,
+        )
     # accumulator precision 37: (37,18)+(37,18) → (38,18) keeps scale
     # 18 exactly, and the cast back to (37,18) is the identity for
     # |value| < 10^19 (pi ≤ 1) — a (38,18) accumulator would type its
@@ -1127,6 +1163,73 @@ def stationary_distribution(
     )
 
 
+def _stationary_frameloop(
+    transitions: DataFrame,
+    *,
+    from_col: str,
+    to_col: str,
+    count_col: str,
+    iterations: int,
+) -> DataFrame:
+    """Distributed power iteration (the pre-round-13 form, kept as the
+    unbounded-domain fallback of ``stationary_distribution``): the
+    state frame is #states rows, each round one edge⋈pi join + one
+    map-side-combinable decimal sum over the edge frame — no single-row
+    collection, so an arbitrarily large state domain degrades into
+    ordinary shuffles instead of one-task OOM.  Identical per-term
+    arithmetic (dec-quantized products, exact order-free sums) ⇒
+    bit-identical output to the in-row fold."""
+    dec = lambda c: c.cast("decimal(38,18)")  # noqa: E731
+    e = transitions.select(
+        F.col(from_col).alias("__i"),
+        F.col(to_col).alias("__j"),
+        F.col(count_col).cast("bigint").alias("__n"),
+    )
+    tot = e.groupBy("__i").agg(F.sum("__n").cast("bigint").alias("__tot"))
+    edges = e.join(tot, "__i").select(
+        "__i", "__j",
+        (F.col("__n").cast("double") / F.col("__tot").cast("double")).alias("__p"),
+    )
+    edges = edges.localCheckpoint(eager=False)  # reused every round
+    states = edges.select(F.col("__i").alias("state")).unionByName(
+        edges.select(F.col("__j").alias("state"))
+    ).distinct()
+    n_states = states.agg(F.count(F.lit(1)).alias("__k"))  # 1-row, no collect
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "state", (F.lit(1.0) / F.col("__k").cast("double")).alias("pi")
+    )
+    prev = pi
+    for _ in range(iterations):
+        prev = pi
+        pi = (
+            edges.join(pi.withColumnRenamed("state", "__i"), "__i")
+            .groupBy(F.col("__j").alias("state"))
+            .agg(F.sum(dec(F.col("pi") * F.col("__p"))).alias("__acc"))
+            .select("state", F.col("__acc").cast("double").alias("pi"))
+            .localCheckpoint(eager=False)
+        )
+    # full outer + coalesce: a state with no incoming edges leaves the
+    # pi frame (its mass is exactly 0) — the delta must still count it
+    delta = (
+        pi.withColumnRenamed("pi", "__new")
+        .join(prev.withColumnRenamed("pi", "__old"), "state", "full_outer")
+        .agg(
+            F.sum(
+                dec(
+                    F.abs(
+                        F.round(F.coalesce(F.col("__new"), F.lit(0.0)), 9)
+                        - F.round(F.coalesce(F.col("__old"), F.lit(0.0)), 9)
+                    )
+                )
+            ).alias("__d")
+        )
+        .select(F.round(F.col("__d").cast("double"), 9).alias("l1_delta"))
+    )
+    return pi.crossJoin(F.broadcast(delta)).select(
+        "state", F.round(F.col("pi"), 9).alias("pi"), "l1_delta"
+    )
+
+
 def decayed_topk(
     df: DataFrame,
     *,
@@ -1260,6 +1363,7 @@ def markov_entropy_rate(
     to_col: str,
     count_col: str,
     iterations: int = 8,
+    domain_bounded: bool | None = None,
 ) -> DataFrame:
     """Entropy rate of the first-order Markov chain (Shannon 1948):
     H = −Σ_i π_i Σ_j p_ij ln p_ij — bits-per-step unpredictability of
@@ -1286,6 +1390,7 @@ def markov_entropy_rate(
         to_col=to_col,
         count_col=count_col,
         iterations=iterations,
+        domain_bounded=domain_bounded,
     ).select("state", "pi")
     e = transitions.select(
         F.col(from_col).alias("__i"),

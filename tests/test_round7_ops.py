@@ -708,6 +708,37 @@ def test_stationary_distribution_matches_numpy_power_iteration(spark):
     assert abs(sum(r.pi for r in out.values()) - 1.0) <= 1e-6  # mass conserved
 
 
+def test_stationary_inrow_equals_frameloop(spark):
+    """Round-14 guard contract (verdict #7): the in-row fold
+    (domain_bounded=True) and the distributed frame-loop fallback
+    (domain_bounded=False) must be BIT-equal — same rows, same pi and
+    l1_delta doubles — including on a chain with a dangling state
+    (membership rule) and with the default #states auto-dispatch."""
+    rng = random.Random(14)
+    k = 5
+    counts = [
+        (i, j, rng.randrange(1, 20))
+        for i in range(k - 1)  # state k-1 is dangling: only a destination
+        for j in range(k)
+        if rng.random() > 0.3
+    ]
+    df = spark.createDataFrame([Row(i=i, j=j, n=n) for i, j, n in counts])
+    kw = dict(from_col="i", to_col="j", count_col="n", iterations=8)
+    inrow = sorted(
+        mining.stationary_distribution(df, domain_bounded=True, **kw).collect()
+    )
+    floop = sorted(
+        mining.stationary_distribution(df, domain_bounded=False, **kw).collect()
+    )
+    auto = sorted(mining.stationary_distribution(df, **kw).collect())
+    assert inrow == floop == auto  # bit-equal rows (Row == compares values)
+    # auto-dispatch picks the frame-loop when the domain exceeds the bound
+    tiny = sorted(
+        mining.stationary_distribution(df, max_inrow_states=2, **kw).collect()
+    )
+    assert tiny == floop
+
+
 def test_term_burstiness_hand_case(spark):
     """'bursty' appears 4+4 in two docs (VMR: mean 4, var 0 -> 0);
     'spread' appears 1,7 (mean 4, var 9 -> 2.25)."""

@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for named queries into plans/r13/
+"""Dump .explain('formatted') for named queries into plans/r14/
 as <query>_<tag>.txt — the optimization round's before/after plan
 evidence (judge contract).
 
@@ -26,7 +26,7 @@ def main() -> None:
     qs = entry.queries()
     spark = get_spark("dump-plans")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
     )
     os.makedirs(out_dir, exist_ok=True)
     for n in names:
